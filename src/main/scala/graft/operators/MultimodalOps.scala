@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing (SURVEY.md §2.4): media assets are opaque
+ * `binary` payloads with typed metadata travelling alongside. The container
+ * has no image/audio codecs, so the decode step is a clearly-marked
+ * deterministic STUB — but everything Spark-side (schema, batching,
+ * partition-parallel execution, feature shape) is real and tested.
+ *
+ * At 100 TB the asset table is stored as parquet with the binary column last
+ * (row groups stay scannable for metadata-only queries thanks to column
+ * pruning), partitioned by asset kind/date; feature extraction is a
+ * mapPartitions pass so any native decoder is initialized once per partition,
+ * not once per row.
+ */
+object MultimodalOps {
+
+  /** An opaque media asset: payload + typed metadata. */
+  final case class Asset(asset_id: Long, kind: String, meta: Map[String, String], payload: Array[Byte])
+
+  /** Extracted feature row (fixed-width vector + shape metadata). */
+  final case class AssetFeatures(asset_id: Long, kind: String, n_bytes: Int, feature: Array[Float])
+
+  /**
+   * STUB decoder — stands in for image/audio decode (libs not present in this
+   * container). Deterministic: 16-bin byte histogram, L1-normalized. A real
+   * deployment swaps `decode` for e.g. a JPEG → tensor call; the Spark
+   * plumbing around it is unchanged.
+   */
+  def decode(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) / 16) += 1f; i += 1 }
+    val n = math.max(payload.length, 1).toFloat
+    var j = 0
+    while (j < 16) { hist(j) /= n; j += 1 }
+    hist
+  }
+
+  /** Documents → asset table: utf-8 payload bytes standing in for media blobs. */
+  def documentsAsAssets(documents: DataFrame): Dataset[Asset] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(
+        col("doc_id").as("asset_id"),
+        lit("text/plain").as("kind"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"),
+        col("text").cast("binary").as("payload"))
+      .as[Asset]
+  }
+
+  /**
+   * Partition-parallel feature extraction. One decoder per partition; batch
+   * shape = the partition iterator, mirroring `mapInPandas` batch semantics.
+   */
+  def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // real deployments init the (native) decoder here, once per partition
+      it.map { a =>
+        AssetFeatures(a.asset_id, a.kind, a.payload.length, decode(a.payload))
+      }
+    }
+  }
+
+  /**
+   * Metadata census over the asset table — the query a 100 TB store answers
+   * without touching payload bytes (column pruning keeps the binary column
+   * unread; verify via ReadSchema in explain).
+   */
+  def assetMetaStats(documents: DataFrame): DataFrame =
+    documents.select(
+        col("source"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(col("digest")).as("distinct_payloads"))
+      .orderBy(col("source"))
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import java.time.{LocalDate, LocalDateTime}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Interval-overlap queries over the ledger (SURVEY.md §2.2 O4/O5/O14;
+ * reference `overlap_checks.py:4-107`, `snowflake_tasks.py:488-584`).
+ *
+ * Overlap semantics are the reference's, preserved bit-for-bit:
+ *  - half-open intersection, strict `<` / `>` — touching windows
+ *    (`end == start`) do NOT overlap (`overlap_checks.py:59-60`);
+ *  - the self-join hides pairs with identical `query_window_start_ts`
+ *    (`t1.start != t2.start`, `snowflake_tasks.py:548`) — a semantic quirk we
+ *    keep.
+ */
+object OverlapOps {
+
+  /**
+   * R1: all ledger rows whose window overlaps the candidate input window
+   * (reference `overlap_checks.py:48-61`).
+   *
+   * Two-phase filtering exactly as the reference designs it: a coarse,
+   * sargable day-band predicate over the denormalized `*_day` columns prunes
+   * first (on a day-partitioned ledger this is partition pruning — zero I/O
+   * for out-of-band days), then the exact half-open timestamp test runs on the
+   * survivors. Invalid ISO input throws IllegalArgumentException at the API
+   * edge (mirrors `ValueError`, `overlap_checks.py:44-46`).
+   */
+  def findOverlappingRecordsForInput(
+      ledger: DataFrame,
+      pipelineName: String,
+      indexName: String,
+      startTsIso: String,
+      endTsIso: String): DataFrame = {
+    val (startTs, endTs) =
+      try (LocalDateTime.parse(startTsIso.replace(' ', 'T')),
+           LocalDateTime.parse(endTsIso.replace(' ', 'T')))
+      catch { case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(s"invalid ISO-8601 window: $startTsIso .. $endTsIso", e)
+      }
+    val startDay = java.sql.Date.valueOf(startTs.toLocalDate)
+    val endDay = java.sql.Date.valueOf(endTs.toLocalDate)
+    ledger
+      // coarse day band (partition-prunable)
+      .filter(col("query_window_start_day") <= lit(endDay) &&
+              col("query_window_end_day") >= lit(startDay))
+      .filter(col("pipeline_name") === pipelineName && col("index_name") === indexName)
+      // exact half-open interval intersection
+      .filter(col("query_window_start_ts") < lit(java.sql.Timestamp.valueOf(endTs)) &&
+              col("query_window_end_ts") > lit(java.sql.Timestamp.valueOf(startTs)))
+  }
+
+  /** Day-sliced CTE input of the self-join (reference `snowflake_tasks.py:531-538`). */
+  private def daySlice(ledger: DataFrame, pipelineName: String, indexName: String,
+      day: LocalDate): DataFrame = {
+    val dayStart = java.sql.Timestamp.valueOf(day.atStartOfDay)
+    val nextDay = java.sql.Timestamp.valueOf(day.plusDays(1).atStartOfDay)
+    ledger.filter(
+      col("pipeline_name") === pipelineName &&
+      col("index_name") === indexName &&
+      col("query_window_start_ts") < lit(nextDay) &&
+      col("query_window_end_ts") > lit(dayStart))
+  }
+
+  /**
+   * R6: interval-overlap self theta-join over a one-day slice
+   * (reference `snowflake_tasks.py:530-550`).
+   *
+   * Pure inequality join (no equi-key) → Spark plans BroadcastNestedLoopJoin.
+   * That is the *correct* physical choice here: the CTE pre-filter (one
+   * pipeline, one index, one day) makes the build side small no matter how big
+   * the ledger is, and the day slice is partition-pruned before the join. For
+   * wide slices use [[overlappingWindowsBanded]].
+   */
+  def findOverlappingQueryWindows(
+      ledger: DataFrame,
+      pipelineName: String,
+      indexName: String,
+      dateStr: String): DataFrame = {
+    val f = daySlice(ledger, pipelineName, indexName, LocalDate.parse(dateStr))
+    joinOverlaps(f)
+  }
+
+  private def joinOverlaps(f: DataFrame): DataFrame = {
+    val t1 = f.select(
+      col("query_window_start_ts").as("s1"), col("query_window_end_ts").as("e1"))
+    val t2 = f.select(
+      col("query_window_start_ts").as("s2"), col("query_window_end_ts").as("e2"))
+    t1.join(t2,
+        col("s1") < col("e2") && col("e1") > col("s2") && col("s1") =!= col("s2"))
+      .select(
+        col("s1").as("source_window_start_ts"),
+        col("e1").as("source_window_end_ts"),
+        col("s2").as("overlaps_with_start_ts"),
+        col("e2").as("overlaps_with_end_ts"))
+  }
+
+  /**
+   * Scale path for the overlap self-join (SURVEY.md §4.3): rewrite the pure
+   * theta-join as a *banded equi-join* — explode each window into the set of
+   * fixed-size time buckets it covers, equi-join on the bucket (shuffle
+   * hash/sort-merge, fully distributed), then apply the exact interval
+   * predicate as a residual filter and de-duplicate pairs that met in more
+   * than one bucket.
+   *
+   * Identical result set to [[findOverlappingQueryWindows]] (property-tested);
+   * turns an O(n²) nested loop into an equi-join whose cost is governed by
+   * bucket occupancy, which is what survives a 100× scale-up of the slice.
+   */
+  def overlappingWindowsBanded(
+      ledger: DataFrame,
+      pipelineName: String,
+      indexName: String,
+      dateStr: String,
+      bucket: String = "1 hour"): DataFrame = {
+    val f = daySlice(ledger, pipelineName, indexName, LocalDate.parse(dateStr))
+      .select(col("query_window_start_ts").as("s"), col("query_window_end_ts").as("e"))
+    // Buckets covered by [s, e): sequence over the truncated endpoints. The
+    // interval is half-open, so a window ending exactly on a bucket boundary
+    // does not occupy that bucket — but sequence() is inclusive; the residual
+    // exact predicate removes any false candidates, so inclusiveness only
+    // costs a few extra candidate pairs, never correctness.
+    def banded(s: String, e: String) =
+      f.select(col("s").as(s"s$s"), col("e").as(s"e$s"),
+        explode(sequence(
+          date_trunc("hour", col("s")),
+          date_trunc("hour", col("e")),
+          expr(s"interval $bucket"))).as("bucket"))
+    val t1 = banded("1", "1")
+    val t2 = banded("2", "2")
+    t1.join(t2, Seq("bucket"))
+      .filter(col("s1") < col("e2") && col("e1") > col("s2") && col("s1") =!= col("s2"))
+      .select(
+        col("s1").as("source_window_start_ts"),
+        col("e1").as("source_window_end_ts"),
+        col("s2").as("overlaps_with_start_ts"),
+        col("e2").as("overlaps_with_end_ts"))
+      .distinct()
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarityF32
+
+/**
+ * Similarity search over the `embeddings` table (`array<float>`, 64-dim) and
+ * the multimodal join (SURVEY.md §2.3 E2/E4, §2.4).
+ *
+ * All cosine math goes through the codegen'd [[CosineSimilarityF32]]
+ * expression (bit-compatible with the DuckDB oracle, see its scaladoc).
+ *
+ * Scale design:
+ *  - [[topkCosine]] — brute-force scan of the corpus against a broadcast
+ *    query vector; `orderBy(...).limit(k)` plans as TakeOrderedAndProject
+ *    (per-partition top-k, no global sort) — the exact-baseline path.
+ *  - [[annIvf]] — IVF-style two-stage search: assign every vector to its
+ *    nearest centroid (small broadcast centroid table), probe only the
+ *    `nProbe` centroids nearest the query. At 100 TB the assignment is a
+ *    one-off (stored, partitioned by centroid id → probing is partition
+ *    pruning); here it is computed inline for determinism.
+ */
+object SimilarityOps {
+
+  private def cos(a: Column, b: Column): Column =
+    call_function("cosine_f32", a, b)
+
+  /** DuckDB-parity rounding: round in float32 space, promote to double. */
+  private def round6f(sim: Column): Column =
+    (round(sim.cast("double") * lit(1e6)) / lit(1e6)).cast("float").cast("double")
+
+  /** E2: exact top-k cosine neighbours of `queryVecId` (excluded from results). */
+  def topkCosine(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qvec"))
+    embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round6f(cos(col("qvec"), col("embedding"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs: all pairs with rounded similarity
+   * ≥ threshold. Brute-force all-pairs is the correctness baseline; the scale
+   * path bucket-joins via [[annIvf]]-style centroid assignment first.
+   */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round6f(cos(col("emb_a"), col("emb_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /**
+   * IVF approximate nearest-neighbour: centroids are the deterministic subset
+   * `vec_id % centroidMod == 0`; every vector is assigned to its cosine-nearest
+   * centroid; the query probes the `nProbe` nearest centroids and ranks only
+   * vectors assigned there. Deterministic ties: (sim DESC, id ASC) everywhere.
+   */
+  def annIvf(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 10,
+      centroidMod: Int = 40,
+      nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = embeddings.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    // assignment: nearest centroid per vector (broadcast NL join over a
+    // handful of centroids — the classic IVF coarse quantizer)
+    val simToCent = embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cos(col("embedding"), col("cvec")).as("csim"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = simToCent
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    // probe list: nProbe centroids nearest to the query vector
+    val qvec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qvec"))
+    val probes = cents.crossJoin(broadcast(qvec))
+      .select(col("cid"), cos(col("qvec"), col("cvec")).as("psim"))
+      .orderBy(col("psim").desc, col("cid").asc)
+      .limit(nProbe)
+      .select(col("cid"))
+    assigned
+      .join(broadcast(probes), Seq("cid"), "left_semi")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qvec))
+      .select(col("vec_id"), round6f(cos(col("qvec"), col("embedding"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** E4: multimodal join — text corpus ⋈ embedding store on id, grouped counts. */
+  def multimodalJoin(documents: DataFrame, embeddings: DataFrame): DataFrame =
+    documents.join(embeddings, col("doc_id") === col("vec_id"))
+      .groupBy(col("lang"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("label"))
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators over the `documents` table (SURVEY.md §2.4;
+ * training-data-pipeline surface: dedup, language-ID, quality scoring, token
+ * counting, fingerprinting).
+ *
+ * Design rules for 100 TB:
+ *  - everything is per-row column expressions + integer-sum aggregations —
+ *    single scan, map-side partial aggregation, no joins, no UDFs;
+ *  - cross-engine determinism: ratios are computed from exact integer sums
+ *    (never averaged doubles), so results are identical regardless of
+ *    partitioning / summation order.
+ */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text (shared definition, E3/x-ops). */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** E1: exact dedup census — total vs distinct normalized-md5 fingerprints. */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents.agg(
+      count(lit(1)).as("total"),
+      countDistinct(md5(lower(trim(col("text"))).cast("binary"))).as("distinct_norm"))
+
+  /** E3: per-language doc count, char sum, mean whitespace-token count. */
+  def textStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  // Stopword lists for the n-gram language-ID heuristic. Tiny closed sets —
+  // evaluated as array_contains inside a HOF filter, fully codegen'd.
+  // Shared with the DuckDB oracle SQL (SparkEntry) so both sides use one list.
+  private[graft] val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "en", "para"))
+
+  private def hits(ws: Column, lang: String): Column =
+    size(filter(ws, w => array_contains(array(stop(lang).map(lit): _*), w)))
+
+  /**
+   * Language-ID heuristic (stopword-hit argmax with fixed precedence
+   * en > de > fr > es, 'und' when no list matches) cross-tabulated against the
+   * labeled `lang` — the confusion table of the detector.
+   */
+  def langId(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val d = documents.select(
+      col("lang"),
+      hits(ws, "en").as("h_en"), hits(ws, "de").as("h_de"),
+      hits(ws, "fr").as("h_fr"), hits(ws, "es").as("h_es"))
+    d.withColumn("predicted",
+        when(col("h_en") > 0 && col("h_en") >= col("h_de") &&
+             col("h_en") >= col("h_fr") && col("h_en") >= col("h_es"), "en")
+          .when(col("h_de") > 0 && col("h_de") >= col("h_fr") &&
+                col("h_de") >= col("h_es"), "de")
+          .when(col("h_fr") > 0 && col("h_fr") >= col("h_es"), "fr")
+          .when(col("h_es") > 0, "es")
+          .otherwise("und"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /**
+   * Quality scoring: per-language exact-integer aggregates → stable ratios.
+   * `stop_ratio` = English-stopword density, `ttr` = type-token ratio
+   * (unique/total words), `avg_chars` = mean doc length.
+   */
+  def qualityStats(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    documents
+      .select(
+        col("lang"), col("n_chars"),
+        size(ws).as("n_words"),
+        size(array_distinct(ws)).as("n_uniq"),
+        hits(ws, "en").as("n_stop"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_words")).as("sum_words"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_words")), 6).as("stop_ratio"),
+        round(sum(col("n_uniq")).cast("double") / sum(col("n_words")), 6).as("ttr"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** BPE-ish token regex: letter runs, single digits, single non-alnum marks. */
+  private val tokenRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** Token counting: whitespace tokens vs regex (BPE-ish) tokens, per language. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("lang"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(tokenRe), lit(0))).as("re_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("re_tokens")).as("sum_re_tokens"),
+        round(sum(col("re_tokens")).cast("double") / sum(col("ws_tokens")), 6)
+          .as("tokens_per_word"))
+      .orderBy(col("lang"))
+
+  /**
+   * Document fingerprinting (winnowing-lite): fingerprint = lexicographic min
+   * of md5 over word 5-gram shingles (a 1-hash MinHash). Docs sharing a
+   * fingerprint are near-dup candidates. Output: corpus census — total docs,
+   * distinct fingerprints, size of the largest fingerprint cluster.
+   */
+  def fingerprintCensus(documents: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val shingles = when(size(ws) >= 5,
+        transform(sequence(lit(1), size(ws) - 4), i => md5(concat_ws(" ", slice(ws, i, lit(5))).cast("binary"))))
+      .otherwise(array(md5(concat_ws(" ", ws).cast("binary"))))
+    val perDoc = documents.select(array_min(shingles).as("fp"))
+    perDoc.groupBy(col("fp")).agg(count(lit(1)).as("cluster"))
+      .agg(
+        sum(col("cluster")).as("total_docs"),
+        count(lit(1)).as("distinct_fp"),
+        max(col("cluster")).as("max_cluster"))
+  }
+}
