@@ -3,8 +3,6 @@ package graft.engine
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.execution.QueryExecution
-import org.apache.spark.sql.util.QueryExecutionListener
 
 /**
  * Execution-client facade — the Spark re-expression of the reference's five
@@ -70,31 +68,27 @@ final class QueryEngine(val spark: SparkSession) {
 
   /**
    * V4: DML, returning rows affected. Spark surfaces the count through the
-   * executed plan's `numOutputRows` metric, captured via a
-   * [[QueryExecutionListener]] for the duration of the command (SURVEY.md §4.3).
+   * write command's `numOutputRows` SQL metric; commands execute eagerly
+   * inside `spark.sql`, so the metric is read synchronously off the executed
+   * command plan (SURVEY.md §4.3 — the one place Spark doesn't hand us the
+   * number directly).
    */
   def executeDmlQuery(
       sql: String,
       params: Map[String, Any] = Map.empty,
       database: Option[String] = None): EngineResult[Long] =
     withQueryId(s"dml: ${sql.take(120)}") {
-      @volatile var affected = -1L
-      val listener = new QueryExecutionListener {
-        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-          val n = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
-            .orElse(qe.executedPlan.collectLeaves().flatMap(_.metrics.get("numOutputRows")).headOption.map(_.value))
-          n.foreach(v => affected = v)
-        }
-        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+      val df = run(sql, params, database)
+      df.collect()
+      val root = df.queryExecution.executedPlan match {
+        case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
+        case p => p
       }
-      spark.listenerManager.register(listener)
-      try {
-        run(sql, params, database).collect()
-        // Listener events post asynchronously; bounded wait for the metric.
-        val deadline = System.nanoTime() + 5_000_000_000L
-        while (affected < 0 && System.nanoTime() < deadline) Thread.sleep(20)
-        affected
-      } finally spark.listenerManager.unregister(listener)
+      root.metrics.get("numOutputRows").map(_.value)
+        .orElse(root.collect {
+          case p if p.metrics.contains("numOutputRows") => p.metrics("numOutputRows").value
+        }.headOption)
+        .getOrElse(-1L)
     }
 
   /** V5: DDL / control command; no rows, query id only. */

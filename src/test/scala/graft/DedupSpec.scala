@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.DedupOps
+
+class DedupSpec extends SparkSpec {
+
+  // High-similarity fixture: 100 distinct words, near-dup differs in ONE word
+  // → shingle Jaccard ≈ 0.94, where 4×4 minhash banding has ~99.8% recall.
+  // md5 is deterministic, so the LSH outcome for these exact strings is fixed.
+  private val base = (0 until 100).map(i => s"w$i").mkString(" ")
+  private val nearDup = base.replace(" w50 ", " changed ")
+  private val other = (0 until 100).map(i => s"v$i").mkString(" ")
+
+  private def corpus = docsOf(
+    (1L, base, "en", "s0"),
+    (2L, nearDup, "en", "s0"),
+    (3L, other, "en", "s1"),
+    (4L, base, "en", "s2")) // exact dup of 1
+
+  test("minhash LSH finds the exact and near duplicates, not the unrelated doc") {
+    val pairs = DedupOps.minhashLsh(corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("LSH candidates confirmed by exact jaccard agree with the exact all-pairs op") {
+    val lsh = DedupOps.minhashLsh(corpus, 0.5).collect().map(_.toString).toSet
+    val exact = DedupOps.ngramJaccard(corpus, 0.5).collect().map(_.toString).toSet
+    assert(lsh.subsetOf(exact)) // LSH can only miss, never invent
+    assert((exact -- lsh).isEmpty, s"LSH missed: ${exact -- lsh}") // and here it misses nothing
+  }
+
+  test("simhash: identical docs at distance 0; near-dups within threshold; ordering deterministic") {
+    val rows = DedupOps.simhash(corpus, 3).collect()
+    val ham = rows.map(r => ((r.getLong(0), r.getLong(1)), r)).toMap
+    assert(ham.contains((1L, 4L)))
+    assert(ham((1L, 4L)).get(2).toString == "0")
+    val sorted = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(sorted.toSeq == sorted.toSeq.sorted)
+  }
+
+  test("short documents (fewer words than the shingle width) still fingerprint") {
+    val tiny = docsOf((1L, "one two", "en", "s"), (2L, "one two", "en", "s"))
+    val pairs = DedupOps.ngramJaccard(tiny, 0.9).collect()
+    assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.LedgerStream
+
+/** Streaming maintenance driven synchronously through MemoryStream. */
+class LedgerStreamSpec extends SparkSpec {
+
+  private case class Run(
+      record_id: Long, pipeline_name: String, index_name: String,
+      query_window_start_ts: java.sql.Timestamp,
+      query_window_end_ts: java.sql.Timestamp,
+      pipeline_status: String, records_count: Double)
+
+  private def run(id: Long, p: String, status: String, start: String, mins: Int) = {
+    val s = java.sql.Timestamp.valueOf(start)
+    Run(id, p, "idx_0", s,
+      java.sql.Timestamp.from(s.toInstant.plusSeconds(mins * 60L)), status, 10.0)
+  }
+
+  test("statusCounts aggregates incrementally across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Run]
+    val q = LedgerStream.statusCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sc_out").outputMode("complete").start()
+    try {
+      mem.addData(
+        run(1, "click", "pending", "2024-01-15 10:00:00", 30),
+        run(2, "click", "pending", "2024-01-15 10:30:00", 30))
+      q.processAllAvailable()
+      mem.addData(run(3, "click", "completed", "2024-01-15 11:00:00", 30))
+      q.processAllAvailable()
+      val out = spark.table("sc_out").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(out(("click", "pending")) == 2L)
+      assert(out(("click", "completed")) == 1L)
+    } finally q.stop()
+  }
+
+  test("windowedThroughput buckets by event time with watermark state eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Run]
+    val q = LedgerStream.windowedThroughput(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wt_out").outputMode("complete").start()
+    try {
+      mem.addData(
+        run(1, "click", "completed", "2024-01-15 10:05:00", 10),
+        run(2, "click", "completed", "2024-01-15 10:45:00", 10),
+        run(3, "click", "completed", "2024-01-15 11:05:00", 10))
+      q.processAllAvailable()
+      val out = spark.table("wt_out").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+      assert(out("2024-01-15 10:00:00.0") == 2L)
+      assert(out("2024-01-15 11:00:00.0") == 1L)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{ContinuityOps, OverlapOps, StatusOps}
+
+/**
+ * Property-style tests (SURVEY.md §5.3): seeded random window sets, invariants
+ * of the reference semantics checked against in-memory oracles.
+ */
+class PropertiesSpec extends SparkSpec {
+
+  private def randomWindows(seed: Int, n: Int = 25): List[(Int, Int)] = {
+    val rnd = new scala.util.Random(seed)
+    List.fill(n) {
+      val s = rnd.nextInt(1300)
+      (s, s + 1 + rnd.nextInt(90))
+    }
+  }
+
+  private def toLedger(ws: List[(Int, Int)]) =
+    ledgerOf(ws.zipWithIndex.map { case ((s, e), i) =>
+      ((i + 1).toLong, "p", "i",
+        f"2024-01-15 ${s / 60}%02d:${s % 60}%02d:00",
+        f"2024-01-15 ${e / 60}%02d:${e % 60}%02d:00",
+        if (i % 2 == 0) "pending" else "completed")
+    }: _*)
+
+  test("overlap self-join matches an in-memory oracle, is symmetric; banded rewrite identical") {
+    (1 to 5).foreach { seed =>
+      val ws = randomWindows(seed)
+      val l = toLedger(ws)
+      val got = OverlapOps.findOverlappingQueryWindows(l, "p", "i", "2024-01-15")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getTimestamp(2).getTime / 60000))
+        .toSet
+      val base = java.sql.Timestamp.valueOf("2024-01-15 00:00:00").getTime / 60000
+      val expected = (for {
+        (a, i) <- ws.zipWithIndex; (b, j) <- ws.zipWithIndex
+        if i != j && a._1 < b._2 && a._2 > b._1 && a._1 != b._1
+      } yield (base + a._1, base + b._1)).toSet
+      assert(got == expected, s"seed=$seed")
+      assert(got.map { case (x, y) => (y, x) } == got, s"seed=$seed not symmetric")
+      val banded = OverlapOps.overlappingWindowsBanded(l, "p", "i", "2024-01-15")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getTimestamp(2).getTime / 60000))
+        .toSet
+      assert(banded == got, s"seed=$seed banded rewrite diverges")
+    }
+  }
+
+  test("top-1 pick is the minimum of the filtered set with record_id tie-break") {
+    (10 to 14).foreach { seed =>
+      val ws = randomWindows(seed)
+      val l = toLedger(ws)
+      val pending = ws.zipWithIndex.collect { case ((s, _), i) if i % 2 == 0 => (s, i + 1) }
+      val picked = StatusOps.headAsIsoMap(StatusOps.oldestByStatus(l, "pending"))
+      val (_, minId) = pending.minBy { case (s, id) => (s, id) }
+      assert(picked.get("record_id").toLong == minId.toLong, s"seed=$seed")
+    }
+  }
+
+  test("gap detector over an abutting sequence is empty; shuffled input order irrelevant") {
+    val abut = new scala.util.Random(7)
+      .shuffle(List.tabulate(30)(i => (i * 40, (i + 1) * 40)))
+    assert(ContinuityOps.discontinuities(toLedger(abut), "p", "i", "2024-01-15").isEmpty)
+  }
+
+  test("count-by-status equals the generator tally") {
+    (20 to 22).foreach { seed =>
+      val ws = randomWindows(seed)
+      val n = StatusOps.countByStatus(toLedger(ws), "pending").collect().head.getLong(0)
+      assert(n == ws.indices.count(_ % 2 == 0), s"seed=$seed")
+    }
+  }
+}
