@@ -182,13 +182,17 @@ object SparkEntry {
         |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
         |    ELSE [array_to_string(w, ' ')] END) AS sh
         |  FROM docs),
-        |sig AS (
-        |  SELECT doc_id, sh, list_transform(range(0, 16),
-        |    h -> list_min(list_transform(sh, s -> md5(h::VARCHAR || '#' || s)))) AS sig
+        |vs AS (
+        |  SELECT doc_id, list_transform(sh,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
         |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
+        |  FROM vs),
         |banded AS (
         |  SELECT doc_id, unnest(list_transform(range(0, 4),
-        |    b -> b::VARCHAR || ':' || md5(array_to_string(list_slice(sig, b*4+1, b*4+4), ',')))) AS band_key
+        |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
         |  FROM sig),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
