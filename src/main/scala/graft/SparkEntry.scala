@@ -93,7 +93,32 @@ object SparkEntry {
       Tables.read(s, d, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
-        .orderBy(col("event_type"), col("day")))
+        .orderBy(col("event_type"), col("day"))),
+    "a4_top_customers" -> ((s, d) =>
+      Tables.read(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice")).cast("long")).as("tot"))
+        .orderBy(col("tot").desc, col("o_custkey").asc)
+        .limit(10)),
+    "a5_running_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.read(s, d, "lineitem")
+        .filter(col("l_suppkey") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .withColumn("run_cents", sum(col("cents")).over(
+          Window.orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("run_cents"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    }),
+    "r8_status_counts" -> ((s, d) =>
+      StatusOps.countAllStatuses(ledger(s, d))),
+    "x11_sessionize" -> ((s, d) =>
+      EventOps.sessionize(Tables.read(s, d, "events"), 30)),
+    "x12_length_quantiles" -> ((s, d) =>
+      TextOps.lengthQuantiles(docs(s, d)))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -325,6 +350,37 @@ object SparkEntry {
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
         |       COUNT(DISTINCT user_id) AS users
         |FROM events GROUP BY event_type, CAST(ts AS DATE)
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+    "a4_top_customers" ->
+      """SELECT o_custkey, COUNT(*) AS n, SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS tot
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY tot DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "a5_running_total" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) OVER (
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS run_cents
+        |FROM lineitem WHERE l_suppkey = 1
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "r8_status_counts" -> s"""$cte
+      |SELECT pipeline_status, COUNT(*) AS n FROM pipeline_runs
+      |GROUP BY pipeline_status ORDER BY pipeline_status""".stripMargin,
+    "x11_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS sessions, MAX(n) AS max_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x12_length_quantiles" ->
+      """SELECT lang, median(n_chars) AS med_chars,
+        |       quantile_cont(n_chars, 0.9) AS p90_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

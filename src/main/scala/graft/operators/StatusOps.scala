@@ -21,6 +21,14 @@ object StatusOps {
     ledger.filter(col("pipeline_status") === status)
       .agg(count(lit(1)).as("row_count"))
 
+  /** Grouped variant of R2: counts for every status in one scan (the
+    * reference loops one COUNT query per status — one aggregation replaces
+    * the N scans at scale). */
+  def countAllStatuses(ledger: DataFrame): DataFrame =
+    ledger.groupBy(col("pipeline_status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("pipeline_status"))
+
   private def top1(ledger: DataFrame, status: String, order: Column): DataFrame =
     ledger.filter(col("pipeline_status") === status)
       // Deterministic tie-break on record_id — the reference's bare

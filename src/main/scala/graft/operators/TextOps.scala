@@ -113,6 +113,16 @@ object TextOps {
           .as("tokens_per_word"))
       .orderBy(col("lang"))
 
+  /** Exact per-language length quantiles (linear-interpolated, the same
+    * definition DuckDB's quantile_cont uses; on integer inputs the median is
+    * exactly representable, keeping the oracle hash stable). */
+  def lengthQuantiles(documents: DataFrame): DataFrame =
+    documents.groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.5)").as("med_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"))
+      .orderBy(col("lang"))
+
   /**
    * Document fingerprinting (winnowing-lite): fingerprint = lexicographic min
    * of md5 over word 5-gram shingles (a 1-hash MinHash). Docs sharing a
