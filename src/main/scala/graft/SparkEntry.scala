@@ -118,7 +118,17 @@ object SparkEntry {
     "x11_sessionize" -> ((s, d) =>
       EventOps.sessionize(Tables.read(s, d, "events"), 30)),
     "x12_length_quantiles" -> ((s, d) =>
-      TextOps.lengthQuantiles(docs(s, d)))
+      TextOps.lengthQuantiles(docs(s, d))),
+    // Approx-distinct (HLL++): estimates are engine-specific, so this query
+    // has NO oracleSql entry — the driver records the weaker rows-only check.
+    // The exact distinct count rides along to expose the estimation error.
+    "x13_approx_users" -> ((s, d) =>
+      Tables.read(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type")))
   )
 
   // ---------------------------------------------------------------- oracle

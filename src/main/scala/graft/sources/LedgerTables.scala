@@ -39,4 +39,74 @@ object LedgerTables {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /**
+   * O21 UPDATE: status transition on a plain-parquet ledger, rewriting ONLY
+   * the day partitions that contain matching rows (the reference issues a
+   * Snowflake UPDATE; parquet is immutable, so the engine stages the affected
+   * partitions and swaps them in — at 100 TB an update touching one day
+   * rewrites that day, not the table). Returns rows affected (V4 contract).
+   */
+  def updateStatus(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      newStatus: String): Long =
+    rewriteAffectedPartitions(spark, path, predicate) { (ledger, pred) =>
+      ledger.withColumn("pipeline_status",
+        org.apache.spark.sql.functions.when(pred, newStatus)
+          .otherwise(org.apache.spark.sql.functions.col("pipeline_status")))
+    }
+
+  /** O21 DELETE: drop matching rows, rewriting only their day partitions. */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column): Long =
+    rewriteAffectedPartitions(spark, path, predicate) { (ledger, pred) =>
+      ledger.filter(!pred)
+    }
+
+  private def rewriteAffectedPartitions(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column)(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val ledger = read(spark, path)
+    val matched = ledger.filter(predicate)
+    // Affected partition values: a day-count-sized driver list, never data.
+    val days = matched.select(col("query_window_start_day")).distinct()
+      .collect().map(_.get(0).toString)
+    if (days.isEmpty) return 0L
+    val affected = matched.count()
+    val slice = ledger.filter(col("query_window_start_day").isin(days: _*))
+    val staging = s"${path}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    transform(slice, predicate).write
+      .mode(SaveMode.Overwrite).partitionBy("query_window_start_day").parquet(staging)
+    // Swap the rewritten partitions in; untouched days keep their files.
+    val base = new java.io.File(path)
+    val stagingDir = new java.io.File(staging)
+    days.foreach { d =>
+      val name = s"query_window_start_day=$d"
+      val fresh = new java.io.File(stagingDir, name)
+      val dest = new java.io.File(base, name)
+      if (dest.exists()) {
+        dest.listFiles().foreach(_.delete()); dest.delete()
+      }
+      // DELETE may remove a whole partition: only move what staging produced.
+      if (fresh.exists()) {
+        java.nio.file.Files.move(fresh.toPath, dest.toPath)
+      }
+    }
+    stagingDir.listFiles() match {
+      case null => ()
+      case rest => rest.foreach { f =>
+        if (f.isDirectory) f.listFiles().foreach(_.delete())
+        f.delete()
+      }
+    }
+    stagingDir.delete()
+    affected
+  }
 }

@@ -37,6 +37,43 @@ class LedgerTablesSpec extends SparkSpec {
     })
   }
 
+  test("UPDATE/DELETE rewrite only the affected day partitions") {
+    import graft.sources.LedgerTables
+    val rows = (0 until 60).map { i =>
+      ((i + 1).toLong, "p", "i",
+        f"2024-01-${1 + i % 6}%02d 10:00:00", f"2024-01-${1 + i % 6}%02d 11:00:00",
+        if (i % 2 == 0) "pending" else "completed")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upd").toString
+    LedgerTables.write(ledgerOf(rows: _*), tmp)
+    def partFiles(day: String) =
+      new java.io.File(s"$tmp/query_window_start_day=2024-01-$day").listFiles()
+        .map(f => f.getName -> f.lastModified).toMap
+    val before03 = partFiles("03")
+    val before04 = partFiles("04")
+    // UPDATE limited to day 03
+    val n = LedgerTables.updateStatus(spark, tmp,
+      col("pipeline_status") === "pending" &&
+        col("query_window_start_day") === lit(java.sql.Date.valueOf("2024-01-03")),
+      "in_progress")
+    // day 03 rows have i%6==2, i.e. even i → all 10 are 'pending'
+    assert(n == 10, s"rows affected $n")
+    val back = LedgerTables.read(spark, tmp)
+    assert(back.filter(col("pipeline_status") === "in_progress").count() == 10)
+    assert(back.count() == 60)
+    assert(partFiles("04") == before04, "untouched partition was rewritten")
+    assert(partFiles("03") != before03, "affected partition was not rewritten")
+    // DELETE the completed rows of day 04 only
+    val d = LedgerTables.deleteWhere(spark, tmp,
+      col("pipeline_status") === "completed" &&
+        col("query_window_start_day") === lit(java.sql.Date.valueOf("2024-01-04")))
+    assert(d == 10) // day 04 rows have odd i → all 'completed'
+    assert(LedgerTables.read(spark, tmp).count() == 50)
+    // no-op predicate → 0 affected, nothing rewritten
+    assert(LedgerTables.updateStatus(spark, tmp,
+      col("pipeline_status") === "nope", "x") == 0L)
+  }
+
   test("DDL creates a partitioned catalog table idempotently") {
     LedgerTables.ensure(spark, "graft_ledger_ddl")
     LedgerTables.ensure(spark, "graft_ledger_ddl") // IF NOT EXISTS: no throw
