@@ -128,7 +128,31 @@ object SparkEntry {
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+    // Bounded-heap top-k per group via a typed Aggregator (map-side partials
+    // carry at most k rows) — same result as the window row_number oracle.
+    "x14_topk_per_lang" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(topk(col("doc_id"), col("n_chars")).as("ids"))
+        .select(col("lang"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+        .select(col("lang"), (col("pos") + 1).as("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+    // Distributed gap detection across ALL slices (window partitioned by the
+    // slice keys — the 100 TB shape of R5).
+    "x15_discontinuities_all" -> ((s, d) =>
+      ContinuityOps.discontinuitiesAll(ledger(s, d))
+        .orderBy(col("pipeline_name"), col("index_name"),
+          col("missing_query_window_start_ts"), col("missing_query_window_end_ts"))),
+    // The banded equi-join rewrite of R6 — identical result set, scalable plan.
+    "x16_overlap_banded" -> ((s, d) =>
+      OverlapOps.overlappingWindowsBanded(ledger(s, d), P, I, Day)
+        .orderBy(col("source_window_start_ts"), col("source_window_end_ts"),
+          col("overlaps_with_start_ts"), col("overlaps_with_end_ts")))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -391,6 +415,40 @@ object SparkEntry {
     "x12_length_quantiles" ->
       """SELECT lang, median(n_chars) AS med_chars,
         |       quantile_cont(n_chars, 0.9) AS p90_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x14_topk_per_lang" ->
+      """SELECT lang, rn AS rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+    "x15_discontinuities_all" -> s"""$cte
+      |, ordered_windows AS (
+      |  SELECT pipeline_name, index_name, query_window_start_ts, query_window_end_ts,
+      |         LAG(query_window_end_ts) OVER (
+      |           PARTITION BY pipeline_name, index_name, CAST(query_window_start_ts AS DATE)
+      |           ORDER BY query_window_start_ts, record_id) AS prev_end_ts
+      |  FROM pipeline_runs)
+      |SELECT pipeline_name, index_name,
+      |       prev_end_ts AS missing_query_window_start_ts,
+      |       query_window_start_ts AS missing_query_window_end_ts
+      |FROM ordered_windows
+      |WHERE prev_end_ts IS NOT NULL AND query_window_start_ts != prev_end_ts
+      |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "x16_overlap_banded" -> s"""$cte
+      |, filtered_day_data AS (
+      |  SELECT * FROM pipeline_runs
+      |  WHERE pipeline_name = '$P' AND index_name = '$I'
+      |    AND query_window_start_ts < DATE '$Day' + INTERVAL 1 DAY
+      |    AND query_window_end_ts   > TIMESTAMP '$WStart')
+      |SELECT t1.query_window_start_ts AS source_window_start_ts,
+      |       t1.query_window_end_ts   AS source_window_end_ts,
+      |       t2.query_window_start_ts AS overlaps_with_start_ts,
+      |       t2.query_window_end_ts   AS overlaps_with_end_ts
+      |FROM filtered_day_data t1 INNER JOIN filtered_day_data t2
+      |  ON  t1.query_window_start_ts <  t2.query_window_end_ts
+      |  AND t1.query_window_end_ts   >  t2.query_window_start_ts
+      |  AND t1.query_window_start_ts != t2.query_window_start_ts
+      |ORDER BY 1, 2, 3, 4""".stripMargin
   )
 }
