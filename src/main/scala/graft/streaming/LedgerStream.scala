@@ -41,6 +41,23 @@ object LedgerStream {
         col("window.start").as("bucket_start"),
         col("pipeline_name"), col("runs"), col("records"))
 
+  /**
+   * Deduplicated ledger ingest: drops replayed run records by `record_id`
+   * within the watermark horizon (the state Spark keeps is bounded by the
+   * watermark — replays older than `watermark` are assumed already
+   * persisted). Chain with `.writeStream.foreachBatch(appendBatch(path))`
+   * for at-least-once parquet appends that are idempotent under replay.
+   */
+  def dedupedIngest(runs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    runs
+      .withWatermark("query_window_start_ts", watermark)
+      .dropDuplicatesWithinWatermark("record_id")
+
+  /** foreachBatch sink: append a micro-batch to the day-partitioned ledger. */
+  def appendBatch(path: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.sources.LedgerTables.write(batch, path,
+      org.apache.spark.sql.SaveMode.Append)
+
   /** Runs arriving with a start older than `maxDelay` behind the max seen so
     * far in their pipeline — the streaming out-of-order/laggard monitor. */
   def lateArrivals(runs: DataFrame, watermark: String = "30 minutes"): DataFrame =

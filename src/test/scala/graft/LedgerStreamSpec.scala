@@ -40,6 +40,27 @@ class LedgerStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedIngest drops replayed record_ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Run]
+    val q = LedgerStream.dedupedIngest(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("di_out").outputMode("append").start()
+    try {
+      mem.addData(
+        run(1, "click", "pending", "2024-01-15 10:00:00", 30),
+        run(2, "click", "pending", "2024-01-15 10:10:00", 30))
+      q.processAllAvailable()
+      // replay of record 1 (same id) + one genuinely new record
+      mem.addData(
+        run(1, "click", "pending", "2024-01-15 10:00:00", 30),
+        run(3, "click", "completed", "2024-01-15 10:20:00", 30))
+      q.processAllAvailable()
+      val ids = spark.table("di_out").select("record_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowedThroughput buckets by event time with watermark state eviction") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
