@@ -152,7 +152,18 @@ object SparkEntry {
     "x16_overlap_banded" -> ((s, d) =>
       OverlapOps.overlappingWindowsBanded(ledger(s, d), P, I, Day)
         .orderBy(col("source_window_start_ts"), col("source_window_end_ts"),
-          col("overlaps_with_start_ts"), col("overlaps_with_end_ts")))
+          col("overlaps_with_start_ts"), col("overlaps_with_end_ts"))),
+    // Semi-structured column: JSON property extraction + integer aggregates
+    // (the events.props payload — schema-on-read for the open row tail).
+    "x17_props_stats" -> ((s, d) =>
+      Tables.read(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("distinct_k"))
+        .orderBy(col("event_type")))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -449,6 +460,13 @@ object SparkEntry {
       |  ON  t1.query_window_start_ts <  t2.query_window_end_ts
       |  AND t1.query_window_end_ts   >  t2.query_window_start_ts
       |  AND t1.query_window_start_ts != t2.query_window_start_ts
-      |ORDER BY 1, 2, 3, 4""".stripMargin
+      |ORDER BY 1, 2, 3, 4""".stripMargin,
+    "x17_props_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -37,4 +37,18 @@ object Sinks {
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).saveAsTable(table)
   }
+
+  /**
+   * Bucketed + sorted table for co-located joins: two tables bucketed the
+   * same way on their join key sort-merge-join with NO exchange — the
+   * pre-shuffle is paid once at write time, then every subsequent join of
+   * the 100 TB fact tables skips the shuffle entirely (verified by the
+   * absence of Exchange nodes in PlanQualitySpec).
+   */
+  def saveAsBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /**
  * Incremental ledger maintenance with Structured Streaming — the streaming
@@ -57,6 +58,39 @@ object LedgerStream {
   def appendBatch(path: String)(batch: DataFrame, batchId: Long): Unit =
     graft.sources.LedgerTables.write(batch, path,
       org.apache.spark.sql.SaveMode.Append)
+
+  /** Minimal event for the stateful sessionizer. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Per-user session state carried across micro-batches. */
+  final case class SessionState(lastTsMicros: Long, sessions: Long)
+  /** Emitted per user per batch: total sessions observed so far. */
+  final case class UserSessions(user_id: Long, sessions: Long)
+
+  /**
+   * Stateful streaming sessionization via `mapGroupsWithState` — the custom-
+   * state form of [[graft.operators.EventOps.sessionize]] for unbounded
+   * input: per-user state is one (lastTs, sessionCount) pair, updated as
+   * micro-batches arrive; a new session opens when the gap to the previous
+   * event exceeds `gapMinutes`. State is O(#users), independent of stream
+   * length. Run with output mode "update".
+   */
+  def sessionCountsStateful(events: Dataset[UserEvent], gapMinutes: Int = 30): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60_000_000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          var (last, sessions) = state.getOption
+            .map(s => (s.lastTsMicros, s.sessions)).getOrElse((Long.MinValue, 0L))
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime * 1000L
+            if (last == Long.MinValue || t - last > gapUs) sessions += 1
+            last = t
+          }
+          state.update(SessionState(last, sessions))
+          UserSessions(uid, sessions)
+      }
+  }
 
   /** Runs arriving with a start older than `maxDelay` behind the max seen so
     * far in their pipeline — the streaming out-of-order/laggard monitor. */

@@ -61,6 +61,28 @@ class LedgerStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer carries per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[LedgerStream.UserEvent]
+    def ev(u: Long, t: String) = LedgerStream.UserEvent(u, java.sql.Timestamp.valueOf(t))
+    val q = LedgerStream.sessionCountsStateful(mem.toDS(), 30)
+      .writeStream.format("memory").queryName("ss_out").outputMode("update").start()
+    try {
+      mem.addData(ev(1, "2024-01-15 10:00:00"), ev(1, "2024-01-15 10:10:00"),
+        ev(2, "2024-01-15 09:00:00"))
+      q.processAllAvailable()
+      // batch 2: user 1 continues within gap, then breaks it; user 2 breaks it
+      mem.addData(ev(1, "2024-01-15 10:20:00"), ev(1, "2024-01-15 12:00:00"),
+        ev(2, "2024-01-15 11:00:00"))
+      q.processAllAvailable()
+      val last = spark.table("ss_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+      assert(last(1L) == 2L, s"user1 sessions ${last(1L)}") // one session then a >30min gap
+      assert(last(2L) == 2L)
+    } finally q.stop()
+  }
+
   test("windowedThroughput buckets by event time with watermark state eviction") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sinks, Tables}
+
+/**
+ * Plan-shape regressions: the physical plans the 100 TB design depends on.
+ * These lock in what the explain audit found, so a refactor that silently
+ * turns a broadcast into a shuffle or breaks pushdown fails CI.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("top-1/top-k queries plan as TakeOrderedAndProject (no global sort)") {
+    assert(plan("r3_oldest_by_status").contains("TakeOrderedAndProject"))
+    assert(plan("r4_latest_by_status").contains("TakeOrderedAndProject"))
+    assert(plan("e2_topk_cosine").contains("TakeOrderedAndProject"))
+  }
+
+  test("fixture-derived equality filters push down to the parquet scan") {
+    val p = SparkEntry.queries("r1_overlap_input")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,click)"), p.take(2000))
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("a2_orders_by_nation").contains("BroadcastHashJoin"))
+    assert(plan("e4_multimodal_join").contains("BroadcastHashJoin"))
+  }
+
+  test("bucketed tables sort-merge-join without any exchange") {
+    val docs = Tables.read(spark, d, "documents")
+    val emb = Tables.read(spark, d, "embeddings").select(col("vec_id"), col("label"))
+    Sinks.saveAsBucketedTable(docs.select(col("doc_id"), col("lang")), "graft_docs_b", "doc_id", 8)
+    Sinks.saveAsBucketedTable(emb.withColumnRenamed("vec_id", "doc_id"), "graft_emb_b", "doc_id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("graft_docs_b").join(spark.table("graft_emb_b"), "doc_id")
+      val exec = joined.queryExecution.executedPlan
+      val exchanges = exec.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty, s"expected no shuffle, got:\n$exec")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_docs_b")
+      spark.sql("DROP TABLE IF EXISTS graft_emb_b")
+    }
+  }
+}
