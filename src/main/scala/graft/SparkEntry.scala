@@ -163,7 +163,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
           countDistinct(col("k")).as("distinct_k"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+    // As-of join: every purchase event picks up the user's most recent prior
+    // (or simultaneous) error event — DuckDB's native ASOF JOIN is the oracle.
+    "x18_asof_join" -> ((s, d) => {
+      val ev = Tables.read(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts").as("err_ts"))
+        .agg(max(col("value")).as("err_value"))
+      AsofOps.asofJoin(purchases, errors, Seq("user_id"), "p_ts", "err_ts",
+          Seq("err_ts", "err_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // Hierarchical totals: ROLLUP grouping sets over orders.
+    "a6_rollup_orders" -> ((s, d) =>
+      Tables.read(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice")).cast("long")).as("tot"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)),
+    // Anti join: customers who never placed an urgent order.
+    "a7_customers_no_urgent" -> ((s, d) => {
+      val urgent = Tables.read(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      Tables.read(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -467,6 +496,27 @@ object SparkEntry {
         |       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
         |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS distinct_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x18_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, ts AS err_ts, MAX(value) AS err_value
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id, p.p_ts, e.err_ts, e.err_value
+        |FROM p ASOF LEFT JOIN e
+        |  ON p.user_id = e.user_id AND p.p_ts >= e.err_ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "a6_rollup_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        |       SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS tot
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "a7_customers_no_urgent" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin
   )
 }
