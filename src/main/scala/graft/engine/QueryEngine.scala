@@ -38,9 +38,14 @@ final class QueryEngine(val spark: SparkSession) {
   }
 
   private def run(sql: String, params: Map[String, Any], database: Option[String]): DataFrame = {
-    // Per-call `USE DATABASE/SCHEMA` scoping (reference verb V7).
+    // Per-call `USE DATABASE/SCHEMA` scoping (reference verb V7). Name
+    // resolution happens eagerly inside spark.sql (analysis), so the
+    // previous database can be restored immediately after — the scope really
+    // is per-call, it does not leak into subsequent calls.
+    val prev = database.map(_ => spark.catalog.currentDatabase)
     database.foreach(db => spark.catalog.setCurrentDatabase(db))
-    if (params.isEmpty) spark.sql(sql) else spark.sql(sql, params)
+    try if (params.isEmpty) spark.sql(sql) else spark.sql(sql, params)
+    finally prev.foreach(spark.catalog.setCurrentDatabase)
   }
 
   /** V1: run SQL, return the single scalar of the first row (or None if empty). */

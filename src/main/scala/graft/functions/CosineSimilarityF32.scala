@@ -51,9 +51,15 @@ case class CosineSimilarityF32(left: Expression, right: Expression)
 }
 
 object CosineSimilarityF32 {
-  /** Sequential f32 accumulation; called from both interpreted and generated code. */
+  /** Sequential f32 accumulation; called from both interpreted and generated
+    * code. Dimension mismatch fails loudly (DuckDB's list_cosine_similarity
+    * errors too — silently truncating would return plausible-looking wrong
+    * similarities). Zero vectors yield NaN, matching the oracle. */
   def compute(x: Array[Float], y: Array[Float]): Float = {
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"cosine_f32: dimension mismatch ${x.length} vs ${y.length}")
+    val n = x.length
     var dot = 0f
     var na = 0f
     var nb = 0f

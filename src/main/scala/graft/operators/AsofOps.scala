@@ -32,27 +32,31 @@ object AsofOps {
       rightTs: String,
       rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The attached columns travel as ONE struct: `last(_, ignoreNulls)` then
+    // skips left rows (struct null) but never a matched right ROW — carrying
+    // each column independently would back-fill a legitimately-NULL right
+    // field from an older right row, fabricating a row that never existed.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val taggedLeft = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select((keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val taggedRight = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select((keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(taggedLeft.unionByName(taggedRight)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__r_$c").as(c)): _*)
+        rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

@@ -115,20 +115,23 @@ object OverlapOps {
       pipelineName: String,
       indexName: String,
       dateStr: String,
-      bucket: String = "1 hour"): DataFrame = {
+      bucketMinutes: Int = 60): DataFrame = {
+    require(bucketMinutes > 0)
     val f = daySlice(ledger, pipelineName, indexName, LocalDate.parse(dateStr))
       .select(col("query_window_start_ts").as("s"), col("query_window_end_ts").as("e"))
-    // Buckets covered by [s, e): sequence over the truncated endpoints. The
-    // interval is half-open, so a window ending exactly on a bucket boundary
-    // does not occupy that bucket — but sequence() is inclusive; the residual
-    // exact predicate removes any false candidates, so inclusiveness only
-    // costs a few extra candidate pairs, never correctness.
+    // Buckets covered by [s, e): integer bucket indices floor(µs / bucketµs)
+    // over BOTH endpoints — arithmetic on the same grid for every window, so
+    // any bucket size is correct (truncating timestamps to a fixed calendar
+    // unit while stepping by a different interval would misalign the grids
+    // and silently drop pairs). sequence() is inclusive; the residual exact
+    // predicate removes false candidates, so inclusiveness only costs a few
+    // extra candidate pairs, never correctness.
+    val bUs = bucketMinutes * 60_000_000L
     def banded(s: String, e: String) =
       f.select(col("s").as(s"s$s"), col("e").as(s"e$s"),
         explode(sequence(
-          date_trunc("hour", col("s")),
-          date_trunc("hour", col("e")),
-          expr(s"interval $bucket"))).as("bucket"))
+          expr(s"unix_micros(s) div $bUs"),
+          expr(s"unix_micros(e) div $bUs"))).as("bucket"))
     val t1 = banded("1", "1")
     val t2 = banded("2", "2")
     t1.join(t2, Seq("bucket"))

@@ -64,7 +64,11 @@ object LedgerTables {
       path: String,
       predicate: org.apache.spark.sql.Column): Long =
     rewriteAffectedPartitions(spark, path, predicate) { (ledger, pred) =>
-      ledger.filter(!pred)
+      // Keep any row the predicate does not POSITIVELY match: a NULL
+      // predicate result must retain the row (plain `!pred` is NULL for
+      // NULL input and filter would silently delete non-matching rows).
+      ledger.filter(!org.apache.spark.sql.functions.coalesce(
+        pred, org.apache.spark.sql.functions.lit(false)))
     }
 
   private def rewriteAffectedPartitions(

@@ -54,10 +54,24 @@ object LedgerStream {
       .withWatermark("query_window_start_ts", watermark)
       .dropDuplicatesWithinWatermark("record_id")
 
-  /** foreachBatch sink: append a micro-batch to the day-partitioned ledger. */
-  def appendBatch(path: String)(batch: DataFrame, batchId: Long): Unit =
-    graft.sources.LedgerTables.write(batch, path,
-      org.apache.spark.sql.SaveMode.Append)
+  /**
+   * foreachBatch sink: append a micro-batch to the day-partitioned ledger,
+   * idempotently under batch replay — a `_graft_batches/<batchId>` marker is
+   * written after the append, and a replayed batchId (restart between the
+   * data commit and the checkpoint commit) is skipped. The marker write is
+   * not atomic with the append, so the residual window is a crash BETWEEN
+   * append and marker; that replay duplicates one batch, which the exact
+   * dedup operators downstream catch (defense in depth, not a txn log).
+   */
+  def appendBatch(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val marker = new java.io.File(s"$path/_graft_batches/$batchId")
+    if (!marker.exists()) {
+      graft.sources.LedgerTables.write(batch, path,
+        org.apache.spark.sql.SaveMode.Append)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+  }
 
   /** Minimal event for the stateful sessionizer. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
@@ -80,10 +94,14 @@ object LedgerStream {
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          // exact microseconds (Timestamp.getTime truncates to millis and
+          // would diverge from the batch sessionizer's unix_micros compare)
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1_000_000L + t.toInstant.getNano / 1000L
           var (last, sessions) = state.getOption
             .map(s => (s.lastTsMicros, s.sessions)).getOrElse((Long.MinValue, 0L))
-          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime * 1000L
+          evs.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val t = micros(e.ts)
             if (last == Long.MinValue || t - last > gapUs) sessions += 1
             last = t
           }

@@ -27,6 +27,21 @@ class AsofOpsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("v")))   // nothing at or before 09:00
   }
 
+  test("a NULL field in the matched right row stays NULL (no back-fill from older rows)") {
+    import spark.implicits._
+    val left = Seq((1L, "2024-01-15 12:00:00", 1L))
+      .toDF("k", "lts", "lid").withColumn("lts", to_timestamp(col("lts")))
+    val right = Seq(
+      (1L, "2024-01-15 10:00:00", Some(5.0)),
+      (1L, "2024-01-15 11:00:00", None: Option[Double]) // the matched row, value NULL
+    ).toDF("k", "rts", "v").withColumn("rts", to_timestamp(col("rts")))
+    val out = AsofOps.asofJoin(left, right, Seq("k"), "lts", "rts", Seq("rts", "v")).collect()
+    assert(out.length == 1)
+    assert(out.head.getTimestamp(out.head.fieldIndex("rts")).toString.startsWith("2024-01-15 11:00"))
+    assert(out.head.isNullAt(out.head.fieldIndex("v")),
+      "matched row's NULL must not be back-filled from the 10:00 row")
+  }
+
   test("as-of join distributes: window is partitioned by the join keys") {
     import spark.implicits._
     val leftDf = (1 to 100).map(i =>

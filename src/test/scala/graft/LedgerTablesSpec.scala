@@ -74,6 +74,23 @@ class LedgerTablesSpec extends SparkSpec {
       col("pipeline_status") === "nope", "x") == 0L)
   }
 
+  test("DELETE keeps rows where the predicate evaluates to NULL") {
+    import graft.sources.LedgerTables
+    val tmp = java.nio.file.Files.createTempDirectory("graft_delnull").toString
+    val base = ledgerOf(
+      (1L, "p", "i", "2024-01-05 10:00:00", "2024-01-05 11:00:00", "pending"),
+      (2L, "p", "i", "2024-01-05 12:00:00", "2024-01-05 13:00:00", "pending"))
+      // record 2 gets a NULL records_count → predicate over it is NULL
+      .withColumn("records_count",
+        when(col("record_id") === 2L, lit(null)).otherwise(col("records_count")))
+    LedgerTables.write(base, tmp)
+    val d = LedgerTables.deleteWhere(spark, tmp, col("records_count") > lit(0.5))
+    assert(d == 1) // only record 1 positively matches
+    val remaining = LedgerTables.read(spark, tmp).select("record_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(remaining == Seq(2L), s"NULL-predicate row must survive, got $remaining")
+  }
+
   test("DDL creates a partitioned catalog table idempotently") {
     LedgerTables.ensure(spark, "graft_ledger_ddl")
     LedgerTables.ensure(spark, "graft_ledger_ddl") // IF NOT EXISTS: no throw

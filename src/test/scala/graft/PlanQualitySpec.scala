@@ -34,6 +34,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("e4_multimodal_join").contains("BroadcastHashJoin"))
   }
 
+  test("metadata queries over the asset store never read the binary payload column") {
+    import graft.operators.MultimodalOps
+    val docs = Tables.read(spark, d, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_assets").toString + "/assets"
+    MultimodalOps.documentsAsAssets(docs).write.parquet(tmp)
+    val meta = spark.read.parquet(tmp)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+    // AQE wraps the scan; the formatted explain still surfaces ReadSchema.
+    val explained = meta.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("ReadSchema"), explained.take(500))
+    assert(!explained.contains("payload"),
+      s"payload read for a metadata query:\n${explained.take(2000)}")
+    assert(meta.count() == 1)
+  }
+
   test("bucketed tables sort-merge-join without any exchange") {
     val docs = Tables.read(spark, d, "documents")
     val emb = Tables.read(spark, d, "embeddings").select(col("vec_id"), col("label"))

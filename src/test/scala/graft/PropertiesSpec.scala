@@ -39,11 +39,15 @@ class PropertiesSpec extends SparkSpec {
       } yield (base + a._1, base + b._1)).toSet
       assert(got == expected, s"seed=$seed")
       assert(got.map { case (x, y) => (y, x) } == got, s"seed=$seed not symmetric")
-      val banded = OverlapOps.overlappingWindowsBanded(l, "p", "i", "2024-01-15")
-        .collect()
-        .map(r => (r.getTimestamp(0).getTime / 60000, r.getTimestamp(2).getTime / 60000))
-        .toSet
-      assert(banded == got, s"seed=$seed banded rewrite diverges")
+      // every bucket size must give the identical result set — including
+      // multi-hour buckets, which a calendar-truncation grid would break
+      Seq(60, 120, 45, 7).foreach { mins =>
+        val banded = OverlapOps.overlappingWindowsBanded(l, "p", "i", "2024-01-15", mins)
+          .collect()
+          .map(r => (r.getTimestamp(0).getTime / 60000, r.getTimestamp(2).getTime / 60000))
+          .toSet
+        assert(banded == got, s"seed=$seed bucket=${mins}m banded rewrite diverges")
+      }
     }
   }
 

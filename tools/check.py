@@ -31,7 +31,7 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         pdir = f"{out_dir}/{name}"
-        files = glob.glob(f"{pdir}/*.parquet")
+        files = sorted(glob.glob(f"{pdir}/*.parquet"))  # deterministic multi-file order
         if not files:
             print(f"FAIL {name}: no engine output at {pdir}")
             n_bad += 1
