@@ -192,6 +192,15 @@ object SparkEntry {
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
+    }),
+    // Set operations: users who purchased AND errored on 2024-01-15 but did
+    // not sign up that day (day-sliced so the sets are discriminative).
+    "a8_set_ops" -> ((s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .filter(to_date(col("ts")) === lit(java.sql.Date.valueOf("2024-01-15")))
+      def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+      users("purchase").intersect(users("error")).except(users("signup"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -517,6 +526,17 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "a8_set_ops" ->
+      """SELECT user_id FROM (
+        |  (SELECT user_id FROM events
+        |   WHERE event_type = 'purchase' AND CAST(ts AS DATE) = DATE '2024-01-15'
+        |   INTERSECT
+        |   SELECT user_id FROM events
+        |   WHERE event_type = 'error' AND CAST(ts AS DATE) = DATE '2024-01-15')
+        |  EXCEPT
+        |  SELECT user_id FROM events
+        |  WHERE event_type = 'signup' AND CAST(ts AS DATE) = DATE '2024-01-15')
+        |ORDER BY user_id""".stripMargin
   )
 }

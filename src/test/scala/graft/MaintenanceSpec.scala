@@ -1,0 +1,30 @@
+package graft
+
+import graft.sources.{LedgerTables, Maintenance}
+
+class MaintenanceSpec extends SparkSpec {
+
+  test("compaction merges fragmented partitions without changing the data") {
+    val rows = (0 until 120).map { i =>
+      ((i + 1).toLong, "p", "i",
+        f"2024-01-${1 + i % 3}%02d 10:00:00", f"2024-01-${1 + i % 3}%02d 11:00:00",
+        "completed")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // fragment: 8 files per day partition
+    LedgerTables.write(ledgerOf(rows: _*).repartition(8), tmp)
+    def fileCount(day: String) =
+      new java.io.File(s"$tmp/query_window_start_day=2024-01-$day")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fileCount("01") > 1, "fixture should be fragmented")
+    val before = LedgerTables.read(spark, tmp).collect().map(_.toString).sorted.toSeq
+    val results = Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
+    assert(results.nonEmpty)
+    results.foreach { r => assert(r.filesAfter == 1, r.toString) }
+    assert(fileCount("01") == 1 && fileCount("02") == 1 && fileCount("03") == 1)
+    val after = LedgerTables.read(spark, tmp).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must not change data")
+    // idempotent: nothing left to compact
+    assert(Maintenance.compact(spark, tmp, targetBytes = 1L << 30).isEmpty)
+  }
+}
