@@ -201,7 +201,11 @@ object SparkEntry {
       def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
       users("purchase").intersect(users("error")).except(users("signup"))
         .orderBy(col("user_id"))
-    })
+    }),
+    // The end-to-end curation funnel: quality gate -> exact dedup ->
+    // near-dedup -> deterministic sample, census of survivors per stage.
+    "x19_curation_funnel" -> ((s, d) =>
+      CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -537,6 +541,41 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT user_id FROM events
         |  WHERE event_type = 'signup' AND CAST(ts AS DATE) = DATE '2024-01-15')
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "x19_curation_funnel" ->
+      """WITH q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 30),
+        |ex AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+        |    FROM q) WHERE doc_id = keeper),
+        |docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM ex),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM docs),
+        |sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+        |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |samp AS (
+        |  SELECT doc_id FROM nd
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 13)
+        |SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+        |       (SELECT COUNT(*) FROM q) AS n_quality,
+        |       (SELECT COUNT(*) FROM ex) AS n_exact,
+        |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
+        |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin
   )
 }
