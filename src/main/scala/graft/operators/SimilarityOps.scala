@@ -99,6 +99,55 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /**
+   * The persisted form of the IVF index: the centroid assignment written as
+   * parquet `partitionBy(cid)`. Probing then IS partition pruning — a query
+   * that touches `nProbe` centroids lists only those directories, so search
+   * cost scales with probed cells, not corpus size (verified in
+   * SimilarityIndexSpec via the scan's selected-partition count).
+   */
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      path: String,
+      centroidMod: Int = 40): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = embeddings.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cos(col("embedding"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** Query the persisted IVF index: prune to the `nProbe` closest cells. */
+  def queryIvfIndex(
+      index: DataFrame,
+      queryVec: DataFrame, // 1 row: (qvec array<float>)
+      queryVecId: Long,
+      k: Int = 10,
+      nProbe: Int = 3): DataFrame = {
+    val cents = index.filter(col("vec_id") === col("cid"))
+      .select(col("cid").as("pcid"), col("embedding").as("cvec"))
+    val probes = cents.crossJoin(broadcast(queryVec))
+      .select(col("pcid"), cos(col("qvec"), col("cvec")).as("psim"))
+      .orderBy(col("psim").desc, col("pcid").asc)
+      .limit(nProbe)
+      // partition-column inference may narrow cid to int on read-back
+      .collect().map(_.get(0).toString.toLong)
+    index
+      .filter(col("cid").isin(probes: _*)) // partition pruning on the index
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(queryVec))
+      .select(col("vec_id"), round6f(cos(col("qvec"), col("embedding"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** E4: multimodal join — text corpus ⋈ embedding store on id, grouped counts. */
   def multimodalJoin(documents: DataFrame, embeddings: DataFrame): DataFrame =
     documents.join(embeddings, col("doc_id") === col("vec_id"))

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+class SimilarityIndexSpec extends SparkSpec {
+
+  test("persisted IVF index prunes to probed cells and matches the inline ANN result") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    SimilarityOps.buildIvfIndex(emb, tmp, centroidMod = 40)
+    val index = spark.read.parquet(tmp)
+    val nCells = index.select("cid").distinct().count()
+    assert(nCells > 3, s"need more cells than probes, got $nCells")
+
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val viaIndex = SimilarityOps.queryIvfIndex(index, qvec, 0L, k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = SimilarityOps.annIvf(emb, 0L, 10, 40, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == inline, "persisted index must reproduce the inline IVF result")
+
+    // pruning: a 3-cell probe filter lists only 3 of the index partitions
+    val probed = index.filter(col("cid").isin(0L, 40L, 80L))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.length == 3, s"expected 3 pruned cells, got ${selected.length} of $nCells")
+  }
+}
