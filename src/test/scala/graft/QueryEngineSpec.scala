@@ -42,6 +42,25 @@ class QueryEngineSpec extends SparkSpec {
     } finally engine.executeControlCommand("DROP TABLE IF EXISTS graft_dml_t")
   }
 
+  test("per-call database scoping resolves in the target db and restores the session db") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_scoped_db")
+    val before = spark.catalog.currentDatabase
+    try {
+      engine.executeControlCommand(
+        "CREATE TABLE IF NOT EXISTS t_scoped (id BIGINT) USING PARQUET",
+        database = Some("graft_scoped_db"))
+      assert(spark.catalog.tableExists("graft_scoped_db.t_scoped"))
+      assert(spark.catalog.currentDatabase == before, "scope must not leak")
+      val n = engine.executeScalarQuery("SELECT COUNT(*) FROM t_scoped",
+        database = Some("graft_scoped_db"))
+      assert(n.data.contains(0L))
+      assert(spark.catalog.currentDatabase == before)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_scoped_db.t_scoped")
+      spark.sql("DROP DATABASE IF EXISTS graft_scoped_db")
+    }
+  }
+
   test("liveness mirrors the reference's lazy-reconnect check") {
     assert(engine.isActive)
   }
