@@ -20,26 +20,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineSimilarityF32].getName, "cosine_f32"),
-      (children: Seq[Expression]) => CosineSimilarityF32(children(0), children(1))))
+      GraftExtensions.cosineBuilder))
+  }
+}
+
+object GraftExtensions {
+  /** Arity-checked builder shared by the extension and temp registration:
+    * a wrong argument count is a clear signature error, not an
+    * IndexOutOfBoundsException from inside the planner. */
+  private[graft] val cosineBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"cosine_f32 expects exactly 2 arguments (array<float>, array<float>), got ${children.length}")
+    CosineSimilarityF32(children(0), children(1))
   }
 }
 
 /**
  * Session factory with the engine's recommended configuration: UTC (oracle
- * parity), AQE on (runtime re-planning, skew splitting), shuffle parallelism
- * sized to the executor cores rather than the 200 default, and the graft
- * extensions installed.
+ * parity), AQE on (runtime re-planning, skew splitting), and the graft
+ * extensions installed. Shuffle parallelism is deliberately NOT pinned in
+ * [[builder]] — on a cluster the driver JVM's core count says nothing about
+ * executor parallelism, so the cluster config / AQE own that knob; only
+ * [[local]] (single JVM, threads == cores) sizes it to the thread count.
  */
 object GraftSession {
-  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+  def builder(): SparkSession.Builder =
     SparkSession.builder()
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.shuffle.partitions", cores.toString)
 
   def local(cores: Int = 4): SparkSession = {
-    val s = builder(cores).master(s"local[$cores]")
+    val s = builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -74,10 +74,11 @@ object CosineSimilarityF32 {
   }
 }
 
-/** Session-level registration of graft SQL functions. */
+/** Session-level registration of graft SQL functions (imperative twin of
+  * [[graft.GraftExtensions]] for sessions created without the extension). */
 object GraftFunctions {
   /** Makes `cosine_f32(a, b)` available to `expr(...)` / `spark.sql(...)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_f32", exprs => CosineSimilarityF32(exprs(0), exprs(1)), "scala_udf")
+      "cosine_f32", graft.GraftExtensions.cosineBuilder, "scala_udf")
 }

@@ -21,34 +21,41 @@ import org.apache.spark.sql.functions._
  */
 object CurationOps {
 
-  /** Per-stage survivor counts: the curation funnel. */
+  /**
+   * Per-stage survivor counts: the curation funnel. Computed as per-doc
+   * stage FLAGS over one corpus pass plus the near-dup join, then a single
+   * conditional aggregation — no per-stage re-scan of the corpus (five
+   * separate stage counts would re-evaluate the shared lineage up to 4×).
+   */
   def curationFunnel(
       documents: DataFrame,
       minWords: Int = 30,
       threshold: Double = 0.8,
       keepNibbles: Int = 13): DataFrame = {
-    val quality = documents
-      .filter(size(TextOps.words(col("text"))) >= minWords)
-    val exact = quality
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm"))
+    val flagged = documents
+      .withColumn("q", size(TextOps.words(col("text"))) >= minWords)
       .withColumn("norm", md5(lower(trim(col("text"))).cast("binary")))
-      .withColumn("keeper", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("norm"))))
-      .filter(col("doc_id") === col("keeper"))
-      .drop("norm", "keeper")
-    val nearDupLosers = DedupOps.ngramJaccard(exact, threshold)
+      // exact-dedup keeper AMONG quality survivors only
+      .withColumn("keeper", min(when(col("q"), col("doc_id"))).over(w))
+      .withColumn("keep_exact", col("q") && col("doc_id") === col("keeper"))
+    val exact = flagged.filter(col("keep_exact"))
+      .select(col("doc_id"), col("text"))
+    val losers = DedupOps.ngramJaccard(exact, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    val nearDeduped = exact.join(nearDupLosers, Seq("doc_id"), "left_anti")
-    val sampled = nearDeduped.filter(
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1), 16, 10)
-        .cast("int") < keepNibbles)
-    // one aggregation per stage over cached-lineage counts, assembled into a
-    // single census row (crossJoin of 1-row aggregates — no data movement)
-    quality.agg(count(lit(1)).as("n_quality"))
-      .crossJoin(documents.agg(count(lit(1)).as("n_input")))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(nearDeduped.agg(count(lit(1)).as("n_neardedup")))
-      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled")))
-      .select(col("n_input"), col("n_quality"), col("n_exact"),
-        col("n_neardedup"), col("n_sampled"))
+      .withColumn("is_loser", lit(true))
+    flagged
+      .join(losers, Seq("doc_id"), "left_outer")
+      .withColumn("keep_near", col("keep_exact") && col("is_loser").isNull)
+      .withColumn("keep_sample", col("keep_near") &&
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1), 16, 10)
+          .cast("int") < keepNibbles)
+      .agg(
+        count(lit(1)).as("n_input"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("keep_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("keep_near"), 1L).otherwise(0L)).as("n_neardedup"),
+        sum(when(col("keep_sample"), 1L).otherwise(0L)).as("n_sampled"))
   }
 }

@@ -62,26 +62,35 @@ object SimilarityOps {
    * centroid; the query probes the `nProbe` nearest centroids and ranks only
    * vectors assigned there. Deterministic ties: (sim DESC, id ASC) everywhere.
    */
+  /** Deterministic IVF centroid table: the vectors with `vec_id % mod == 0`. */
+  private def centroids(embeddings: DataFrame, centroidMod: Int): DataFrame =
+    embeddings.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** IVF coarse quantizer: nearest centroid per vector (broadcast NL join
+    * over a handful of centroids; deterministic (csim DESC, cid ASC) ties).
+    * Shared by the inline search and the persisted index so the two can
+    * never diverge. */
+  private def assignToCentroids(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cos(col("embedding"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
   def annIvf(
       embeddings: DataFrame,
       queryVecId: Long = 0L,
       k: Int = 10,
       centroidMod: Int = 40,
       nProbe: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = embeddings.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    // assignment: nearest centroid per vector (broadcast NL join over a
-    // handful of centroids — the classic IVF coarse quantizer)
-    val simToCent = embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cos(col("embedding"), col("cvec")).as("csim"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = simToCent
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val cents = centroids(embeddings, centroidMod)
+    val assigned = assignToCentroids(embeddings, cents)
     // probe list: nProbe centroids nearest to the query vector
     val qvec = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qvec"))
@@ -110,32 +119,28 @@ object SimilarityOps {
       embeddings: DataFrame,
       path: String,
       centroidMod: Int = 40): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = embeddings.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cos(col("embedding"), col("cvec")).as("csim"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val cents = centroids(embeddings, centroidMod)
+    // Centroid table persisted BESIDE the index: probe selection reads only
+    // this tiny table (O(#centroids)), never the corpus — and recovering
+    // centroids from the index itself would lose any centroid whose vector
+    // ties into a different cell (e.g. exact-duplicate embeddings).
+    cents.write.mode("overwrite").parquet(s"${path}_centroids")
+    assignToCentroids(embeddings, cents)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
   }
 
-  /** Query the persisted IVF index: prune to the `nProbe` closest cells. */
+  /** Query the persisted IVF index: prune to the `nProbe` closest cells.
+    * `centroidsPath` defaults to the table [[buildIvfIndex]] wrote. */
   def queryIvfIndex(
       index: DataFrame,
-      queryVec: DataFrame, // 1 row: (qvec array<float>)
+      centroids: DataFrame, // the `${path}_centroids` table (cid, cvec)
+      queryVec: DataFrame,  // 1 row: (qvec array<float>)
       queryVecId: Long,
       k: Int = 10,
       nProbe: Int = 3): DataFrame = {
-    val cents = index.filter(col("vec_id") === col("cid"))
-      .select(col("cid").as("pcid"), col("embedding").as("cvec"))
-    val probes = cents.crossJoin(broadcast(queryVec))
-      .select(col("pcid"), cos(col("qvec"), col("cvec")).as("psim"))
-      .orderBy(col("psim").desc, col("pcid").asc)
+    val probes = centroids.crossJoin(broadcast(queryVec))
+      .select(col("cid"), cos(col("qvec"), col("cvec")).as("psim"))
+      .orderBy(col("psim").desc, col("cid").asc)
       .limit(nProbe)
       // partition-column inference may narrow cid to int on read-back
       .collect().map(_.get(0).toString.toLong)

@@ -7,8 +7,17 @@ import org.apache.spark.sql.SparkSession
  * frequent small appends fragment partitions into many tiny parquet files;
  * at 100 TB that multiplies scan tasks and footer reads. [[compact]] rewrites
  * each fragmented partition into ceil(bytes/target) files — one distributed
- * job per partition, partitions swap atomically like
- * [[LedgerTables.updateStatus]], untouched partitions keep their files.
+ * job per partition, per-partition delete+move swap, untouched partitions
+ * keep their files.
+ *
+ * Concurrency contract: run compaction when no writer is active on the
+ * table (the swap is delete-then-move, not atomic, and readers listing a
+ * partition mid-swap see it partially populated). Only the SNAPSHOT of
+ * files taken at the start is compacted — a file appended after the
+ * snapshot is neither read nor deleted, so late appends survive untouched
+ * rather than being duplicated. Local-filesystem paths only (fails loudly
+ * otherwise); a cluster deployment ports the moves to the Hadoop
+ * FileSystem API.
  */
 object Maintenance {
 
@@ -19,7 +28,10 @@ object Maintenance {
       path: String,
       targetBytes: Long = 128L * 1024 * 1024,
       minFilesToCompact: Int = 2): Seq[CompactionResult] = {
+    require(!path.contains("://"),
+      s"compact operates on local paths only (got $path); port to Hadoop FS for cluster stores")
     val base = new java.io.File(path)
+    require(base.isDirectory, s"not a table directory: $path")
     val parts = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains("="))
     parts.toIndexedSeq.flatMap { dir =>
@@ -31,7 +43,9 @@ object Maintenance {
         if (nOut >= files.length) None
         else {
           val staging = s"${dir.getPath}_compact_${java.util.UUID.randomUUID().toString.take(8)}"
-          spark.read.parquet(dir.getPath).repartition(nOut)
+          // read exactly the snapshot files, not the directory — anything
+          // appended after the listing must not be double-counted
+          spark.read.parquet(files.map(_.getPath).toIndexedSeq: _*).repartition(nOut)
             .write.parquet(staging)
           val fresh = new java.io.File(staging).listFiles()
             .filter(_.getName.endsWith(".parquet"))

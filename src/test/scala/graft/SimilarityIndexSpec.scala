@@ -16,8 +16,9 @@ class SimilarityIndexSpec extends SparkSpec {
     val nCells = index.select("cid").distinct().count()
     assert(nCells > 3, s"need more cells than probes, got $nCells")
 
+    val cents = spark.read.parquet(tmp + "_centroids")
     val qvec = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-    val viaIndex = SimilarityOps.queryIvfIndex(index, qvec, 0L, k = 10, nProbe = 3)
+    val viaIndex = SimilarityOps.queryIvfIndex(index, cents, qvec, 0L, k = 10, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val inline = SimilarityOps.annIvf(emb, 0L, 10, 40, 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
