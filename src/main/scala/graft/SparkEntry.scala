@@ -279,7 +279,7 @@ object SparkEntry {
         |WHERE e1.vec_id = 0 AND e2.vec_id != 0
         |ORDER BY sim DESC, e2.vec_id ASC LIMIT 10""".stripMargin,
     "e3_text_stats" ->
-      """SELECT lang, COUNT(*) AS docs, SUM(n_chars) AS chars,
+      """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |       round(AVG(len(string_split(text, ' '))), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "e4_multimodal_join" ->
@@ -396,7 +396,7 @@ object SparkEntry {
         |  SELECT lang, n_chars, len(w) AS n_words, len(list_distinct(w)) AS n_uniq,
         |         ${hitsSql("en")} AS n_stop
         |  FROM d)
-        |SELECT lang, COUNT(*) AS docs, SUM(n_words) AS sum_words,
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_words) AS BIGINT) AS sum_words,
         |       round(SUM(n_stop)::DOUBLE / SUM(n_words), 6) AS stop_ratio,
         |       round(SUM(n_uniq)::DOUBLE / SUM(n_words), 6) AS ttr,
         |       round(SUM(n_chars)::DOUBLE / COUNT(*), 4) AS avg_chars
@@ -406,7 +406,8 @@ object SparkEntry {
         |  SELECT lang, len(string_split(text, ' ')) AS ws_tokens,
         |         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS re_tokens
         |  FROM documents)
-        |SELECT lang, SUM(ws_tokens) AS sum_ws_tokens, SUM(re_tokens) AS sum_re_tokens,
+        |SELECT lang, CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+        |       CAST(SUM(re_tokens) AS BIGINT) AS sum_re_tokens,
         |       round(SUM(re_tokens)::DOUBLE / SUM(ws_tokens), 6) AS tokens_per_word
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "x9_fingerprint" ->
@@ -418,18 +419,19 @@ object SparkEntry {
         |    ELSE md5(array_to_string(w, ' ')) END AS fp
         |  FROM d),
         |g AS (SELECT fp, COUNT(*) AS cluster FROM f GROUP BY fp)
-        |SELECT SUM(cluster) AS total_docs, COUNT(*) AS distinct_fp, MAX(cluster) AS max_cluster
+        |SELECT CAST(SUM(cluster) AS BIGINT) AS total_docs, COUNT(*) AS distinct_fp,
+        |       MAX(cluster) AS max_cluster
         |FROM g""".stripMargin,
     "x10_multimodal_meta" ->
-      """SELECT source, COUNT(*) AS n_assets, SUM(strlen(text)) AS total_bytes,
+      """SELECT source, COUNT(*) AS n_assets, CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
         |       COUNT(DISTINCT md5(text)) AS distinct_payloads
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
-        |       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS price_cents
+        |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "a2_orders_by_nation" ->
-      """SELECT n_name, COUNT(*) AS n_orders, SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS total_floor
+      """SELECT n_name, COUNT(*) AS n_orders, CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS total_floor
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -439,14 +441,14 @@ object SparkEntry {
         |FROM events GROUP BY event_type, CAST(ts AS DATE)
         |ORDER BY event_type, day""".stripMargin,
     "a4_top_customers" ->
-      """SELECT o_custkey, COUNT(*) AS n, SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS tot
+      """SELECT o_custkey, COUNT(*) AS n, CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS tot
         |FROM orders GROUP BY o_custkey
         |ORDER BY tot DESC, o_custkey ASC LIMIT 10""".stripMargin,
     "a5_running_total" ->
       """SELECT l_orderkey, l_linenumber,
-        |  SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) OVER (
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) OVER (
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |    ROWS UNBOUNDED PRECEDING) AS run_cents
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
         |FROM lineitem WHERE l_suppkey = 1
         |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
     "r8_status_counts" -> s"""$cte
@@ -505,7 +507,7 @@ object SparkEntry {
       |ORDER BY 1, 2, 3, 4""".stripMargin,
     "x17_props_stats" ->
       """SELECT event_type, COUNT(*) AS n,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
         |       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
         |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS distinct_k
@@ -522,7 +524,7 @@ object SparkEntry {
         |ORDER BY p.user_id, p.event_id""".stripMargin,
     "a6_rollup_orders" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
-        |       SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS tot
+        |       CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS tot
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "a7_customers_no_urgent" ->

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run Verify's oracle_sql.json
 in DuckDB over the raw testdata tables and compare against the engine's parquet
-dumps (columns sorted by name, values repr-hashed, row order preserved)."""
+dumps (columns sorted by name, values repr-hashed, row order preserved).
+
+Canonicalization goes through the DataFrame path (``cursor.df()``), NOT
+``fetchall()``: DuckDB materializes HUGEINT (the type of SUM over any integer)
+as float64 in a dataframe but as Python int via fetchall, so only the dataframe
+path is faithful to the driver's dtype-sensitive repr-hash. Round 1 shipped 11
+hash failures that fetchall() masked locally."""
 import sys, os, json, glob, hashlib
 import duckdb
 
@@ -10,6 +16,15 @@ def canon(rows):
 
 def h16(rows):
     return hashlib.md5(canon(rows).encode()).hexdigest()[:16]
+
+def df_rows(cur):
+    """Columns + rows via the dtype-faithful dataframe path.
+
+    ``to_numpy().tolist()`` converts numpy scalars to plain Python values while
+    preserving the dtype distinction that matters: a HUGEINT column arrives as
+    float64 and reprs as ``3.0``, an int64 column reprs as ``3``."""
+    df = cur.df()
+    return list(df.columns), [tuple(r) for r in df.to_numpy().tolist()]
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -21,9 +36,7 @@ def main(sf_dir, out_dir):
     for name in sorted(oracle):
         sql = oracle[name]
         try:
-            cur = con.execute(sql)
-            cols = [d[0] for d in cur.description]
-            rows = cur.fetchall()
+            cols, rows = df_rows(con.execute(sql))
             order = sorted(range(len(cols)), key=lambda i: cols[i])
             orows = [tuple(r[i] for i in order) for r in rows]
         except Exception as e:
@@ -36,9 +49,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no engine output at {pdir}")
             n_bad += 1
             continue
-        cur2 = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        cols2 = [d[0] for d in cur2.description]
-        rows2 = cur2.fetchall()
+        cols2, rows2 = df_rows(con.execute(f"SELECT * FROM read_parquet({files!r})"))
         order2 = sorted(range(len(cols2)), key=lambda i: cols2[i])
         srows = [tuple(r[i] for i in order2) for r in rows2]
         if sorted(cols) != sorted(cols2):
