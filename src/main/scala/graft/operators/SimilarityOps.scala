@@ -44,10 +44,73 @@ object SimilarityOps {
 
   /**
    * Embedding-cosine near-duplicate pairs: all pairs with rounded similarity
-   * ≥ threshold. Brute-force all-pairs is the correctness baseline; the scale
-   * path bucket-joins via [[annIvf]]-style centroid assignment first.
+   * ≥ threshold — the exact result of [[embeddingNearDupBrute]], computed
+   * through a centroid-bucketed candidate join instead of an all-pairs
+   * cross join.
+   *
+   * Exactness guarantee (spherical triangle inequality): for any pair (a, b)
+   * with angle(a,b) ≤ θ_t and nearest-centroid assignment angles α_a, α_b,
+   *   angle(c_a, c_b) ≤ α_a + θ_t + α_b ≤ θ_t + 2·α_max
+   * where α_max = max over the corpus of the nearest-centroid angle (one
+   * scalar aggregate). So joining only cell pairs whose centroids are within
+   * θ_t + 2·α_max NEVER drops a qualifying pair — pruning adapts to how
+   * tightly the corpus clusters, correctness does not depend on it.
+   * Property-tested against the brute-force form in PropertiesSpec.
+   *
+   * Scale shape: candidates are an equi-join of the centroid-assigned corpus
+   * with a broadcast cell-pair table (shuffle keyed by cell id), then exact
+   * verification on candidates only — O(n²) only within paired cells, never
+   * across the corpus. At 100 TB: persist the assignment with
+   * [[buildIvfIndex]] (partitioned by cid) and train centroids so cells stay
+   * balanced; the cell-pair table is O(k²) rows for k centroids, broadcastable
+   * for the k ≈ √n regime this targets.
    */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      centroidMod: Int = 40): DataFrame = {
+    val cents = centroids(embeddings, centroidMod)
+    if (cents.isEmpty) return embeddingNearDupBrute(embeddings, threshold)
+    // Materialize the assignment once (it feeds three consumers: the α_max
+    // aggregate and both join sides); blocks are freed by the ContextCleaner
+    // when the result plan is dropped. At 100 TB you'd persist this with
+    // buildIvfIndex instead and read it back partition-pruned.
+    val assigned = assignToCentroidsWithSim(embeddings, cents)
+      .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
+      .localCheckpoint()
+    // α_max from the worst assignment; slack absorbs f32 cosine error and
+    // the ≤5e-7 shift of the round-to-6-places threshold test.
+    val cosMin = assigned.agg(min(col("csim")).cast("double")).head.getDouble(0)
+    val slack = 1e-3
+    val alphaMax = math.acos(math.max(-1.0, math.min(1.0, cosMin)))
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val limit = thetaT + 2 * alphaMax + slack
+    val cellPairs =
+      if (limit >= math.Pi) {
+        cents.select(col("cid").as("cid_a"))
+          .crossJoin(cents.select(col("cid").as("cid_b")))
+      } else {
+        val ca = cents.select(col("cid").as("cid_a"), col("cvec").as("cvec_a"))
+        val cb = cents.select(col("cid").as("cid_b"), col("cvec").as("cvec_b"))
+        ca.crossJoin(cb)
+          .filter(cos(col("cvec_a"), col("cvec_b")).cast("double") >= math.cos(limit))
+          .select(col("cid_a"), col("cid_b"))
+      }
+    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("cid").as("cid_a"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("cid").as("cid_b"))
+    a.join(broadcast(cellPairs), Seq("cid_a"))
+      .join(b, Seq("cid_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round6f(cos(col("emb_a"), col("emb_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The O(n²) all-pairs form of [[embeddingNearDup]] — correctness baseline
+    * for the property test, and the fallback when no centroid exists. */
+  def embeddingNearDupBrute(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -71,17 +134,29 @@ object SimilarityOps {
     * over a handful of centroids; deterministic (csim DESC, cid ASC) ties).
     * Shared by the inline search and the persisted index so the two can
     * never diverge. */
-  private def assignToCentroids(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
+  private def assignToCentroids(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assignToCentroidsWithSim(embeddings, cents)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+
+  /** [[assignToCentroids]] keeping the winning cosine (`csim`) — the bucketed
+    * near-dup join derives its pruning radius from the worst assignment.
+    *
+    * The per-vector argmax is a `max_by` hash aggregate (map-side partials,
+    * one surviving row per vector per map task) rather than a row_number
+    * window, which would shuffle all n×k assignment rows before discarding
+    * k−1 of each k. Tie-break (csim DESC, cid ASC) is encoded in the
+    * ordering struct (`-cid`), so the result is deterministic and identical
+    * to the window form. */
+  private def assignToCentroidsWithSim(embeddings: DataFrame, cents: DataFrame): DataFrame =
     embeddings.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         cos(col("embedding"), col("cvec")).as("csim"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("cid"), col("csim")),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("w"))
+      .select(col("vec_id"), col("w.embedding").as("embedding"),
+        col("w.cid").as("cid"), col("w.csim").as("csim"))
 
   def annIvf(
       embeddings: DataFrame,

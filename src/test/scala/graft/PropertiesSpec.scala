@@ -1,6 +1,8 @@
 package graft
 
-import graft.operators.{ContinuityOps, OverlapOps, StatusOps}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{ContinuityOps, OverlapOps, SimilarityOps, StatusOps}
 
 /**
  * Property-style tests (SURVEY.md §5.3): seeded random window sets, invariants
@@ -66,6 +68,41 @@ class PropertiesSpec extends SparkSpec {
     val abut = new scala.util.Random(7)
       .shuffle(List.tabulate(30)(i => (i * 40, (i + 1) * 40)))
     assert(ContinuityOps.discontinuities(toLedger(abut), "p", "i", "2024-01-15").isEmpty)
+  }
+
+  test("bucketed embedding near-dup equals the brute-force pair set") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def corpus(seed: Int, n: Int, clustered: Boolean) = {
+      val rnd = new scala.util.Random(seed)
+      val centers = Array.fill(4)(Array.fill(8)(rnd.nextGaussian().toFloat))
+      (0L until n.toLong).map { id =>
+        val v =
+          if (clustered) {
+            val c = centers(rnd.nextInt(4))
+            c.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq
+          } else Array.fill(8)(rnd.nextGaussian().toFloat).toSeq
+        (id, v)
+      }.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    }
+    for {
+      seed <- 1 to 3
+      clustered <- Seq(true, false)
+      threshold <- Seq(0.4, 0.8, 0.95)
+    } {
+      val emb = corpus(seed, 60, clustered)
+      val brute = SimilarityOps.embeddingNearDupBrute(emb, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // small centroidMod → many cells; large → few cells; 61 → no centroid
+      // except vec_id 0, forcing the widest pruning radius. All must be exact.
+      Seq(7, 20, 59).foreach { mod =>
+        val bucketed = SimilarityOps.embeddingNearDup(emb, threshold, mod)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(bucketed == brute,
+          s"seed=$seed clustered=$clustered t=$threshold mod=$mod: bucketed diverges")
+      }
+    }
   }
 
   test("count-by-status equals the generator tally") {
