@@ -119,15 +119,20 @@ object SparkEntry {
       EventOps.sessionize(Tables.read(s, d, "events"), 30)),
     "x12_length_quantiles" -> ((s, d) =>
       TextOps.lengthQuantiles(docs(s, d))),
-    // Approx-distinct (HLL++): estimates are engine-specific, so this query
-    // has NO oracleSql entry — the driver records the weaker rows-only check.
-    // The exact distinct count rides along to expose the estimation error.
+    // Approx-distinct (HLL++): the raw estimate is engine-specific, so the
+    // gated output carries the exact count plus a tolerance verdict on the
+    // estimate (|approx-exact|/exact ≤ 5%, rsd 0.02 keeps observed error
+    // ≤0.4% at sf0.001–0.1). The oracle emits literal TRUE — the gate fails
+    // if either the exact count or the estimate's accuracy regresses.
     "x13_approx_users" -> ((s, d) =>
       Tables.read(s, d, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("hll_within_5pct"))
         .orderBy(col("event_type"))),
     // Bounded-heap top-k per group via a typed Aggregator (map-side partials
     // carry at most k rows) — same result as the window row_number oracle.
@@ -467,6 +472,10 @@ object SparkEntry {
         |g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
         |SELECT user_id, COUNT(*) AS sessions, MAX(n) AS max_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x13_approx_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS hll_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x12_length_quantiles" ->
       """SELECT lang, median(n_chars) AS med_chars,
         |       quantile_cont(n_chars, 0.9) AS p90_chars
