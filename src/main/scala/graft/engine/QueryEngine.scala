@@ -72,29 +72,133 @@ final class QueryEngine(val spark: SparkSession) {
     withQueryId(s"fetch_rows: ${sql.take(120)}") { run(sql, params, database).collect() }
 
   /**
-   * V4: DML, returning rows affected. Spark surfaces the count through the
-   * write command's `numOutputRows` SQL metric; commands execute eagerly
-   * inside `spark.sql`, so the metric is read synchronously off the executed
-   * command plan (SURVEY.md §4.3 — the one place Spark doesn't hand us the
-   * number directly).
+   * V4: DML, returning rows affected. The reference's `execute_dml_query`
+   * accepts INSERT/UPDATE/DELETE strings
+   * (`snowflake_query_client.py:254-294`); here:
+   *
+   *  - INSERT (and any other Spark-native DML) runs through `spark.sql`;
+   *    the affected count is the write command's `numOutputRows` SQL metric
+   *    (commands execute eagerly inside `spark.sql`, so the metric is read
+   *    synchronously off the executed command plan — SURVEY.md §4.3).
+   *  - UPDATE / DELETE text is intercepted and dispatched to the
+   *    partition-rewrite implementations ([[graft.sources.LedgerTables]]),
+   *    because plain parquet cannot execute `spark.sql("UPDATE …")`. The
+   *    target may be a catalog table (its location is resolved and, after
+   *    the rewrite, the table is refreshed) or a `parquet.`/path``-style /
+   *    direct path. Named parameters (`:name`) are bound as SQL literals.
    */
   def executeDmlQuery(
       sql: String,
       params: Map[String, Any] = Map.empty,
       database: Option[String] = None): EngineResult[Long] =
     withQueryId(s"dml: ${sql.take(120)}") {
-      val df = run(sql, params, database)
-      df.collect()
-      val root = df.queryExecution.executedPlan match {
-        case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
-        case p => p
+      sql match {
+        case UpdateRe(target, setClause, whereOpt) =>
+          runRewriteDml(target, database) { path =>
+            graft.sources.LedgerTables.updateWhere(spark, path,
+              predicateOf(whereOpt, params),
+              splitTopLevel(setClause).map(assignmentOf(_, params)))
+          }
+        case DeleteRe(target, whereOpt) =>
+          runRewriteDml(target, database) { path =>
+            graft.sources.LedgerTables.deleteWhere(spark, path,
+              predicateOf(whereOpt, params))
+          }
+        case _ =>
+          val df = run(sql, params, database)
+          df.collect()
+          val root = df.queryExecution.executedPlan match {
+            case c: org.apache.spark.sql.execution.CommandResultExec => c.commandPhysicalPlan
+            case p => p
+          }
+          root.metrics.get("numOutputRows").map(_.value)
+            .orElse(root.collect {
+              case p if p.metrics.contains("numOutputRows") => p.metrics("numOutputRows").value
+            }.headOption)
+            .getOrElse(-1L)
       }
-      root.metrics.get("numOutputRows").map(_.value)
-        .orElse(root.collect {
-          case p if p.metrics.contains("numOutputRows") => p.metrics("numOutputRows").value
-        }.headOption)
-        .getOrElse(-1L)
     }
+
+  // ---- SQL-text UPDATE/DELETE dispatch --------------------------------
+  // Supported surface (the reference's DML call sites are single-table,
+  // single-predicate statements): `UPDATE <target> SET c = e[, …] [WHERE p]`
+  // and `DELETE FROM <target> [WHERE p]`. A literal " WHERE " inside a
+  // string constant in SET expressions is not supported.
+
+  private val UpdateRe =
+    "(?is)^\\s*UPDATE\\s+(.+?)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+  private val DeleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+
+  private def predicateOf(whereOpt: String, params: Map[String, Any]) =
+    Option(whereOpt) match {
+      case Some(p) => org.apache.spark.sql.functions.expr(bindParams(p, params))
+      case None => org.apache.spark.sql.functions.lit(true)
+    }
+
+  private def assignmentOf(part: String, params: Map[String, Any]) = {
+    val eq = part.indexOf('=')
+    require(eq > 0, s"malformed SET assignment: $part")
+    val name = part.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+    (name, org.apache.spark.sql.functions.expr(bindParams(part.substring(eq + 1), params)))
+  }
+
+  /** Split a SET clause on commas outside parentheses and string literals. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if !inStr && depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Bind `:name` parameters as SQL literals (the intercepted path cannot use
+    * Spark's parameterized `spark.sql`). */
+  private def bindParams(text: String, params: Map[String, Any]): String =
+    params.foldLeft(text) { case (acc, (k, v)) =>
+      acc.replaceAll(":" + java.util.regex.Pattern.quote(k) + "\\b",
+        java.util.regex.Matcher.quoteReplacement(sqlLiteral(v)))
+    }
+
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case other => other.toString
+  }
+
+  /** Resolve the DML target to a filesystem path, run the rewrite, and (for
+    * catalog tables) refresh cached file listings + partition metadata. */
+  private def runRewriteDml(target0: String, database: Option[String])(
+      rewrite: String => Long): Long = {
+    val target = target0.trim
+    val ParquetPath = "(?is)^parquet\\s*\\.\\s*`(.+)`$".r
+    target match {
+      case ParquetPath(p) => rewrite(p)
+      case _ if target.contains("/") =>
+        rewrite(target.stripPrefix("`").stripSuffix("`"))
+      case _ =>
+        val prev = database.map(_ => spark.catalog.currentDatabase)
+        database.foreach(db => spark.catalog.setCurrentDatabase(db))
+        try {
+          val ti = spark.sessionState.sqlParser.parseTableIdentifier(target)
+          val meta = spark.sessionState.catalog.getTableMetadata(ti)
+          val n = rewrite(meta.location.toString)
+          spark.catalog.refreshTable(target)
+          if (meta.partitionColumnNames.nonEmpty) spark.catalog.recoverPartitions(target)
+          n
+        } finally prev.foreach(spark.catalog.setCurrentDatabase)
+    }
+  }
 
   /** V5: DDL / control command; no rows, query id only. */
   def executeControlCommand(

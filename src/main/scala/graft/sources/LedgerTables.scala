@@ -58,6 +58,39 @@ object LedgerTables {
           .otherwise(org.apache.spark.sql.functions.col("pipeline_status")))
     }
 
+  /**
+   * General UPDATE: apply `SET col = expr` assignments to matching rows,
+   * rewriting only the affected day partitions (or the whole table when it
+   * has no day partition column). Backs the SQL-text UPDATE path of
+   * `QueryEngine.executeDmlQuery`. Assigning the partition column itself is
+   * rejected — a row changing partitions needs a delete+insert, not a
+   * partition swap.
+   */
+  def updateWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(!assignments.exists(_._1 == "query_window_start_day"),
+      "cannot UPDATE the partition column; DELETE + INSERT instead")
+    rewriteAffectedPartitions(spark, path, predicate) { (ledger, pred) =>
+      // SQL UPDATE semantics: every SET expression and the predicate evaluate
+      // against the PRE-update row, so all assignments go into one projection
+      // (sequential withColumn would feed each assignment the previous one's
+      // output — and a predicate on an updated column would stop matching).
+      val assigned = assignments.toMap
+      assigned.keys.foreach(c => require(ledger.columns.contains(c),
+        s"UPDATE of unknown column $c"))
+      ledger.select(ledger.columns.toIndexedSeq.map { c =>
+        assigned.get(c)
+          .map(v => org.apache.spark.sql.functions.when(pred, v)
+            .otherwise(org.apache.spark.sql.functions.col(c)).as(c))
+          .getOrElse(org.apache.spark.sql.functions.col(c))
+      }: _*)
+    }
+  }
+
   /** O21 DELETE: drop matching rows, rewriting only their day partitions. */
   def deleteWhere(
       spark: SparkSession,
@@ -79,38 +112,54 @@ object LedgerTables {
     import org.apache.spark.sql.functions.col
     val ledger = read(spark, path)
     val matched = ledger.filter(predicate)
+    if (!ledger.columns.contains("query_window_start_day"))
+      return rewriteWholeTable(spark, path, ledger, matched, predicate)(transform)
     // Affected partition values: a day-count-sized driver list, never data.
     val days = matched.select(col("query_window_start_day")).distinct()
       .collect().map(_.get(0).toString)
     if (days.isEmpty) return 0L
     val affected = matched.count()
     val slice = ledger.filter(col("query_window_start_day").isin(days: _*))
-    val staging = s"${path}_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    // Swap through the Hadoop FileSystem of the table's scheme — the same
+    // rewrite runs on file://, HDFS, or an object-store connector.
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(base.getParent,
+      s"${base.getName}_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     transform(slice, predicate).write
-      .mode(SaveMode.Overwrite).partitionBy("query_window_start_day").parquet(staging)
+      .mode(SaveMode.Overwrite).partitionBy("query_window_start_day")
+      .parquet(staging.toString)
     // Swap the rewritten partitions in; untouched days keep their files.
-    val base = new java.io.File(path)
-    val stagingDir = new java.io.File(staging)
     days.foreach { d =>
       val name = s"query_window_start_day=$d"
-      val fresh = new java.io.File(stagingDir, name)
-      val dest = new java.io.File(base, name)
-      if (dest.exists()) {
-        dest.listFiles().foreach(_.delete()); dest.delete()
-      }
+      val fresh = new org.apache.hadoop.fs.Path(staging, name)
+      val dest = new org.apache.hadoop.fs.Path(base, name)
+      if (fs.exists(dest)) fs.delete(dest, true)
       // DELETE may remove a whole partition: only move what staging produced.
-      if (fresh.exists()) {
-        java.nio.file.Files.move(fresh.toPath, dest.toPath)
-      }
+      if (fs.exists(fresh)) fs.rename(fresh, dest)
     }
-    stagingDir.listFiles() match {
-      case null => ()
-      case rest => rest.foreach { f =>
-        if (f.isDirectory) f.listFiles().foreach(_.delete())
-        f.delete()
-      }
-    }
-    stagingDir.delete()
+    fs.delete(staging, true)
+    affected
+  }
+
+  /** Fallback for tables without the day partition column: stage the
+    * transformed table, then swap the whole directory. */
+  private def rewriteWholeTable(
+      spark: SparkSession,
+      path: String,
+      ledger: DataFrame,
+      matched: DataFrame,
+      predicate: org.apache.spark.sql.Column)(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    val affected = matched.count()
+    if (affected == 0L) return 0L
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(base.getParent,
+      s"${base.getName}_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    transform(ledger, predicate).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(base, true)
+    fs.rename(staging, base)
     affected
   }
 }

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -10,14 +11,18 @@ import org.apache.spark.sql.SparkSession
  * job per partition, per-partition delete+move swap, untouched partitions
  * keep their files.
  *
+ * All filesystem access goes through the Hadoop [[FileSystem]] resolved from
+ * the path's scheme and the session's Hadoop configuration, so the same code
+ * runs against `file://`, HDFS, or an object store connector (rename is not
+ * atomic on object stores — see the concurrency contract below, which already
+ * assumes no concurrent writer).
+ *
  * Concurrency contract: run compaction when no writer is active on the
  * table (the swap is delete-then-move, not atomic, and readers listing a
  * partition mid-swap see it partially populated). Only the SNAPSHOT of
  * files taken at the start is compacted — a file appended after the
  * snapshot is neither read nor deleted, so late appends survive untouched
- * rather than being duplicated. Local-filesystem paths only (fails loudly
- * otherwise); a cluster deployment ports the moves to the Hadoop
- * FileSystem API.
+ * rather than being duplicated.
  */
 object Maintenance {
 
@@ -28,36 +33,40 @@ object Maintenance {
       path: String,
       targetBytes: Long = 128L * 1024 * 1024,
       minFilesToCompact: Int = 2): Seq[CompactionResult] = {
-    require(!path.contains("://"),
-      s"compact operates on local paths only (got $path); port to Hadoop FS for cluster stores")
-    val base = new java.io.File(path)
-    require(base.isDirectory, s"not a table directory: $path")
-    val parts = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.contains("="))
-    parts.toIndexedSeq.flatMap { dir =>
-      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.getFileStatus(base).isDirectory, s"not a table directory: $path")
+    val parts = fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    parts.toIndexedSeq.flatMap { part =>
+      val dir = part.getPath
+      val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
       if (files.length < minFilesToCompact) None
       else {
-        val bytes = files.map(_.length()).sum
+        val bytes = files.map(_.getLen).sum
         val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         if (nOut >= files.length) None
         else {
-          val staging = s"${dir.getPath}_compact_${java.util.UUID.randomUUID().toString.take(8)}"
+          val staging = new Path(dir.getParent,
+            s"${dir.getName}_compact_${java.util.UUID.randomUUID().toString.take(8)}")
           // read exactly the snapshot files, not the directory — anything
           // appended after the listing must not be double-counted
-          spark.read.parquet(files.map(_.getPath).toIndexedSeq: _*).repartition(nOut)
-            .write.parquet(staging)
-          val fresh = new java.io.File(staging).listFiles()
-            .filter(_.getName.endsWith(".parquet"))
-          files.foreach(_.delete())
-          dir.listFiles().filter(f => f.getName.startsWith("_") || f.getName.endsWith(".crc"))
-            .foreach(_.delete())
+          spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+            .repartition(nOut)
+            .write.parquet(staging.toString)
+          val fresh = fs.listStatus(staging)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+          files.foreach(f => fs.delete(f.getPath, false))
+          fs.listStatus(dir)
+            .filter { s =>
+              val n = s.getPath.getName
+              n.startsWith("_") || n.endsWith(".crc")
+            }
+            .foreach(s => fs.delete(s.getPath, false))
           fresh.foreach { f =>
-            java.nio.file.Files.move(f.toPath, new java.io.File(dir, f.getName).toPath)
+            fs.rename(f.getPath, new Path(dir, f.getPath.getName))
           }
-          val stagingDir = new java.io.File(staging)
-          Option(stagingDir.listFiles()).foreach(_.foreach(_.delete()))
-          stagingDir.delete()
+          fs.delete(staging, true)
           Some(CompactionResult(dir.getName, files.length, fresh.length))
         }
       }

@@ -27,4 +27,33 @@ class MaintenanceSpec extends SparkSpec {
     // idempotent: nothing left to compact
     assert(Maintenance.compact(spark, tmp, targetBytes = 1L << 30).isEmpty)
   }
+
+  test("compaction and partition-rewrite DML run through the Hadoop FS on a file:/// URI") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 60).map { i =>
+      ((i + 1).toLong, "p", "i",
+        f"2024-01-${1 + i % 2}%02d 10:00:00", f"2024-01-${1 + i % 2}%02d 11:00:00",
+        if (i % 3 == 0) "pending" else "completed")
+    }
+    val local = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    val uri = s"file://$local"
+    LedgerTables.write(ledgerOf(rows: _*).repartition(6), uri)
+    val results = Maintenance.compact(spark, uri, targetBytes = 1L << 30)
+    assert(results.nonEmpty)
+    results.foreach(r => assert(r.filesAfter == 1, r.toString))
+    // partition-rewrite UPDATE/DELETE against the same URI
+    val updated = LedgerTables.updateStatus(spark, uri,
+      col("pipeline_status") === "pending", "completed")
+    assert(updated == rows.count(_._6 == "pending").toLong)
+    val deleted = LedgerTables.deleteWhere(spark, uri,
+      col("record_id") <= 10)
+    assert(deleted == 10L)
+    assert(LedgerTables.read(spark, uri).count() == rows.length - 10L)
+    // no staging leftovers beside the table
+    val base = new org.apache.hadoop.fs.Path(uri)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val leftovers = fs.listStatus(base.getParent)
+      .map(_.getPath.getName).filter(_.contains("_staging_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }

@@ -42,6 +42,49 @@ class QueryEngineSpec extends SparkSpec {
     } finally engine.executeControlCommand("DROP TABLE IF EXISTS graft_dml_t")
   }
 
+  test("SQL-text UPDATE/DELETE on a catalog table dispatch to the rewrite path (V4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dml_sql").toString
+    engine.executeControlCommand(
+      s"CREATE TABLE graft_dml_u (id BIGINT, s STRING) USING PARQUET LOCATION '$tmp/u'")
+    try {
+      engine.executeDmlQuery(
+        "INSERT INTO graft_dml_u VALUES (1, 'pending'), (2, 'pending'), (3, 'done')")
+      val up = engine.executeDmlQuery(
+        "UPDATE graft_dml_u SET s = :to WHERE s = :from",
+        Map("to" -> "done", "from" -> "pending"))
+      assert(up.data == 2L, s"rows_affected=${up.data}")
+      assert(engine.executeScalarQuery(
+        "SELECT COUNT(*) FROM graft_dml_u WHERE s = 'done'").data.contains(3L))
+      val del = engine.executeDmlQuery(
+        "DELETE FROM graft_dml_u WHERE id <= :k", Map("k" -> 2))
+      assert(del.data == 2L, s"rows_affected=${del.data}")
+      assert(engine.executeScalarQuery(
+        "SELECT COUNT(*) FROM graft_dml_u").data.contains(1L))
+      // no matching rows → 0 affected, data untouched
+      assert(engine.executeDmlQuery(
+        "DELETE FROM graft_dml_u WHERE id = 999").data == 0L)
+    } finally engine.executeControlCommand("DROP TABLE IF EXISTS graft_dml_u")
+  }
+
+  test("SQL-text UPDATE on the day-partitioned ledger path, multi-assignment SET") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dml_ledger").toString + "/ledger"
+    graft.sources.LedgerTables.write(ledgerOf(
+      (1L, "p", "i", "2024-01-15 10:00:00", "2024-01-15 11:00:00", "pending"),
+      (2L, "p", "i", "2024-01-15 11:00:00", "2024-01-15 12:00:00", "pending"),
+      (3L, "p", "i", "2024-01-16 10:00:00", "2024-01-16 11:00:00", "completed")), tmp)
+    val up = engine.executeDmlQuery(
+      s"UPDATE parquet.`$tmp` SET pipeline_status = 'completed', records_count = records_count + 1 " +
+        "WHERE pipeline_status = 'pending'")
+    assert(up.data == 2L)
+    val after = graft.sources.LedgerTables.read(spark, tmp)
+      .filter(org.apache.spark.sql.functions.col("record_id") <= 2)
+      .select("pipeline_status", "records_count").collect()
+    assert(after.forall(r => r.getString(0) == "completed" && r.getDouble(1) == 2.0))
+    val del = engine.executeDmlQuery(s"DELETE FROM parquet.`$tmp` WHERE record_id = 3")
+    assert(del.data == 1L)
+    assert(graft.sources.LedgerTables.read(spark, tmp).count() == 2L)
+  }
+
   test("per-call database scoping resolves in the target db and restores the session db") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_scoped_db")
     val before = spark.catalog.currentDatabase
