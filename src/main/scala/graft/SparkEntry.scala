@@ -210,7 +210,23 @@ object SparkEntry {
     // The end-to-end curation funnel: quality gate -> exact dedup ->
     // near-dedup -> deterministic sample, census of survivors per stage.
     "x19_curation_funnel" -> ((s, d) =>
-      CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13))
+      CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13)),
+    // The distributed rewrite of a5: two-pass prefix sum (per-month partial
+    // sums + broadcast offsets), no single-partition window — same oracle.
+    "x20_running_total_dist" -> ((s, d) =>
+      WindowOps.runningTotal(
+          Tables.read(s, d, "lineitem")
+            .filter(col("l_suppkey") === 1)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+              floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+          bucket = date_trunc("month", col("l_shipdate")),
+          orderCols = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          valueCol = col("cents"),
+          resultName = "run_cents")
+        .select(col("l_orderkey"), col("l_linenumber"), col("run_cents"),
+          col("l_shipdate"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .drop("l_shipdate"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -450,6 +466,13 @@ object SparkEntry {
         |FROM orders GROUP BY o_custkey
         |ORDER BY tot DESC, o_custkey ASC LIMIT 10""".stripMargin,
     "a5_running_total" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) OVER (
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+        |FROM lineitem WHERE l_suppkey = 1
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "x20_running_total_dist" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) OVER (
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/**
+ * Distributed window shapes (SURVEY.md §2.3 a5's 100 TB form).
+ *
+ * A global cumulative sum (`SUM(...) OVER (ORDER BY ...)`) plans as a
+ * single-partition WindowExec: the whole fact table funnels through one task.
+ * [[runningTotal]] is the classic two-pass prefix sum instead:
+ *
+ *  1. bucket every row by a coarse, order-aligned key (e.g. the month of the
+ *     order date) — any non-decreasing function of the leading order column;
+ *  2. aggregate per-bucket partial sums (map-side combine, one row per
+ *     bucket) and turn them into exclusive prefix offsets on the driver —
+ *     an O(#buckets) list, like a scalar subquery, never data;
+ *  3. broadcast the offsets back and run the cumulative window PARTITIONED
+ *     by bucket: each partition's running sum plus its bucket offset is
+ *     exactly the global running sum.
+ *
+ * The result is bit-identical to the single-window form (same oracle), but
+ * every stage is distributed; the widest window any task sees is one bucket.
+ */
+object WindowOps {
+
+  /**
+   * Exact global running total of `valueCol` (integral) in `orderCols` order.
+   *
+   * `bucket` MUST be non-decreasing along `orderCols` (bucket boundaries
+   * align with the global order), e.g. `date_trunc('month', orderCol)` when
+   * the leading order column is the date. Appends `resultName` holding the
+   * cumulative sum; all input columns pass through.
+   */
+  def runningTotal(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      resultName: String): DataFrame = {
+    val spark = df.sparkSession
+    val withB = df.withColumn("__bucket", bucket)
+    // Pass 1: per-bucket partial sums — a tiny relation (one row per bucket).
+    val partials = withB.groupBy(col("__bucket"))
+      .agg(sum(valueCol).as("__bsum"))
+      .orderBy(col("__bucket"))
+      .collect()
+    // Exclusive prefix offsets, accumulated in bucket order on the driver.
+    var acc = 0L
+    val offsetRows = partials.map { r =>
+      val o = acc
+      acc += (if (r.isNullAt(1)) 0L else r.getLong(1))
+      Row(r.get(0), o)
+    }
+    val bType = withB.schema("__bucket").dataType
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows.toIndexedSeq, 1),
+      StructType(Seq(StructField("__bucket", bType), StructField("__offset", LongType))))
+    // Pass 2: intra-bucket running sum + broadcast bucket offset.
+    val w = Window.partitionBy(col("__bucket"))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withB.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(resultName, sum(valueCol).over(w) + col("__offset"))
+      .drop("__bucket", "__offset")
+  }
+}

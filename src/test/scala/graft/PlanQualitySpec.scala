@@ -34,6 +34,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("e4_multimodal_join").contains("BroadcastHashJoin"))
   }
 
+  test("distributed running total has no single-partition window; matches the faithful form") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case q: QueryStageExec => windows(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    val dist = SparkEntry.queries("x20_running_total_dist")(spark, d)
+    // the faithful a5 IS the single-partition shape (reference semantics)
+    val faithful = SparkEntry.queries("a5_running_total")(spark, d)
+    val got = dist.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = faithful.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want, "two-pass prefix sum must equal the global window")
+    // inspect the final (post-AQE) plan, after execution
+    val ws = windows(dist.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected a windowed plan")
+    ws.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"single-partition WindowExec in:\n$w"))
+  }
+
   test("metadata queries over the asset store never read the binary payload column") {
     import graft.operators.MultimodalOps
     val docs = Tables.read(spark, d, "documents")
