@@ -26,12 +26,25 @@ object CurationOps {
    * stage FLAGS over one corpus pass plus the near-dup join, then a single
    * conditional aggregation — no per-stage re-scan of the corpus (five
    * separate stage counts would re-evaluate the shared lineage up to 4×).
+   *
+   * The near-dup stage defaults to the LSH path ([[DedupOps.minhashLsh]]):
+   * candidate generation is a band-key equi-join instead of the exact
+   * inverted-index join, which is quadratic in shingle-posting length — the
+   * 100 TB shape. Candidates are verified with exact Jaccard, so a surviving
+   * pair is never a false positive; banding recall at the threshold is the
+   * standard LSH trade-off (CurationFunnelSpec pins LSH == exact on the
+   * fixture). `useLsh = false` selects the exact join for ground-truth runs.
+   *
+   * The census is computed EAGERLY (it is a single row) so the shared
+   * shingle cache can be dropped before returning — a long-lived session
+   * runs funnels without accreting cache entries (see DedupSpec).
    */
   def curationFunnel(
       documents: DataFrame,
       minWords: Int = 30,
       threshold: Double = 0.8,
-      keepNibbles: Int = 13): DataFrame = {
+      keepNibbles: Int = 13,
+      useLsh: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("norm"))
     val flagged = documents
@@ -42,10 +55,13 @@ object CurationOps {
       .withColumn("keep_exact", col("q") && col("doc_id") === col("keeper"))
     val exact = flagged.filter(col("keep_exact"))
       .select(col("doc_id"), col("text"))
-    val losers = DedupOps.ngramJaccard(exact, threshold)
+    val nearDups =
+      if (useLsh) DedupOps.minhashLsh(exact, threshold)
+      else DedupOps.ngramJaccard(exact, threshold)
+    val losers = nearDups
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_loser", lit(true))
-    flagged
+    val funnel = flagged
       .join(losers, Seq("doc_id"), "left_outer")
       .withColumn("keep_near", col("keep_exact") && col("is_loser").isNull)
       .withColumn("keep_sample", col("keep_near") &&
@@ -57,5 +73,11 @@ object CurationOps {
         sum(when(col("keep_exact"), 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("keep_near"), 1L).otherwise(0L)).as("n_neardedup"),
         sum(when(col("keep_sample"), 1L).otherwise(0L)).as("n_sampled"))
+    try {
+      val rows = funnel.collect().toIndexedSeq
+      documents.sparkSession.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        funnel.schema)
+    } finally DedupOps.unpersistShingles(exact)
   }
 }

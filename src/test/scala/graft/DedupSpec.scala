@@ -46,4 +46,18 @@ class DedupSpec extends SparkSpec {
     val pairs = DedupOps.ngramJaccard(tiny, 0.9).collect()
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
   }
+
+  test("curation funnel: LSH and exact near-dup stages agree; no cache entries left behind") {
+    import graft.operators.CurationOps
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lsh = CurationOps.curationFunnel(docs, 30, 0.8, 13, useLsh = true)
+      .collect().head.toSeq
+    val exact = CurationOps.curationFunnel(docs, 30, 0.8, 13, useLsh = false)
+      .collect().head.toSeq
+    assert(lsh == exact, s"LSH funnel $lsh != exact funnel $exact")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"funnel leaked cache entries: ${after -- before}")
+  }
 }
