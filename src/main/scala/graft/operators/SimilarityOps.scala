@@ -193,8 +193,15 @@ object SimilarityOps {
   def buildIvfIndex(
       embeddings: DataFrame,
       path: String,
-      centroidMod: Int = 40): Unit = {
-    val cents = centroids(embeddings, centroidMod)
+      centroidMod: Int = 40): Unit =
+    buildIvfIndexWith(embeddings, path, centroids(embeddings, centroidMod))
+
+  /** [[buildIvfIndex]] with a caller-supplied centroid table (cid, cvec) —
+    * e.g. one trained by [[trainCentroids]]. */
+  def buildIvfIndexWith(
+      embeddings: DataFrame,
+      path: String,
+      cents: DataFrame): Unit = {
     // Centroid table persisted BESIDE the index: probe selection reads only
     // this tiny table (O(#centroids)), never the corpus — and recovering
     // centroids from the index itself would lose any centroid whose vector
@@ -202,6 +209,35 @@ object SimilarityOps {
     cents.write.mode("overwrite").parquet(s"${path}_centroids")
     assignToCentroids(embeddings, cents)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /**
+   * Train IVF centroids with k-means|| (Spark ML) on the embedding column —
+   * the quantizer a real corpus needs for balanced cells; the deterministic
+   * `vec_id % mod` subset stays the default for oracle-reproducible paths.
+   * Training uses the cosine distance measure (spherical k-means), matching
+   * the cosine cell assignment; zero vectors are not admissible under it.
+   * Returns (cid, cvec float32) shaped like [[buildIvfIndex]]'s centroid
+   * table. Deterministic for a fixed seed and input partitioning.
+   */
+  def trainCentroids(
+      embeddings: DataFrame,
+      k: Int,
+      seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val feats = embeddings.select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setInitMode("k-means||")
+      .setDistanceMeasure("cosine")
+      .fit(feats)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
   }
 
   /** Query the persisted IVF index: prune to the `nProbe` closest cells.

@@ -32,4 +32,32 @@ class SimilarityIndexSpec extends SparkSpec {
     val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
     assert(selected.length == 3, s"expected 3 pruned cells, got ${selected.length} of $nCells")
   }
+
+  test("k-means||-trained centroids build a pruned index; full probe equals exhaustive top-k") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 8
+    val cents = SimilarityOps.trainCentroids(emb, k, seed = 42L)
+    assert(cents.count() == k)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_km").toString + "/index"
+    SimilarityOps.buildIvfIndexWith(emb, tmp, cents)
+    val index = spark.read.parquet(tmp)
+    val centsBack = spark.read.parquet(tmp + "_centroids")
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    // probing 2 of 8 trained cells lists exactly 2 partitions
+    val twoCells = centsBack.limit(2).collect().map(_.getLong(0))
+    val probed = index.filter(col("cid").isin(twoCells.toIndexedSeq: _*))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(selected.length == 2, s"expected 2 pruned cells, got ${selected.length}")
+    // with nProbe = k every cell is probed: IVF degenerates to exhaustive
+    // search and must reproduce the exact top-k bit-for-bit
+    val full = SimilarityOps.queryIvfIndex(index, centsBack, qvec, 0L, k = 10, nProbe = k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = SimilarityOps.topkCosine(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, "full-probe IVF must equal exhaustive top-k")
+  }
 }
