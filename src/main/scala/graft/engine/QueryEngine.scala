@@ -93,16 +93,21 @@ final class QueryEngine(val spark: SparkSession) {
       database: Option[String] = None): EngineResult[Long] =
     withQueryId(s"dml: ${sql.take(120)}") {
       sql match {
-        case UpdateRe(target, setClause, whereOpt) =>
-          runRewriteDml(target, database) { path =>
+        case UpdateRe(rest) =>
+          val (beforeWhere, whereOpt) = splitAtKeyword(stripTrailing(rest), "WHERE")
+          val (target, setOpt) = splitAtKeyword(beforeWhere, "SET")
+          require(setOpt.nonEmpty, s"malformed UPDATE (no SET clause): $sql")
+          runRewriteDml(target, database) { (path, parts) =>
             graft.sources.LedgerTables.updateWhere(spark, path,
               predicateOf(whereOpt, params),
-              splitTopLevel(setClause).map(assignmentOf(_, params)))
+              splitTopLevel(setOpt.get).map(assignmentOf(_, params)),
+              parts)
           }
-        case DeleteRe(target, whereOpt) =>
-          runRewriteDml(target, database) { path =>
+        case DeleteRe(rest) =>
+          val (target, whereOpt) = splitAtKeyword(stripTrailing(rest), "WHERE")
+          runRewriteDml(target, database) { (path, parts) =>
             graft.sources.LedgerTables.deleteWhere(spark, path,
-              predicateOf(whereOpt, params))
+              predicateOf(whereOpt, params), parts)
           }
         case _ =>
           val df = run(sql, params, database)
@@ -122,16 +127,18 @@ final class QueryEngine(val spark: SparkSession) {
   // ---- SQL-text UPDATE/DELETE dispatch --------------------------------
   // Supported surface (the reference's DML call sites are single-table,
   // single-predicate statements): `UPDATE <target> SET c = e[, …] [WHERE p]`
-  // and `DELETE FROM <target> [WHERE p]`. A literal " WHERE " inside a
-  // string constant in SET expressions is not supported.
+  // and `DELETE FROM <target> [WHERE p]`. Keyword detection is a top-level
+  // scan (outside parentheses, '...' strings, and `...` quoting), so WHERE
+  // inside a SET subquery or a quoted string does not mis-split.
 
-  private val UpdateRe =
-    "(?is)^\\s*UPDATE\\s+(.+?)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
-  private val DeleteRe =
-    "(?is)^\\s*DELETE\\s+FROM\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$".r
+  private val UpdateRe = "(?is)^\\s*UPDATE\\s+(.+)$".r
+  private val DeleteRe = "(?is)^\\s*DELETE\\s+FROM\\s+(.+)$".r
 
-  private def predicateOf(whereOpt: String, params: Map[String, Any]) =
-    Option(whereOpt) match {
+  private def stripTrailing(s: String): String =
+    s.trim.stripSuffix(";").trim
+
+  private def predicateOf(whereOpt: Option[String], params: Map[String, Any]) =
+    whereOpt match {
       case Some(p) => org.apache.spark.sql.functions.expr(bindParams(p, params))
       case None => org.apache.spark.sql.functions.lit(true)
     }
@@ -141,6 +148,32 @@ final class QueryEngine(val spark: SparkSession) {
     require(eq > 0, s"malformed SET assignment: $part")
     val name = part.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
     (name, org.apache.spark.sql.functions.expr(bindParams(part.substring(eq + 1), params)))
+  }
+
+  /** Scan `s` for the first occurrence of `kw` as a standalone word at top
+    * level (outside parens and quoting); return (before, Some(after)) or
+    * (s, None). Case-insensitive. */
+  private def splitAtKeyword(s: String, kw: String): (String, Option[String]) = {
+    var depth = 0
+    var inStr = false
+    var inTick = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' && !inTick) inStr = !inStr
+      else if (c == '`' && !inStr) inTick = !inTick
+      else if (!inStr && !inTick) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || s.charAt(i - 1).isWhitespace) &&
+          (i + kw.length == s.length || s.charAt(i + kw.length).isWhitespace)) {
+          return (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
+        }
+      }
+      i += 1
+    }
+    (s.trim, None)
   }
 
   /** Split a SET clause on commas outside parentheses and string literals. */
@@ -161,12 +194,29 @@ final class QueryEngine(val spark: SparkSession) {
   }
 
   /** Bind `:name` parameters as SQL literals (the intercepted path cannot use
-    * Spark's parameterized `spark.sql`). */
-  private def bindParams(text: String, params: Map[String, Any]): String =
-    params.foldLeft(text) { case (acc, (k, v)) =>
-      acc.replaceAll(":" + java.util.regex.Pattern.quote(k) + "\\b",
-        java.util.regex.Matcher.quoteReplacement(sqlLiteral(v)))
+    * Spark's parameterized `spark.sql`). Tokens inside '...' strings or
+    * `...` quoting are data, not parameters, and are left untouched. */
+  private def bindParams(text: String, params: Map[String, Any]): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var inTick = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'' && !inTick) { inStr = !inStr; sb += c; i += 1 }
+      else if (c == '`' && !inStr) { inTick = !inTick; sb += c; i += 1 }
+      else if (c == ':' && !inStr && !inTick && i + 1 < text.length &&
+        (text.charAt(i + 1).isLetter || text.charAt(i + 1) == '_')) {
+        var j = i + 1
+        while (j < text.length && (text.charAt(j).isLetterOrDigit || text.charAt(j) == '_')) j += 1
+        params.get(text.substring(i + 1, j)) match {
+          case Some(v) => sb ++= sqlLiteral(v); i = j
+          case None => sb += c; i += 1
+        }
+      } else { sb += c; i += 1 }
     }
+    sb.toString
+  }
 
   private def sqlLiteral(v: Any): String = v match {
     case null => "NULL"
@@ -176,23 +226,24 @@ final class QueryEngine(val spark: SparkSession) {
     case other => other.toString
   }
 
-  /** Resolve the DML target to a filesystem path, run the rewrite, and (for
-    * catalog tables) refresh cached file listings + partition metadata. */
+  /** Resolve the DML target to a filesystem path (plus its declared
+    * partition columns for catalog tables), run the rewrite, and refresh
+    * cached file listings + partition metadata afterwards. */
   private def runRewriteDml(target0: String, database: Option[String])(
-      rewrite: String => Long): Long = {
+      rewrite: (String, Seq[String]) => Long): Long = {
     val target = target0.trim
     val ParquetPath = "(?is)^parquet\\s*\\.\\s*`(.+)`$".r
     target match {
-      case ParquetPath(p) => rewrite(p)
+      case ParquetPath(p) => rewrite(p, Nil)
       case _ if target.contains("/") =>
-        rewrite(target.stripPrefix("`").stripSuffix("`"))
+        rewrite(target.stripPrefix("`").stripSuffix("`"), Nil)
       case _ =>
         val prev = database.map(_ => spark.catalog.currentDatabase)
         database.foreach(db => spark.catalog.setCurrentDatabase(db))
         try {
           val ti = spark.sessionState.sqlParser.parseTableIdentifier(target)
           val meta = spark.sessionState.catalog.getTableMetadata(ti)
-          val n = rewrite(meta.location.toString)
+          val n = rewrite(meta.location.toString, meta.partitionColumnNames)
           spark.catalog.refreshTable(target)
           if (meta.partitionColumnNames.nonEmpty) spark.catalog.recoverPartitions(target)
           n

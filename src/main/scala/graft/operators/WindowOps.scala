@@ -58,12 +58,16 @@ object WindowOps {
     val offsets = spark.createDataFrame(
       spark.sparkContext.parallelize(offsetRows.toIndexedSeq, 1),
       StructType(Seq(StructField("__bucket", bType), StructField("__offset", LongType))))
-    // Pass 2: intra-bucket running sum + broadcast bucket offset.
+    // Pass 2: intra-bucket running sum + broadcast bucket offset. The join
+    // is NULL-SAFE (<=>): a NULL bucket (NULL leading order column) forms
+    // its own group, exactly as the global window would keep those rows —
+    // a plain equi-join would silently drop them.
     val w = Window.partitionBy(col("__bucket"))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    withB.join(broadcast(offsets), Seq("__bucket"))
+    withB.join(broadcast(offsets.withColumnRenamed("__bucket", "__obucket")),
+        col("__bucket") <=> col("__obucket"))
       .withColumn(resultName, sum(valueCol).over(w) + col("__offset"))
-      .drop("__bucket", "__offset")
+      .drop("__bucket", "__obucket", "__offset")
   }
 }

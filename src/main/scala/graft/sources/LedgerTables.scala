@@ -52,7 +52,7 @@ object LedgerTables {
       path: String,
       predicate: org.apache.spark.sql.Column,
       newStatus: String): Long =
-    rewriteAffectedPartitions(spark, path, predicate) { (ledger, pred) =>
+    rewriteAffectedPartitions(spark, path, predicate, Nil) { (ledger, pred) =>
       ledger.withColumn("pipeline_status",
         org.apache.spark.sql.functions.when(pred, newStatus)
           .otherwise(org.apache.spark.sql.functions.col("pipeline_status")))
@@ -60,28 +60,37 @@ object LedgerTables {
 
   /**
    * General UPDATE: apply `SET col = expr` assignments to matching rows,
-   * rewriting only the affected day partitions (or the whole table when it
-   * has no day partition column). Backs the SQL-text UPDATE path of
-   * `QueryEngine.executeDmlQuery`. Assigning the partition column itself is
-   * rejected — a row changing partitions needs a delete+insert, not a
-   * partition swap.
+   * rewriting only the affected day partitions (or the whole table —
+   * preserving its partition layout — when it is not day-partitioned).
+   * Backs the SQL-text UPDATE path of `QueryEngine.executeDmlQuery`.
+   * `partitionCols` is the table's declared partitioning when the caller
+   * knows it (catalog tables); empty means "detect the ledger layout".
+   * Assigning a partition column is rejected — a row changing partitions
+   * needs a delete+insert, not a partition swap. SET column names resolve
+   * case-insensitively, like Spark's default analyzer.
    */
   def updateWhere(
       spark: SparkSession,
       path: String,
       predicate: org.apache.spark.sql.Column,
-      assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      partitionCols: Seq[String] = Nil): Long = {
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
-    require(!assignments.exists(_._1 == "query_window_start_day"),
-      "cannot UPDATE the partition column; DELETE + INSERT instead")
-    rewriteAffectedPartitions(spark, path, predicate) { (ledger, pred) =>
+    rewriteAffectedPartitions(spark, path, predicate, partitionCols) { (ledger, pred) =>
       // SQL UPDATE semantics: every SET expression and the predicate evaluate
       // against the PRE-update row, so all assignments go into one projection
       // (sequential withColumn would feed each assignment the previous one's
       // output — and a predicate on an updated column would stop matching).
-      val assigned = assignments.toMap
-      assigned.keys.foreach(c => require(ledger.columns.contains(c),
-        s"UPDATE of unknown column $c"))
+      // Names resolve case-insensitively against the schema.
+      val assigned = assignments.map { case (name, v) =>
+        val resolved = ledger.columns.filter(_.equalsIgnoreCase(name))
+        require(resolved.length == 1,
+          s"UPDATE of ${if (resolved.isEmpty) "unknown" else "ambiguous"} column $name")
+        resolved.head -> v
+      }.toMap
+      val parts = effectivePartitionCols(ledger, partitionCols)
+      assigned.keys.foreach(c => require(!parts.exists(_.equalsIgnoreCase(c)),
+        s"cannot UPDATE partition column $c; DELETE + INSERT instead"))
       ledger.select(ledger.columns.toIndexedSeq.map { c =>
         assigned.get(c)
           .map(v => org.apache.spark.sql.functions.when(pred, v)
@@ -95,8 +104,9 @@ object LedgerTables {
   def deleteWhere(
       spark: SparkSession,
       path: String,
-      predicate: org.apache.spark.sql.Column): Long =
-    rewriteAffectedPartitions(spark, path, predicate) { (ledger, pred) =>
+      predicate: org.apache.spark.sql.Column,
+      partitionCols: Seq[String] = Nil): Long =
+    rewriteAffectedPartitions(spark, path, predicate, partitionCols) { (ledger, pred) =>
       // Keep any row the predicate does not POSITIVELY match: a NULL
       // predicate result must retain the row (plain `!pred` is NULL for
       // NULL input and filter would silently delete non-matching rows).
@@ -104,16 +114,29 @@ object LedgerTables {
         pred, org.apache.spark.sql.functions.lit(false)))
     }
 
+  /** The table's partition columns: the caller-declared ones, else the
+    * ledger's day column if present, else none. */
+  private def effectivePartitionCols(
+      ledger: DataFrame, declared: Seq[String]): Seq[String] =
+    if (declared.nonEmpty) declared
+    else if (ledger.columns.contains("query_window_start_day")) Seq("query_window_start_day")
+    else Nil
+
   private def rewriteAffectedPartitions(
       spark: SparkSession,
       path: String,
-      predicate: org.apache.spark.sql.Column)(
+      predicate: org.apache.spark.sql.Column,
+      partitionCols: Seq[String])(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     val ledger = read(spark, path)
     val matched = ledger.filter(predicate)
-    if (!ledger.columns.contains("query_window_start_day"))
-      return rewriteWholeTable(spark, path, ledger, matched, predicate)(transform)
+    val parts = effectivePartitionCols(ledger, partitionCols)
+    // The day-partition swap fast path applies only to the ledger layout
+    // (DateType values render exactly as the partition directory names);
+    // any other layout takes the whole-table rewrite, which preserves it.
+    if (parts != Seq("query_window_start_day"))
+      return rewriteWholeTable(spark, path, ledger, matched, predicate, parts)(transform)
     // Affected partition values: a day-count-sized driver list, never data.
     val days = matched.select(col("query_window_start_day")).distinct()
       .collect().map(_.get(0).toString)
@@ -132,24 +155,24 @@ object LedgerTables {
     // Swap the rewritten partitions in; untouched days keep their files.
     days.foreach { d =>
       val name = s"query_window_start_day=$d"
-      val fresh = new org.apache.hadoop.fs.Path(staging, name)
-      val dest = new org.apache.hadoop.fs.Path(base, name)
-      if (fs.exists(dest)) fs.delete(dest, true)
       // DELETE may remove a whole partition: only move what staging produced.
-      if (fs.exists(fresh)) fs.rename(fresh, dest)
+      swapIn(fs, new org.apache.hadoop.fs.Path(staging, name),
+        new org.apache.hadoop.fs.Path(base, name))
     }
     fs.delete(staging, true)
     affected
   }
 
-  /** Fallback for tables without the day partition column: stage the
-    * transformed table, then swap the whole directory. */
+  /** Fallback for tables not using the ledger's day layout: stage the
+    * transformed table (with the SAME partitionBy columns, so the directory
+    * layout survives), then swap the whole directory. */
   private def rewriteWholeTable(
       spark: SparkSession,
       path: String,
       ledger: DataFrame,
       matched: DataFrame,
-      predicate: org.apache.spark.sql.Column)(
+      predicate: org.apache.spark.sql.Column,
+      partitionCols: Seq[String])(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     val affected = matched.count()
     if (affected == 0L) return 0L
@@ -157,9 +180,33 @@ object LedgerTables {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(base.getParent,
       s"${base.getName}_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    transform(ledger, predicate).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    fs.delete(base, true)
-    fs.rename(staging, base)
+    val writer = transform(ledger, predicate).write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging.toString)
+    swapIn(fs, staging, base)
     affected
+  }
+
+  /**
+   * Replace `dest` with `fresh`, never deleting data before its replacement
+   * is in place: the old `dest` is renamed aside first (so a filesystem whose
+   * rename fails — e.g. an object store without one — aborts loudly with the
+   * data intact), the fresh tree renamed in, and only then the old copy
+   * dropped. A failed rename-in restores the old tree before throwing.
+   */
+  private def swapIn(
+      fs: org.apache.hadoop.fs.FileSystem,
+      fresh: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(dest.getParent,
+      s"${dest.getName}_old_${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = fs.exists(dest)
+    if (hadOld && !fs.rename(dest, old))
+      throw new java.io.IOException(s"cannot move $dest aside; table unchanged")
+    if (fs.exists(fresh) && !fs.rename(fresh, dest)) {
+      if (hadOld) fs.rename(old, dest)
+      throw new java.io.IOException(s"cannot move $fresh into place; table restored")
+    }
+    if (hadOld) fs.delete(old, true)
   }
 }

@@ -56,6 +56,15 @@ object Maintenance {
             .write.parquet(staging.toString)
           val fresh = fs.listStatus(staging)
             .filter(_.getPath.getName.endsWith(".parquet"))
+          // Move the compacted files in BEFORE deleting the snapshot: their
+          // UUID names cannot collide, and a filesystem that cannot rename
+          // aborts here with the original files untouched.
+          fresh.foreach { f =>
+            val dest = new Path(dir, f.getPath.getName)
+            if (!fs.rename(f.getPath, dest))
+              throw new java.io.IOException(
+                s"cannot move ${f.getPath} into $dir; partition unchanged")
+          }
           files.foreach(f => fs.delete(f.getPath, false))
           fs.listStatus(dir)
             .filter { s =>
@@ -63,9 +72,6 @@ object Maintenance {
               n.startsWith("_") || n.endsWith(".crc")
             }
             .foreach(s => fs.delete(s.getPath, false))
-          fresh.foreach { f =>
-            fs.rename(f.getPath, new Path(dir, f.getPath.getName))
-          }
           fs.delete(staging, true)
           Some(CompactionResult(dir.getName, files.length, fresh.length))
         }

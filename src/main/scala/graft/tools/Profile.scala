@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
  * times one SparkEntry query repeatedly on a warmed session (the bench
  * equivalent minus the per-JVM launch floor), so plan changes can be
  * A/B-tested without a full bench sweep.
+ *
+ * Measures `.count()` to mirror Bench exactly — note both therefore let the
+ * optimizer drop a query's FINAL global sort (EliminateSorts under the count
+ * aggregate); deltas that move work into or out of that sort need a write-
+ * based measurement instead.
  */
 object Profile {
   def main(args: Array[String]): Unit = {

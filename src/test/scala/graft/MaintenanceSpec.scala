@@ -53,7 +53,9 @@ class MaintenanceSpec extends SparkSpec {
     val base = new org.apache.hadoop.fs.Path(uri)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val leftovers = fs.listStatus(base.getParent)
-      .map(_.getPath.getName).filter(_.contains("_staging_"))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(s"${base.getName}_staging_") ||
+        n.startsWith(s"${base.getName}_old_"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 }

@@ -105,6 +105,25 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("distributed running total keeps NULL-bucket rows and matches the global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Option("2024-01-15"), 1L, 10L), (Option.empty[String], 2L, 5L),
+      (Option("2024-02-01"), 3L, 7L), (Option("2024-01-20"), 4L, 2L),
+      (Option.empty[String], 5L, 1L))
+      .toDF("ds", "id", "v")
+      .select(to_date(col("ds")).as("d"), col("id"), col("v"))
+    val dist = graft.operators.WindowOps.runningTotal(
+        df, date_trunc("month", col("d")), Seq(col("d"), col("id")), col("v"), "rt")
+      .select(col("id"), col("rt")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val global = df.withColumn("rt", sum(col("v")).over(
+        Window.orderBy(col("d"), col("id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("id"), col("rt")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist == global, s"dist=$dist global=$global")
+  }
+
   test("count-by-status equals the generator tally") {
     (20 to 22).foreach { seed =>
       val ws = randomWindows(seed)

@@ -63,7 +63,53 @@ class QueryEngineSpec extends SparkSpec {
       // no matching rows → 0 affected, data untouched
       assert(engine.executeDmlQuery(
         "DELETE FROM graft_dml_u WHERE id = 999").data == 0L)
+      // a :name inside a string literal is data, not a parameter
+      val lit = engine.executeDmlQuery(
+        "UPDATE graft_dml_u SET s = 'ratio a:k b' WHERE id = :k", Map("k" -> 3))
+      assert(lit.data == 1L)
+      assert(engine.fetchAllRowsAsTuples(
+        "SELECT s FROM graft_dml_u WHERE id = 3").data.head.getString(0) == "ratio a:k b")
+      // WHERE inside a SET subquery must not split the statement
+      val sub = engine.executeDmlQuery(
+        "UPDATE graft_dml_u SET s = (SELECT 'x' WHERE 1 = 1) WHERE id = 3")
+      assert(sub.data == 1L)
+      assert(engine.fetchAllRowsAsTuples(
+        "SELECT s FROM graft_dml_u WHERE id = 3").data.head.getString(0) == "x")
+      // SET column names resolve case-insensitively like Spark's analyzer
+      assert(engine.executeDmlQuery(
+        "UPDATE graft_dml_u SET S = 'ci' WHERE id = 3").data == 1L)
     } finally engine.executeControlCommand("DROP TABLE IF EXISTS graft_dml_u")
+  }
+
+  test("SQL-text DML on a catalog table partitioned by a non-ledger column keeps its layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dml_part").toString
+    engine.executeControlCommand(
+      s"""CREATE TABLE graft_dml_p (id BIGINT, s STRING, day STRING) USING PARQUET
+         |PARTITIONED BY (day) LOCATION '$tmp/p'""".stripMargin)
+    try {
+      engine.executeDmlQuery(
+        "INSERT INTO graft_dml_p VALUES (1, 'a', 'd1'), (2, 'b', 'd1'), (3, 'c', 'd2')")
+      val up = engine.executeDmlQuery("UPDATE graft_dml_p SET s = 'z' WHERE id <= 2")
+      assert(up.data == 2L)
+      // the partition directories must survive the whole-table rewrite
+      val fs = new org.apache.hadoop.fs.Path(s"$tmp/p")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/p"))
+        .filter(_.isDirectory).map(_.getPath.getName).sorted
+      assert(dirs.toSeq == Seq("day=d1", "day=d2"), dirs.mkString(","))
+      assert(engine.executeScalarQuery(
+        "SELECT COUNT(*) FROM graft_dml_p WHERE s = 'z'").data.contains(2L))
+      assert(engine.executeScalarQuery(
+        "SELECT COUNT(*) FROM graft_dml_p WHERE day = 'd2'").data.contains(1L))
+      // updating the partition column is a partition move — rejected loudly
+      intercept[Exception] {
+        engine.executeDmlQuery("UPDATE graft_dml_p SET day = 'd9' WHERE id = 1")
+      }
+      val del = engine.executeDmlQuery("DELETE FROM graft_dml_p WHERE day = 'd2'")
+      assert(del.data == 1L)
+      assert(engine.executeScalarQuery(
+        "SELECT COUNT(*) FROM graft_dml_p").data.contains(2L))
+    } finally engine.executeControlCommand("DROP TABLE IF EXISTS graft_dml_p")
   }
 
   test("SQL-text UPDATE on the day-partitioned ledger path, multi-assignment SET") {
