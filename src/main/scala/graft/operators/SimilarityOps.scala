@@ -50,12 +50,13 @@ object SimilarityOps {
    *
    * Exactness guarantee (spherical triangle inequality): for any pair (a, b)
    * with angle(a,b) ≤ θ_t and nearest-centroid assignment angles α_a, α_b,
-   *   angle(c_a, c_b) ≤ α_a + θ_t + α_b ≤ θ_t + 2·α_max
-   * where α_max = max over the corpus of the nearest-centroid angle (one
-   * scalar aggregate). So joining only cell pairs whose centroids are within
-   * θ_t + 2·α_max NEVER drops a qualifying pair — pruning adapts to how
-   * tightly the corpus clusters, correctness does not depend on it.
-   * Property-tested against the brute-force form in PropertiesSpec.
+   *   angle(c_a, c_b) ≤ α_a + θ_t + α_b ≤ θ_t + α̂_i + α̂_j
+   * where α̂_i is cell i's WORST assignment angle (a per-cell aggregate).
+   * So joining only cell pairs whose centroids are within θ_t + α̂_i + α̂_j
+   * NEVER drops a qualifying pair — pruning adapts per cell to how tightly
+   * the corpus clusters there (one badly-covered outlier cell widens only
+   * its own radius, not every cell's), and correctness does not depend on
+   * it. Property-tested against the brute-force form in PropertiesSpec.
    *
    * Scale shape: candidates are an equi-join of the centroid-assigned corpus
    * with a broadcast cell-pair table (shuffle keyed by cell id), then exact
@@ -71,31 +72,30 @@ object SimilarityOps {
       centroidMod: Int = 40): DataFrame = {
     val cents = centroids(embeddings, centroidMod)
     if (cents.isEmpty) return embeddingNearDupBrute(embeddings, threshold)
-    // Materialize the assignment once (it feeds three consumers: the α_max
-    // aggregate and both join sides); blocks are freed by the ContextCleaner
-    // when the result plan is dropped. At 100 TB you'd persist this with
-    // buildIvfIndex instead and read it back partition-pruned.
+    // Materialize the assignment once (it feeds three consumers: the
+    // per-cell radii and both join sides); blocks are freed by the
+    // ContextCleaner when the result plan is dropped. At 100 TB you'd
+    // persist this with buildIvfIndex instead and read it back
+    // partition-pruned.
     val assigned = assignToCentroidsWithSim(embeddings, cents)
       .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
       .localCheckpoint()
-    // α_max from the worst assignment; slack absorbs f32 cosine error and
-    // the ≤5e-7 shift of the round-to-6-places threshold test.
-    val cosMin = assigned.agg(min(col("csim")).cast("double")).head.getDouble(0)
+    // Per-cell worst assignment angle α̂; slack absorbs f32 cosine error and
+    // the ≤5e-7 shift of the round-to-6-places threshold test. Everything
+    // stays a (tiny) distributed plan — no driver-side aggregate.
+    def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c.cast("double")))
     val slack = 1e-3
-    val alphaMax = math.acos(math.max(-1.0, math.min(1.0, cosMin)))
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
-    val limit = thetaT + 2 * alphaMax + slack
-    val cellPairs =
-      if (limit >= math.Pi) {
-        cents.select(col("cid").as("cid_a"))
-          .crossJoin(cents.select(col("cid").as("cid_b")))
-      } else {
-        val ca = cents.select(col("cid").as("cid_a"), col("cvec").as("cvec_a"))
-        val cb = cents.select(col("cid").as("cid_b"), col("cvec").as("cvec_b"))
-        ca.crossJoin(cb)
-          .filter(cos(col("cvec_a"), col("cvec_b")).cast("double") >= math.cos(limit))
-          .select(col("cid_a"), col("cid_b"))
-      }
+    val radii = assigned.groupBy(col("cid"))
+      .agg(acos(clamp(min(col("csim")))).as("alpha"))
+    val ca = cents.join(radii, Seq("cid"))
+      .select(col("cid").as("cid_a"), col("cvec").as("cvec_a"), col("alpha").as("alpha_a"))
+    val cb = cents.join(radii, Seq("cid"))
+      .select(col("cid").as("cid_b"), col("cvec").as("cvec_b"), col("alpha").as("alpha_b"))
+    val cellPairs = ca.crossJoin(cb)
+      .filter(acos(clamp(cos(col("cvec_a"), col("cvec_b"))))
+        <= lit(thetaT + slack) + col("alpha_a") + col("alpha_b"))
+      .select(col("cid_a"), col("cid_b"))
     val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("cid").as("cid_a"))
     val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
