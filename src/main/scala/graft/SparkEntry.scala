@@ -211,6 +211,10 @@ object SparkEntry {
     // near-dedup -> deterministic sample, census of survivors per stage.
     "x19_curation_funnel" -> ((s, d) =>
       CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13)),
+    // Benchmark decontamination: corpus docs sharing >= 5 shingles with the
+    // deterministic doc_id % 97 == 0 "benchmark" subset, per language.
+    "x21_decontaminate" -> ((s, d) =>
+      CurationOps.decontaminate(docs(s, d), 97, 5)),
     // The distributed rewrite of a5: two-pass prefix sum (per-month partial
     // sums + broadcast offsets), no single-partition window — same oracle.
     "x20_running_total_dist" -> ((s, d) =>
@@ -472,6 +476,27 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
         |FROM lineitem WHERE l_suppkey = 1
         |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "x21_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, lang, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE doc_id % 97 != 0),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS shared
+        |  FROM corpus JOIN bench USING (s) GROUP BY doc_id),
+        |per AS (
+        |  SELECT p.doc_id, p.lang, COALESCE(ov.shared, 0) AS shared
+        |  FROM (SELECT doc_id, lang FROM shl WHERE doc_id % 97 != 0) p
+        |  LEFT JOIN ov ON p.doc_id = ov.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN shared >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |       CAST(MAX(shared) AS BIGINT) AS max_overlap
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "x20_running_total_dist" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) OVER (

@@ -80,4 +80,47 @@ object CurationOps {
         funnel.schema)
     } finally DedupOps.unpersistShingles(exact)
   }
+
+  /**
+   * Benchmark decontamination census: how much of the training corpus leaks
+   * n-grams from a held-out benchmark set. The benchmark here is the
+   * deterministic `doc_id % benchMod == 0` subset (standing in for an
+   * external eval suite); a corpus doc is contaminated when it shares at
+   * least `minShared` distinct word-3-gram shingles with ANY benchmark doc.
+   *
+   * Scale shape: the benchmark shingle set is the small side — distinct'd
+   * and broadcast into an equi-join against the exploded corpus shingles
+   * (shuffle keyed by shingle only if the broadcast threshold is exceeded);
+   * per-doc overlap is a count aggregate with map-side partials. Nothing is
+   * quadratic in corpus size, and the corpus is streamed once.
+   *
+   * Returns per-lang exact integers: docs checked, contaminated docs, and
+   * the worst per-doc overlap — oracle-gated as x21.
+   */
+  def decontaminate(
+      documents: DataFrame,
+      benchMod: Int = 97,
+      minShared: Int = 5): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    val benchShingles = documents.filter(isBench)
+      .select(explode(DedupOps.shingles(col("text"))).as("s"))
+      .distinct()
+    val corpus = documents.filter(!isBench)
+    val corpusShingles = corpus
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"))).as("s"))
+    // shingles() is per-doc distinct, so count(*) = distinct shared shingles
+    val overlap = corpusShingles
+      .join(broadcast(benchShingles), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    corpus.select(col("doc_id"), col("lang"))
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("shared") >= minShared, 1L).otherwise(0L)).as("n_contaminated"),
+        max(col("shared")).as("max_overlap"))
+      .orderBy(col("lang"))
+  }
 }
