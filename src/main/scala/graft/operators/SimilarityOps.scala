@@ -92,7 +92,7 @@ object SimilarityOps {
       .select(col("cid").as("cid_a"), col("cvec").as("cvec_a"), col("alpha").as("alpha_a"))
     val cb = cents.join(radii, Seq("cid"))
       .select(col("cid").as("cid_b"), col("cvec").as("cvec_b"), col("alpha").as("alpha_b"))
-    val cellPairs = ca.crossJoin(cb)
+    val cellPairs = ca.crossJoin(broadcast(cb))
       .filter(acos(clamp(cos(col("cvec_a"), col("cvec_b"))))
         <= lit(thetaT + slack) + col("alpha_a") + col("alpha_b"))
       .select(col("cid_a"), col("cid_b"))

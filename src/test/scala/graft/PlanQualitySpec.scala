@@ -57,6 +57,20 @@ class PlanQualitySpec extends SparkSpec {
       assert(w.partitionSpec.nonEmpty, s"single-partition WindowExec in:\n$w"))
   }
 
+  test("decontamination broadcasts the benchmark shingles; corpus side streams once") {
+    val p = plan("x21_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "corpus must never self-join")
+  }
+
+  test("bucketed embedding near-dup has no corpus-level cartesian product") {
+    // cross joins exist only against the O(#centroids) tables (broadcast);
+    // the corpus-corpus candidate join must be an equi-join on cell ids.
+    val p = plan("x4_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("metadata queries over the asset store never read the binary payload column") {
     import graft.operators.MultimodalOps
     val docs = Tables.read(spark, d, "documents")
