@@ -150,46 +150,72 @@ final class QueryEngine(val spark: SparkSession) {
     (name, org.apache.spark.sql.functions.expr(bindParams(part.substring(eq + 1), params)))
   }
 
-  /** Scan `s` for the first occurrence of `kw` as a standalone word at top
-    * level (outside parens and quoting); return (before, Some(after)) or
-    * (s, None). Case-insensitive. */
-  private def splitAtKeyword(s: String, kw: String): (String, Option[String]) = {
-    var depth = 0
+  /**
+   * Per-character quoting state for a SQL fragment: `top(i)` is true when
+   * char i sits OUTSIDE '...' strings, `...` quoting, and parentheses.
+   * One shared tokenizer backs all three scanners below, so their quoting
+   * rules cannot drift: backslash-escaped quotes inside strings are skipped
+   * (Spark's default escapedStringLiterals=false), and the SQL doubled-quote
+   * escape ('don''t') is safe under plain toggling — the two quote chars
+   * enclose an empty region.
+   */
+  private def topLevelMask(s: String): Array[Boolean] = {
+    val top = new Array[Boolean](s.length)
     var inStr = false
     var inTick = false
+    var depth = 0
     var i = 0
     while (i < s.length) {
+      top(i) = !inStr && !inTick && depth == 0
       val c = s.charAt(i)
-      if (c == '\'' && !inTick) inStr = !inStr
-      else if (c == '`' && !inStr) inTick = !inTick
-      else if (!inStr && !inTick) {
-        if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
-        else if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
-          (i == 0 || s.charAt(i - 1).isWhitespace) &&
-          (i + kw.length == s.length || s.charAt(i + kw.length).isWhitespace)) {
-          return (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
+      if (inStr && c == '\\' && i + 1 < s.length) {
+        top(i + 1) = false
+        i += 2
+      } else {
+        if (c == '\'' && !inTick) inStr = !inStr
+        else if (c == '`' && !inStr) inTick = !inTick
+        else if (!inStr && !inTick) {
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
         }
+        i += 1
+      }
+    }
+    top
+  }
+
+  private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Split at the first top-level occurrence of `kw` as a standalone word
+    * (identifier-boundary on both sides, so `WHERE(x=1)` is recognized);
+    * return (before, Some(after)) or (s, None). Case-insensitive. */
+  private def splitAtKeyword(s: String, kw: String): (String, Option[String]) = {
+    val top = topLevelMask(s)
+    var i = 0
+    while (i <= s.length - kw.length) {
+      if (top(i) && s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+        (i + kw.length == s.length || !isIdentChar(s.charAt(i + kw.length)))) {
+        return (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
       }
       i += 1
     }
     (s.trim, None)
   }
 
-  /** Split a SET clause on commas outside parentheses and string literals. */
+  /** Split a SET clause on top-level commas. */
   private def splitTopLevel(s: String): Seq[String] = {
+    val top = topLevelMask(s)
     val out = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var depth = 0
-    var inStr = false
-    s.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      case '(' if !inStr => depth += 1; cur += '('
-      case ')' if !inStr => depth -= 1; cur += ')'
-      case ',' if !inStr && depth == 0 => out += cur.result(); cur.clear()
-      case c => cur += c
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (top(i) && s.charAt(i) == ',') {
+        out += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
     }
-    out += cur.result()
+    out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
@@ -197,18 +223,17 @@ final class QueryEngine(val spark: SparkSession) {
     * Spark's parameterized `spark.sql`). Tokens inside '...' strings or
     * `...` quoting are data, not parameters, and are left untouched. */
   private def bindParams(text: String, params: Map[String, Any]): String = {
+    // ":name" binds anywhere outside quoting — including inside parens, so
+    // the mask here tracks quotes only.
+    val oq = outsideQuotes(text)
     val sb = new StringBuilder
-    var inStr = false
-    var inTick = false
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == '\'' && !inTick) { inStr = !inStr; sb += c; i += 1 }
-      else if (c == '`' && !inStr) { inTick = !inTick; sb += c; i += 1 }
-      else if (c == ':' && !inStr && !inTick && i + 1 < text.length &&
+      if (c == ':' && oq(i) && i + 1 < text.length &&
         (text.charAt(i + 1).isLetter || text.charAt(i + 1) == '_')) {
         var j = i + 1
-        while (j < text.length && (text.charAt(j).isLetterOrDigit || text.charAt(j) == '_')) j += 1
+        while (j < text.length && isIdentChar(text.charAt(j))) j += 1
         params.get(text.substring(i + 1, j)) match {
           case Some(v) => sb ++= sqlLiteral(v); i = j
           case None => sb += c; i += 1
@@ -216,6 +241,27 @@ final class QueryEngine(val spark: SparkSession) {
       } else { sb += c; i += 1 }
     }
     sb.toString
+  }
+
+  /** Like [[topLevelMask]] but tracking quoting only (parens irrelevant). */
+  private def outsideQuotes(s: String): Array[Boolean] = {
+    val out = new Array[Boolean](s.length)
+    var inStr = false
+    var inTick = false
+    var i = 0
+    while (i < s.length) {
+      out(i) = !inStr && !inTick
+      val c = s.charAt(i)
+      if (inStr && c == '\\' && i + 1 < s.length) {
+        out(i + 1) = false
+        i += 2
+      } else {
+        if (c == '\'' && !inTick) inStr = !inStr
+        else if (c == '`' && !inStr) inTick = !inTick
+        i += 1
+      }
+    }
+    out
   }
 
   private def sqlLiteral(v: Any): String = v match {

@@ -88,11 +88,13 @@ object CurationOps {
    * external eval suite); a corpus doc is contaminated when it shares at
    * least `minShared` distinct word-3-gram shingles with ANY benchmark doc.
    *
-   * Scale shape: the benchmark shingle set is the small side — distinct'd
-   * and broadcast into an equi-join against the exploded corpus shingles
-   * (shuffle keyed by shingle only if the broadcast threshold is exceeded);
-   * per-doc overlap is a count aggregate with map-side partials. Nothing is
-   * quadratic in corpus size, and the corpus is streamed once.
+   * Scale shape: the benchmark shingle set is distinct'd and FORCE-broadcast
+   * into an equi-join against the exploded corpus shingles — correct for a
+   * real eval suite (thousands of documents, well under the broadcast
+   * limit); an unbounded benchmark would need the hint dropped so the
+   * planner can fall back to a shuffled join. Per-doc overlap is a count
+   * aggregate with map-side partials; the corpus is scanned twice (shingle
+   * explode + the per-doc census), never joined with itself.
    *
    * Returns per-lang exact integers: docs checked, contaminated docs, and
    * the worst per-doc overlap — oracle-gated as x21.

@@ -76,21 +76,28 @@ object LedgerTables {
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       partitionCols: Seq[String] = Nil): Long = {
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
+    // Validate BEFORE the rewrite machinery: a malformed statement must fail
+    // loudly even when zero rows match (the rewrite short-circuits on
+    // no-match, and a guard inside the transform closure would be skipped).
+    // Names resolve case-insensitively against the schema.
+    val schemaCols = read(spark, path).columns.toIndexedSeq
+    val assigned = assignments.map { case (name, v) =>
+      val resolved = schemaCols.filter(_.equalsIgnoreCase(name))
+      require(resolved.length == 1,
+        s"UPDATE of ${if (resolved.isEmpty) "unknown" else "ambiguous"} column $name")
+      resolved.head -> v
+    }.toMap
+    val parts =
+      if (partitionCols.nonEmpty) partitionCols
+      else if (schemaCols.contains("query_window_start_day")) Seq("query_window_start_day")
+      else Nil
+    assigned.keys.foreach(c => require(!parts.exists(_.equalsIgnoreCase(c)),
+      s"cannot UPDATE partition column $c; DELETE + INSERT instead"))
     rewriteAffectedPartitions(spark, path, predicate, partitionCols) { (ledger, pred) =>
       // SQL UPDATE semantics: every SET expression and the predicate evaluate
       // against the PRE-update row, so all assignments go into one projection
       // (sequential withColumn would feed each assignment the previous one's
       // output — and a predicate on an updated column would stop matching).
-      // Names resolve case-insensitively against the schema.
-      val assigned = assignments.map { case (name, v) =>
-        val resolved = ledger.columns.filter(_.equalsIgnoreCase(name))
-        require(resolved.length == 1,
-          s"UPDATE of ${if (resolved.isEmpty) "unknown" else "ambiguous"} column $name")
-        resolved.head -> v
-      }.toMap
-      val parts = effectivePartitionCols(ledger, partitionCols)
-      assigned.keys.foreach(c => require(!parts.exists(_.equalsIgnoreCase(c)),
-        s"cannot UPDATE partition column $c; DELETE + INSERT instead"))
       ledger.select(ledger.columns.toIndexedSeq.map { c =>
         assigned.get(c)
           .map(v => org.apache.spark.sql.functions.when(pred, v)
@@ -153,11 +160,14 @@ object LedgerTables {
       .mode(SaveMode.Overwrite).partitionBy("query_window_start_day")
       .parquet(staging.toString)
     // Swap the rewritten partitions in; untouched days keep their files.
+    // Displaced old trees go INTO the staging dir (outside the table root,
+    // removed at the end) so a crash can never leave a directory that
+    // partition discovery would misread as a live partition.
     days.foreach { d =>
       val name = s"query_window_start_day=$d"
       // DELETE may remove a whole partition: only move what staging produced.
       swapIn(fs, new org.apache.hadoop.fs.Path(staging, name),
-        new org.apache.hadoop.fs.Path(base, name))
+        new org.apache.hadoop.fs.Path(base, name), staging)
     }
     fs.delete(staging, true)
     affected
@@ -183,7 +193,7 @@ object LedgerTables {
     val writer = transform(ledger, predicate).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
-    swapIn(fs, staging, base)
+    swapIn(fs, staging, base, base.getParent)
     affected
   }
 
@@ -193,12 +203,17 @@ object LedgerTables {
    * rename fails — e.g. an object store without one — aborts loudly with the
    * data intact), the fresh tree renamed in, and only then the old copy
    * dropped. A failed rename-in restores the old tree before throwing.
+   * `trashDir` receives the displaced tree and MUST lie outside the table
+   * root (the staging dir, or the table's parent) — a crash between the
+   * rename-in and the final delete must not leave a directory that partition
+   * discovery would parse as a live partition.
    */
   private def swapIn(
       fs: org.apache.hadoop.fs.FileSystem,
       fresh: org.apache.hadoop.fs.Path,
-      dest: org.apache.hadoop.fs.Path): Unit = {
-    val old = new org.apache.hadoop.fs.Path(dest.getParent,
+      dest: org.apache.hadoop.fs.Path,
+      trashDir: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(trashDir,
       s"${dest.getName}_old_${java.util.UUID.randomUUID().toString.take(8)}")
     val hadOld = fs.exists(dest)
     if (hadOld && !fs.rename(dest, old))

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
@@ -8,8 +10,8 @@ import org.apache.spark.sql.SparkSession
  * frequent small appends fragment partitions into many tiny parquet files;
  * at 100 TB that multiplies scan tasks and footer reads. [[compact]] rewrites
  * each fragmented partition into ceil(bytes/target) files — one distributed
- * job per partition, per-partition delete+move swap, untouched partitions
- * keep their files.
+ * job per partition, per-partition staged swap, untouched partitions keep
+ * their files.
  *
  * All filesystem access goes through the Hadoop [[FileSystem]] resolved from
  * the path's scheme and the session's Hadoop configuration, so the same code
@@ -18,15 +20,29 @@ import org.apache.spark.sql.SparkSession
  * assumes no concurrent writer).
  *
  * Concurrency contract: run compaction when no writer is active on the
- * table (the swap is delete-then-move, not atomic, and readers listing a
- * partition mid-swap see it partially populated). Only the SNAPSHOT of
- * files taken at the start is compacted — a file appended after the
- * snapshot is neither read nor deleted, so late appends survive untouched
- * rather than being duplicated.
+ * table (the swap is not atomic: a reader listing a partition mid-swap can
+ * see it partially populated). The swap never duplicates rows in any crash
+ * window:
+ *
+ *  1. compacted files enter the partition HIDDEN (dot-prefixed — invisible
+ *     to Spark's listing); a failure here aborts with the originals intact;
+ *  2. a manifest naming the snapshot files is committed (tmp write + rename),
+ *     marking the point of no return;
+ *  3. snapshot files are deleted, compacted files unhidden, manifest removed.
+ *
+ * The next [[compact]] of a crashed partition REPLAYS from the manifest
+ * (delete the named snapshot files, unhide) when one exists, or sweeps the
+ * uncommitted hidden files when none does — both idempotent. Only the
+ * SNAPSHOT of files taken at the start is compacted: a file appended after
+ * the snapshot is neither read, deleted, nor named in the manifest, so late
+ * appends survive every path untouched rather than being duplicated.
  */
 object Maintenance {
 
   final case class CompactionResult(partition: String, filesBefore: Int, filesAfter: Int)
+
+  private val HiddenPrefix = ".compact_"
+  private val ManifestName = ".compact_manifest"
 
   def compact(
       spark: SparkSession,
@@ -40,6 +56,7 @@ object Maintenance {
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
     parts.toIndexedSeq.flatMap { part =>
       val dir = part.getPath
+      recoverOrSweep(fs, dir)
       val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
       if (files.length < minFilesToCompact) None
       else {
@@ -56,15 +73,17 @@ object Maintenance {
             .write.parquet(staging.toString)
           val fresh = fs.listStatus(staging)
             .filter(_.getPath.getName.endsWith(".parquet"))
-          // Move the compacted files in BEFORE deleting the snapshot: their
-          // UUID names cannot collide, and a filesystem that cannot rename
-          // aborts here with the original files untouched.
-          fresh.foreach { f =>
-            val dest = new Path(dir, f.getPath.getName)
-            if (!fs.rename(f.getPath, dest))
+          // step 1: stage hidden — abortable, originals untouched
+          val hidden = fresh.map { f =>
+            val h = new Path(dir, s"$HiddenPrefix${f.getPath.getName}")
+            if (!fs.rename(f.getPath, h))
               throw new java.io.IOException(
-                s"cannot move ${f.getPath} into $dir; partition unchanged")
+                s"cannot stage ${f.getPath} into $dir; partition unchanged")
+            h
           }
+          // step 2: commit the manifest (atomic-ish: tmp write + rename)
+          writeManifest(fs, dir, files.map(_.getPath.getName).toIndexedSeq)
+          // step 3: delete snapshot + metadata files, unhide, clear manifest
           files.foreach(f => fs.delete(f.getPath, false))
           fs.listStatus(dir)
             .filter { s =>
@@ -72,10 +91,48 @@ object Maintenance {
               n.startsWith("_") || n.endsWith(".crc")
             }
             .foreach(s => fs.delete(s.getPath, false))
+          hidden.foreach(h => unhide(fs, dir, h))
+          fs.delete(new Path(dir, ManifestName), false)
           fs.delete(staging, true)
           Some(CompactionResult(dir.getName, files.length, fresh.length))
         }
       }
     }
+  }
+
+  /** Finish a crashed swap (manifest committed: delete named snapshot files,
+    * unhide) or discard an uncommitted one (no manifest: drop hidden files). */
+  private def recoverOrSweep(fs: FileSystem, dir: Path): Unit = {
+    val manifest = new Path(dir, ManifestName)
+    val hidden = fs.listStatus(dir)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(HiddenPrefix) && !p.getName.startsWith(ManifestName))
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val names = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      names.foreach(n => fs.delete(new Path(dir, n), false))
+      hidden.foreach(h => unhide(fs, dir, h))
+      fs.delete(manifest, false)
+    } else {
+      hidden.foreach(h => fs.delete(h, false))
+    }
+    // tmp manifest from a crash mid-commit is never authoritative
+    fs.delete(new Path(dir, ManifestName + ".tmp"), false)
+  }
+
+  private def unhide(fs: FileSystem, dir: Path, h: Path): Unit = {
+    val dest = new Path(dir, h.getName.stripPrefix(HiddenPrefix))
+    if (!fs.rename(h, dest))
+      throw new java.io.IOException(s"cannot unhide $h in $dir")
+  }
+
+  private def writeManifest(fs: FileSystem, dir: Path, names: Seq[String]): Unit = {
+    val tmp = new Path(dir, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, ManifestName)))
+      throw new java.io.IOException(s"cannot commit compaction manifest in $dir")
   }
 }

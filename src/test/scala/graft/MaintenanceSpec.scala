@@ -28,6 +28,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.compact(spark, tmp, targetBytes = 1L << 30).isEmpty)
   }
 
+  test("compaction recovers a crashed swap from the manifest and sweeps uncommitted staging") {
+    import org.apache.hadoop.fs.Path
+    val rows = (0 until 40).map { i =>
+      ((i + 1).toLong, "p", "i", "2024-01-05 10:00:00", "2024-01-05 11:00:00", "completed")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    LedgerTables.write(ledgerOf(rows: _*).repartition(2), tmp)
+    val before = LedgerTables.read(spark, tmp).collect().map(_.toString).sorted.toSeq
+    val dir = new Path(s"$tmp/query_window_start_day=2024-01-05")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val parquets = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parquets.length == 2)
+    // Simulate a crash AFTER the manifest commit: file A is staged hidden
+    // (pretend it is the compacted output) and the manifest names A — the
+    // deletes and the unhide never ran.
+    val a = parquets.head
+    val hidden = new Path(dir, s".compact_${a.getName}")
+    assert(fs.rename(a, hidden))
+    val out = fs.create(new Path(dir, ".compact_manifest"), true)
+    out.write(a.getName.getBytes("UTF-8")); out.close()
+    // Recovery replays: delete the (already-moved) original, unhide A.
+    Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
+    val after = LedgerTables.read(spark, tmp).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "manifest recovery must restore the exact data")
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    assert(!names.exists(_.startsWith(".compact_")), names.mkString(","))
+    // Simulate a crash BEFORE the manifest commit: hidden file, no manifest.
+    val b = fs.listStatus(dir).map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val stray = new Path(dir, ".compact_stray.parquet")
+    val in = fs.open(b); val cp = fs.create(stray, true)
+    org.apache.hadoop.io.IOUtils.copyBytes(in, cp, 4096, true)
+    Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
+    val after2 = LedgerTables.read(spark, tmp).collect().map(_.toString).sorted.toSeq
+    assert(after2 == before, "uncommitted hidden files must be swept, not surfaced")
+  }
+
   test("compaction and partition-rewrite DML run through the Hadoop FS on a file:/// URI") {
     import org.apache.spark.sql.functions.col
     val rows = (0 until 60).map { i =>

@@ -78,6 +78,19 @@ class QueryEngineSpec extends SparkSpec {
       // SET column names resolve case-insensitively like Spark's analyzer
       assert(engine.executeDmlQuery(
         "UPDATE graft_dml_u SET S = 'ci' WHERE id = 3").data == 1L)
+      // WHERE immediately followed by a paren (no space) still parses
+      assert(engine.executeDmlQuery(
+        "UPDATE graft_dml_u SET s = 'p' WHERE(id = 3)").data == 1L)
+      // a backslash-escaped quote inside a literal must not derail the scan
+      val esc = engine.executeDmlQuery(
+        "UPDATE graft_dml_u SET s = 'don\\'t' WHERE id = 3")
+      assert(esc.data == 1L)
+      assert(engine.fetchAllRowsAsTuples(
+        "SELECT s FROM graft_dml_u WHERE id = 3").data.head.getString(0) == "don't")
+      // malformed statements fail loudly even when zero rows would match
+      intercept[Exception] {
+        engine.executeDmlQuery("UPDATE graft_dml_u SET nosuchcol = 1 WHERE id = 999")
+      }
     } finally engine.executeControlCommand("DROP TABLE IF EXISTS graft_dml_u")
   }
 
