@@ -215,6 +215,23 @@ object SparkEntry {
     // deterministic doc_id % 97 == 0 "benchmark" subset, per language.
     "x21_decontaminate" -> ((s, d) =>
       CurationOps.decontaminate(docs(s, d), 97, 5)),
+    // Approx quantiles (GK sketch): like x13, the sketch is gated by a
+    // tolerance verdict against the exact percentile (bit-identical to
+    // DuckDB quantile_cont on integer inputs), not by its raw value.
+    "x22_approx_quantiles" -> ((s, d) =>
+      docs(s, d).groupBy(col("lang"))
+        .agg(
+          percentile(col("n_chars"), lit(0.5)).as("med_exact"),
+          percentile(col("n_chars"), lit(0.9)).as("p90_exact"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("med_approx"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("p90_approx"))
+        .select(col("lang"),
+          col("med_exact").as("med_chars"), col("p90_exact").as("p90_chars"),
+          (abs(col("med_approx") - col("med_exact")) <= col("med_exact") * 0.05)
+            .as("approx_med_within_5pct"),
+          (abs(col("p90_approx") - col("p90_exact")) <= col("p90_exact") * 0.05)
+            .as("approx_p90_within_5pct"))
+        .orderBy(col("lang"))),
     // The distributed rewrite of a5: two-pass prefix sum (per-month partial
     // sums + broadcast offsets), no single-partition window — same oracle.
     "x20_running_total_dist" -> ((s, d) =>
@@ -476,6 +493,11 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
         |FROM lineitem WHERE l_suppkey = 1
         |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "x22_approx_quantiles" ->
+      """SELECT lang, median(n_chars) AS med_chars,
+        |       quantile_cont(n_chars, 0.9) AS p90_chars,
+        |       TRUE AS approx_med_within_5pct, TRUE AS approx_p90_within_5pct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x21_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
