@@ -215,6 +215,10 @@ object SparkEntry {
     // deterministic doc_id % 97 == 0 "benchmark" subset, per language.
     "x21_decontaminate" -> ((s, d) =>
       CurationOps.decontaminate(docs(s, d), 97, 5)),
+    // Token-budget corpus mixing: per-source keep rates from weights +
+    // a global token budget, deterministic hash-gated membership.
+    "x23_token_mix" -> ((s, d) =>
+      CurationOps.tokenBudgetMix(docs(s, d), 10000L)),
     // Approx quantiles (GK sketch): like x13, the sketch is gated by a
     // tolerance verdict against the exact percentile (bit-identical to
     // DuckDB quantile_cont on integer inputs), not by its raw value.
@@ -493,6 +497,28 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
         |FROM lineitem WHERE l_suppkey = 1
         |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "x23_token_mix" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        |tot AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens_total,
+        |         1.0 + (CAST(substr(source, 4) AS INTEGER) % 3) AS w
+        |  FROM t GROUP BY source),
+        |sw AS (SELECT CAST(SUM(w) AS DOUBLE) AS sumw FROM tot),
+        |r AS (
+        |  SELECT source, n_docs, tokens_total,
+        |         least(1.0, 10000.0 * w / sumw / tokens_total) AS rate
+        |  FROM tot, sw),
+        |k AS (
+        |  SELECT t.source, t.toks, r.n_docs, r.tokens_total, r.rate,
+        |         (('0x' || substr(md5(t.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0)
+        |           < r.rate AS keep
+        |  FROM t JOIN r ON t.source = r.source)
+        |SELECT source, ANY_VALUE(n_docs) AS n_docs, ANY_VALUE(tokens_total) AS tokens_total,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
+        |       round(ANY_VALUE(rate), 6) AS rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "x22_approx_quantiles" ->
       """SELECT lang, median(n_chars) AS med_chars,
         |       quantile_cont(n_chars, 0.9) AS p90_chars,

@@ -99,6 +99,47 @@ object CurationOps {
    * Returns per-lang exact integers: docs checked, contaminated docs, and
    * the worst per-doc overlap — oracle-gated as x21.
    */
+  /**
+   * Token-budget corpus mixing: sample every source down so the corpus hits
+   * a global token budget split by per-source weights — the "data mixture"
+   * step of a training-data pipeline. Weights here derive deterministically
+   * from the source name (1 + id%3, standing in for a mixture config);
+   * keep-rate_s = min(1, budget·w_s/Σw / tokens_s); membership is a
+   * content-independent hash gate on doc_id (reproducible, no RNG state).
+   *
+   * Scale shape: per-source totals are one aggregate (map-side partials),
+   * the O(#sources) rate table broadcasts back, and the keep decision is a
+   * codegen'd per-row expression — one corpus pass for totals, one for the
+   * census, nothing quadratic and no driver-side data. Returns per-source
+   * exact integers + the rounded rate (single division, cross-engine
+   * deterministic) — oracle-gated as x23.
+   */
+  def tokenBudgetMix(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    val toks = documents.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    val totals = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens_total"))
+      .withColumn("w", lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 3))
+    val sumW = totals.agg(sum(col("w")).as("sumw"))
+    val rates = totals.crossJoin(broadcast(sumW))
+      .withColumn("rate",
+        least(lit(1.0), lit(budgetTokens.toDouble) * col("w") / col("sumw") / col("tokens_total")))
+      .select(col("source"), col("n_docs"), col("tokens_total"), col("rate"))
+    val hashFrac =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+    toks.join(broadcast(rates), Seq("source"))
+      .withColumn("keep", hashFrac < col("rate"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("tokens_total")).as("tokens_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("toks"))), lit(0L)).as("tokens_kept"),
+        round(first(col("rate")), 6).as("rate"))
+      .orderBy(col("source"))
+  }
+
   def decontaminate(
       documents: DataFrame,
       benchMod: Int = 97,
