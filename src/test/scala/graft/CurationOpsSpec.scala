@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CurationOps
+
+/** Semantics of the composite curation operators beyond the oracle gate
+  * (which pins fixed parameters only). */
+class CurationOpsSpec extends SparkSpec {
+
+  private lazy val docs =
+    graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+
+  test("token-budget mix: rates bounded, kept counts consistent, budget respected") {
+    val rows = CurationOps.tokenBudgetMix(docs, 2000L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, total, nKept, kept, rate) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(rate > 0.0 && rate <= 1.0, s"rate out of range: $r")
+      assert(nKept <= nDocs && kept <= total, s"kept exceeds totals: $r")
+      // a full-rate source keeps everything
+      if (rate == 1.0) assert(nKept == nDocs && kept == total, s"rate=1 must keep all: $r")
+    }
+    // the hash gate is content-independent and deterministic: same input,
+    // same census
+    val again = CurationOps.tokenBudgetMix(docs, 2000L).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // a budget at least the corpus size keeps every doc
+    val totalToks = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    CurationOps.tokenBudgetMix(docs, totalToks * 3).collect().foreach { r =>
+      assert(r.getDouble(5) == 1.0 && r.getLong(1) == r.getLong(3), s"uncapped: $r")
+    }
+  }
+
+  test("decontamination: flagged docs really share >= minShared shingles with the benchmark") {
+    import graft.operators.DedupOps
+    val census = CurationOps.decontaminate(docs, benchMod = 7, minShared = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(census.nonEmpty)
+    // recompute one language's contamination by brute force
+    val (lang, nDocs, nContaminated, maxOverlap) = census.maxBy(_._3)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+      .select(explode(DedupOps.shingles(col("text"))).as("s")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0).filter(col("lang") === lang)
+      .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+      .collect()
+      .map(r => r.getSeq[String](1).count(bench.contains))
+    assert(corpus.length.toLong == nDocs, s"$lang doc count")
+    assert(corpus.count(_ >= 3).toLong == nContaminated, s"$lang contaminated count")
+    assert(corpus.max.toLong == maxOverlap, s"$lang max overlap")
+  }
+}
