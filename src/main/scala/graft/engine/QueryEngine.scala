@@ -186,14 +186,15 @@ final class QueryEngine(val spark: SparkSession) {
   private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
   /** Split at the first top-level occurrence of `kw` as a standalone word
-    * (identifier-boundary on both sides, so `WHERE(x=1)` is recognized);
-    * return (before, Some(after)) or (s, None). Case-insensitive. */
+    * (identifier-boundary on both sides, so `WHERE(x=1)` is recognized;
+    * a preceding '.' marks a qualified reference like `d.where`, never the
+    * keyword); return (before, Some(after)) or (s, None). Case-insensitive. */
   private def splitAtKeyword(s: String, kw: String): (String, Option[String]) = {
     val top = topLevelMask(s)
     var i = 0
     while (i <= s.length - kw.length) {
       if (top(i) && s.regionMatches(true, i, kw, 0, kw.length) &&
-        (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+        (i == 0 || (!isIdentChar(s.charAt(i - 1)) && s.charAt(i - 1) != '.')) &&
         (i + kw.length == s.length || !isIdentChar(s.charAt(i + kw.length)))) {
         return (s.substring(0, i).trim, Some(s.substring(i + kw.length).trim))
       }

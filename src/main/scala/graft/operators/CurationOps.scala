@@ -82,24 +82,6 @@ object CurationOps {
   }
 
   /**
-   * Benchmark decontamination census: how much of the training corpus leaks
-   * n-grams from a held-out benchmark set. The benchmark here is the
-   * deterministic `doc_id % benchMod == 0` subset (standing in for an
-   * external eval suite); a corpus doc is contaminated when it shares at
-   * least `minShared` distinct word-3-gram shingles with ANY benchmark doc.
-   *
-   * Scale shape: the benchmark shingle set is distinct'd and FORCE-broadcast
-   * into an equi-join against the exploded corpus shingles — correct for a
-   * real eval suite (thousands of documents, well under the broadcast
-   * limit); an unbounded benchmark would need the hint dropped so the
-   * planner can fall back to a shuffled join. Per-doc overlap is a count
-   * aggregate with map-side partials; the corpus is scanned twice (shingle
-   * explode + the per-doc census), never joined with itself.
-   *
-   * Returns per-lang exact integers: docs checked, contaminated docs, and
-   * the worst per-doc overlap — oracle-gated as x21.
-   */
-  /**
    * Token-budget corpus mixing: sample every source down so the corpus hits
    * a global token budget split by per-source weights — the "data mixture"
    * step of a training-data pipeline. Weights here derive deterministically
@@ -140,6 +122,24 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /**
+   * Benchmark decontamination census: how much of the training corpus leaks
+   * n-grams from a held-out benchmark set. The benchmark here is the
+   * deterministic `doc_id % benchMod == 0` subset (standing in for an
+   * external eval suite); a corpus doc is contaminated when it shares at
+   * least `minShared` distinct word-3-gram shingles with ANY benchmark doc.
+   *
+   * Scale shape: the benchmark shingle set is distinct'd and FORCE-broadcast
+   * into an equi-join against the exploded corpus shingles — correct for a
+   * real eval suite (thousands of documents, well under the broadcast
+   * limit); an unbounded benchmark would need the hint dropped so the
+   * planner can fall back to a shuffled join. Per-doc overlap is a count
+   * aggregate with map-side partials; the corpus is scanned twice (shingle
+   * explode + the per-doc census), never joined with itself.
+   *
+   * Returns per-lang exact integers: docs checked, contaminated docs, and
+   * the worst per-doc overlap — oracle-gated as x21.
+   */
   def decontaminate(
       documents: DataFrame,
       benchMod: Int = 97,

@@ -79,21 +79,19 @@ object LedgerTables {
     // Validate BEFORE the rewrite machinery: a malformed statement must fail
     // loudly even when zero rows match (the rewrite short-circuits on
     // no-match, and a guard inside the transform closure would be skipped).
-    // Names resolve case-insensitively against the schema.
-    val schemaCols = read(spark, path).columns.toIndexedSeq
+    // Names resolve case-insensitively against the schema. The table is read
+    // once here and threaded through — no second listing/schema pass.
+    val table = read(spark, path)
     val assigned = assignments.map { case (name, v) =>
-      val resolved = schemaCols.filter(_.equalsIgnoreCase(name))
+      val resolved = table.columns.filter(_.equalsIgnoreCase(name))
       require(resolved.length == 1,
         s"UPDATE of ${if (resolved.isEmpty) "unknown" else "ambiguous"} column $name")
       resolved.head -> v
     }.toMap
-    val parts =
-      if (partitionCols.nonEmpty) partitionCols
-      else if (schemaCols.contains("query_window_start_day")) Seq("query_window_start_day")
-      else Nil
+    val parts = effectivePartitionCols(table, partitionCols)
     assigned.keys.foreach(c => require(!parts.exists(_.equalsIgnoreCase(c)),
       s"cannot UPDATE partition column $c; DELETE + INSERT instead"))
-    rewriteAffectedPartitions(spark, path, predicate, partitionCols) { (ledger, pred) =>
+    rewriteAffectedPartitions(spark, path, predicate, partitionCols, table) { (ledger, pred) =>
       // SQL UPDATE semantics: every SET expression and the predicate evaluate
       // against the PRE-update row, so all assignments go into one projection
       // (sequential withColumn would feed each assignment the previous one's
@@ -133,10 +131,11 @@ object LedgerTables {
       spark: SparkSession,
       path: String,
       predicate: org.apache.spark.sql.Column,
-      partitionCols: Seq[String])(
+      partitionCols: Seq[String],
+      preRead: DataFrame = null)(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
-    val ledger = read(spark, path)
+    val ledger = Option(preRead).getOrElse(read(spark, path))
     val matched = ledger.filter(predicate)
     val parts = effectivePartitionCols(ledger, partitionCols)
     // The day-partition swap fast path applies only to the ledger layout

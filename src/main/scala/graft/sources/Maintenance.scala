@@ -52,6 +52,12 @@ object Maintenance {
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.getFileStatus(base).isDirectory, s"not a table directory: $path")
+    // sweep staging leftovers of crashed runs (they live OUTSIDE the table
+    // root, so readers never see them — but don't let them accumulate)
+    fs.listStatus(base.getParent)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"${base.getName}_compact_"))
+      .foreach(p => fs.delete(p, true))
     val parts = fs.listStatus(base)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
     parts.toIndexedSeq.flatMap { part =>
@@ -64,8 +70,11 @@ object Maintenance {
         val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
         if (nOut >= files.length) None
         else {
-          val staging = new Path(dir.getParent,
-            s"${dir.getName}_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+          // Staging lives OUTSIDE the table root: a directory with '=' in
+          // its name inside the root would be parsed by partition discovery
+          // as a live partition if a crash left it behind.
+          val staging = new Path(base.getParent,
+            s"${base.getName}_compact_${java.util.UUID.randomUUID().toString.take(8)}")
           // read exactly the snapshot files, not the directory — anything
           // appended after the listing must not be double-counted
           spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
