@@ -64,12 +64,16 @@ object LedgerStream {
    * dedup operators downstream catch (defense in depth, not a txn log).
    */
   def appendBatch(path: String)(batch: DataFrame, batchId: Long): Unit = {
-    val marker = new java.io.File(s"$path/_graft_batches/$batchId")
-    if (!marker.exists()) {
+    // Hadoop FS like every other table mutation — file://, HDFS, or object
+    // store (the _-prefixed marker dir is invisible to Spark's listing).
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_graft_batches")
+    val fs = dir.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(dir, batchId.toString)
+    if (!fs.exists(marker)) {
       graft.sources.LedgerTables.write(batch, path,
         org.apache.spark.sql.SaveMode.Append)
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
+      fs.mkdirs(dir)
+      fs.create(marker, true).close()
     }
   }
 
