@@ -219,6 +219,22 @@ object SparkEntry {
     // a global token budget, deterministic hash-gated membership.
     "x23_token_mix" -> ((s, d) =>
       CurationOps.tokenBudgetMix(docs(s, d), 10000L)),
+    // Frame sampling: every 4th 64-byte frame through the real Dataset
+    // operator; the census must equal the oracle's closed-form arithmetic.
+    "x24_frame_sample" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sampled = MultimodalOps.frameSample(
+        MultimodalOps.documentsAsAssets(dd), 64, 4)
+      sampled.toDF()
+        .join(dd.select(col("doc_id").as("asset_id"), col("source")), Seq("asset_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_assets"),
+          sum(col("n_frames").cast("long")).as("total_frames"),
+          sum(col("n_sampled").cast("long")).as("sampled_frames"),
+          sum(octet_length(col("sample")).cast("long")).as("sampled_bytes"))
+        .orderBy(col("source"))
+    }),
     // Approx quantiles (GK sketch): like x13, the sketch is gated by a
     // tolerance verdict against the exact percentile (bit-identical to
     // DuckDB quantile_cont on integer inputs), not by its raw value.
@@ -497,6 +513,17 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
         |FROM lineitem WHERE l_suppkey = 1
         |ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "x24_frame_sample" ->
+      """WITH f AS (
+        |  SELECT source, strlen(text) // 64 AS nf FROM documents),
+        |s AS (
+        |  SELECT source, nf, CASE WHEN nf = 0 THEN 0 ELSE (nf + 3) // 4 END AS ns
+        |  FROM f)
+        |SELECT source, COUNT(*) AS n_assets,
+        |       CAST(SUM(nf) AS BIGINT) AS total_frames,
+        |       CAST(SUM(ns) AS BIGINT) AS sampled_frames,
+        |       CAST(SUM(ns * 64) AS BIGINT) AS sampled_bytes
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "x23_token_mix" ->
       """WITH t AS (
         |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),

@@ -67,6 +67,66 @@ object MultimodalOps {
     }
   }
 
+  /** A frame-sampled asset: every `every`-th fixed-width frame of the
+    * payload, concatenated, plus the frame accounting. */
+  final case class SampledAsset(
+      asset_id: Long, kind: String, n_frames: Int, n_sampled: Int, sample: Array[Byte])
+
+  /**
+   * Frame sampling — the video-style "keep every k-th frame" pass. The
+   * payload is treated as a sequence of `frameBytes`-wide frames (a real
+   * codec would substitute keyframe offsets; the byte-stride stand-in keeps
+   * the container codec-free and the result deterministic); frames
+   * 0, every, 2·every, … are copied out, the byte tail shorter than one
+   * frame is dropped. Runs per-partition like [[extractFeatures]], so a
+   * native demuxer would be initialized once per partition. Oracle-gated
+   * via the x24 census (the operator's output sizes must equal the
+   * closed-form frame arithmetic).
+   */
+  def frameSample(
+      assets: Dataset[Asset],
+      frameBytes: Int = 64,
+      every: Int = 4): Dataset[SampledAsset] = {
+    require(frameBytes > 0 && every > 0, "frameBytes and every must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val nf = a.payload.length / frameBytes
+        val picked = 0 until nf by every
+        val out = new Array[Byte](picked.length * frameBytes)
+        picked.zipWithIndex.foreach { case (f, i) =>
+          System.arraycopy(a.payload, f * frameBytes, out, i * frameBytes, frameBytes)
+        }
+        SampledAsset(a.asset_id, a.kind, nf, picked.length, out)
+      }
+    }
+  }
+
+  /**
+   * Feature resize — downsample a feature vector to `outDim` by block
+   * means (the 1-D stand-in for image resize; a real deployment swaps the
+   * kernel, the Dataset plumbing stays). Requires the input width to be a
+   * multiple of `outDim`.
+   */
+  def resizeFeatures(features: Dataset[AssetFeatures], outDim: Int): Dataset[AssetFeatures] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      val in = f.feature
+      require(in.length % outDim == 0,
+        s"feature width ${in.length} not divisible by $outDim")
+      val block = in.length / outDim
+      val out = Array.tabulate(outDim) { i =>
+        var s = 0f
+        var j = i * block
+        while (j < (i + 1) * block) { s += in(j); j += 1 }
+        s / block
+      }
+      f.copy(feature = out)
+    }
+  }
+
   /**
    * Metadata census over the asset table — the query a 100 TB store answers
    * without touching payload bytes (column pruning keeps the binary column

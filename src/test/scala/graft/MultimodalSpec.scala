@@ -27,4 +27,34 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(MultimodalOps.decode(Array.emptyByteArray).toSeq == Seq.fill(16)(0f))
   }
+
+  test("frame sampling: stride selection, tail drop, sub-frame payloads") {
+    val docs = docsOf(
+      (1L, "x" * 300, "en", "s0"), //  4 frames of 64 + tail 44 → sample f0
+      (2L, "y" * 640, "en", "s0"), // 10 frames → samples f0,f4,f8
+      (3L, "z" * 10, "en", "s0"))  //  0 frames (sub-frame payload)
+    val out = MultimodalOps.frameSample(MultimodalOps.documentsAsAssets(docs), 64, 4)
+      .collect().map(s => s.asset_id -> s).toMap
+    assert(out(1L).n_frames == 4 && out(1L).n_sampled == 1 && out(1L).sample.length == 64)
+    assert(out(2L).n_frames == 10 && out(2L).n_sampled == 3 && out(2L).sample.length == 192)
+    assert(out(3L).n_frames == 0 && out(3L).n_sampled == 0 && out(3L).sample.isEmpty)
+    // sampled bytes really are the strided frames of the original
+    val orig = "y" * 640
+    val expect = (orig.substring(0, 64) + orig.substring(256, 320) + orig.substring(512, 576))
+      .getBytes("UTF-8").toSeq
+    assert(out(2L).sample.toSeq == expect)
+  }
+
+  test("feature resize: block means, width preserved") {
+    val docs = docsOf((1L, "abcdefgh" * 8, "en", "s0"))
+    val feats = MultimodalOps.extractFeatures(MultimodalOps.documentsAsAssets(docs))
+    val resized = MultimodalOps.resizeFeatures(feats, 4).collect().head
+    assert(resized.feature.length == 4)
+    val full = feats.collect().head.feature
+    val expect = full.grouped(4).map(g => g.sum / 4).toSeq
+    assert(resized.feature.toSeq == expect)
+    intercept[Exception] {
+      MultimodalOps.resizeFeatures(feats, 5).collect()
+    }
+  }
 }
