@@ -221,20 +221,18 @@ object SparkEntry {
       CurationOps.tokenBudgetMix(docs(s, d), 10000L)),
     // Frame sampling: every 4th 64-byte frame through the real Dataset
     // operator; the census must equal the oracle's closed-form arithmetic.
-    "x24_frame_sample" -> ((s, d) => {
-      val dd = docs(s, d)
-      val sampled = MultimodalOps.frameSample(
-        MultimodalOps.documentsAsAssets(dd), 64, 4)
-      sampled.toDF()
-        .join(dd.select(col("doc_id").as("asset_id"), col("source")), Seq("asset_id"))
-        .groupBy(col("source"))
+    // Source comes from the meta carried with each sample — one corpus
+    // scan, no join back to the documents table.
+    "x24_frame_sample" -> ((s, d) =>
+      MultimodalOps.frameSample(MultimodalOps.documentsAsAssets(docs(s, d)), 64, 4)
+        .toDF()
+        .groupBy(element_at(col("meta"), "source").as("source"))
         .agg(
           count(lit(1)).as("n_assets"),
           sum(col("n_frames").cast("long")).as("total_frames"),
           sum(col("n_sampled").cast("long")).as("sampled_frames"),
           sum(octet_length(col("sample")).cast("long")).as("sampled_bytes"))
-        .orderBy(col("source"))
-    }),
+        .orderBy(col("source"))),
     // Approx quantiles (GK sketch): like x13, the sketch is gated by a
     // tolerance verdict against the exact percentile (bit-identical to
     // DuckDB quantile_cont on integer inputs), not by its raw value.

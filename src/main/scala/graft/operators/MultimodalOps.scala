@@ -68,9 +68,11 @@ object MultimodalOps {
   }
 
   /** A frame-sampled asset: every `every`-th fixed-width frame of the
-    * payload, concatenated, plus the frame accounting. */
+    * payload, concatenated, plus the frame accounting. Metadata travels
+    * with the sample, so downstream censuses never rejoin the source table. */
   final case class SampledAsset(
-      asset_id: Long, kind: String, n_frames: Int, n_sampled: Int, sample: Array[Byte])
+      asset_id: Long, kind: String, meta: Map[String, String],
+      n_frames: Int, n_sampled: Int, sample: Array[Byte])
 
   /**
    * Frame sampling — the video-style "keep every k-th frame" pass. The
@@ -98,7 +100,7 @@ object MultimodalOps {
         picked.zipWithIndex.foreach { case (f, i) =>
           System.arraycopy(a.payload, f * frameBytes, out, i * frameBytes, frameBytes)
         }
-        SampledAsset(a.asset_id, a.kind, nf, picked.length, out)
+        SampledAsset(a.asset_id, a.kind, a.meta, nf, picked.length, out)
       }
     }
   }
@@ -110,11 +112,13 @@ object MultimodalOps {
    * multiple of `outDim`.
    */
   def resizeFeatures(features: Dataset[AssetFeatures], outDim: Int): Dataset[AssetFeatures] = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
     val spark = features.sparkSession
     import spark.implicits._
     features.map { f =>
       val in = f.feature
-      require(in.length % outDim == 0,
+      // fail loudly rather than fabricating a NaN vector from empty input
+      require(in.nonEmpty && in.length % outDim == 0,
         s"feature width ${in.length} not divisible by $outDim")
       val block = in.length / outDim
       val out = Array.tabulate(outDim) { i =>

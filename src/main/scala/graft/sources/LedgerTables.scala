@@ -91,7 +91,7 @@ object LedgerTables {
     val parts = effectivePartitionCols(table, partitionCols)
     assigned.keys.foreach(c => require(!parts.exists(_.equalsIgnoreCase(c)),
       s"cannot UPDATE partition column $c; DELETE + INSERT instead"))
-    rewriteAffectedPartitions(spark, path, predicate, partitionCols, table) { (ledger, pred) =>
+    rewriteAffectedPartitions(spark, path, predicate, partitionCols, Some(table)) { (ledger, pred) =>
       // SQL UPDATE semantics: every SET expression and the predicate evaluate
       // against the PRE-update row, so all assignments go into one projection
       // (sequential withColumn would feed each assignment the previous one's
@@ -132,10 +132,10 @@ object LedgerTables {
       path: String,
       predicate: org.apache.spark.sql.Column,
       partitionCols: Seq[String],
-      preRead: DataFrame = null)(
+      preRead: Option[DataFrame] = None)(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
-    val ledger = Option(preRead).getOrElse(read(spark, path))
+    val ledger = preRead.getOrElse(read(spark, path))
     val matched = ledger.filter(predicate)
     val parts = effectivePartitionCols(ledger, partitionCols)
     // The day-partition swap fast path applies only to the ledger layout

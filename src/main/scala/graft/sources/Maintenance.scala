@@ -53,10 +53,15 @@ object Maintenance {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.getFileStatus(base).isDirectory, s"not a table directory: $path")
     // sweep staging leftovers of crashed runs (they live OUTSIDE the table
-    // root, so readers never see them — but don't let them accumulate)
+    // root, so readers never see them — but don't let them accumulate).
+    // Match the exact generated shape (8-hex-char suffix) so a sibling
+    // directory that merely shares the prefix is never touched; concurrent
+    // compactors are already outside the no-concurrent-writer contract.
+    val stagingPattern = (java.util.regex.Pattern.quote(base.getName) +
+      "_compact_[0-9a-f]{8}").r
     fs.listStatus(base.getParent)
       .map(_.getPath)
-      .filter(_.getName.startsWith(s"${base.getName}_compact_"))
+      .filter(p => stagingPattern.matches(p.getName))
       .foreach(p => fs.delete(p, true))
     val parts = fs.listStatus(base)
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
