@@ -105,6 +105,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("distributed running total equals the global window on random data and bucket widths") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (30 to 32).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val df = (1 to 400).map { id =>
+        (f"2024-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d", id.toLong,
+          rnd.nextInt(1000).toLong)
+      }.toDF("ds", "id", "v").select(to_date(col("ds")).as("d"), col("id"), col("v"))
+      val global = df.withColumn("rt", sum(col("v")).over(
+          Window.orderBy(col("d"), col("id")).rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("id"), col("rt")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // any order-aligned bucketing must reproduce the global cumulative sum
+      Seq(date_trunc("month", col("d")), date_trunc("quarter", col("d")),
+          date_trunc("week", col("d"))).foreach { bucket =>
+        val dist = graft.operators.WindowOps.runningTotal(
+            df, bucket, Seq(col("d"), col("id")), col("v"), "rt")
+          .select(col("id"), col("rt")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(dist == global, s"seed=$seed bucket=$bucket")
+      }
+    }
+  }
+
   test("distributed running total keeps NULL-bucket rows and matches the global window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
