@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarityF32
+import graft.functions.{CosineSimilarityF32, Md5PrefixLong}
 
 /**
  * SparkSessionExtensions entry point — the deployment route for the engine's
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineSimilarityF32].getName, "cosine_f32"),
       GraftExtensions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix_long"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
+      GraftExtensions.md5PrefixBuilder))
   }
 }
 
@@ -33,6 +37,21 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"cosine_f32 expects exactly 2 arguments (array<float>, array<float>), got ${children.length}")
     CosineSimilarityF32(children(0), children(1))
+  }
+
+  /** `md5_prefix_long(bytes, k)` — k must be a foldable integer literal (it
+    * parameterizes the generated code, it is not a per-row value). */
+  private[graft] val md5PrefixBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"md5_prefix_long expects exactly 2 arguments (binary, int literal), got ${children.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    children(1) match {
+      case Literal(k: Int, IntegerType) => Md5PrefixLong(children(0), k)
+      case other => throw new IllegalArgumentException(
+        s"md5_prefix_long: hexChars must be an integer literal, got $other")
+    }
   }
 }
 

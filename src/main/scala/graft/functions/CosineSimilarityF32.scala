@@ -75,10 +75,17 @@ object CosineSimilarityF32 {
 }
 
 /** Session-level registration of graft SQL functions (imperative twin of
-  * [[graft.GraftExtensions]] for sessions created without the extension). */
+  * [[graft.GraftExtensions]] for sessions created without the extension).
+  * Idempotent — operators call it defensively on entry. */
 object GraftFunctions {
-  /** Makes `cosine_f32(a, b)` available to `expr(...)` / `spark.sql(...)`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_f32", graft.GraftExtensions.cosineBuilder, "scala_udf")
+  /** Makes `cosine_f32` / `md5_prefix_long` available to `expr` / SQL. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def ensure(name: String, builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    ensure("cosine_f32", graft.GraftExtensions.cosineBuilder)
+    ensure("md5_prefix_long", graft.GraftExtensions.md5PrefixBuilder)
+  }
 }

@@ -45,6 +45,7 @@ object CurationOps {
       threshold: Double = 0.8,
       keepNibbles: Int = 13,
       useLsh: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("norm"))
     val flagged = documents
@@ -65,8 +66,8 @@ object CurationOps {
       .join(losers, Seq("doc_id"), "left_outer")
       .withColumn("keep_near", col("keep_exact") && col("is_loser").isNull)
       .withColumn("keep_sample", col("keep_near") &&
-        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1), 16, 10)
-          .cast("int") < keepNibbles)
+        call_function("md5_prefix_long",
+          col("doc_id").cast("string").cast("binary"), lit(1)) < keepNibbles)
       .agg(
         count(lit(1)).as("n_input"),
         sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
@@ -97,6 +98,7 @@ object CurationOps {
    * deterministic) — oracle-gated as x23.
    */
   def tokenBudgetMix(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val toks = documents.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("toks"))
     val totals = toks.groupBy(col("source"))
@@ -108,7 +110,7 @@ object CurationOps {
         least(lit(1.0), lit(budgetTokens.toDouble) * col("w") / col("sumw") / col("tokens_total")))
       .select(col("source"), col("n_docs"), col("tokens_total"), col("rate"))
     val hashFrac =
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      call_function("md5_prefix_long", col("doc_id").cast("string").cast("binary"), lit(8))
         .cast("double") / lit(4294967296.0)
     toks.join(broadcast(rates), Seq("source"))
       .withColumn("keep", hashFrac < col("rate"))

@@ -41,6 +41,30 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("md5_prefix_long equals the conv(substring(md5)) built-in chain and stays codegen'd") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 500).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) :+
+      "" :+ "a" :+ ("x" * 1000)
+    val df = strs.toDF("s")
+    Seq(1, 8, 15).foreach { k =>
+      val rows = df.select(
+          call_function("md5_prefix_long", col("s").cast("binary"), lit(k)).as("fast"),
+          conv(substring(md5(col("s").cast("binary")), 1, k), 16, 10).cast("long").as("ref"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"k=$k mismatch: $r"))
+    }
+    // null propagates; the hot path stays inside whole-stage codegen
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(call_function("md5_prefix_long", col("s").cast("binary"), lit(8)))
+      .collect().head.isNullAt(0))
+    val dist = spark.range(1000).select(col("id").cast("string").cast("binary").as("b"))
+    val plan = dist.select(call_function("md5_prefix_long", col("b"), lit(15)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen'd Project in:\n$plan")
+  }
+
   test("nulls propagate, mismatched types rejected") {
     import spark.implicits._
     val df = Seq((Some(Array(1f, 0f)), None: Option[Array[Float]])).toDF("a", "b")
