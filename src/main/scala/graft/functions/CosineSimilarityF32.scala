@@ -76,16 +76,28 @@ object CosineSimilarityF32 {
 
 /** Session-level registration of graft SQL functions (imperative twin of
   * [[graft.GraftExtensions]] for sessions created without the extension).
-  * Idempotent — operators call it defensively on entry. */
+  * Operators call it defensively on entry; the first call per session
+  * FORCE-replaces any same-named function (an unrelated UDF shadowing the
+  * engine's expressions would silently corrupt results), later calls are
+  * no-ops so hot paths don't spam replace warnings. */
 object GraftFunctions {
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Makes `cosine_f32` / `md5_prefix_long` available to `expr` / SQL. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def ensure(name: String, builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-    ensure("cosine_f32", graft.GraftExtensions.cosineBuilder)
-    ensure("md5_prefix_long", graft.GraftExtensions.md5PrefixBuilder)
-  }
+  def register(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(
+        "cosine_f32", graft.GraftExtensions.cosineBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "md5_prefix_long", graft.GraftExtensions.md5PrefixBuilder, "scala_udf")
+    }
+
+  /** Column helper for the md5-prefix hash — the one place the SQL name and
+    * the cast-to-binary convention live. */
+  def md5PrefixLong(c: org.apache.spark.sql.Column, hexChars: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("md5_prefix_long",
+      c.cast("binary"), org.apache.spark.sql.functions.lit(hexChars))
 }

@@ -66,8 +66,8 @@ object CurationOps {
       .join(losers, Seq("doc_id"), "left_outer")
       .withColumn("keep_near", col("keep_exact") && col("is_loser").isNull)
       .withColumn("keep_sample", col("keep_near") &&
-        call_function("md5_prefix_long",
-          col("doc_id").cast("string").cast("binary"), lit(1)) < keepNibbles)
+        graft.functions.GraftFunctions.md5PrefixLong(
+          col("doc_id").cast("string"), 1) < keepNibbles)
       .agg(
         count(lit(1)).as("n_input"),
         sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
@@ -110,7 +110,7 @@ object CurationOps {
         least(lit(1.0), lit(budgetTokens.toDouble) * col("w") / col("sumw") / col("tokens_total")))
       .select(col("source"), col("n_docs"), col("tokens_total"), col("rate"))
     val hashFrac =
-      call_function("md5_prefix_long", col("doc_id").cast("string").cast("binary"), lit(8))
+      graft.functions.GraftFunctions.md5PrefixLong(col("doc_id").cast("string"), 8)
         .cast("double") / lit(4294967296.0)
     toks.join(broadcast(rates), Seq("source"))
       .withColumn("keep", hashFrac < col("rate"))
