@@ -26,6 +26,17 @@ object DedupOps {
   val NumHashes = 16
   val Bands = 4 // 4 rows per band
 
+  /**
+   * Band-bucket width cap for [[minhashLsh]] pair generation. A bucket of
+   * size b expands to b·(b−1)/2 candidate pairs; at the default cap the
+   * worst single bucket yields ~8.4M pairs (one task, bounded seconds),
+   * while an uncapped web-scale boilerplate bucket of 10⁶ docs would be a
+   * multi-GB `collect_list` row and ~5·10¹¹ pairs on one core. Buckets
+   * above the cap switch to the representative-star generator — see
+   * [[minhashLsh]].
+   */
+  val DefaultMaxBucketSize = 4096
+
   /** Distinct word-3-gram shingles of the lowercased text (docs with <3 words
     * contribute their whole text as the single shingle). */
   def shingles(text: Column): Column = {
@@ -77,8 +88,23 @@ object DedupOps {
   /**
    * MinHash + LSH near-dup pairs with exact-Jaccard confirmation ≥ threshold.
    * Output: (doc_a, doc_b, jaccard rounded to 4), doc_a < doc_b.
+   *
+   * Bounded-task guarantee: no task ever materializes more than
+   * `maxBucketSize` ids or expands more than maxBucketSize²/2 pairs. Buckets
+   * up to the cap pair all members (clique); a bucket above the cap is a
+   * dense near-duplicate cluster (its members share an entire minhash band),
+   * and emitting its full clique is both quadratic and useless for dedup —
+   * instead every member is paired with the bucket's REPRESENTATIVE (its
+   * minimum doc_id): one pair per row, the star reaches every member, and
+   * the downstream loser set (all non-minimum members of the cluster) is
+   * identical to the clique's. Star pairs still pass exact-Jaccard
+   * verification, so no false positive can enter; clique edges between two
+   * non-representative members of an oversized bucket are the accepted
+   * recall trade-off (they can still surface via the other bands). Use
+   * [[lshBucketCensus]] to quantify how many buckets a corpus caps.
    */
-  def minhashLsh(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minhashLsh(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     // MinHash signature: one md5 per DISTINCT (doc, shingle), hash i derived
     // arithmetically as (v*(2i+1) + i) mod p — a universal-family draw with
@@ -96,8 +122,42 @@ object DedupOps {
     // afterwards, once per surviving candidate pair), never by self-joining
     // the banded relation.
     val shs = shingleRelation(documents)
-    // base values come from the cached per-shingle hashes (shv) — no digest
-    // work on this scan
+    val banded = bandedKeys(shs)
+    // Bucket size + representative in ONE partial-agg pass (tiny: one row
+    // per bucket), joined back on band_key. Either the tiny stats side
+    // broadcasts (AQE default — `banded` is never re-shuffled for the join)
+    // or both sides shuffle on band_key, whose partitioning the clique-path
+    // groupBy below then reuses — in both cases the wide relation crosses
+    // the wire at most once more than the uncapped single-groupBy plan.
+    val stats = banded.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("rep"))
+      .filter(col("bsz") > 1)
+    val sized = banded.join(stats, Seq("band_key"))
+    // clique path (bucket ≤ cap): sort ids, emit (ids[i], ids[j]) for i<j
+    val cliquePairs = sized.filter(col("bsz") <= maxBucketSize)
+      .groupBy(col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(flatten(
+        transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
+            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    // star path (bucket > cap): one pair per row against the representative —
+    // no collect_list, no quadratic expansion, bounded per-row work.
+    val starPairs = sized.filter(col("bsz") > maxBucketSize && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = cliquePairs.unionByName(starPairs)
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(shs, pairs, threshold)
+  }
+
+  /** (doc_id, band_key) LSH banding relation: minhash signatures from the
+    * cached per-shingle hashes (`shv` — no digest work on this scan), one
+    * partial-agg shuffle computing all 16 minima map-side, bands exploded to
+    * `Bands` string keys per doc. Shared by [[minhashLsh]] and
+    * [[lshBucketCensus]] so the census counts exactly the buckets the
+    * detector pairs. */
+  private def bandedKeys(shs: DataFrame): DataFrame = {
     val ex = shs.select(col("doc_id"), explode(col("shv")).as("h"))
       .select(col("doc_id"), (col("h") % HashP).as("v"))
     val minCols = (0 until NumHashes).map(i =>
@@ -107,18 +167,34 @@ object DedupOps {
     val bandCols = (0 until Bands).map(b =>
       concat(lit(s"$b:"), concat_ws(",",
         (0 until rows).map(r => col(s"m${b * rows + r}").cast("string")): _*)))
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
-    // pairs within a bucket: sort ids, emit (ids[i], ids[j]) for i<j
-    val buckets = banded.groupBy(col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairs = buckets.select(explode(flatten(
-        transform(col("ids"), (a, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))), b =>
-            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(shs, pairs, threshold)
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band_key"))
+  }
+
+  /**
+   * Diagnostic census of LSH band buckets: one row of exact integers —
+   * pairable buckets (size > 1), buckets above `maxBucketSize` (routed to
+   * the representative-star path by [[minhashLsh]]), the widest bucket, and
+   * the clique-pair count the cap avoided. Run this beside a production
+   * dedup to see how much of the corpus is boilerplate-dense; a large
+   * `n_oversized` means the star trade-off is active and exact in-cluster
+   * recall rests on the other bands.
+   */
+  def lshBucketCensus(documents: DataFrame,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    bandedKeys(shingleRelation(documents))
+      .groupBy(col("band_key")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1)
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+          .as("n_oversized"),
+        coalesce(max(col("bsz")), lit(0L)).as("max_bucket"),
+        coalesce(sum(when(col("bsz") > maxBucketSize,
+          // b·(b−1) is even, so the double division is exact; cast back to
+          // the integer count before summing
+          (col("bsz") * (col("bsz") - 1) / 2).cast("long"))), lit(0L))
+          .as("clique_pairs_avoided"))
   }
 
   /**

@@ -47,6 +47,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getDouble(2) == 1.0)
   }
 
+  test("LSH bucket cap: oversized buckets use the star generator; dedup outcome unchanged") {
+    // 64 identical docs — every band bucket holds all 64 copies — plus a
+    // small-bucket near-dup pair that must still take the clique path.
+    val otherNear = other.replace(" v50 ", " changed ")
+    val mass = docsOf(
+      ((1L to 64L).map(i => (i, base, "en", "s")) ++
+        Seq((99L, other, "en", "s"), (100L, otherNear, "en", "s"))): _*)
+    val capped = DedupOps.minhashLsh(mass, 0.8, maxBucketSize = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star path: exactly one pair per non-representative member (63), never
+    // the 2,016-edge clique — the per-task pair width is bounded by the cap.
+    assert(capped.count(p => p._1 <= 64L && p._2 <= 64L) == 63)
+    assert((2L to 64L).map(i => (1L, i)).toSet.subsetOf(capped))
+    // buckets at or under the cap are unaffected: the near-dup pair survives
+    assert(capped.contains((99L, 100L)))
+    // the dedup decision (set of non-minimum cluster members) is identical
+    // to the uncapped clique expansion
+    val uncapped = DedupOps.minhashLsh(mass, 0.8, maxBucketSize = 1 << 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count(p => p._1 <= 64L && p._2 <= 64L) == 64 * 63 / 2)
+    assert(capped.map(_._2) == uncapped.map(_._2)) // doc_a < doc_b throughout
+    // census quantifies exactly what the cap rerouted
+    val c = DedupOps.lshBucketCensus(mass, 8).collect().head
+    assert(c.getLong(1) == 4, s"expected all 4 mass-cluster bands oversized: $c")
+    assert(c.getLong(2) == 64, s"widest bucket: $c")
+    assert(c.getLong(3) == 4L * (64 * 63 / 2), s"clique pairs avoided: $c")
+  }
+
   test("curation funnel: LSH and exact near-dup stages agree; no cache entries left behind") {
     import graft.operators.CurationOps
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
