@@ -135,6 +135,15 @@ object LedgerTables {
       preRead: Option[DataFrame] = None)(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
+    // Writer exclusion for the whole read-stage-swap sequence: the staged
+    // swap is only correct single-writer (see WriterLease), and even the
+    // predicate evaluation below must not observe another writer's mid-swap
+    // state. A second concurrent DML/compaction fails loudly here.
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    Maintenance.requirePlainParquetTable(fs, base)
+    val lease = WriterLease.acquire(fs, base)
+    try {
     val ledger = preRead.getOrElse(read(spark, path))
     val matched = ledger.filter(predicate)
     val parts = effectivePartitionCols(ledger, partitionCols)
@@ -151,8 +160,6 @@ object LedgerTables {
     val slice = ledger.filter(col("query_window_start_day").isin(days: _*))
     // Swap through the Hadoop FileSystem of the table's scheme — the same
     // rewrite runs on file://, HDFS, or an object-store connector.
-    val base = new org.apache.hadoop.fs.Path(path)
-    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(base.getParent,
       s"${base.getName}_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     transform(slice, predicate).write
@@ -170,6 +177,7 @@ object LedgerTables {
     }
     fs.delete(staging, true)
     affected
+    } finally WriterLease.release(fs, base, lease.owner)
   }
 
   /** Fallback for tables not using the ledger's day layout: stage the

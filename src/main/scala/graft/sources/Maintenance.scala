@@ -52,6 +52,20 @@ object Maintenance {
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.getFileStatus(base).isDirectory, s"not a table directory: $path")
+    requirePlainParquetTable(fs, base)
+    // the no-concurrent-writer contract above, enforced: a second writer
+    // fails on acquisition instead of corrupting the swap
+    WriterLease.withLease(fs, base) {
+      compactLocked(spark, base, fs, targetBytes, minFilesToCompact)
+    }
+  }
+
+  private def compactLocked(
+      spark: SparkSession,
+      base: Path,
+      fs: FileSystem,
+      targetBytes: Long,
+      minFilesToCompact: Int): Seq[CompactionResult] = {
     // sweep staging leftovers of crashed runs (they live OUTSIDE the table
     // root, so readers never see them — but don't let them accumulate).
     // Match the exact generated shape (8-hex-char suffix) so a sibling
@@ -111,6 +125,28 @@ object Maintenance {
           Some(CompactionResult(dir.getName, files.length, fresh.length))
         }
       }
+    }
+  }
+
+  /**
+   * Refuse to operate on a directory that carries another table format's
+   * transaction/metadata markers. Compaction (and the partition-rewrite DML)
+   * moves and deletes raw files — pointed at a Delta/Iceberg/Hudi table it
+   * would silently corrupt the format's log, whose snapshots pin exact file
+   * names. The marker directory names are each format's fixed, documented
+   * layout; a plain Spark parquet write never creates them.
+   */
+  private[sources] def requirePlainParquetTable(fs: FileSystem, base: Path): Unit = {
+    val markers = Seq(
+      "_delta_log" -> "Delta Lake",
+      ".hoodie" -> "Apache Hudi",
+      "metadata" -> "Apache Iceberg")
+    markers.foreach { case (name, format) =>
+      if (fs.exists(new Path(base, name)))
+        throw new IllegalArgumentException(
+          s"$base contains '$name' — it looks like a $format table, not plain " +
+            "parquet; file-level maintenance would corrupt its transaction log. " +
+            "Use the format's own maintenance commands instead.")
     }
   }
 

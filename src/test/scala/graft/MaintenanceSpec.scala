@@ -65,6 +65,70 @@ class MaintenanceSpec extends SparkSpec {
     assert(after2 == before, "uncommitted hidden files must be swept, not surfaced")
   }
 
+  test("writer lease: a second writer fails loudly; a crashed lease is reclaimed after its TTL") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    import graft.sources.WriterLease
+    val rows = (0 until 20).map { i =>
+      ((i + 1).toLong, "p", "i", "2024-02-01 10:00:00", "2024-02-01 11:00:00",
+        if (i % 2 == 0) "pending" else "completed")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lease").toString
+    LedgerTables.write(ledgerOf(rows: _*).repartition(4), tmp)
+    val base = new Path(tmp)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // writer A holds the lease: compaction AND DML both refuse, data untouched
+    val held = WriterLease.acquire(fs, base, owner = "writer-A")
+    val e1 = intercept[WriterLease.HeldByOtherWriterException] {
+      Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
+    }
+    assert(e1.getMessage.contains("writer-A"))
+    val e2 = intercept[WriterLease.HeldByOtherWriterException] {
+      LedgerTables.updateStatus(spark, tmp,
+        col("pipeline_status") === "pending", "completed")
+    }
+    assert(e2.getMessage.contains("writer-A"))
+    assert(LedgerTables.read(spark, tmp)
+      .filter(col("pipeline_status") === "pending").count() == 10)
+    WriterLease.release(fs, base, held.owner)
+    assert(WriterLease.read(fs, base).isEmpty)
+    // crashed writer: lease left behind, TTL already lapsed — the next DML
+    // reclaims it, runs, and releases
+    WriterLease.acquire(fs, base, owner = "crashed-writer", ttlMs = 0L)
+    Thread.sleep(5) // strictly past the 0 ms TTL
+    val updated = LedgerTables.updateStatus(spark, tmp,
+      col("pipeline_status") === "pending", "completed")
+    assert(updated == 10L)
+    assert(WriterLease.read(fs, base).isEmpty, "lease must be released after the rewrite")
+    // and compaction acquires/releases cleanly afterwards
+    Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
+    assert(WriterLease.read(fs, base).isEmpty)
+  }
+
+  test("format guard: a directory with another format's markers is refused untouched") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 10).map { i =>
+      ((i + 1).toLong, "p", "i", "2024-03-01 10:00:00", "2024-03-01 11:00:00", "pending")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    LedgerTables.write(ledgerOf(rows: _*).repartition(4), tmp)
+    val base = new Path(tmp)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(base, "_delta_log"))
+    val before = LedgerTables.read(spark, tmp).collect().map(_.toString).sorted.toSeq
+    val e1 = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
+    }
+    assert(e1.getMessage.contains("_delta_log"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      LedgerTables.deleteWhere(spark, tmp, col("record_id") <= 5)
+    }
+    assert(e2.getMessage.contains("_delta_log"), e2.getMessage)
+    assert(LedgerTables.read(spark, tmp).collect().map(_.toString).sorted.toSeq == before,
+      "a refused directory must be byte-for-byte untouched")
+  }
+
   test("compaction and partition-rewrite DML run through the Hadoop FS on a file:/// URI") {
     import org.apache.spark.sql.functions.col
     val rows = (0 until 60).map { i =>
