@@ -83,31 +83,63 @@ object CurationOps {
   }
 
   /**
+   * Token-budget corpus mixing with name-derived demo weights: delegates to
+   * the weights-table overload with weight_s = 1 + source-id%3, a
+   * deterministic stand-in for a mixture config — oracle-gated as x23.
+   */
+  def tokenBudgetMix(documents: DataFrame, budgetTokens: Long): DataFrame =
+    tokenBudgetMix(documents, budgetTokens,
+      documents.select(col("source")).distinct().withColumn("weight",
+        lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 3)))
+
+  /**
    * Token-budget corpus mixing: sample every source down so the corpus hits
-   * a global token budget split by per-source weights — the "data mixture"
-   * step of a training-data pipeline. Weights here derive deterministically
-   * from the source name (1 + id%3, standing in for a mixture config);
-   * keep-rate_s = min(1, budget·w_s/Σw / tokens_s); membership is a
-   * content-independent hash gate on doc_id (reproducible, no RNG state).
+   * a global token budget split by the supplied (source, weight) table — the
+   * "data mixture" step of a training-data pipeline, with the mixture config
+   * as data rather than code. keep-rate_s = min(1, budget·w_s/Σw / tokens_s),
+   * where Σw ranges over sources PRESENT in the corpus (a weight for an
+   * absent source must not eat budget); a corpus source missing from the
+   * table gets weight 0 — reported in the census with rate 0 and nothing
+   * kept, never silently dropped. Duplicate or negative weight rows fail the
+   * job loudly (raise_error — validation stays distributed, no driver
+   * collect). Membership is a content-independent hash gate on doc_id
+   * (reproducible, no RNG state).
    *
    * Scale shape: per-source totals are one aggregate (map-side partials),
-   * the O(#sources) rate table broadcasts back, and the keep decision is a
-   * codegen'd per-row expression — one corpus pass for totals, one for the
-   * census, nothing quadratic and no driver-side data. Returns per-source
-   * exact integers + the rounded rate (single division, cross-engine
-   * deterministic) — oracle-gated as x23.
+   * the O(#sources) weight and rate tables broadcast back, and the keep
+   * decision is a codegen'd per-row expression — one corpus pass for totals,
+   * one for the census, nothing quadratic and no driver-side data. Returns
+   * per-source exact integers + the rounded rate (single division,
+   * cross-engine deterministic).
    */
-  def tokenBudgetMix(documents: DataFrame, budgetTokens: Long): DataFrame = {
+  def tokenBudgetMix(
+      documents: DataFrame,
+      budgetTokens: Long,
+      weights: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    val wt = weights.groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"), first(col("weight")).cast("double").as("w"))
+      .select(col("source"),
+        when(col("cnt") > 1, raise_error(
+          concat(lit("duplicate weight rows for source "), col("source"))))
+        .when(col("w") < 0, raise_error(
+          concat(lit("negative weight for source "), col("source"))))
+        .otherwise(col("w")).as("w"))
     val toks = documents.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("toks"))
     val totals = toks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens_total"))
-      .withColumn("w", lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 3))
+      .join(broadcast(wt), Seq("source"), "left_outer")
+      .withColumn("w", coalesce(col("w"), lit(0.0)))
     val sumW = totals.agg(sum(col("w")).as("sumw"))
     val rates = totals.crossJoin(broadcast(sumW))
+      // w = 0 (or an all-zero table) must yield rate 0, not the NaN of 0/0 —
+      // Spark orders NaN above every double, so least(1.0, NaN) would be 1.0
       .withColumn("rate",
-        least(lit(1.0), lit(budgetTokens.toDouble) * col("w") / col("sumw") / col("tokens_total")))
+        when(col("w") > 0 && col("sumw") > 0,
+          least(lit(1.0),
+            lit(budgetTokens.toDouble) * col("w") / col("sumw") / col("tokens_total")))
+        .otherwise(lit(0.0)))
       .select(col("source"), col("n_docs"), col("tokens_total"), col("rate"))
     val hashFrac =
       graft.functions.GraftFunctions.md5PrefixLong(col("doc_id").cast("string"), 8)

@@ -34,6 +34,39 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("token-budget mix: supplied (source, weight) table drives the rates") {
+    import spark.implicits._
+    // two sources, strongly asymmetric weights; src_c present in the corpus
+    // but absent from the table — reported with rate 0, not dropped
+    val docs3 = docsOf(
+      ((1L to 40L).map(i => (i, s"${"tok " * 9}x", "en", "src_a")) ++
+        (41L to 80L).map(i => (i, s"${"tok " * 9}x", "en", "src_b")) ++
+        (81L to 90L).map(i => (i, s"${"tok " * 9}x", "en", "src_c"))): _*)
+    val weights = Seq(("src_a", 3.0), ("src_b", 1.0), ("src_zzz_absent", 5.0))
+      .toDF("source", "weight")
+    // 40 docs x 10 tokens per source; budget 400: rate_a = min(1, 400*3/4/400)
+    // = 0.75, rate_b = min(1, 400*1/4/400) = 0.25; the absent-source weight
+    // must NOT enter the split
+    val rows = CurationOps.tokenBudgetMix(docs3, 400L, weights).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("src_a", "src_b", "src_c"))
+    assert(rows("src_a").getDouble(5) == 0.75, rows("src_a").toString)
+    assert(rows("src_b").getDouble(5) == 0.25, rows("src_b").toString)
+    assert(rows("src_c").getDouble(5) == 0.0 && rows("src_c").getLong(3) == 0L,
+      s"unweighted source must surface with rate 0: ${rows("src_c")}")
+    // a malformed mixture config fails the job loudly
+    val dup = Seq(("src_a", 1.0), ("src_a", 2.0)).toDF("source", "weight")
+    val e1 = intercept[Exception] {
+      CurationOps.tokenBudgetMix(docs3, 400L, dup).collect()
+    }
+    assert(e1.getMessage.contains("duplicate weight"), e1.getMessage)
+    val neg = Seq(("src_a", -1.0)).toDF("source", "weight")
+    val e2 = intercept[Exception] {
+      CurationOps.tokenBudgetMix(docs3, 400L, neg).collect()
+    }
+    assert(e2.getMessage.contains("negative weight"), e2.getMessage)
+  }
+
   test("decontamination: flagged docs really share >= minShared shingles with the benchmark") {
     import graft.operators.DedupOps
     val census = CurationOps.decontaminate(docs, benchMod = 7, minShared = 3)
