@@ -233,6 +233,11 @@ object SparkEntry {
           sum(col("n_sampled").cast("long")).as("sampled_frames"),
           sum(octet_length(col("sample")).cast("long")).as("sampled_bytes"))
         .orderBy(col("source"))),
+    // LSH recall census: the banded detector measured against the exact
+    // ground-truth operator — true pairs, found, missed, the Jaccard range
+    // of the misses, and the recall ratio (single division, rounded).
+    "x25_lsh_recall" -> ((s, d) =>
+      DedupOps.lshRecallCensus(docs(s, d), 0.8)),
     // Approx quantiles (GK sketch): like x13, the sketch is gated by a
     // tolerance verdict against the exact percentile (bit-identical to
     // DuckDB quantile_cont on integer inputs), not by its raw value.
@@ -544,6 +549,57 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
         |       round(ANY_VALUE(rate), 6) AS rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "x25_lsh_recall" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM docs),
+        |shx AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shx GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT doc_a, doc_b,
+        |    n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jac
+        |  FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |             JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+        |vs AS (
+        |  SELECT doc_id, list_transform(sh,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
+        |  FROM shl),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
+        |  FROM vs),
+        |banded AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 4),
+        |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
+        |  FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |found AS (
+        |  SELECT cand.doc_a, cand.doc_b FROM cand
+        |  JOIN shl sa ON sa.doc_id = cand.doc_a JOIN shl sb ON sb.doc_id = cand.doc_b
+        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8),
+        |miss AS (
+        |  SELECT t.jac, f.doc_a IS NOT NULL AS fnd
+        |  FROM truth t LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+        |SELECT COUNT(*) AS n_true_pairs,
+        |  CAST(COALESCE(SUM(CASE WHEN fnd THEN 1 END), 0) AS BIGINT) AS n_found,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT fnd THEN 1 END), 0) AS BIGINT) AS n_missed,
+        |  round(COALESCE(MIN(CASE WHEN NOT fnd THEN jac END), -1.0), 4) AS min_missed_jaccard,
+        |  round(COALESCE(MAX(CASE WHEN NOT fnd THEN jac END), -1.0), 4) AS max_missed_jaccard,
+        |  round(CAST(COALESCE(SUM(CASE WHEN fnd THEN 1 END), 0) AS DOUBLE)
+        |    / greatest(COUNT(*), 1), 4) AS recall
+        |FROM miss""".stripMargin,
     "x22_approx_quantiles" ->
       """SELECT lang, median(n_chars) AS med_chars,
         |       quantile_cont(n_chars, 0.9) AS p90_chars,

@@ -198,6 +198,40 @@ object DedupOps {
   }
 
   /**
+   * Diagnostic recall census of the LSH detector against the exact
+   * ground-truth operator: one row of exact integers — true pairs at the
+   * threshold ([[ngramJaccard]]), pairs the banded detector found, pairs it
+   * missed — plus the Jaccard range of the misses (misses cluster just
+   * above the threshold, where the banding match probability
+   * 1−(1−j⁴)⁴ is lowest) and the recall ratio (single division, rounded).
+   *
+   * Deliberately expensive — it runs the exact prefix-filtered join as
+   * ground truth — so it is a sampled-subset / fixture diagnostic, not a
+   * production pass: run it on a representative slice to decide whether
+   * the band/row configuration's recall curve is acceptable for a corpus,
+   * then run only [[minhashLsh]] at full scale. Both detectors share the
+   * cached shingle relation, so the corpus is shingled once.
+   */
+  def lshRecallCensus(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val truth = ngramJaccard(documents, threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val found = minhashLsh(documents, threshold, maxBucketSize)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("found"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(when(col("found"), 1L)), lit(0L)).as("n_found"),
+        coalesce(sum(when(col("found").isNull, 1L)), lit(0L)).as("n_missed"),
+        round(coalesce(min(when(col("found").isNull, col("jaccard"))), lit(-1.0)), 4)
+          .as("min_missed_jaccard"),
+        round(coalesce(max(when(col("found").isNull, col("jaccard"))), lit(-1.0)), 4)
+          .as("max_missed_jaccard"))
+      .withColumn("recall", round(
+        col("n_found").cast("double") / greatest(col("n_true_pairs"), lit(1L)).cast("double"), 4))
+  }
+
+  /**
    * Exact-Jaccard confirmation of candidate id pairs against the per-doc
    * distinct-shingle relation `shArr` (doc_id, sh). Joining precomputed
    * arrays beats re-shingling from text per pair as soon as candidates

@@ -75,6 +75,31 @@ class DedupSpec extends SparkSpec {
     assert(c.getLong(3) == 4L * (64 * 63 / 2), s"clique pairs avoided: $c")
   }
 
+  test("LSH recall census: full recall on the standard fixture; pinned deficit near the threshold") {
+    // standard fixture: 3 true pairs, all found (the existing subset test)
+    val c1 = DedupOps.lshRecallCensus(corpus, 0.5).collect().head
+    assert((c1.getLong(0), c1.getLong(1), c1.getLong(2)) == ((3L, 3L, 0L)), c1.toString)
+    assert(c1.getDouble(5) == 1.0)
+    // adversarial corpus: 40 vocabulary-disjoint pairs, each with 4 changed
+    // words in 100 → Jaccard 86/110 = 0.7818, barely over threshold 0.78 —
+    // the region where the banding match probability 1−(1−j⁴)⁴ ≈ 0.85 is
+    // weakest. md5 is deterministic, so the outcome for these exact strings
+    // is fixed: 3 of 40 pairs escape all 4 bands.
+    val adv = docsOf((0 until 40).flatMap { i =>
+      val words = (0 until 100).map(j => s"p${i}w$j")
+      val changed = words.zipWithIndex.map { case (w, j) =>
+        if (j == 10 || j == 30 || j == 50 || j == 70) s"p${i}c$j" else w }
+      Seq((i.toLong, words.mkString(" "), "en", "s"),
+        (1000L + i, changed.mkString(" "), "en", "s"))
+    }: _*)
+    val c2 = DedupOps.lshRecallCensus(adv, 0.78).collect().head
+    assert(c2.getLong(0) == 40, c2.toString)
+    assert(c2.getLong(2) == 3, s"banding misses exactly 3 near-threshold pairs: $c2")
+    assert(c2.getDouble(3) == 0.7818 && c2.getDouble(4) == 0.7818,
+      s"every miss sits at the threshold boundary: $c2")
+    assert(c2.getDouble(5) == 0.925, c2.toString)
+  }
+
   test("curation funnel: LSH and exact near-dup stages agree; no cache entries left behind") {
     import graft.operators.CurationOps
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
