@@ -69,8 +69,17 @@ object SimilarityOps {
   def embeddingNearDup(
       embeddings: DataFrame,
       threshold: Double = 0.4,
-      centroidMod: Int = 40): DataFrame = {
-    val cents = centroids(embeddings, centroidMod)
+      centroidMod: Int = 40): DataFrame =
+    embeddingNearDupWith(embeddings, threshold, centroids(embeddings, centroidMod))
+
+  /** [[embeddingNearDup]] with a caller-supplied centroid table (cid, cvec)
+    * — e.g. one trained by [[trainCentroids]]. The exactness guarantee does
+    * not depend on the centroid choice (only the pruning efficiency does),
+    * so ANY centroid table yields the identical pair set. */
+  def embeddingNearDupWith(
+      embeddings: DataFrame,
+      threshold: Double,
+      cents: DataFrame): DataFrame = {
     if (cents.isEmpty) return embeddingNearDupBrute(embeddings, threshold)
     // Materialize the assignment once (it feeds three consumers: the
     // per-cell radii and both join sides); blocks are freed by the

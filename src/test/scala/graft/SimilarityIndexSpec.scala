@@ -33,6 +33,30 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(selected.length == 3, s"expected 3 pruned cells, got ${selected.length} of $nCells")
   }
 
+  test("trained centroids drive the exact near-dup join end-to-end; cells stay balanced") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val k = 16
+    val trained = SimilarityOps.trainCentroids(emb, k, seed = 42L)
+    // x4's shape with the trained quantizer: the exactness guarantee is
+    // centroid-independent, so the pair set must be identical to the
+    // deterministic mod-subset default the oracle gates
+    val got = SimilarityOps.embeddingNearDupWith(emb, 0.4, trained)
+      .collect().map(_.toString).toSeq
+    val want = SimilarityOps.embeddingNearDup(emb, 0.4, 40)
+      .collect().map(_.toString).toSeq
+    assert(got == want, "trained centroids must not change the exact pair set")
+    // cell balance, measured through the persisted index the 100 TB path
+    // would read: every trained cell in use, no cell dominating
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_bal").toString + "/index"
+    SimilarityOps.buildIvfIndexWith(emb, tmp, trained)
+    val sizes = spark.read.parquet(tmp).groupBy(col("cid")).count()
+      .collect().map(_.getLong(1)).toSeq
+    assert(sizes.length == k, s"every trained cell should be in use: got ${sizes.length} of $k")
+    val ratio = sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    assert(ratio <= 3.0, s"trained cells skewed: max/mean = $ratio, sizes = $sizes")
+  }
+
   test("k-means||-trained centroids build a pruned index; full probe equals exhaustive top-k") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
