@@ -142,42 +142,47 @@ object LedgerTables {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     Maintenance.requirePlainParquetTable(fs, base)
-    val lease = WriterLease.acquire(fs, base)
-    try {
-    val ledger = preRead.getOrElse(read(spark, path))
-    val matched = ledger.filter(predicate)
-    val parts = effectivePartitionCols(ledger, partitionCols)
-    // The day-partition swap fast path applies only to the ledger layout
-    // (DateType values render exactly as the partition directory names);
-    // any other layout takes the whole-table rewrite, which preserves it.
-    if (parts != Seq("query_window_start_day"))
-      return rewriteWholeTable(spark, path, ledger, matched, predicate, parts)(transform)
-    // Affected partition values: a day-count-sized driver list, never data.
-    val days = matched.select(col("query_window_start_day")).distinct()
-      .collect().map(_.get(0).toString)
-    if (days.isEmpty) return 0L
-    val affected = matched.count()
-    val slice = ledger.filter(col("query_window_start_day").isin(days: _*))
-    // Swap through the Hadoop FileSystem of the table's scheme — the same
-    // rewrite runs on file://, HDFS, or an object-store connector.
-    val staging = new org.apache.hadoop.fs.Path(base.getParent,
-      s"${base.getName}_staging_${java.util.UUID.randomUUID().toString.take(8)}")
-    transform(slice, predicate).write
-      .mode(SaveMode.Overwrite).partitionBy("query_window_start_day")
-      .parquet(staging.toString)
-    // Swap the rewritten partitions in; untouched days keep their files.
-    // Displaced old trees go INTO the staging dir (outside the table root,
-    // removed at the end) so a crash can never leave a directory that
-    // partition discovery would misread as a live partition.
-    days.foreach { d =>
-      val name = s"query_window_start_day=$d"
-      // DELETE may remove a whole partition: only move what staging produced.
-      swapIn(fs, new org.apache.hadoop.fs.Path(staging, name),
-        new org.apache.hadoop.fs.Path(base, name), staging)
+    WriterLease.withLease(fs, base) {
+      val ledger = preRead.getOrElse(read(spark, path))
+      val matched = ledger.filter(predicate)
+      val parts = effectivePartitionCols(ledger, partitionCols)
+      // The day-partition swap fast path applies only to the ledger layout
+      // (DateType values render exactly as the partition directory names);
+      // any other layout takes the whole-table rewrite, which preserves it.
+      if (parts != Seq("query_window_start_day"))
+        rewriteWholeTable(spark, path, ledger, matched, predicate, parts)(transform)
+      else {
+        // Affected partition values: a day-count-sized driver list, never data.
+        val days = matched.select(col("query_window_start_day")).distinct()
+          .collect().map(_.get(0).toString)
+        if (days.isEmpty) 0L
+        else {
+          val affected = matched.count()
+          val slice = ledger.filter(col("query_window_start_day").isin(days: _*))
+          // Swap through the Hadoop FileSystem of the table's scheme — the
+          // same rewrite runs on file://, HDFS, or an object-store connector.
+          val staging = new org.apache.hadoop.fs.Path(base.getParent,
+            s"${base.getName}_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+          transform(slice, predicate).write
+            .mode(SaveMode.Overwrite).partitionBy("query_window_start_day")
+            .parquet(staging.toString)
+          // Swap the rewritten partitions in; untouched days keep their
+          // files. Displaced old trees go INTO the staging dir (outside the
+          // table root, removed at the end) so a crash can never leave a
+          // directory that partition discovery would misread as a live
+          // partition.
+          days.foreach { d =>
+            val name = s"query_window_start_day=$d"
+            // DELETE may remove a whole partition: only move what staging
+            // produced.
+            swapIn(fs, new org.apache.hadoop.fs.Path(staging, name),
+              new org.apache.hadoop.fs.Path(base, name), staging)
+          }
+          fs.delete(staging, true)
+          affected
+        }
+      }
     }
-    fs.delete(staging, true)
-    affected
-    } finally WriterLease.release(fs, base, lease.owner)
   }
 
   /** Fallback for tables not using the ledger's day layout: stage the

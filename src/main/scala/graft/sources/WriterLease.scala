@@ -56,22 +56,39 @@ object WriterLease {
     s"$host/pid-${ProcessHandle.current.pid}/${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
-  /** The current lease, if a parseable one exists. An unparseable file (a
-    * writer crashed mid-create) reads as an expired lease dated 0. */
+  /** The current lease, if one exists. Expiry is judged on the FILE's
+    * modification time, not the content timestamp: [[renew]] extends a held
+    * lease by touching the file (atomic metadata update — no partial-content
+    * window for concurrent readers), so `acquiredAtMs` here is the moment of
+    * the last heartbeat. An unparseable file (a writer crashed mid-create)
+    * reads as ttl 0 — reclaimable as soon as its modification time passes. */
   def read(fs: FileSystem, root: Path): Option[LeaseInfo] = {
     val p = leasePath(root)
     if (!fs.exists(p)) None
     else {
+      val modTime = fs.getFileStatus(p).getModificationTime
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       text.split('\n') match {
         case Array(owner, ts, ttl, _*) if ts.forall(_.isDigit) && ttl.forall(_.isDigit) =>
-          Some(LeaseInfo(owner, ts.toLong, ttl.toLong))
-        case _ => Some(LeaseInfo("corrupt-lease", 0L, 0L))
+          Some(LeaseInfo(owner, math.max(ts.toLong, modTime), ttl.toLong))
+        case _ => Some(LeaseInfo("corrupt-lease", modTime, 0L))
       }
     }
   }
+
+  /** Heartbeat: push the held lease's expiry forward by touching the file's
+    * modification time (atomic, content untouched). No-op if this owner no
+    * longer holds the lease or the filesystem refuses. */
+  def renew(fs: FileSystem, root: Path, owner: String,
+      nowMs: () => Long = () => System.currentTimeMillis()): Unit =
+    read(fs, root) match {
+      case Some(l) if l.owner == owner =>
+        try fs.setTimes(leasePath(root), nowMs(), -1)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
 
   /**
    * Acquire the table's writer lease or throw [[HeldByOtherWriterException]].
@@ -125,12 +142,30 @@ object WriterLease {
   def breakLease(fs: FileSystem, root: Path): Unit =
     fs.delete(leasePath(root), false)
 
-  /** Run `body` holding the table's writer lease; always released on exit. */
+  /** Run `body` holding the table's writer lease; always released on exit.
+    * A daemon heartbeat renews the lease every ttl/3, so an operation that
+    * outlives the TTL (a large compaction) keeps its exclusion as long as
+    * the process is alive — the TTL then only bounds how long a genuinely
+    * crashed writer blocks the table. */
   def withLease[A](
       fs: FileSystem,
       root: Path,
       ttlMs: Long = DefaultTtlMs)(body: => A): A = {
     val info = acquire(fs, root, ttlMs = ttlMs)
-    try body finally release(fs, root, info.owner)
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(50L, ttlMs / 3))
+          renew(fs, root, info.owner)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-writer-lease-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hb.interrupt()
+      hb.join(1000)
+      release(fs, root, info.owner)
+    }
   }
 }

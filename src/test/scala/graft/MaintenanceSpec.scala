@@ -105,6 +105,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(WriterLease.read(fs, base).isEmpty)
   }
 
+  test("writer lease: heartbeat keeps a long operation exclusive past its TTL") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.WriterLease
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hb").toString
+    val base = new Path(tmp)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    WriterLease.withLease(fs, base, ttlMs = 300L) {
+      // sleep well past the TTL: the heartbeat (every ttl/3) must keep the
+      // lease fresh, so a second writer still fails
+      Thread.sleep(900L)
+      val e = intercept[WriterLease.HeldByOtherWriterException] {
+        WriterLease.acquire(fs, base, owner = "writer-B", ttlMs = 300L)
+      }
+      assert(e.getMessage.contains("being written"), e.getMessage)
+    }
+    // released on exit: the next writer acquires cleanly
+    assert(WriterLease.read(fs, base).isEmpty)
+    val got = WriterLease.acquire(fs, base, owner = "writer-B")
+    WriterLease.release(fs, base, got.owner)
+  }
+
   test("format guard: a directory with another format's markers is refused untouched") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col

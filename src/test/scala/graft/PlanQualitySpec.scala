@@ -34,16 +34,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("e4_multimodal_join").contains("BroadcastHashJoin"))
   }
 
-  test("distributed running total has no single-partition window; matches the faithful form") {
-    import org.apache.spark.sql.execution.SparkPlan
+  private def windows(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.window.WindowExec
-    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+    p match {
       case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
       case q: QueryStageExec => windows(q.plan)
       case w: WindowExec => w +: w.children.flatMap(windows)
       case other => other.children.flatMap(windows)
     }
+  }
+
+  test("distributed running total has no single-partition window; matches the faithful form") {
     val dist = SparkEntry.queries("x20_running_total_dist")(spark, d)
     // the faithful a5 IS the single-partition shape (reference semantics)
     val faithful = SparkEntry.queries("a5_running_total")(spark, d)
@@ -55,6 +58,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(ws.nonEmpty, "expected a windowed plan")
     ws.foreach(w =>
       assert(w.partitionSpec.nonEmpty, s"single-partition WindowExec in:\n$w"))
+  }
+
+  test("dedup-family windows partition by their keys — never a single-partition window") {
+    // x1's bucket-stats window (band_key) and x2's prefix-rank window
+    // (doc_id) must distribute — a refactor that drops a partitionBy here
+    // turns the corpus into one task at 100 TB. (x19 shares x1's path but
+    // returns an eagerly-computed local census, so its plan isn't
+    // inspectable from the result.)
+    Seq("x1_minhash_lsh", "x2_ngram_jaccard").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect() // finalize any adaptive plan before inspecting
+      val ws = windows(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, s"$q: expected windowed plan")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q has a single-partition WindowExec:\n$w"))
+    }
   }
 
   test("decontamination broadcasts the benchmark shingles; corpus side streams once") {
