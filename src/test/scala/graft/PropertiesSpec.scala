@@ -70,6 +70,32 @@ class PropertiesSpec extends SparkSpec {
     assert(ContinuityOps.discontinuities(toLedger(abut), "p", "i", "2024-01-15").isEmpty)
   }
 
+  test("capped LSH pair generation preserves the dedup loser set for any cap") {
+    import graft.operators.DedupOps
+    // random corpora of duplicate CLUSTERS (identical texts) plus unique
+    // docs: for every cap, capped and uncapped runs must name the same
+    // losers (every non-minimum member of each cluster) — the star rewrite
+    // changes which edges are emitted, never who gets deduplicated.
+    (30 to 33).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      var id = 0L
+      val rows = ((0 until 4).flatMap { c =>
+        val clusterText = (0 until 60).map(j => s"s${seed}c${c}w$j").mkString(" ")
+        (0 until (2 + rnd.nextInt(30))).map { _ => id += 1; (id, clusterText, "en", "s") }
+      } ++ (0 until 5).map { u =>
+        id += 1; (id, (0 until 60).map(j => s"s${seed}u${u}w$j").mkString(" "), "en", "s")
+      })
+      val corpus = docsOf(rows: _*)
+      def losers(cap: Int): Set[Long] =
+        DedupOps.minhashLsh(corpus, 0.9, maxBucketSize = cap).collect()
+          .map(r => r.getLong(1)).toSet
+      val uncapped = losers(1 << 20)
+      Seq(1, 2, 7, 16).foreach { cap =>
+        assert(losers(cap) == uncapped, s"seed=$seed cap=$cap diverges")
+      }
+    }
+  }
+
   test("bucketed embedding near-dup equals the brute-force pair set") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
