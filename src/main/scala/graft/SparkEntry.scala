@@ -242,6 +242,15 @@ object SparkEntry {
     // of the misses, and the recall ratio (single division, rounded).
     "x25_lsh_recall" -> ((s, d) =>
       DedupOps.lshRecallCensus(docs(s, d), 0.8)),
+    // Token-budget mixing with an explicit (source, weight) table — the
+    // mixture-config-as-data path: a fixed 3-row config, sources outside it
+    // surfacing at rate 0, its weight for any absent source eating nothing.
+    "x26_token_mix_weighted" -> ((s, d) => {
+      import s.implicits._
+      CurationOps.tokenBudgetMix(docs(s, d), 10000L,
+        Seq(("src0", 4.0), ("src7", 1.0), ("src13", 2.0), ("src_no_such", 9.0))
+          .toDF("source", "weight"))
+    }),
     // Approx quantiles (GK sketch): like x13, the sketch is gated by a
     // tolerance verdict against the exact percentile (bit-identical to
     // DuckDB quantile_cont on integer inputs), not by its raw value.
@@ -604,6 +613,33 @@ object SparkEntry {
         |  round(CAST(COALESCE(SUM(CASE WHEN fnd THEN 1 END), 0) AS DOUBLE)
         |    / greatest(COUNT(*), 1), 4) AS recall
         |FROM miss""".stripMargin,
+    "x26_token_mix_weighted" ->
+      """WITH wt AS (
+        |  SELECT * FROM (VALUES ('src0', 4.0), ('src7', 1.0), ('src13', 2.0),
+        |    ('src_no_such', 9.0)) AS v(source, weight)),
+        |t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        |tot AS (
+        |  SELECT t.source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens_total,
+        |         CAST(COALESCE(ANY_VALUE(wt.weight), 0.0) AS DOUBLE) AS w
+        |  FROM t LEFT JOIN wt ON t.source = wt.source GROUP BY t.source),
+        |sw AS (SELECT CAST(SUM(w) AS DOUBLE) AS sumw FROM tot),
+        |r AS (
+        |  SELECT source, n_docs, tokens_total,
+        |         CASE WHEN w > 0 AND sumw > 0
+        |           THEN least(1.0, 10000.0 * w / sumw / tokens_total)
+        |           ELSE 0.0 END AS rate
+        |  FROM tot, sw),
+        |k AS (
+        |  SELECT t.source, t.toks, r.n_docs, r.tokens_total, r.rate,
+        |         (('0x' || substr(md5(t.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0)
+        |           < r.rate AS keep
+        |  FROM t JOIN r ON t.source = r.source)
+        |SELECT source, ANY_VALUE(n_docs) AS n_docs, ANY_VALUE(tokens_total) AS tokens_total,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
+        |       round(ANY_VALUE(rate), 6) AS rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "x22_approx_quantiles" ->
       """SELECT lang, median(n_chars) AS med_chars,
         |       quantile_cont(n_chars, 0.9) AS p90_chars,
