@@ -61,7 +61,12 @@ object SparkEntry {
     "e4_multimodal_join" -> ((s, d) =>
       SimilarityOps.multimodalJoin(docs(s, d), emb(s, d))),
     // ---- training-data-pipeline operators (x1-x10) ----
-    "x1_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(docs(s, d), 0.8)),
+    // The gated entries run UNCAPPED (Int.MaxValue) because the DuckDB
+    // oracle models the full in-bucket clique; the production bucket-cap
+    // default and its loser-set equivalence are property-tested separately
+    // (PropertiesSpec) — this keeps the gate pinned to one well-defined
+    // semantics at every scale factor.
+    "x1_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(docs(s, d), 0.8, Int.MaxValue)),
     "x2_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(docs(s, d), 0.8)),
     "x3_simhash" -> ((s, d) => DedupOps.simhash(docs(s, d), 3)),
     // centroidMod 100 keeps the cell count in the k ≈ √n regime at the
@@ -240,8 +245,9 @@ object SparkEntry {
     // LSH recall census: the banded detector measured against the exact
     // ground-truth operator — true pairs, found, missed, the Jaccard range
     // of the misses, and the recall ratio (single division, rounded).
+    // uncapped for the same reason as x1: the oracle models the clique
     "x25_lsh_recall" -> ((s, d) =>
-      DedupOps.lshRecallCensus(docs(s, d), 0.8)),
+      DedupOps.lshRecallCensus(docs(s, d), 0.8, Int.MaxValue)),
     // Token-budget mixing with an explicit (source, weight) table — the
     // mixture-config-as-data path: a fixed 3-row config, sources outside it
     // surfacing at rate 0, its weight for any absent source eating nothing.

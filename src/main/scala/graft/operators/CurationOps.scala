@@ -83,13 +83,14 @@ object CurationOps {
   }
 
   /**
-   * Token-budget corpus mixing with name-derived demo weights: delegates to
-   * the weights-table overload with weight_s = 1 + source-id%3, a
-   * deterministic stand-in for a mixture config — oracle-gated as x23.
+   * Token-budget corpus mixing with name-derived demo weights
+   * (weight_s = 1 + source-id%3, a deterministic stand-in for a mixture
+   * config), computed inline on the per-source totals — no extra corpus
+   * scan. Oracle-gated as x23.
    */
   def tokenBudgetMix(documents: DataFrame, budgetTokens: Long): DataFrame =
-    tokenBudgetMix(documents, budgetTokens,
-      documents.select(col("source")).distinct().withColumn("weight",
+    mixWithTotals(documents, budgetTokens, totals =>
+      totals.withColumn("w",
         lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 3)))
 
   /**
@@ -116,7 +117,6 @@ object CurationOps {
       documents: DataFrame,
       budgetTokens: Long,
       weights: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
     val wt = weights.groupBy(col("source"))
       .agg(count(lit(1)).as("cnt"), first(col("weight")).cast("double").as("w"))
       .select(col("source"),
@@ -125,12 +125,23 @@ object CurationOps {
         .when(col("w") < 0, raise_error(
           concat(lit("negative weight for source "), col("source"))))
         .otherwise(col("w")).as("w"))
+    mixWithTotals(documents, budgetTokens, totals =>
+      totals.join(broadcast(wt), Seq("source"), "left_outer")
+        .withColumn("w", coalesce(col("w"), lit(0.0))))
+  }
+
+  /** Shared mixing core: per-source totals → caller attaches the weight
+    * column → rates → hash-gated census. One corpus pass for totals, one
+    * for the census, regardless of where weights come from. */
+  private def mixWithTotals(
+      documents: DataFrame,
+      budgetTokens: Long,
+      withWeights: DataFrame => DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val toks = documents.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("toks"))
-    val totals = toks.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens_total"))
-      .join(broadcast(wt), Seq("source"), "left_outer")
-      .withColumn("w", coalesce(col("w"), lit(0.0)))
+    val totals = withWeights(toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens_total")))
     val sumW = totals.agg(sum(col("w")).as("sumw"))
     val rates = totals.crossJoin(broadcast(sumW))
       // w = 0 (or an all-zero table) must yield rate 0, not the NaN of 0/0 —

@@ -52,7 +52,7 @@ object LedgerTables {
       path: String,
       predicate: org.apache.spark.sql.Column,
       newStatus: String): Long =
-    rewriteAffectedPartitions(spark, path, predicate, Nil) { (ledger, pred) =>
+    rewriteAffectedPartitions(spark, path, predicate, Nil) { _ => (ledger, pred) =>
       ledger.withColumn("pipeline_status",
         org.apache.spark.sql.functions.when(pred, newStatus)
           .otherwise(org.apache.spark.sql.functions.col("pipeline_status")))
@@ -76,32 +76,32 @@ object LedgerTables {
       assignments: Seq[(String, org.apache.spark.sql.Column)],
       partitionCols: Seq[String] = Nil): Long = {
     require(assignments.nonEmpty, "UPDATE needs at least one SET assignment")
-    // Validate BEFORE the rewrite machinery: a malformed statement must fail
-    // loudly even when zero rows match (the rewrite short-circuits on
-    // no-match, and a guard inside the transform closure would be skipped).
-    // Names resolve case-insensitively against the schema. The table is read
-    // once here and threaded through — no second listing/schema pass.
-    val table = read(spark, path)
-    val assigned = assignments.map { case (name, v) =>
-      val resolved = table.columns.filter(_.equalsIgnoreCase(name))
-      require(resolved.length == 1,
-        s"UPDATE of ${if (resolved.isEmpty) "unknown" else "ambiguous"} column $name")
-      resolved.head -> v
-    }.toMap
-    val parts = effectivePartitionCols(table, partitionCols)
-    assigned.keys.foreach(c => require(!parts.exists(_.equalsIgnoreCase(c)),
-      s"cannot UPDATE partition column $c; DELETE + INSERT instead"))
-    rewriteAffectedPartitions(spark, path, predicate, partitionCols, Some(table)) { (ledger, pred) =>
+    rewriteAffectedPartitions(spark, path, predicate, partitionCols) { table =>
+      // Validation runs against the IN-LEASE table snapshot, before the
+      // rewrite's zero-match short-circuit: a malformed statement fails
+      // loudly even when zero rows match, and the schema it validates
+      // against can never be another writer's mid-swap view. Names resolve
+      // case-insensitively, like Spark's default analyzer.
+      val assigned = assignments.map { case (name, v) =>
+        val resolved = table.columns.filter(_.equalsIgnoreCase(name))
+        require(resolved.length == 1,
+          s"UPDATE of ${if (resolved.isEmpty) "unknown" else "ambiguous"} column $name")
+        resolved.head -> v
+      }.toMap
+      val parts = effectivePartitionCols(table, partitionCols)
+      assigned.keys.foreach(c => require(!parts.exists(_.equalsIgnoreCase(c)),
+        s"cannot UPDATE partition column $c; DELETE + INSERT instead"))
       // SQL UPDATE semantics: every SET expression and the predicate evaluate
       // against the PRE-update row, so all assignments go into one projection
       // (sequential withColumn would feed each assignment the previous one's
       // output — and a predicate on an updated column would stop matching).
-      ledger.select(ledger.columns.toIndexedSeq.map { c =>
-        assigned.get(c)
-          .map(v => org.apache.spark.sql.functions.when(pred, v)
-            .otherwise(org.apache.spark.sql.functions.col(c)).as(c))
-          .getOrElse(org.apache.spark.sql.functions.col(c))
-      }: _*)
+      (ledger, pred) =>
+        ledger.select(ledger.columns.toIndexedSeq.map { c =>
+          assigned.get(c)
+            .map(v => org.apache.spark.sql.functions.when(pred, v)
+              .otherwise(org.apache.spark.sql.functions.col(c)).as(c))
+            .getOrElse(org.apache.spark.sql.functions.col(c))
+        }: _*)
     }
   }
 
@@ -111,7 +111,7 @@ object LedgerTables {
       path: String,
       predicate: org.apache.spark.sql.Column,
       partitionCols: Seq[String] = Nil): Long =
-    rewriteAffectedPartitions(spark, path, predicate, partitionCols) { (ledger, pred) =>
+    rewriteAffectedPartitions(spark, path, predicate, partitionCols) { _ => (ledger, pred) =>
       // Keep any row the predicate does not POSITIVELY match: a NULL
       // predicate result must retain the row (plain `!pred` is NULL for
       // NULL input and filter would silently delete non-matching rows).
@@ -127,13 +127,15 @@ object LedgerTables {
     else if (ledger.columns.contains("query_window_start_day")) Seq("query_window_start_day")
     else Nil
 
+  /** `transformFor` receives the IN-LEASE table snapshot (for validation +
+    * schema resolution) and returns the row transform — so no caller ever
+    * reads or validates against a pre-lease view of the table. */
   private def rewriteAffectedPartitions(
       spark: SparkSession,
       path: String,
       predicate: org.apache.spark.sql.Column,
-      partitionCols: Seq[String],
-      preRead: Option[DataFrame] = None)(
-      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+      partitionCols: Seq[String])(
+      transformFor: DataFrame => (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     // Writer exclusion for the whole read-stage-swap sequence: the staged
     // swap is only correct single-writer (see WriterLease), and even the
@@ -143,7 +145,10 @@ object LedgerTables {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     Maintenance.requirePlainParquetTable(fs, base)
     WriterLease.withLease(fs, base) {
-      val ledger = preRead.getOrElse(read(spark, path))
+      val ledger = read(spark, path)
+      // resolve the transform FIRST: its validation must fire even when
+      // zero rows match and the rewrite below short-circuits
+      val transform = transformFor(ledger)
       val matched = ledger.filter(predicate)
       val parts = effectivePartitionCols(ledger, partitionCols)
       // The day-partition swap fast path applies only to the ledger layout

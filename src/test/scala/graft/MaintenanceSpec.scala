@@ -111,12 +111,13 @@ class MaintenanceSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_hb").toString
     val base = new Path(tmp)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    WriterLease.withLease(fs, base, ttlMs = 300L) {
+    WriterLease.withLease(fs, base, ttlMs = 2000L) {
       // sleep well past the TTL: the heartbeat (every ttl/3) must keep the
-      // lease fresh, so a second writer still fails
-      Thread.sleep(900L)
+      // lease fresh, so a second writer still fails. The 2s TTL tolerates
+      // CI scheduling pauses of a full TTL between heartbeats.
+      Thread.sleep(3000L)
       val e = intercept[WriterLease.HeldByOtherWriterException] {
-        WriterLease.acquire(fs, base, owner = "writer-B", ttlMs = 300L)
+        WriterLease.acquire(fs, base, owner = "writer-B", ttlMs = 2000L)
       }
       assert(e.getMessage.contains("being written"), e.getMessage)
     }
