@@ -248,6 +248,10 @@ object SparkEntry {
     // uncapped for the same reason as x1: the oracle models the clique
     "x25_lsh_recall" -> ((s, d) =>
       DedupOps.lshRecallCensus(docs(s, d), 0.8, Int.MaxValue)),
+    // LSH band-bucket census at the production cap: how much of the corpus
+    // is boilerplate-dense enough to engage the representative-star path.
+    "x27_lsh_buckets" -> ((s, d) =>
+      DedupOps.lshBucketCensus(docs(s, d))),
     // Token-budget mixing with an explicit (source, weight) table — the
     // mixture-config-as-data path: a fixed 3-row config, sources outside it
     // surfacing at rate 0, its weight for any absent source eating nothing.
@@ -619,6 +623,35 @@ object SparkEntry {
         |  round(CAST(COALESCE(SUM(CASE WHEN fnd THEN 1 END), 0) AS DOUBLE)
         |    / greatest(COUNT(*), 1), 4) AS recall
         |FROM miss""".stripMargin,
+    "x27_lsh_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM docs),
+        |vs AS (
+        |  SELECT doc_id, list_transform(sh,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
+        |  FROM shl),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
+        |  FROM vs),
+        |banded AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 4),
+        |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
+        |  FROM sig),
+        |b AS (
+        |  SELECT band_key, COUNT(*) AS bsz FROM banded
+        |  GROUP BY band_key HAVING COUNT(*) > 1)
+        |SELECT COUNT(*) AS n_buckets,
+        |  CAST(COALESCE(SUM(CASE WHEN bsz > 4096 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oversized,
+        |  CAST(COALESCE(MAX(bsz), 0) AS BIGINT) AS max_bucket,
+        |  CAST(COALESCE(SUM(CASE WHEN bsz > 4096 THEN (bsz*(bsz-1))//2 END), 0) AS BIGINT)
+        |    AS clique_pairs_avoided
+        |FROM b""".stripMargin,
     "x26_token_mix_weighted" ->
       """WITH wt AS (
         |  SELECT * FROM (VALUES ('src0', 4.0), ('src7', 1.0), ('src13', 2.0),
