@@ -86,12 +86,16 @@ object CurationOps {
    * Token-budget corpus mixing with name-derived demo weights
    * (weight_s = 1 + source-id%3, a deterministic stand-in for a mixture
    * config), computed inline on the per-source totals — no extra corpus
-   * scan. Oracle-gated as x23.
+   * scan. A source name without a numeric tail takes weight 1 via
+   * `try_cast` (ANSI mode makes a plain cast THROW on it, and a mixture
+   * stand-in must not crash on arbitrary source names). Oracle-gated as
+   * x23.
    */
   def tokenBudgetMix(documents: DataFrame, budgetTokens: Long): DataFrame =
     mixWithTotals(documents, budgetTokens, totals =>
       totals.withColumn("w",
-        lit(1.0) + (substring(col("source"), 4, 10).cast("int") % 3)))
+        lit(1.0) + coalesce(
+          expr("try_cast(substring(source, 4, 10) AS INT)") % 3, lit(0))))
 
   /**
    * Token-budget corpus mixing: sample every source down so the corpus hits

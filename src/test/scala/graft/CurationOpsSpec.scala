@@ -34,6 +34,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("token-budget mix: non-numeric source names and a zero budget degrade gracefully") {
+    // ANSI mode makes substring(...).cast(int) throw on a name without a
+    // numeric tail; the demo weights must fall back to weight 1 instead
+    val odd = docsOf(
+      (1L, "a b c d e f g h", "en", "s"),
+      (2L, "a b c d e f g h", "en", "corpus-main"))
+    val rows = CurationOps.tokenBudgetMix(odd, 1000L).collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getDouble(5) == 1.0, s"budget >> corpus keeps all: $r"))
+    // zero budget: every rate 0, nothing kept, census rows still present
+    CurationOps.tokenBudgetMix(odd, 0L).collect().foreach { r =>
+      assert(r.getDouble(5) == 0.0 && r.getLong(3) == 0L, s"zero budget: $r")
+    }
+  }
+
   test("token-budget mix: supplied (source, weight) table drives the rates") {
     import spark.implicits._
     // two sources, strongly asymmetric weights; src_c present in the corpus
