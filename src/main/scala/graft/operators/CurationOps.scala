@@ -86,16 +86,18 @@ object CurationOps {
    * Token-budget corpus mixing with name-derived demo weights
    * (weight_s = 1 + source-id%3, a deterministic stand-in for a mixture
    * config), computed inline on the per-source totals — no extra corpus
-   * scan. A source name without a numeric tail takes weight 1 via
-   * `try_cast` (ANSI mode makes a plain cast THROW on it, and a mixture
-   * stand-in must not crash on arbitrary source names). Oracle-gated as
-   * x23.
+   * scan. Arbitrary source names stay safe: a name without a numeric tail
+   * takes weight 1 via `try_cast` (ANSI mode makes a plain cast THROW on
+   * it), and `pmod` keeps the weight in {1,2,3} even for a NEGATIVE tail
+   * (Spark's `%` returns negative remainders, which would smuggle a
+   * negative weight past the raise_error guard of the weights-table
+   * overload). Oracle-gated as x23.
    */
   def tokenBudgetMix(documents: DataFrame, budgetTokens: Long): DataFrame =
     mixWithTotals(documents, budgetTokens, totals =>
       totals.withColumn("w",
-        lit(1.0) + coalesce(
-          expr("try_cast(substring(source, 4, 10) AS INT)") % 3, lit(0))))
+        lit(1.0) + pmod(coalesce(
+          expr("try_cast(substring(source, 4, 10) AS INT)"), lit(0)), lit(3))))
 
   /**
    * Token-budget corpus mixing: sample every source down so the corpus hits

@@ -192,7 +192,10 @@ object LedgerTables {
 
   /** Fallback for tables not using the ledger's day layout: stage the
     * transformed table (with the SAME partitionBy columns, so the directory
-    * layout survives), then swap the whole directory. */
+    * layout survives), then swap the table's CONTENTS. The root directory
+    * itself never moves — the writer lease inside it stays valid for the
+    * whole operation, and no concurrent acquire can observe a missing root
+    * and wedge the restore path by recreating it. */
   private def rewriteWholeTable(
       spark: SparkSession,
       path: String,
@@ -210,8 +213,56 @@ object LedgerTables {
     val writer = transform(ledger, predicate).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
-    swapIn(fs, staging, base, base.getParent)
+    swapContents(fs, staging, base)
+    fs.delete(staging, true)
     affected
+  }
+
+  /**
+   * Replace `dest`'s contents with `fresh`'s by moving CHILDREN, leaving
+   * `dest` itself (and the [[WriterLease]] file inside it) in place. The
+   * displaced old children go into a trash directory INSIDE the staging
+   * tree (outside `dest`, removed with it), and every rename is checked: a
+   * failure on either phase moves what was already transferred back before
+   * rethrowing, so the table is never silently half-swapped. The crash
+   * (not failure) window between the two phases leaves `dest` visibly
+   * empty with all data intact under staging — loud and recoverable,
+   * matching the compaction manifest's philosophy of never duplicating or
+   * silently dropping rows.
+   */
+  private def swapContents(
+      fs: org.apache.hadoop.fs.FileSystem,
+      fresh: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Unit = {
+    val trash = new org.apache.hadoop.fs.Path(fresh,
+      s"_old_${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(trash)
+    def moveAll(items: Seq[org.apache.hadoop.fs.Path],
+        into: org.apache.hadoop.fs.Path): Unit =
+      items.foreach { c =>
+        if (!fs.rename(c, new org.apache.hadoop.fs.Path(into, c.getName)))
+          throw new java.io.IOException(s"cannot move $c into $into")
+      }
+    def restoreFromTrash(): Unit =
+      fs.listStatus(trash).foreach(s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dest, s.getPath.getName)))
+    val old = fs.listStatus(dest).map(_.getPath).toIndexedSeq
+      .filterNot(_.getName == WriterLease.LeaseName)
+    try moveAll(old, trash)
+    catch { case e: java.io.IOException => restoreFromTrash(); throw e }
+    val incoming = fs.listStatus(fresh).map(_.getPath).toIndexedSeq
+      .filterNot(_.getName == trash.getName)
+    try moveAll(incoming, dest)
+    catch {
+      case e: java.io.IOException =>
+        // pull back any fresh children that made it in, then restore the old
+        incoming.foreach { c =>
+          val d = new org.apache.hadoop.fs.Path(dest, c.getName)
+          if (fs.exists(d)) fs.rename(d, c)
+        }
+        restoreFromTrash()
+        throw e
+    }
   }
 
   /**

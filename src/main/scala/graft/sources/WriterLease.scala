@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
+import scala.util.control.NonFatal
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /**
@@ -12,35 +14,42 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * "no concurrent writer" contract — their staged swaps are correct only
  * when a single writer mutates the table at a time. The lease turns a
  * violation of that contract from silent corruption into a loud error:
- * every writer acquires the lease before touching files and releases it
- * when done.
- *
- * The lease file lives BESIDE the table root (`<table>_writer_lease` in
- * the parent directory), not inside it: the whole-table rewrite path swaps
- * the table root directory itself, and a lease inside the root would be
- * destroyed mid-operation by its own holder — while also leaving a window
- * where the root briefly does not exist and a concurrent acquire could
- * wedge the swap's restore path by recreating it.
+ * every writer acquires `_writer_lease` at the table root before touching
+ * files and releases it when done. The underscore prefix keeps the file
+ * invisible to Spark's data-file listing (of this table and of any parent
+ * directory), and holding it requires no access outside the table root.
+ * The whole-table rewrite swaps the root's CHILDREN, never the root
+ * itself, so the lease file stays in place for its whole lifetime
+ * ([[LedgerTables]]).
  *
  * Mechanics: acquisition is a create-no-overwrite of the lease file
  * (atomic on local filesystems and HDFS), carrying owner id, acquisition
- * time, and a TTL. A second writer's create fails and throws
+ * time, and a TTL; expiry is judged on the file's MODIFICATION time so
+ * [[renew]] can extend a held lease with an atomic metadata touch. A
+ * second writer's create fails and throws
  * [[WriterLease.HeldByOtherWriterException]] naming the current holder. A
  * writer that crashes without releasing leaves its lease behind; once the
  * TTL passes (or the operator calls [[breakLease]] after confirming the
- * holder is dead) the next acquirer reclaims it. Reclaim is an atomic
- * rename-aside followed by a content check: exactly one reclaimer wins
- * the rename, and a reclaimer that stalled between reading the stale
- * lease and renaming it discovers the lease changed hands (owner
- * mismatch) and restores it instead of evicting a live writer.
+ * holder is dead) the next acquirer reclaims it: re-read the lease,
+ * confirm it is still the SAME stale lease (owner + timestamp identity),
+ * delete, and race the exclusive create.
  *
- * Remaining caveat, documented not hidden: on object stores without
- * atomic create/rename the lease is advisory — the same caveat the swap
- * itself carries ([[Maintenance]] scaladoc).
+ * Honest limits of a filesystem without compare-and-swap: a reclaimer
+ * that stalls between its identity recheck and the delete can still evict
+ * a CONCURRENT RECLAIMER's just-created lease (never a live renewing
+ * holder — its fresh modification time fails the staleness recheck); the
+ * window is one metadata operation wide, and an evicted holder's next
+ * heartbeat detects and logs the loss. On object stores without atomic
+ * create, the lease is advisory — the same caveat the swap itself carries
+ * ([[Maintenance]] scaladoc).
  */
 object WriterLease {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Lease file name, inside the table root; underscore-prefixed so Spark
+    * listings never see it as data. */
+  val LeaseName = "_writer_lease"
 
   /** Default lease TTL: generous for a partition rewrite or compaction
     * sweep; a crashed writer blocks the table for at most this long. A
@@ -54,13 +63,7 @@ object WriterLease {
   final class HeldByOtherWriterException(message: String)
     extends IllegalStateException(message)
 
-  /** `<parent>/<name>_writer_lease`, beside the table root (see scaladoc).
-    * A root with no parent (filesystem root) keeps the lease inside. */
-  private def leasePath(root: Path): Path =
-    Option(root.getParent) match {
-      case Some(parent) => new Path(parent, s"${root.getName}_writer_lease")
-      case None => new Path(root, "_writer_lease")
-    }
+  private def leasePath(root: Path) = new Path(root, LeaseName)
 
   /** Process-unique default owner id: host + pid + nonce. */
   def defaultOwner(): String = {
@@ -69,68 +72,36 @@ object WriterLease {
     s"$host/pid-${ProcessHandle.current.pid}/${java.util.UUID.randomUUID().toString.take(8)}"
   }
 
-  /** Longs that fit a Long without overflow (19 digits max, bounded). */
+  /** Digit strings that fit a Long without overflow. */
   private def parseableLong(s: String): Boolean =
     s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)
 
-  private def readAt(fs: FileSystem, p: Path): Option[LeaseInfo] = {
-    if (!fs.exists(p)) None
-    else {
-      val modTime = fs.getFileStatus(p).getModificationTime
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.split('\n') match {
-        case Array(owner, ts, ttl, _*) if parseableLong(ts) && parseableLong(ttl) =>
-          Some(LeaseInfo(owner, math.max(ts.toLong, modTime), ttl.toLong))
-        case _ =>
-          // a writer crashed mid-create (or garbage): reclaimable as soon
-          // as the file's modification time passes
-          Some(LeaseInfo("corrupt-lease", modTime, 0L))
+  private def readAt(fs: FileSystem, p: Path): Option[LeaseInfo] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val modTime = fs.getFileStatus(p).getModificationTime
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split('\n') match {
+          case Array(owner, ts, ttl, _*) if parseableLong(ts) && parseableLong(ttl) =>
+            Some(LeaseInfo(owner, math.max(ts.toLong, modTime), ttl.toLong))
+          case _ =>
+            // a writer crashed mid-create (or garbage): reclaimable as soon
+            // as the file's modification time passes
+            Some(LeaseInfo("corrupt-lease", modTime, 0L))
+        }
       }
+    } catch {
+      // vanished between exists/open (released under us): report no lease
+      case _: java.io.FileNotFoundException => None
     }
-  }
 
-  /** The current lease, if one exists. Expiry is judged on the FILE's
-    * modification time, not the content timestamp: [[renew]] extends a
-    * held lease by touching the file (atomic metadata update — no
-    * partial-content window for concurrent readers), so `acquiredAtMs`
-    * here is the moment of the last heartbeat. */
+  /** The current lease, if one exists. `acquiredAtMs` reflects the last
+    * heartbeat (file modification time), not only the create moment. */
   def read(fs: FileSystem, root: Path): Option[LeaseInfo] =
     readAt(fs, leasePath(root))
-
-  /**
-   * Heartbeat: push the held lease's expiry forward. Primary path is an
-   * atomic modification-time touch; a filesystem that refuses `setTimes`
-   * falls back to rewriting the content in place (truncate-and-write — a
-   * concurrent reader catching the gap sees a corrupt lease with a FRESH
-   * modification time, which is not reclaimable until the fresh mtime
-   * itself expires, so the fallback never opens an exclusion hole).
-   * Returns false — and logs — when the lease could not be renewed or
-   * this owner no longer holds it.
-   */
-  def renew(fs: FileSystem, root: Path, owner: String,
-      nowMs: () => Long = () => System.currentTimeMillis()): Boolean =
-    read(fs, root) match {
-      case Some(l) if l.owner == owner =>
-        val p = leasePath(root)
-        try { fs.setTimes(p, nowMs(), -1); true }
-        catch {
-          case _: java.io.IOException =>
-            try {
-              writeLeaseFile(fs, p, LeaseInfo(owner, nowMs(), l.ttlMs), overwrite = true)
-              true
-            } catch {
-              case e: java.io.IOException =>
-                log.warn(s"writer-lease renewal failed for $root (owner $owner): $e")
-                false
-            }
-        }
-      case other =>
-        log.warn(s"writer-lease renewal skipped for $root: owner $owner no longer " +
-          s"holds it (current: ${other.map(_.owner).getOrElse("<none>")})")
-        false
-    }
 
   private def writeLeaseFile(fs: FileSystem, p: Path, info: LeaseInfo,
       overwrite: Boolean): Unit = {
@@ -141,11 +112,52 @@ object WriterLease {
   }
 
   /**
+   * Heartbeat: push the held lease's expiry forward. Primary path is an
+   * atomic modification-time touch; a filesystem that refuses `setTimes`
+   * (IOException or UnsupportedOperationException alike) falls back to
+   * rewriting the content in place — but only after re-confirming the
+   * lease is still ours AND not yet expired, so a holder that stalled past
+   * its TTL never clobbers a reclaimer that legitimately took over.
+   * Returns false — and logs — when the lease could not be renewed or was
+   * lost; the operation itself is not killed (it may be mid-swap, and
+   * stopping it there is worse than racing — the log line is the
+   * operator's signal).
+   */
+  def renew(fs: FileSystem, root: Path, owner: String,
+      nowMs: () => Long = () => System.currentTimeMillis()): Boolean = {
+    val p = leasePath(root)
+    read(fs, root) match {
+      case Some(l) if l.owner == owner =>
+        try { fs.setTimes(p, nowMs(), -1); true }
+        catch {
+          case NonFatal(_) =>
+            read(fs, root) match {
+              case Some(l2) if l2.owner == owner && nowMs() <= l2.expiresAtMs =>
+                try { writeLeaseFile(fs, p, LeaseInfo(owner, nowMs(), l2.ttlMs),
+                  overwrite = true); true }
+                catch {
+                  case NonFatal(e) =>
+                    log.warn(s"writer-lease renewal failed for $root (owner $owner): $e")
+                    false
+                }
+              case other =>
+                log.warn(s"writer lease for $root lost before renewal: owner $owner, " +
+                  s"current ${other.map(_.owner).getOrElse("<none>")}")
+                false
+            }
+        }
+      case other =>
+        log.warn(s"writer-lease renewal skipped for $root: owner $owner no longer " +
+          s"holds it (current: ${other.map(_.owner).getOrElse("<none>")})")
+        false
+    }
+  }
+
+  /**
    * Acquire the table's writer lease or throw [[HeldByOtherWriterException]].
-   * An expired (or corrupt) lease is reclaimed via atomic rename-aside with
-   * a post-rename owner check, so a reclaimer that stalled arbitrarily long
-   * after its expiry check can never evict a live writer that reclaimed
-   * first; the loser of any straight acquisition race fails on the atomic
+   * An expired (or corrupt) lease is reclaimed by identity-checked
+   * delete-and-recreate (see the object scaladoc for the exact guarantees);
+   * the loser of any straight acquisition race fails on the atomic
    * create-no-overwrite.
    */
   def acquire(
@@ -155,42 +167,48 @@ object WriterLease {
       ttlMs: Long = DefaultTtlMs,
       nowMs: () => Long = () => System.currentTimeMillis()): LeaseInfo = {
     val p = leasePath(root)
-    val info = LeaseInfo(owner, nowMs(), ttlMs)
-    def tryCreate(): Boolean =
-      try { writeLeaseFile(fs, p, info, overwrite = false); true }
-      catch { case _: java.io.IOException => false }
-    if (tryCreate()) return info
-    val existing = readAt(fs, p)
-    val expired = existing.forall(l => nowMs() > l.expiresAtMs)
-    if (!expired)
-      throw new HeldByOtherWriterException(
-        s"table $root is being written by ${existing.get.owner} " +
-          s"(lease expires ${java.time.Instant.ofEpochMilli(existing.get.expiresAtMs)}); " +
-          "concurrent writers would corrupt the staged swap — retry after the " +
-          s"lease clears, or breakLease() if the holder is known dead")
-    // Reclaim the stale lease: rename it aside (exactly one reclaimer's
-    // rename succeeds), then confirm the file we moved is still the stale
-    // lease we judged expired — if it changed hands in between, restore it.
-    val aside = new Path(p.getParent,
-      s"${p.getName}.reclaim_${java.util.UUID.randomUUID().toString.take(8)}")
-    if (!fs.rename(p, aside))
-      throw new HeldByOtherWriterException(
-        s"lost the race reclaiming an expired lease on $root; retry")
-    val moved = readAt(fs, aside)
-    if (moved.exists(m => m.owner != existing.get.owner || nowMs() <= m.expiresAtMs)) {
-      if (!fs.rename(aside, p))
-        // the live holder will fail its own renew/release loudly; surface ours
-        log.warn(s"could not restore a live writer lease at $p after a stale " +
-          "reclaim race — the holder's heartbeat will flag the loss")
-      throw new HeldByOtherWriterException(
-        s"table $root lease changed hands during reclaim " +
-          s"(now ${moved.map(_.owner).getOrElse("<gone>")}); retry")
+    def tryCreate(): Option[LeaseInfo] = {
+      val info = LeaseInfo(owner, nowMs(), ttlMs)
+      try { writeLeaseFile(fs, p, info, overwrite = false); Some(info) }
+      catch { case _: java.io.IOException => None }
     }
-    fs.delete(aside, false)
-    if (!tryCreate())
-      throw new HeldByOtherWriterException(
-        s"lost the race reclaiming an expired lease on $root; retry")
-    info
+    // bounded retry: each pass either creates, throws on a live holder, or
+    // clears a stale lease; repeated create failures WITHOUT a readable
+    // lease indicate an unwritable root, reported as such below
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      tryCreate() match {
+        case Some(info) => return info
+        case None =>
+          readAt(fs, p) match {
+            case None =>
+              // released (or reclaimed away) between our create and read —
+              // loop and race the create again
+              ()
+            case Some(l) if nowMs() <= l.expiresAtMs =>
+              throw new HeldByOtherWriterException(
+                s"table $root is being written by ${l.owner} " +
+                  s"(lease expires ${java.time.Instant.ofEpochMilli(l.expiresAtMs)}); " +
+                  "concurrent writers would corrupt the staged swap — retry after " +
+                  "the lease clears, or breakLease() if the holder is known dead")
+            case Some(stale) =>
+              // identity-checked reclaim: delete only if the file is still
+              // the very lease we judged expired (a live holder's heartbeat
+              // or another reclaimer's fresh create changes the identity)
+              val recheck = readAt(fs, p)
+              if (recheck.exists(r => r.owner == stale.owner &&
+                  r.acquiredAtMs == stale.acquiredAtMs && nowMs() > r.expiresAtMs))
+                fs.delete(p, false)
+              // loop: the exclusive create decides the reclaim winner
+          }
+      }
+    }
+    throw new HeldByOtherWriterException(
+      s"could not acquire the writer lease at $p after $attempt attempts — " +
+        "either heavy lease contention, or the table root is not writable " +
+        "by this process (the exclusive create keeps failing with no " +
+        "readable lease present)")
   }
 
   /** Release the lease if this owner still holds it. A lease someone else
@@ -210,10 +228,8 @@ object WriterLease {
   /** Run `body` holding the table's writer lease; always released on exit.
     * A daemon heartbeat renews the lease every ttl/3, so an operation that
     * outlives the TTL (a large compaction) keeps its exclusion as long as
-    * the process is alive and the filesystem honours the renewal — a
-    * failed renewal is logged by [[renew]] (the operation itself is not
-    * killed: it may be mid-swap, and stopping it there is worse than
-    * racing; the log line is the operator's signal). */
+    * the process is alive and the filesystem honours some renewal path —
+    * a failed or lost renewal is logged by [[renew]]. */
   def withLease[A](
       fs: FileSystem,
       root: Path,
@@ -223,7 +239,9 @@ object WriterLease {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(math.max(50L, ttlMs / 3))
-          renew(fs, root, info.owner)
+          try renew(fs, root, info.owner)
+          catch { case NonFatal(e) =>
+            log.warn(s"writer-lease heartbeat error for $root: $e") }
         }
       } catch { case _: InterruptedException => () }
     }, "graft-writer-lease-heartbeat")

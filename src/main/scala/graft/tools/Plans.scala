@@ -5,11 +5,12 @@ import org.apache.spark.sql.SparkSession
 /**
  * Plan-audit dump: `runMain graft.tools.Plans <sfDir> <outFile>` writes the
  * formatted physical plan of every SparkEntry query to one text file, plus
- * a summary line per query flagging the shapes the 100 TB design bans
- * (CartesianProduct anywhere, parquet scans without pushed filters when the
- * query filters, single-partition Exchange). PlanQualitySpec pins the
- * specific invariants in CI; this dump is the human-audit companion — scan
- * the SUMMARY block after adding an operator.
+ * a summary line per query flagging CartesianProduct (banned outright) and
+ * single-partition exchanges (legitimate only at single-row final merges
+ * and the faithful reference shapes). Finer invariants — filter pushdown,
+ * TakeOrderedAndProject, broadcast joins — are pinned per-query by
+ * PlanQualitySpec in CI; this dump is the human-audit companion for
+ * reading whole plans after adding an operator.
  */
 object Plans {
   def main(args: Array[String]): Unit = {

@@ -39,9 +39,10 @@ class CurationOpsSpec extends SparkSpec {
     // numeric tail; the demo weights must fall back to weight 1 instead
     val odd = docsOf(
       (1L, "a b c d e f g h", "en", "s"),
-      (2L, "a b c d e f g h", "en", "corpus-main"))
+      (2L, "a b c d e f g h", "en", "corpus-main"),
+      (3L, "a b c d e f g h", "en", "abc-14")) // negative tail: pmod keeps w positive
     val rows = CurationOps.tokenBudgetMix(odd, 1000L).collect()
-    assert(rows.length == 2)
+    assert(rows.length == 3)
     rows.foreach(r => assert(r.getDouble(5) == 1.0, s"budget >> corpus keeps all: $r"))
     // zero budget: every rate 0, nothing kept, census rows still present
     CurationOps.tokenBudgetMix(odd, 0L).collect().foreach { r =>
