@@ -230,7 +230,7 @@ object LedgerTables {
    * matching the compaction manifest's philosophy of never duplicating or
    * silently dropping rows.
    */
-  private def swapContents(
+  private[graft] def swapContents(
       fs: org.apache.hadoop.fs.FileSystem,
       fresh: org.apache.hadoop.fs.Path,
       dest: org.apache.hadoop.fs.Path): Unit = {

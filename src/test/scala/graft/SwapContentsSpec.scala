@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+import graft.sources.{LedgerTables, WriterLease}
+
+/** Failure-path coverage for the whole-table contents swap: every rename is
+  * checked, and a failure in either phase must restore the table exactly —
+  * the crash-safety claim the DML path makes in its scaladoc. */
+class SwapContentsSpec extends SparkSpec {
+
+  /** Local filesystem whose rename can be made to fail for chosen names. */
+  private class FaultyFs extends RawLocalFileSystem {
+    @volatile var failWhen: (Path, Path) => Boolean = (_, _) => false
+    override def rename(src: Path, dst: Path): Boolean =
+      if (failWhen(src, dst)) false else super.rename(src, dst)
+  }
+
+  private def newFs(): FaultyFs = {
+    val fs = new FaultyFs
+    fs.initialize(java.net.URI.create("file:///"), spark.sessionState.newHadoopConf())
+    fs
+  }
+
+  private def mkFile(fs: FaultyFs, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def names(fs: FaultyFs, dir: Path): Set[String] =
+    fs.listStatus(dir).map(_.getPath.getName).toSet
+
+  private def fixture(fs: FaultyFs): (Path, Path) = {
+    val root = new Path(
+      java.nio.file.Files.createTempDirectory("graft_swap").toString)
+    val dest = new Path(root, "table")
+    val fresh = new Path(root, "staging")
+    fs.mkdirs(dest); fs.mkdirs(fresh)
+    mkFile(fs, new Path(dest, "a.parquet"), "old-a")
+    mkFile(fs, new Path(dest, "b.parquet"), "old-b")
+    mkFile(fs, new Path(dest, WriterLease.LeaseName), "owner\n1\n1\n")
+    mkFile(fs, new Path(fresh, "c.parquet"), "new-c")
+    mkFile(fs, new Path(fresh, "d.parquet"), "new-d")
+    (fresh, dest)
+  }
+
+  test("success: children replaced, lease untouched, staging holds the old tree") {
+    val fs = newFs()
+    val (fresh, dest) = fixture(fs)
+    LedgerTables.swapContents(fs, fresh, dest)
+    assert(names(fs, dest) == Set("c.parquet", "d.parquet", WriterLease.LeaseName))
+  }
+
+  test("failure moving the old tree out restores it before rethrowing") {
+    val fs = newFs()
+    val (fresh, dest) = fixture(fs)
+    fs.failWhen = (src, _) => src.getName == "b.parquet"
+    intercept[java.io.IOException] { LedgerTables.swapContents(fs, fresh, dest) }
+    assert(names(fs, dest) == Set("a.parquet", "b.parquet", WriterLease.LeaseName),
+      "table must be fully restored after a phase-1 rename failure")
+    assert(names(fs, fresh).contains("c.parquet") && names(fs, fresh).contains("d.parquet"))
+  }
+
+  test("failure moving the fresh tree in restores the old children and pulls fresh back") {
+    val fs = newFs()
+    val (fresh, dest) = fixture(fs)
+    // phase 1 (old -> trash) succeeds; fail only when a fresh child lands in dest
+    fs.failWhen = (src, dst) =>
+      src.getName == "d.parquet" && dst.toString.contains("/table/")
+    intercept[java.io.IOException] { LedgerTables.swapContents(fs, fresh, dest) }
+    assert(names(fs, dest) == Set("a.parquet", "b.parquet", WriterLease.LeaseName),
+      "table must be fully restored after a phase-2 rename failure")
+    assert(names(fs, fresh).contains("c.parquet") && names(fs, fresh).contains("d.parquet"),
+      "fresh children must be pulled back out of the table")
+  }
+}
