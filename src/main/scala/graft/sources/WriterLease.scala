@@ -56,6 +56,15 @@ object WriterLease {
     * LIVE writer is not bounded by it — [[withLease]] heartbeats. */
   val DefaultTtlMs: Long = 15 * 60 * 1000L
 
+  /** TTL assigned to an unparseable lease file. A reader can catch the
+    * instant between a winner's exclusive create and its content write (or
+    * mid-rewrite in [[renew]]'s fallback) — a zero TTL would make that
+    * fresh-but-empty lease instantly reclaimable, re-opening the very race
+    * the exclusive create arbitrates. The grace period lets the winner
+    * finish writing; a writer that truly crashed mid-create blocks the
+    * table for only this long. */
+  val CorruptGraceMs: Long = 30 * 1000L
+
   final case class LeaseInfo(owner: String, acquiredAtMs: Long, ttlMs: Long) {
     def expiresAtMs: Long = acquiredAtMs + ttlMs
   }
@@ -88,9 +97,10 @@ object WriterLease {
           case Array(owner, ts, ttl, _*) if parseableLong(ts) && parseableLong(ttl) =>
             Some(LeaseInfo(owner, math.max(ts.toLong, modTime), ttl.toLong))
           case _ =>
-            // a writer crashed mid-create (or garbage): reclaimable as soon
-            // as the file's modification time passes
-            Some(LeaseInfo("corrupt-lease", modTime, 0L))
+            // a writer mid-create (or crashed there, or garbage): grant the
+            // grace TTL so a winner that has created but not yet written is
+            // not instantly reclaimed out from under its content write
+            Some(LeaseInfo("corrupt-lease", modTime, CorruptGraceMs))
         }
       }
     } catch {
@@ -169,8 +179,26 @@ object WriterLease {
     val p = leasePath(root)
     def tryCreate(): Option[LeaseInfo] = {
       val info = LeaseInfo(owner, nowMs(), ttlMs)
-      try { writeLeaseFile(fs, p, info, overwrite = false); Some(info) }
-      catch { case _: java.io.IOException => None }
+      // Hadoop's LOCAL create(overwrite = false) is exists-then-create —
+      // NOT atomic (measured: 6 racing threads produced overlapping
+      // "exclusive" creates). On file:// the arbitration therefore goes
+      // through File.createNewFile (O_CREAT|O_EXCL, atomic on POSIX); the
+      // winner then writes the content into its own empty file, protected
+      // from instant reclaim by the corrupt-lease grace TTL. HDFS-style
+      // filesystems arbitrate create(overwrite = false) server-side.
+      if (fs.getScheme == "file") {
+        val local = new java.io.File(fs.makeQualified(p).toUri.getPath)
+        Option(local.getParentFile).foreach(_.mkdirs())
+        val won = try local.createNewFile() catch { case _: java.io.IOException => false }
+        if (!won) None
+        else {
+          try { writeLeaseFile(fs, p, info, overwrite = true); Some(info) }
+          catch { case _: java.io.IOException => fs.delete(p, false); None }
+        }
+      } else {
+        try { writeLeaseFile(fs, p, info, overwrite = false); Some(info) }
+        catch { case _: java.io.IOException => None }
+      }
     }
     // bounded retry: each pass either creates, throws on a live holder, or
     // clears a stale lease; repeated create failures WITHOUT a readable

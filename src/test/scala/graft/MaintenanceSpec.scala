@@ -127,6 +127,45 @@ class MaintenanceSpec extends SparkSpec {
     WriterLease.release(fs, base, got.owner)
   }
 
+  test("writer lease: racing threads never overlap in the critical section") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.WriterLease
+    val tmp = java.nio.file.Files.createTempDirectory("graft_race").toString
+    val base = new Path(tmp)
+    val inCritical = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val overlaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        // each thread needs its own FileSystem? No — Hadoop FS is
+        // thread-safe; what matters is each acquire uses a distinct owner.
+        val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+        var done = false
+        var tries = 0
+        while (!done && tries < 2000) {
+          tries += 1
+          try {
+            WriterLease.withLease(fs, base, ttlMs = 30000L) {
+              if (inCritical.getAndSet(true)) overlaps.incrementAndGet()
+              Thread.sleep(2)
+              inCritical.set(false)
+            }
+            completed.incrementAndGet()
+            done = true
+          } catch {
+            case _: WriterLease.HeldByOtherWriterException => Thread.sleep(1)
+          }
+        }
+      }, s"lease-racer-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(overlaps.get() == 0, s"${overlaps.get()} critical-section overlaps")
+    assert(completed.get() == 6, s"only ${completed.get()} of 6 threads ever acquired")
+    assert(WriterLease.read(
+      base.getFileSystem(spark.sessionState.newHadoopConf()), base).isEmpty)
+  }
+
   test("format guard: a directory with another format's markers is refused untouched") {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
