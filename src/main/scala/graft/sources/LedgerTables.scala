@@ -243,24 +243,47 @@ object LedgerTables {
         if (!fs.rename(c, new org.apache.hadoop.fs.Path(into, c.getName)))
           throw new java.io.IOException(s"cannot move $c into $into")
       }
-    def restoreFromTrash(): Unit =
-      fs.listStatus(trash).foreach(s =>
-        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dest, s.getPath.getName)))
+    // Rollback renames are checked too: a failure during rollback leaves
+    // the table visibly half-restored with the rest stranded in staging —
+    // that state must be REPORTED (suppressed on the original error), not
+    // silently discarded as a boolean.
+    def restoreFromTrash(): Unit = {
+      val stranded = fs.listStatus(trash).flatMap { s =>
+        val dst = new org.apache.hadoop.fs.Path(dest, s.getPath.getName)
+        if (!fs.rename(s.getPath, dst)) Some(s.getPath) else None
+      }
+      if (stranded.nonEmpty)
+        throw new java.io.IOException(
+          s"ROLLBACK INCOMPLETE: ${stranded.mkString(", ")} stranded in " +
+            s"$trash — restore to $dest manually")
+    }
+    def suppressRollbackFailure(e: java.io.IOException)(rollback: => Unit): Unit =
+      try rollback catch { case r: java.io.IOException => e.addSuppressed(r) }
     val old = fs.listStatus(dest).map(_.getPath).toIndexedSeq
       .filterNot(_.getName == WriterLease.LeaseName)
     try moveAll(old, trash)
-    catch { case e: java.io.IOException => restoreFromTrash(); throw e }
+    catch { case e: java.io.IOException =>
+      suppressRollbackFailure(e)(restoreFromTrash()); throw e
+    }
     val incoming = fs.listStatus(fresh).map(_.getPath).toIndexedSeq
       .filterNot(_.getName == trash.getName)
     try moveAll(incoming, dest)
     catch {
       case e: java.io.IOException =>
-        // pull back any fresh children that made it in, then restore the old
-        incoming.foreach { c =>
-          val d = new org.apache.hadoop.fs.Path(dest, c.getName)
-          if (fs.exists(d)) fs.rename(d, c)
+        // pull back any fresh children that made it in, then restore the
+        // old — both best-effort so one stuck file cannot abort the rest
+        // of the rollback, with everything stranded reported together
+        suppressRollbackFailure(e) {
+          val stuck = incoming.flatMap { c =>
+            val d = new org.apache.hadoop.fs.Path(dest, c.getName)
+            if (fs.exists(d) && !fs.rename(d, c)) Some(d) else None
+          }
+          restoreFromTrash()
+          if (stuck.nonEmpty)
+            throw new java.io.IOException(
+              s"ROLLBACK INCOMPLETE: fresh children ${stuck.mkString(", ")} " +
+                s"could not be pulled back out of $dest — recover manually")
         }
-        restoreFromTrash()
         throw e
     }
   }

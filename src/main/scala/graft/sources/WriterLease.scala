@@ -177,6 +177,10 @@ object WriterLease {
       ttlMs: Long = DefaultTtlMs,
       nowMs: () => Long = () => System.currentTimeMillis()): LeaseInfo = {
     val p = leasePath(root)
+    // getUri.getScheme, not getScheme(): the latter's Hadoop base
+    // implementation throws UnsupportedOperationException on filesystems
+    // that never overrode it
+    val isLocal = fs.getUri.getScheme == "file"
     def tryCreate(): Option[LeaseInfo] = {
       val info = LeaseInfo(owner, nowMs(), ttlMs)
       // Hadoop's LOCAL create(overwrite = false) is exists-then-create —
@@ -186,11 +190,22 @@ object WriterLease {
       // winner then writes the content into its own empty file, protected
       // from instant reclaim by the corrupt-lease grace TTL. HDFS-style
       // filesystems arbitrate create(overwrite = false) server-side.
-      if (fs.getScheme == "file") {
-        val local = new java.io.File(fs.makeQualified(p).toUri.getPath)
+      if (isLocal) {
+        // File(URI) handles the path conversion on every platform (a raw
+        // toUri.getPath breaks on Windows drive letters)
+        val qualified = fs.makeQualified(p).toUri
+        val local = try new java.io.File(qualified)
+          catch { case _: IllegalArgumentException => new java.io.File(qualified.getPath) }
         Option(local.getParentFile).foreach(_.mkdirs())
         val won = try local.createNewFile() catch { case _: java.io.IOException => false }
         if (!won) None
+        // Only write the content while the grace TTL provably still covers
+        // our empty file: a winner stalled past half the grace window may
+        // already have been reclaimed, and a blind overwrite would clobber
+        // the reclaimer's valid lease. Abstaining loses the acquisition
+        // (the empty file expires after the grace period) — availability
+        // cost in a pathological stall, never a second live writer.
+        else if (nowMs() - info.acquiredAtMs > CorruptGraceMs / 2) None
         else {
           try { writeLeaseFile(fs, p, info, overwrite = true); Some(info) }
           catch { case _: java.io.IOException => fs.delete(p, false); None }

@@ -63,6 +63,25 @@ class SwapContentsSpec extends SparkSpec {
     assert(names(fs, fresh).contains("c.parquet") && names(fs, fresh).contains("d.parquet"))
   }
 
+  test("a rollback failure is reported as suppressed, never silently discarded") {
+    val fs = newFs()
+    val (fresh, dest) = fixture(fs)
+    // forward: the SECOND old child fails moving out (so exactly one sits
+    // in the trash, independent of listing order); rollback: every restore
+    // into the table fails — the original error must carry the
+    // stranded-file report as a suppressed exception
+    val forwardMoves = new java.util.concurrent.atomic.AtomicInteger(0)
+    fs.failWhen = (_, dst) =>
+      if (dst.toString.contains("_old_")) forwardMoves.incrementAndGet() == 2
+      else dst.toString.contains("/table/")
+    val e = intercept[java.io.IOException] {
+      LedgerTables.swapContents(fs, fresh, dest)
+    }
+    assert(e.getMessage.contains("cannot move"), e.getMessage)
+    assert(e.getSuppressed.exists(_.getMessage.contains("ROLLBACK INCOMPLETE")),
+      s"stranded rollback must be reported: ${e.getSuppressed.toSeq}")
+  }
+
   test("failure moving the fresh tree in restores the old children and pulls fresh back") {
     val fs = newFs()
     val (fresh, dest) = fixture(fs)
