@@ -34,6 +34,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * confirm it is still the SAME stale lease (owner + timestamp identity),
  * delete, and race the exclusive create.
  *
+ * Scope: the lease serializes REWRITERS — compaction and the
+ * UPDATE/DELETE partition swaps — against each other. Append-only writers
+ * ([[LedgerTables.write]], [[graft.streaming.LedgerStream.appendBatch]]) deliberately do
+ * not take it: compaction compacts only the snapshot of files listed at
+ * its start, so a file appended mid-compaction is never read, deleted, or
+ * manifest-named — appends are safe against a concurrent rewrite by
+ * construction, and serializing them would throttle streaming ingest for
+ * nothing.
+ *
  * Honest limits of a filesystem without compare-and-swap: a reclaimer
  * that stalls between its identity recheck and the delete can still evict
  * a CONCURRENT RECLAIMER's just-created lease (never a live renewing
@@ -202,10 +211,15 @@ object WriterLease {
         // Only write the content while the grace TTL provably still covers
         // our empty file: a winner stalled past half the grace window may
         // already have been reclaimed, and a blind overwrite would clobber
-        // the reclaimer's valid lease. Abstaining loses the acquisition
-        // (the empty file expires after the grace period) — availability
-        // cost in a pathological stall, never a second live writer.
-        else if (nowMs() - info.acquiredAtMs > CorruptGraceMs / 2) None
+        // the reclaimer's valid lease. Abstaining loses the acquisition —
+        // and while the stall is still INSIDE the grace window the empty
+        // file is provably still ours (reclaim needs the full window), so
+        // it can be deleted to spare the next acquirer the wait; past the
+        // window it may be someone else's and is left alone.
+        else if (nowMs() - info.acquiredAtMs > CorruptGraceMs / 2) {
+          if (nowMs() - info.acquiredAtMs < CorruptGraceMs) fs.delete(p, false)
+          None
+        }
         else {
           try { writeLeaseFile(fs, p, info, overwrite = true); Some(info) }
           catch { case _: java.io.IOException => fs.delete(p, false); None }
