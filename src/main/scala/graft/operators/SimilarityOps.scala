@@ -265,7 +265,7 @@ object SimilarityOps {
       // partition-column inference may narrow cid to int on read-back
       .collect().map(_.get(0).toString.toLong)
     index
-      .filter(col("cid").isin(probes: _*)) // partition pruning on the index
+      .filter(col("cid").isin(probes.toIndexedSeq: _*)) // partition pruning on the index
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(queryVec))
       .select(col("vec_id"), round6f(cos(col("qvec"), col("embedding"))).as("sim"))

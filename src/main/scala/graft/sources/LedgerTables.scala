@@ -163,7 +163,8 @@ object LedgerTables {
         if (days.isEmpty) 0L
         else {
           val affected = matched.count()
-          val slice = ledger.filter(col("query_window_start_day").isin(days: _*))
+          val slice = ledger.filter(
+            col("query_window_start_day").isin(days.toIndexedSeq: _*))
           // Swap through the Hadoop FileSystem of the table's scheme — the
           // same rewrite runs on file://, HDFS, or an object-store connector.
           val staging = new org.apache.hadoop.fs.Path(base.getParent,
