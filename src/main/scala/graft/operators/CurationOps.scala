@@ -23,9 +23,13 @@ object CurationOps {
 
   /**
    * Per-stage survivor counts: the curation funnel. Computed as per-doc
-   * stage FLAGS over one corpus pass plus the near-dup join, then a single
-   * conditional aggregation — no per-stage re-scan of the corpus (five
-   * separate stage counts would re-evaluate the shared lineage up to 4×).
+   * stage FLAGS, then a single conditional aggregation — never one scan
+   * per stage (five separate stage counts would re-evaluate the shared
+   * lineage up to 4×). The flagged corpus lineage is evaluated twice in
+   * total — once feeding the near-dup stage's shingle cache, once for the
+   * census aggregation — which is the correct 100 TB trade: materializing
+   * the full flagged corpus to avoid one extra scan would write corpus-
+   * sized state for a fixed 2× read.
    *
    * The near-dup stage defaults to the LSH path ([[DedupOps.minhashLsh]]):
    * candidate generation is a band-key equi-join instead of the exact
