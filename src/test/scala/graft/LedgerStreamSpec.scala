@@ -40,6 +40,21 @@ class LedgerStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendBatch is idempotent under micro-batch replay") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ab").toString
+    def batch(ids: Long*) = ledgerOf(ids.map(i =>
+      (i, "p", "i", "2024-01-15 10:00:00", "2024-01-15 11:00:00", "completed")): _*)
+    LedgerStream.appendBatch(tmp)(batch(1L, 2L), 0L)
+    // a restart between the data commit and the checkpoint commit replays
+    // the same batchId — the marker must make the second append a no-op
+    LedgerStream.appendBatch(tmp)(batch(1L, 2L), 0L)
+    LedgerStream.appendBatch(tmp)(batch(3L), 1L)
+    val ids = graft.sources.LedgerTables.read(spark, tmp)
+      .select(col("record_id")).as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"replayed batch must not duplicate: $ids")
+  }
+
   test("dedupedIngest drops replayed record_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
