@@ -70,6 +70,40 @@ class PropertiesSpec extends SparkSpec {
     assert(ContinuityOps.discontinuities(toLedger(abut), "p", "i", "2024-01-15").isEmpty)
   }
 
+  test("partition-rewrite UPDATE then DELETE match an in-memory oracle on random ledgers") {
+    import graft.sources.LedgerTables
+    (40 to 42).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val statuses = Vector("pending", "failed", "completed")
+      val rows = (1 to 60).map { i =>
+        val day = 10 + rnd.nextInt(4)
+        (i.toLong, "p", "i",
+          f"2024-02-$day%02d 0${rnd.nextInt(9)}:00:00",
+          f"2024-02-$day%02d 10:00:00",
+          statuses(rnd.nextInt(3)))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_dml$seed").toString
+      LedgerTables.write(ledgerOf(rows: _*).repartition(4), tmp)
+      val nUpd = LedgerTables.updateStatus(spark, tmp,
+        col("pipeline_status") === "failed", "pending")
+      assert(nUpd == rows.count(_._6 == "failed").toLong, s"seed=$seed update count")
+      val afterUpdate = rows.map { r =>
+        if (r._6 == "failed") r.copy(_6 = "pending") else r
+      }
+      val nDel = LedgerTables.deleteWhere(spark, tmp,
+        col("record_id") % 3 === 0 && col("pipeline_status") === "pending")
+      val expectDeleted = afterUpdate.count(r => r._1 % 3 == 0 && r._6 == "pending")
+      assert(nDel == expectDeleted.toLong, s"seed=$seed delete count")
+      val got = LedgerTables.read(spark, tmp)
+        .select(col("record_id"), col("pipeline_status")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = afterUpdate
+        .filterNot(r => r._1 % 3 == 0 && r._6 == "pending")
+        .map(r => (r._1, r._6)).toSet
+      assert(got == want, s"seed=$seed surviving rows diverge from the oracle")
+    }
+  }
+
   test("capped LSH pair generation preserves the dedup loser set for any cap") {
     import graft.operators.DedupOps
     // random corpora of duplicate CLUSTERS (identical texts) plus unique
