@@ -163,6 +163,11 @@ object LedgerTables {
         if (days.isEmpty) 0L
         else {
           val affected = matched.count()
+          // The file set this rewrite transforms (the read's cached file
+          // index) — anything found later in a displaced tree that is NOT
+          // in this set arrived from a concurrent appender and must be
+          // rescued, not deleted.
+          val snapshot = snapshotRelPaths(fs, base, ledger)
           val slice = ledger.filter(
             col("query_window_start_day").isin(days.toIndexedSeq: _*))
           // Swap through the Hadoop FileSystem of the table's scheme — the
@@ -177,12 +182,20 @@ object LedgerTables {
           // table root, removed at the end) so a crash can never leave a
           // directory that partition discovery would misread as a live
           // partition.
-          days.foreach { d =>
+          val displaced = days.flatMap { d =>
             val name = s"query_window_start_day=$d"
             // DELETE may remove a whole partition: only move what staging
             // produced.
             swapIn(fs, new org.apache.hadoop.fs.Path(staging, name),
               new org.apache.hadoop.fs.Path(base, name), staging)
+          }
+          // Serialize concurrent appends AFTER this DML: files that a
+          // streaming/batch appender committed into an affected partition
+          // between our snapshot and the swap sit in the displaced tree —
+          // move them into the live partition before deleting it.
+          displaced.foreach { case (name, old) =>
+            rescueLateFiles(fs, old, new org.apache.hadoop.fs.Path(base, name),
+              snapshot, name)
           }
           fs.delete(staging, true)
           affected
@@ -209,32 +222,151 @@ object LedgerTables {
     if (affected == 0L) return 0L
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val snapshot = snapshotRelPaths(fs, base, ledger)
     val staging = new org.apache.hadoop.fs.Path(base.getParent,
       s"${base.getName}_staging_${java.util.UUID.randomUUID().toString.take(8)}")
     val writer = transform(ledger, predicate).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
-    swapContents(fs, staging, base)
+    val (trash, lateTrees) = swapContents(fs, staging, base)
+    // Files a concurrent appender committed after our snapshot were moved
+    // to trash with their partition dirs — rescue them into the live table
+    // (the append serializes AFTER this DML) before staging is deleted.
+    rescueLateFiles(fs, trash, base, snapshot, "")
+    lateTrees.foreach { case (name, p) =>
+      rescueLateFiles(fs, p, new org.apache.hadoop.fs.Path(base, name),
+        snapshot, name)
+    }
     fs.delete(staging, true)
     affected
   }
 
+  /** The rewrite's input files as table-relative paths (scheme-free, so the
+    * comparison is immune to URI slash/qualification differences). The
+    * parquet read's file index is listed eagerly at [[read]], so this is
+    * exactly the set the staged rewrite transforms. */
+  private def snapshotRelPaths(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      ledger: DataFrame): Set[String] = {
+    val basePath = fs.makeQualified(base).toUri.getPath.stripSuffix("/")
+    ledger.inputFiles.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      if (p.startsWith(basePath + "/")) p.substring(basePath.length + 1) else p
+    }.toSet
+  }
+
+  /**
+   * Install `src` at `dst`, safely against a concurrent appender whose
+   * committer can recreate `dst` (mkdirs + per-file rename) at any moment.
+   * Two hazards, both measured on Hadoop's local FS: rename onto an
+   * existing EMPTY dir replaces it (fine — the appender's subsequent file
+   * renames then land inside the installed tree), but rename onto a
+   * NON-empty dir returns true and silently NESTS `src` inside it. So:
+   * anything already at `dst` is displaced into `trashDir` first (returned
+   * under its original name so the caller can rescue the appender's late
+   * files), the rename is verified not to have nested, and a detected nest
+   * is unwound and retried. The displaced trees are dot-prefixed so the
+   * caller's generic trash walk skips them (their dir name no longer
+   * encodes the partition — the returned mapping does).
+   * Returns (installed, displacedLateTrees).
+   */
+  private def renameInto(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path,
+      trashDir: org.apache.hadoop.fs.Path):
+      (Boolean, Seq[(String, org.apache.hadoop.fs.Path)]) = {
+    val displaced = scala.collection.mutable.ArrayBuffer.empty[
+      (String, org.apache.hadoop.fs.Path)]
+    var attempts = 0
+    while (attempts < 5) {
+      attempts += 1
+      if (fs.exists(dst)) {
+        val aside = new org.apache.hadoop.fs.Path(trashDir,
+          s".late_${java.util.UUID.randomUUID().toString.take(8)}")
+        fs.mkdirs(trashDir)
+        if (!fs.rename(dst, aside)) return (false, displaced.toSeq)
+        displaced += dst.getName -> aside
+      }
+      if (fs.rename(src, dst)) {
+        val nested = new org.apache.hadoop.fs.Path(dst, src.getName)
+        val nestHappened =
+          try fs.getFileStatus(nested).isDirectory
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!nestHappened) return (true, displaced.toSeq)
+        // raced a recreation that turned non-empty between our displace and
+        // the rename: pull src back out, loop displaces the recreated dir
+        if (!fs.rename(nested, src)) return (false, displaced.toSeq)
+      } else if (!fs.exists(dst)) {
+        // failed with nothing in the way: a genuine filesystem failure
+        return (false, displaced.toSeq)
+      }
+      // else: lost the race to a recreated dst — next pass displaces it
+    }
+    (false, displaced.toSeq)
+  }
+
+  /** Move every visible file under `displaced` whose table-relative path is
+    * not in `snapshot` back under `dest` (same relative layout). Those files
+    * were committed by a concurrent APPENDER after this rewrite listed its
+    * input — they hold rows the rewrite never saw, and deleting the
+    * displaced tree without this pass would silently drop them. Hidden
+    * (`_`/`.`-prefixed) names are never data and stay behind. A failed
+    * rescue rename throws: losing appended rows must be loud. */
+  private def rescueLateFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      displaced: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path,
+      snapshot: Set[String],
+      relPrefix: String): Unit = {
+    if (!fs.exists(displaced)) return
+    fs.listStatus(displaced).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = if (relPrefix.isEmpty) name else s"$relPrefix/$name"
+        if (st.isDirectory)
+          rescueLateFiles(fs, st.getPath,
+            new org.apache.hadoop.fs.Path(dest, name), snapshot, rel)
+        else if (!snapshot.contains(rel)) {
+          fs.mkdirs(dest)
+          if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dest, name)))
+            throw new java.io.IOException(
+              s"cannot rescue late-appended file ${st.getPath} into $dest — " +
+                "aborting before the displaced tree is deleted")
+        }
+      }
+    }
+  }
+
   /**
    * Replace `dest`'s contents with `fresh`'s by moving CHILDREN, leaving
-   * `dest` itself (and the [[WriterLease]] file inside it) in place. The
-   * displaced old children go into a trash directory INSIDE the staging
-   * tree (outside `dest`, removed with it), and every rename is checked: a
-   * failure on either phase moves what was already transferred back before
-   * rethrowing, so the table is never silently half-swapped. The crash
-   * (not failure) window between the two phases leaves `dest` visibly
-   * empty with all data intact under staging — loud and recoverable,
-   * matching the compaction manifest's philosophy of never duplicating or
-   * silently dropping rows.
+   * `dest` itself — and every `_`-prefixed child — in place. Underscore
+   * names are invisible to Spark's data listing (the same rule the
+   * [[WriterLease]] file relies on), so they are metadata, not rows being
+   * replaced: the lease, the streaming replay markers
+   * (`_graft_batches` — deleting them would make a restarted stream
+   * re-append already-committed batches), and a concurrent appender's
+   * in-flight `_temporary` committer dir all survive the swap.
+   * Dot-prefixed children are NOT preserved: a crashed compaction's
+   * `.compact_*` manifest names pre-rewrite snapshot files, and replaying
+   * it after the swap would resurrect pre-rewrite data — the rewrite read
+   * the visible snapshot, so dropping hidden compaction state loses
+   * nothing. The displaced old children go into a trash directory INSIDE
+   * the staging tree (outside `dest`, removed with it; returned so the
+   * caller can rescue late-appended files first), and every rename is
+   * checked: a failure on either phase moves what was already transferred
+   * back before rethrowing, so the table is never silently half-swapped.
+   * The crash (not failure) window between the two phases leaves `dest`
+   * visibly empty with all data intact under staging — loud and
+   * recoverable, matching the compaction manifest's philosophy of never
+   * duplicating or silently dropping rows.
    */
   private[graft] def swapContents(
       fs: org.apache.hadoop.fs.FileSystem,
       fresh: org.apache.hadoop.fs.Path,
-      dest: org.apache.hadoop.fs.Path): Unit = {
+      dest: org.apache.hadoop.fs.Path):
+      (org.apache.hadoop.fs.Path, Seq[(String, org.apache.hadoop.fs.Path)]) = {
     val trash = new org.apache.hadoop.fs.Path(fresh,
       s"_old_${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(trash)
@@ -261,14 +393,26 @@ object LedgerTables {
     def suppressRollbackFailure(e: java.io.IOException)(rollback: => Unit): Unit =
       try rollback catch { case r: java.io.IOException => e.addSuppressed(r) }
     val old = fs.listStatus(dest).map(_.getPath).toIndexedSeq
-      .filterNot(_.getName == WriterLease.LeaseName)
+      .filterNot(_.getName.startsWith("_"))
     try moveAll(old, trash)
     catch { case e: java.io.IOException =>
       suppressRollbackFailure(e)(restoreFromTrash()); throw e
     }
+    // `_`-prefixed staging artifacts (`_SUCCESS`, the trash dir itself)
+    // stay behind — moving them in could collide with dest's preserved
+    // metadata children, and they carry no rows. `.late_*` displaced trees
+    // from earlier renameInto passes are dot-prefixed and excluded too.
     val incoming = fs.listStatus(fresh).map(_.getPath).toIndexedSeq
-      .filterNot(_.getName == trash.getName)
-    try moveAll(incoming, dest)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    val lateTrees = scala.collection.mutable.ArrayBuffer.empty[
+      (String, org.apache.hadoop.fs.Path)]
+    def moveIncoming(): Unit = incoming.foreach { c =>
+      val (ok, late) = renameInto(fs, c,
+        new org.apache.hadoop.fs.Path(dest, c.getName), trash)
+      lateTrees ++= late
+      if (!ok) throw new java.io.IOException(s"cannot move $c into $dest")
+    }
+    try moveIncoming()
     catch {
       case e: java.io.IOException =>
         // pull back any fresh children that made it in, then restore the
@@ -287,6 +431,7 @@ object LedgerTables {
         }
         throw e
     }
+    (trash, lateTrees.toSeq)
   }
 
   /**
@@ -298,22 +443,35 @@ object LedgerTables {
    * `trashDir` receives the displaced tree and MUST lie outside the table
    * root (the staging dir, or the table's parent) — a crash between the
    * rename-in and the final delete must not leave a directory that partition
-   * discovery would parse as a live partition.
+   * discovery would parse as a live partition. Returns every displaced
+   * tree under its original partition-dir name (still inside `trashDir`,
+   * NOT yet deleted) so the caller can rescue late-appended files out of
+   * them; the caller owns the final delete via the staging-dir cleanup.
+   * The install goes through [[renameInto]], so a concurrent appender
+   * recreating `dest` mid-swap is displaced-and-rescued, never nested
+   * into or deleted.
    */
   private def swapIn(
       fs: org.apache.hadoop.fs.FileSystem,
       fresh: org.apache.hadoop.fs.Path,
       dest: org.apache.hadoop.fs.Path,
-      trashDir: org.apache.hadoop.fs.Path): Unit = {
+      trashDir: org.apache.hadoop.fs.Path):
+      Seq[(String, org.apache.hadoop.fs.Path)] = {
     val old = new org.apache.hadoop.fs.Path(trashDir,
       s"${dest.getName}_old_${java.util.UUID.randomUUID().toString.take(8)}")
     val hadOld = fs.exists(dest)
     if (hadOld && !fs.rename(dest, old))
       throw new java.io.IOException(s"cannot move $dest aside; table unchanged")
-    if (fs.exists(fresh) && !fs.rename(fresh, dest)) {
-      if (hadOld) fs.rename(old, dest)
-      throw new java.io.IOException(s"cannot move $fresh into place; table restored")
+    val originals =
+      if (hadOld) Seq(dest.getName -> old) else Nil
+    if (!fs.exists(fresh)) originals
+    else {
+      val (ok, late) = renameInto(fs, fresh, dest, trashDir)
+      if (!ok) {
+        if (hadOld) fs.rename(old, dest)
+        throw new java.io.IOException(s"cannot move $fresh into place; table restored")
+      }
+      originals ++ late
     }
-    if (hadOld) fs.delete(old, true)
   }
 }

@@ -37,11 +37,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * Scope: the lease serializes REWRITERS — compaction and the
  * UPDATE/DELETE partition swaps — against each other. Append-only writers
  * ([[LedgerTables.write]], [[graft.streaming.LedgerStream.appendBatch]]) deliberately do
- * not take it: compaction compacts only the snapshot of files listed at
- * its start, so a file appended mid-compaction is never read, deleted, or
- * manifest-named — appends are safe against a concurrent rewrite by
- * construction, and serializing them would throttle streaming ingest for
- * nothing.
+ * not take it, and each rewriter carries its own append-safety argument:
+ * compaction reads, deletes, and manifest-names only the snapshot of
+ * files listed at its start, so a mid-compaction append is untouched by
+ * construction; the DML swaps displace whole trees, so before deleting a
+ * displaced tree they move any file NOT in their input snapshot back into
+ * the live table (`LedgerTables.rescueLateFiles`) — a concurrent append
+ * serializes after the DML instead of being lost, and the swap preserves
+ * `_`-prefixed children so an in-flight append's `_temporary` committer
+ * dir and the streaming replay markers survive. Serializing appends under
+ * the lease would throttle streaming ingest for nothing.
  *
  * Honest limits of a filesystem without compare-and-swap: a reclaimer
  * that stalls between its identity recheck and the delete can still evict

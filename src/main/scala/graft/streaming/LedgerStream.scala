@@ -62,6 +62,11 @@ object LedgerStream {
    * not atomic with the append, so the residual window is a crash BETWEEN
    * append and marker; that replay duplicates one batch, which the exact
    * dedup operators downstream catch (defense in depth, not a txn log).
+   * Safe against concurrent DML/compaction without taking the writer
+   * lease: the markers are `_`-prefixed (preserved by the whole-table
+   * swap), and files this append commits mid-rewrite are rescued out of
+   * displaced trees by the DML path (see [[graft.sources.WriterLease]]
+   * scope notes).
    */
   def appendBatch(path: String)(batch: DataFrame, batchId: Long): Unit = {
     // Hadoop FS like every other table mutation — file://, HDFS, or object

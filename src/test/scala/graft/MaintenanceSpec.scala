@@ -111,11 +111,14 @@ class MaintenanceSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_hb").toString
     val base = new Path(tmp)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    WriterLease.withLease(fs, base, ttlMs = 2000L) {
-      // sleep well past the TTL: the heartbeat (every ttl/3) must keep the
-      // lease fresh, so a second writer still fails. The 2s TTL tolerates
-      // CI scheduling pauses of a full TTL between heartbeats.
-      Thread.sleep(3000L)
+    WriterLease.withLease(fs, base, ttlMs = 6000L) {
+      // sleep well past the TTL: the heartbeat (every ttl/3 = 2 s) must
+      // keep the lease fresh, so a second writer still fails. The lease
+      // stays live as long as SOME heartbeat lands within each 6 s window,
+      // so only a scheduling/GC pause longer than ~4 s can flake this —
+      // far beyond anything observed in CI (the old 2 s TTL tolerated
+      // only ~1.3 s and was a real flake risk).
+      Thread.sleep(9000L)
       val e = intercept[WriterLease.HeldByOtherWriterException] {
         WriterLease.acquire(fs, base, owner = "writer-B", ttlMs = 2000L)
       }
