@@ -252,6 +252,20 @@ object SparkEntry {
     // is boilerplate-dense enough to engage the representative-star path.
     "x27_lsh_buckets" -> ((s, d) =>
       DedupOps.lshBucketCensus(docs(s, d))),
+    // The CAPPED LSH path — the code path a 100 TB corpus actually takes.
+    // maxBucketSize = 2 forces every bucket wider than a pair through the
+    // representative-star generator on the fixture (buckets up to size 5
+    // exist at sf0.01); the oracle models clique(≤cap) ∪ star(>cap)
+    // explicitly, so the star pair set itself is hash-gated, not just
+    // property-tested.
+    "x28_lsh_capped" -> ((s, d) =>
+      DedupOps.minhashLsh(docs(s, d), 0.8, 2)),
+    // The funnel through the capped LSH path: proves the composite
+    // pipeline (quality gate -> exact dedup -> CAPPED near-dedup ->
+    // sample) is star-path-correct, not just the isolated operator.
+    "x30_funnel_capped" -> ((s, d) =>
+      CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13,
+        useLsh = true, maxBucketSize = 2)),
     // Token-budget mixing with an explicit (source, weight) table — the
     // mixture-config-as-data path: a fixed 3-row config, sources outside it
     // surfacing at rate 0, its weight for any absent source eating nothing.
@@ -835,6 +849,106 @@ object SparkEntry {
         |  JOIN sizes sa ON sa.doc_id = inter.doc_a
         |  JOIN sizes sb ON sb.doc_id = inter.doc_b
         |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+        |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |samp AS (
+        |  SELECT doc_id FROM nd
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 13)
+        |SELECT (SELECT COUNT(*) FROM documents) AS n_input,
+        |       (SELECT COUNT(*) FROM q) AS n_quality,
+        |       (SELECT COUNT(*) FROM ex) AS n_exact,
+        |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
+        |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin,
+    // The capped LSH detector: candidates = cliques of buckets ≤ cap(2)
+    // UNION star pairs (bucket representative = min doc_id, one pair per
+    // other member) of buckets > cap — exactly DedupOps.minhashLsh's
+    // bounded-task generator, then the same exact-Jaccard confirmation.
+    "x28_lsh_capped" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM docs),
+        |vs AS (
+        |  SELECT doc_id, list_transform(sh,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
+        |  FROM vs),
+        |banded AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 4),
+        |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
+        |  FROM sig),
+        |bs AS (
+        |  SELECT band_key, COUNT(*) AS bsz, MIN(doc_id) AS rep
+        |  FROM banded GROUP BY band_key),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |    JOIN bs ON bs.band_key = a.band_key AND bs.bsz <= 2
+        |    UNION ALL
+        |    SELECT bs.rep AS doc_a, banded.doc_id AS doc_b
+        |    FROM banded JOIN bs ON bs.band_key = banded.band_key
+        |    WHERE bs.bsz > 2 AND banded.doc_id <> bs.rep)),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+        |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    // The funnel with the near-dedup stage on the CAPPED LSH path: the
+    // loser set comes from the clique ∪ star candidate generator above
+    // (applied to exact-dedup survivors), not the exact all-pairs join.
+    "x30_funnel_capped" ->
+      """WITH q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 30),
+        |ex AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+        |    FROM q) WHERE doc_id = keeper),
+        |docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM ex),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM docs),
+        |vs AS (
+        |  SELECT doc_id, list_transform(sh,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
+        |  FROM shl),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
+        |  FROM vs),
+        |banded AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 4),
+        |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
+        |  FROM sig),
+        |bs AS (
+        |  SELECT band_key, COUNT(*) AS bsz, MIN(doc_id) AS rep
+        |  FROM banded GROUP BY band_key),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |    JOIN bs ON bs.band_key = a.band_key AND bs.bsz <= 2
+        |    UNION ALL
+        |    SELECT bs.rep AS doc_a, banded.doc_id AS doc_b
+        |    FROM banded JOIN bs ON bs.band_key = banded.band_key
+        |    WHERE bs.bsz > 2 AND banded.doc_id <> bs.rep)),
+        |losers AS (
+        |  SELECT DISTINCT doc_b AS doc_id
+        |  FROM cand JOIN shl sa ON sa.doc_id = cand.doc_a
+        |            JOIN shl sb ON sb.doc_id = cand.doc_b
+        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8),
         |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
         |samp AS (
         |  SELECT doc_id FROM nd

@@ -48,7 +48,8 @@ object CurationOps {
       minWords: Int = 30,
       threshold: Double = 0.8,
       keepNibbles: Int = 13,
-      useLsh: Boolean = true): DataFrame = {
+      useLsh: Boolean = true,
+      maxBucketSize: Int = DedupOps.DefaultMaxBucketSize): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("norm"))
@@ -61,7 +62,7 @@ object CurationOps {
     val exact = flagged.filter(col("keep_exact"))
       .select(col("doc_id"), col("text"))
     val nearDups =
-      if (useLsh) DedupOps.minhashLsh(exact, threshold)
+      if (useLsh) DedupOps.minhashLsh(exact, threshold, maxBucketSize)
       else DedupOps.ngramJaccard(exact, threshold)
     val losers = nearDups
       .select(col("doc_b").as("doc_id")).distinct()

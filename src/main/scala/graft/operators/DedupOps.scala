@@ -95,13 +95,18 @@ object DedupOps {
    * dense near-duplicate cluster (its members share an entire minhash band),
    * and emitting its full clique is both quadratic and useless for dedup —
    * instead every member is paired with the bucket's REPRESENTATIVE (its
-   * minimum doc_id): one pair per row, the star reaches every member, and
-   * the downstream loser set (all non-minimum members of the cluster) is
-   * identical to the clique's. Star pairs still pass exact-Jaccard
-   * verification, so no false positive can enter; clique edges between two
-   * non-representative members of an oversized bucket are the accepted
-   * recall trade-off (they can still surface via the other bands). Use
-   * [[lshBucketCensus]] to quantify how many buckets a corpus caps.
+   * minimum doc_id): one pair per row, the star reaches every member. The
+   * downstream loser set matches the clique's exactly WHEN every cluster
+   * member verifies ≥ threshold against the representative — always true
+   * for identical-text clusters, and typical for the boilerplate clusters
+   * that produce oversized buckets. A member whose Jaccard to the
+   * representative falls below threshold while exceeding it to some other
+   * non-representative member is reported only if another band pairs those
+   * two directly — that is the star path's recall trade-off, characterized
+   * by the near-identical-cluster property test in PropertiesSpec. Star
+   * pairs still pass exact-Jaccard verification, so no false positive can
+   * enter. Use [[lshBucketCensus]] to quantify how many buckets a corpus
+   * caps, and [[lshRecallCensus]] to measure the effect.
    */
   def minhashLsh(documents: DataFrame, threshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {

@@ -75,6 +75,57 @@ class DedupSpec extends SparkSpec {
     assert(c.getLong(3) == 4L * (64 * 63 / 2), s"clique pairs avoided: $c")
   }
 
+  test("star-path recall characterization: a below-threshold representative can absorb a cluster's edges") {
+    // The scaladoc'd star trade-off, made concrete: when an oversized
+    // bucket's representative (its min doc_id) verifies BELOW threshold
+    // against the members, every star edge dies in verification and a true
+    // duplicate cluster among the non-representative members goes
+    // unreported — unless some band excludes the representative, in which
+    // case that bucket's star is led by a member and the dedup recovers.
+    // Both configs are found deterministically with a pure-Scala mirror of
+    // the banding (same md5-prefix arithmetic as DedupOps), so no Spark
+    // job runs per probe.
+    def bandKeys(text: String): Seq[String] = {
+      val w = text.toLowerCase.split(" ", -1).toSeq
+      val sh = (if (w.length >= 3) (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+        else Seq(w.mkString(" "))).distinct
+      val p = 2147483647L
+      val vs = sh.map { s =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16) % p
+      }
+      val sig = (0 until 16).map(i => vs.map(v => (v * (2 * i + 1) + i) % p).min)
+      (0 until 4).map(b => s"$b:" + (0 until 4).map(r => sig(b * 4 + r)).mkString(","))
+    }
+    val baseWords = (0 until 100).map(j => s"n$j")
+    val rep = baseWords.mkString(" ")
+    val repB = bandKeys(rep)
+    // members: one interior word changed → J(rep, member) = 95/101 ≈ 0.9406,
+    // below the 0.95 threshold; members are identical to each other (J = 1)
+    def member(k: Int) = baseWords.updated(50, s"chg$k").mkString(" ")
+    def sharedBands(k: Int) = repB.zip(bandKeys(member(k))).count { case (a, b) => a == b }
+    val all4 = (0 until 300).find(k => sharedBands(k) == 4)
+    val partial = (0 until 300).find(k => { val s = sharedBands(k); s >= 1 && s < 4 })
+    assert(all4.isDefined && partial.isDefined,
+      "deterministic config search must find both band alignments")
+    def losers(k: Int, cap: Int): Set[Long] = {
+      val c = docsOf(((1L, rep, "en", "s") +:
+        (2L to 8L).map(i => (i, member(k), "en", "s"))): _*)
+      DedupOps.minhashLsh(c, 0.95, maxBucketSize = cap).collect()
+        .map(_.getLong(1)).toSet
+    }
+    // uncapped cliques pair the members directly regardless of the rep
+    assert(losers(all4.get, 1 << 20) == (3L to 8L).toSet)
+    // the gap: rep joins all 4 member buckets, leads every star, and every
+    // star edge fails verification → the cluster is not deduplicated
+    assert(losers(all4.get, 2) == Set.empty[Long])
+    // the recovery: rep misses ≥1 band, that bucket's star is led by a
+    // member, its edges verify at J=1 — capped matches uncapped exactly
+    assert(losers(partial.get, 1 << 20) == (3L to 8L).toSet)
+    assert(losers(partial.get, 2) == (3L to 8L).toSet)
+  }
+
   test("LSH recall census: full recall on the standard fixture; pinned deficit near the threshold") {
     // standard fixture: 3 true pairs, all found (the existing subset test)
     val c1 = DedupOps.lshRecallCensus(corpus, 0.5).collect().head
