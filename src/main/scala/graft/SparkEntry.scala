@@ -266,6 +266,18 @@ object SparkEntry {
     "x30_funnel_capped" -> ((s, d) =>
       CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13,
         useLsh = true, maxBucketSize = 2)),
+    // Skew-mitigated fact/dim join: events.user_id is deliberately hot
+    // (15 users over 1000 events at sf0.001), the salt spreads each hot
+    // key over 8 reducers, and the result is row-identical to the plain
+    // join — so the plain join IS the oracle. Aggregated to a census so
+    // the gated row is small and exactly integer-typed.
+    "x29_salted_join" -> ((s, d) =>
+      SkewOps.saltedJoin(Tables.read(s, d, "events"),
+          Tables.read(s, d, "customer"), "user_id", "c_custkey", 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_nationkey")).cast("long").as("nation_sum"))
+        .orderBy(col("event_type"))),
     // Token-budget mixing with an explicit (source, weight) table — the
     // mixture-config-as-data path: a fixed 3-row config, sources outside it
     // surfacing at rate 0, its weight for any absent source eating nothing.
@@ -957,6 +969,13 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM q) AS n_quality,
         |       (SELECT COUNT(*) FROM ex) AS n_exact,
         |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
-        |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin
+        |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin,
+    // The salted join is row-identical to the plain equi-join by
+    // construction, so the oracle is simply the unsalted form.
+    "x29_salted_join" ->
+      """SELECT e.event_type, COUNT(*) AS n,
+        |       CAST(SUM(c.c_nationkey) AS BIGINT) AS nation_sum
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

@@ -34,6 +34,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("e4_multimodal_join").contains("BroadcastHashJoin"))
   }
 
+  test("salted join shuffles on (key, salt): a hot key spreads across reducers") {
+    // force the shuffle join the operator exists for (at fixture scale the
+    // dim side would broadcast, where salting is a no-op by design)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = graft.operators.SkewOps.saltedJoin(
+        Tables.read(spark, d, "events"), Tables.read(spark, d, "customer"),
+        "user_id", "c_custkey", 8)
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p.take(1500))
+      // both exchanges carry the salt in their hash partitioning, so the
+      // hottest user_id occupies 8 reducers, not one
+      val parts = "hashpartitioning\\([^)]*__salt".r.findAllIn(p).size
+      assert(parts >= 2, s"expected both join sides partitioned by __salt:\n${p.take(2500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   private def windows(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
