@@ -245,9 +245,13 @@ object SparkEntry {
     // LSH recall census: the banded detector measured against the exact
     // ground-truth operator — true pairs, found, missed, the Jaccard range
     // of the misses, and the recall ratio (single division, rounded).
-    // uncapped for the same reason as x1: the oracle models the clique
+    // Uncapped for the same reason as x1 (the oracle models the clique;
+    // x28 gates the capped generator), and run the way it is meant to be
+    // used in production: on a deterministic doc_id-hash slice
+    // (sampleNibbles 8 = half the docs, a quarter of the ground-truth
+    // pair work; 8/3/61 true pairs at sf0.001/0.01/0.1).
     "x25_lsh_recall" -> ((s, d) =>
-      DedupOps.lshRecallCensus(docs(s, d), 0.8, Int.MaxValue)),
+      DedupOps.lshRecallCensus(docs(s, d), 0.8, Int.MaxValue, sampleNibbles = 8)),
     // LSH band-bucket census at the production cap: how much of the corpus
     // is boilerplate-dense enough to engage the representative-star path.
     "x27_lsh_buckets" -> ((s, d) =>
@@ -600,7 +604,8 @@ object SparkEntry {
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "x25_lsh_recall" ->
       """WITH docs AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 8),
         |shl AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
         |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))

@@ -111,6 +111,14 @@ object DedupOps {
   def minhashLsh(documents: DataFrame, threshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    minhashLshFrom(shingleRelation(documents), threshold, maxBucketSize)
+  }
+
+  /** [[minhashLsh]] over an explicit (possibly filtered) shingle relation —
+    * lets [[lshRecallCensus]] sample the CACHED full-corpus relation
+    * instead of materializing a second cache for the slice. */
+  private def minhashLshFrom(shs: DataFrame, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     // MinHash signature: one md5 per DISTINCT (doc, shingle), hash i derived
     // arithmetically as (v*(2i+1) + i) mod p — a universal-family draw with
     // deterministic coefficients, reproduced verbatim in the DuckDB oracle.
@@ -126,7 +134,6 @@ object DedupOps {
     // *within* each bucket (ids only — shingle arrays are joined back
     // afterwards, once per surviving candidate pair), never by self-joining
     // the banded relation.
-    val shs = shingleRelation(documents)
     val banded = bandedKeys(shs)
     // Bucket size + representative via a whole-partition window over
     // band_key: ONE shuffle of the banded relation, after which the
@@ -218,12 +225,31 @@ object DedupOps {
    * the band/row configuration's recall curve is acceptable for a corpus,
    * then run only [[minhashLsh]] at full scale. Both detectors share the
    * cached shingle relation, so the corpus is shingled once.
+   *
+   * `sampleNibbles` (0..16) is the built-in deterministic slice: docs whose
+   * first md5 nibble of the doc_id is below it participate (16 = everyone).
+   * The gate is content-independent and reproducible in SQL, so a sampled
+   * census stays oracle-checkable; recall over a uniform doc sample is an
+   * unbiased estimate of pair recall in the j-bands the census reports
+   * (both detectors see the identical sampled corpus).
    */
   def lshRecallCensus(documents: DataFrame, threshold: Double = 0.8,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val truth = ngramJaccard(documents, threshold)
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      sampleNibbles: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // Filter the CACHED full-corpus shingle relation rather than shingling
+    // a sampled corpus: the census shares the one cache entry every other
+    // dedup operator uses, and the slice costs one cheap predicate per
+    // consumer instead of a second materialization.
+    val shsFull = shingleRelation(documents)
+    val shs =
+      if (sampleNibbles >= 16) shsFull
+      else shsFull.filter(
+        graft.functions.GraftFunctions.md5PrefixLong(
+          col("doc_id").cast("string"), 1) < sampleNibbles)
+    val truth = ngramJaccardFrom(shs, threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val found = minhashLsh(documents, threshold, maxBucketSize)
+    val found = minhashLshFrom(shs, threshold, maxBucketSize)
       .select(col("doc_a"), col("doc_b"), lit(true).as("found"))
     truth.join(found, Seq("doc_a", "doc_b"), "left_outer")
       .agg(
@@ -264,6 +290,12 @@ object DedupOps {
    */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
+    ngramJaccardFrom(shingleRelation(documents), threshold)
+  }
+
+  /** [[ngramJaccard]] over an explicit (possibly filtered) shingle relation
+    * — see [[minhashLshFrom]]. */
+  private def ngramJaccardFrom(shArr: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Prefix filtering (PPJoin-style): for Jaccard >= t, two docs must share
     // at least one shingle among each doc's first (n - ceil(t*n) + 1) shingles
@@ -285,7 +317,6 @@ object DedupOps {
     // before intersections), so every true pair still shares a prefix key,
     // and collision-born extra candidates are removed by the exact
     // verification on the string arrays.
-    val shArr = shingleRelation(documents)
     val sh = shArr
       .select(col("doc_id"), array_distinct(col("shv")).as("shd"))
       .select(col("doc_id"), size(col("shd")).as("n_sh"), explode(col("shd")).as("s"))
