@@ -54,12 +54,66 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * holder — its fresh modification time fails the staleness recheck); the
  * window is one metadata operation wide, and an evicted holder's next
  * heartbeat detects and logs the loss. On object stores without atomic
- * create, the lease is advisory — the same caveat the swap itself carries
- * ([[Maintenance]] scaladoc).
+ * create, the DEFAULT arbiter is advisory — the same caveat the swap
+ * itself carries ([[Maintenance]] scaladoc) — but the arbitration is
+ * pluggable ([[WriterLease.LeaseArbiter]]): a backend built on the
+ * store's conditional write (If-None-Match / precondition PUT) makes the
+ * exclusion decisive there too.
  */
 object WriterLease {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /**
+   * How the exclusive "create the lease file iff absent" is decided. The
+   * decision MUST be made by the store, not by an exists-then-create in
+   * this process — that is the whole arbitration. Implementations create
+   * an EMPTY placeholder; the winner's lease content is written afterwards
+   * under the corrupt-lease grace TTL (see [[WriterLease.CorruptGraceMs]]),
+   * so a placeholder is never reclaimed out from under its content write.
+   *
+   * Built-ins cover POSIX (`O_CREAT|O_EXCL`) and HDFS-style server-side
+   * `create(overwrite = false)`. An object store with conditional writes
+   * (If-None-Match / precondition PUT) slots in as a third implementation
+   * — with it the lease's "advisory on object stores" caveat becomes a
+   * backend property, not a design limit.
+   */
+  trait LeaseArbiter {
+    /** Atomically create an empty placeholder at `p` iff nothing exists
+      * there; true iff THIS caller created it. */
+    def createIfAbsent(fs: FileSystem, p: Path): Boolean
+  }
+
+  object LeaseArbiter {
+    /** POSIX atomic create via `java.io.File.createNewFile`
+      * (`O_CREAT|O_EXCL`). Needed because Hadoop's LOCAL
+      * `create(overwrite = false)` is exists-then-create — NOT atomic
+      * (measured: 6 racing threads produced overlapping "exclusive"
+      * creates). */
+    val posixLocal: LeaseArbiter = (fs: FileSystem, p: Path) => {
+      // File(URI) handles the path conversion on every platform (a raw
+      // toUri.getPath breaks on Windows drive letters)
+      val qualified = fs.makeQualified(p).toUri
+      val local = try new java.io.File(qualified)
+        catch { case _: IllegalArgumentException => new java.io.File(qualified.getPath) }
+      Option(local.getParentFile).foreach(_.mkdirs())
+      try local.createNewFile() catch { case _: java.io.IOException => false }
+    }
+
+    /** Server-side `create(overwrite = false)` — atomic on HDFS and any
+      * store whose namenode/metadata layer arbitrates the create. */
+    val exclusiveCreate: LeaseArbiter = (fs: FileSystem, p: Path) => {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+    /** The default for a filesystem: POSIX on `file://`, server-side
+      * exclusive create elsewhere. (`getUri.getScheme`, not `getScheme()`:
+      * the latter's Hadoop base implementation throws on filesystems that
+      * never overrode it.) */
+    def forFileSystem(fs: FileSystem): LeaseArbiter =
+      if (fs.getUri.getScheme == "file") posixLocal else exclusiveCreate
+  }
 
   /** Lease file name, inside the table root; underscore-prefixed so Spark
     * listings never see it as data. */
@@ -189,49 +243,31 @@ object WriterLease {
       root: Path,
       owner: String = defaultOwner(),
       ttlMs: Long = DefaultTtlMs,
-      nowMs: () => Long = () => System.currentTimeMillis()): LeaseInfo = {
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      arbiter: LeaseArbiter = null): LeaseInfo = {
     val p = leasePath(root)
-    // getUri.getScheme, not getScheme(): the latter's Hadoop base
-    // implementation throws UnsupportedOperationException on filesystems
-    // that never overrode it
-    val isLocal = fs.getUri.getScheme == "file"
+    val arb = Option(arbiter).getOrElse(LeaseArbiter.forFileSystem(fs))
     def tryCreate(): Option[LeaseInfo] = {
       val info = LeaseInfo(owner, nowMs(), ttlMs)
-      // Hadoop's LOCAL create(overwrite = false) is exists-then-create —
-      // NOT atomic (measured: 6 racing threads produced overlapping
-      // "exclusive" creates). On file:// the arbitration therefore goes
-      // through File.createNewFile (O_CREAT|O_EXCL, atomic on POSIX); the
-      // winner then writes the content into its own empty file, protected
-      // from instant reclaim by the corrupt-lease grace TTL. HDFS-style
-      // filesystems arbitrate create(overwrite = false) server-side.
-      if (isLocal) {
-        // File(URI) handles the path conversion on every platform (a raw
-        // toUri.getPath breaks on Windows drive letters)
-        val qualified = fs.makeQualified(p).toUri
-        val local = try new java.io.File(qualified)
-          catch { case _: IllegalArgumentException => new java.io.File(qualified.getPath) }
-        Option(local.getParentFile).foreach(_.mkdirs())
-        val won = try local.createNewFile() catch { case _: java.io.IOException => false }
-        if (!won) None
-        // Only write the content while the grace TTL provably still covers
-        // our empty file: a winner stalled past half the grace window may
-        // already have been reclaimed, and a blind overwrite would clobber
-        // the reclaimer's valid lease. Abstaining loses the acquisition —
-        // and while the stall is still INSIDE the grace window the empty
-        // file is provably still ours (reclaim needs the full window), so
-        // it can be deleted to spare the next acquirer the wait; past the
-        // window it may be someone else's and is left alone.
-        else if (nowMs() - info.acquiredAtMs > CorruptGraceMs / 2) {
-          if (nowMs() - info.acquiredAtMs < CorruptGraceMs) fs.delete(p, false)
-          None
-        }
-        else {
-          try { writeLeaseFile(fs, p, info, overwrite = true); Some(info) }
-          catch { case _: java.io.IOException => fs.delete(p, false); None }
-        }
-      } else {
-        try { writeLeaseFile(fs, p, info, overwrite = false); Some(info) }
-        catch { case _: java.io.IOException => None }
+      // The store decides the winner ([[LeaseArbiter]]); the winner then
+      // writes the content into its own empty placeholder, protected from
+      // instant reclaim by the corrupt-lease grace TTL.
+      if (!arb.createIfAbsent(fs, p)) None
+      // Only write the content while the grace TTL provably still covers
+      // our empty file: a winner stalled past half the grace window may
+      // already have been reclaimed, and a blind overwrite would clobber
+      // the reclaimer's valid lease. Abstaining loses the acquisition —
+      // and while the stall is still INSIDE the grace window the empty
+      // file is provably still ours (reclaim needs the full window), so
+      // it can be deleted to spare the next acquirer the wait; past the
+      // window it may be someone else's and is left alone.
+      else if (nowMs() - info.acquiredAtMs > CorruptGraceMs / 2) {
+        if (nowMs() - info.acquiredAtMs < CorruptGraceMs) fs.delete(p, false)
+        None
+      }
+      else {
+        try { writeLeaseFile(fs, p, info, overwrite = true); Some(info) }
+        catch { case _: java.io.IOException => fs.delete(p, false); None }
       }
     }
     // bounded retry: each pass either creates, throws on a live holder, or
@@ -295,8 +331,9 @@ object WriterLease {
   def withLease[A](
       fs: FileSystem,
       root: Path,
-      ttlMs: Long = DefaultTtlMs)(body: => A): A = {
-    val info = acquire(fs, root, ttlMs = ttlMs)
+      ttlMs: Long = DefaultTtlMs,
+      arbiter: LeaseArbiter = null)(body: => A): A = {
+    val info = acquire(fs, root, ttlMs = ttlMs, arbiter = arbiter)
     val hb = new Thread(() => {
       try {
         while (!Thread.currentThread().isInterrupted) {

@@ -1,0 +1,100 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.sources.WriterLease
+import graft.sources.WriterLease.LeaseArbiter
+
+/**
+ * The pluggable lease arbitration backend: a mock conditional-write store
+ * (atomic "create iff absent" decided under one lock — the filesystem
+ * model of an If-None-Match PUT) drives the full acquire/renew/reclaim
+ * lifecycle, proving the lease logic needs nothing from the filesystem
+ * beyond what the arbiter contract provides.
+ */
+class WriterLeaseArbiterSpec extends SparkSpec {
+
+  /** Conditional-write mock: the absence check and the create commit
+    * atomically (one global lock = the store's strong metadata layer);
+    * every decision is counted so tests can assert the mock — not the
+    * filesystem default — did the arbitration. */
+  private class ConditionalStore extends LeaseArbiter {
+    val decisions = new AtomicInteger(0)
+    val wins = new AtomicInteger(0)
+    override def createIfAbsent(fs: FileSystem, p: Path): Boolean =
+      synchronized {
+        decisions.incrementAndGet()
+        if (fs.exists(p)) false
+        else { fs.create(p, true).close(); wins.incrementAndGet(); true }
+      }
+  }
+
+  private def fixture() = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_arb").toString
+    val base = new Path(tmp)
+    (base.getFileSystem(spark.sessionState.newHadoopConf()), base)
+  }
+
+  test("acquire/renew/release run entirely through a conditional-write arbiter") {
+    val (fs, base) = fixture()
+    val store = new ConditionalStore
+    val got = WriterLease.acquire(fs, base, owner = "writer-A", arbiter = store)
+    assert(store.wins.get() == 1, "the mock must have decided the create")
+    // a second writer loses at the arbiter, not at a local-FS race
+    val e = intercept[WriterLease.HeldByOtherWriterException] {
+      WriterLease.acquire(fs, base, owner = "writer-B", arbiter = store)
+    }
+    assert(e.getMessage.contains("writer-A"))
+    assert(store.decisions.get() >= 2)
+    assert(WriterLease.renew(fs, base, got.owner))
+    WriterLease.release(fs, base, got.owner)
+    assert(WriterLease.read(fs, base).isEmpty)
+    // and the slot is reusable through the same backend
+    val again = WriterLease.acquire(fs, base, owner = "writer-B", arbiter = store)
+    assert(again.owner == "writer-B" && store.wins.get() == 2)
+    WriterLease.release(fs, base, again.owner)
+  }
+
+  test("an expired lease is reclaimed through the arbiter's exclusive create") {
+    val (fs, base) = fixture()
+    val store = new ConditionalStore
+    WriterLease.acquire(fs, base, owner = "crashed-writer", ttlMs = 0L, arbiter = store)
+    Thread.sleep(5) // strictly past the 0 ms TTL
+    val got = WriterLease.acquire(fs, base, owner = "reclaimer", arbiter = store)
+    assert(got.owner == "reclaimer")
+    // reclaim = unconditional delete of the identity-checked stale lease,
+    // then the arbiter decides the re-create race
+    assert(store.wins.get() == 2, s"expected both creates arbitrated: ${store.wins}")
+    WriterLease.release(fs, base, got.owner)
+  }
+
+  test("racing writers through the conditional backend never overlap") {
+    val (fs, base) = fixture()
+    val store = new ConditionalStore
+    val inCritical = new AtomicBoolean(false)
+    val overlaps = new AtomicInteger(0)
+    val completed = new AtomicInteger(0)
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        var done = false
+        while (!done) {
+          try {
+            WriterLease.withLease(fs, base, arbiter = store) {
+              if (!inCritical.compareAndSet(false, true)) overlaps.incrementAndGet()
+              Thread.sleep(20)
+              inCritical.set(false)
+            }
+            completed.incrementAndGet(); done = true
+          } catch {
+            case _: WriterLease.HeldByOtherWriterException => Thread.sleep(10)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(completed.get() == 6, s"all writers must eventually run: ${completed.get()}")
+    assert(overlaps.get() == 0, s"overlapping critical sections: ${overlaps.get()}")
+  }
+}
