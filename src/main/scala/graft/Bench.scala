@@ -80,11 +80,16 @@ object Bench {
         s"""    "$n": {"cold": ${cold(t)}, "steady": ${steady(t)}, "reps": [${t.mkString(", ")}]}"""
       }.mkString(",\n"))
       .append("\n  }\n}\n").toString
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/BENCH_full_latest.json")
+    // CWD-relative default (the driver launches from the repo root); the
+    // stdout line advertises the ABSOLUTE path so a bench launched from
+    // elsewhere — a cluster driver, say — points at where it actually
+    // wrote, not at a stale repo copy. Override with SPARK_GRAFT_BENCH_OUT.
+    val outFile = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/BENCH_full_latest.json"))
+      .toAbsolutePath
     try {
-      val p = java.nio.file.Paths.get(outFile)
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+      Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(outFile, full.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"bench: could not write $outFile: $e")
     }

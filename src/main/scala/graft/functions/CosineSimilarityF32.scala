@@ -100,4 +100,13 @@ object GraftFunctions {
   def md5PrefixLong(c: org.apache.spark.sql.Column, hexChars: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("md5_prefix_long",
       c.cast("binary"), org.apache.spark.sql.functions.lit(hexChars))
+
+  /** Deterministic id-hash keep/sample gate: the first md5 nibble of `id`'s
+    * string form, compared against `nibbles` (0..16; 16 keeps everything).
+    * The one place the expression lives — the funnel's sampling stage and
+    * the recall census both gate through it, so the Spark form and the
+    * DuckDB oracle form `('0x'||substr(md5(id::VARCHAR),1,1))::BIGINT < n`
+    * cannot drift apart between operators. */
+  def sampleGate(id: org.apache.spark.sql.Column, nibbles: Int): org.apache.spark.sql.Column =
+    md5PrefixLong(id.cast("string"), 1) < org.apache.spark.sql.functions.lit(nibbles)
 }

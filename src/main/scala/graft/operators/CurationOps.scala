@@ -71,8 +71,7 @@ object CurationOps {
       .join(losers, Seq("doc_id"), "left_outer")
       .withColumn("keep_near", col("keep_exact") && col("is_loser").isNull)
       .withColumn("keep_sample", col("keep_near") &&
-        graft.functions.GraftFunctions.md5PrefixLong(
-          col("doc_id").cast("string"), 1) < keepNibbles)
+        graft.functions.GraftFunctions.sampleGate(col("doc_id"), keepNibbles))
       .agg(
         count(lit(1)).as("n_input"),
         sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),

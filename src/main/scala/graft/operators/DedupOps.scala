@@ -245,8 +245,7 @@ object DedupOps {
     val shs =
       if (sampleNibbles >= 16) shsFull
       else shsFull.filter(
-        graft.functions.GraftFunctions.md5PrefixLong(
-          col("doc_id").cast("string"), 1) < sampleNibbles)
+        graft.functions.GraftFunctions.sampleGate(col("doc_id"), sampleNibbles))
     val truth = ngramJaccardFrom(shs, threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val found = minhashLshFrom(shs, threshold, maxBucketSize)

@@ -145,6 +145,10 @@ object LedgerTables {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     Maintenance.requirePlainParquetTable(fs, base)
     WriterLease.withLease(fs, base) {
+      // Finish any crashed compaction FIRST: its mid-swap state shows a
+      // partition with snapshot rows missing, and reading that view into
+      // a staged rewrite would bake the loss in permanently.
+      Maintenance.recoverCrashedCompactions(fs, base)
       val ledger = read(spark, path)
       // resolve the transform FIRST: its validation must fire even when
       // zero rows match and the rewrite below short-circuits
@@ -320,7 +324,23 @@ object LedgerTables {
       dest: org.apache.hadoop.fs.Path,
       snapshot: Set[String],
       relPrefix: String): Unit = {
-    if (!fs.exists(displaced)) return
+    val st0 = try fs.getFileStatus(displaced)
+      catch { case _: java.io.FileNotFoundException => return }
+    if (st0.isFile) {
+      // `displaced` is itself a displaced FILE (a root-level data file an
+      // external appender wrote): its synthetic `.late_*` name would fail
+      // the hidden-name filter below, but the caller's mapping carries its
+      // original identity — here `dest` is the full original path and
+      // `relPrefix` its table-relative name.
+      if (!snapshot.contains(relPrefix)) {
+        Option(dest.getParent).foreach(fs.mkdirs(_))
+        if (!fs.rename(displaced, dest))
+          throw new java.io.IOException(
+            s"cannot rescue late-appended file $displaced to $dest — " +
+              "aborting before the displaced tree is deleted")
+      }
+      return
+    }
     fs.listStatus(displaced).foreach { st =>
       val name = st.getPath.getName
       if (!name.startsWith("_") && !name.startsWith(".")) {
@@ -381,10 +401,19 @@ object LedgerTables {
     // that state must be REPORTED (suppressed on the original error), not
     // silently discarded as a boolean.
     def restoreFromTrash(): Unit = {
-      val stranded = fs.listStatus(trash).flatMap { s =>
-        val dst = new org.apache.hadoop.fs.Path(dest, s.getPath.getName)
-        if (!fs.rename(s.getPath, dst)) Some(s.getPath) else None
-      }
+      // restore the children phase 1 displaced (they keep their original
+      // names — including any `.compact_*` recovery state a crashed
+      // compaction left, though the pre-read recovery sweep should have
+      // consumed it); `.late_*` trees a renameInto displaced hold a
+      // concurrent appender's files under a synthetic name — renaming one
+      // into the table root would hide those rows behind a dot-dir, so
+      // they are merge-restored separately by the phase-2 handler
+      val stranded = fs.listStatus(trash)
+        .filterNot(_.getPath.getName.startsWith(".late_"))
+        .flatMap { s =>
+          val dst = new org.apache.hadoop.fs.Path(dest, s.getPath.getName)
+          if (!fs.rename(s.getPath, dst)) Some(s.getPath) else None
+        }
       if (stranded.nonEmpty)
         throw new java.io.IOException(
           s"ROLLBACK INCOMPLETE: ${stranded.mkString(", ")} stranded in " +
@@ -424,6 +453,13 @@ object LedgerTables {
             if (fs.exists(d) && !fs.rename(d, c)) Some(d) else None
           }
           restoreFromTrash()
+          // give the appender's displaced late files back to the restored
+          // table — file-level merges AFTER the dir-level restore above,
+          // so they land inside (not instead of) the restored partitions
+          lateTrees.foreach { case (name, p) =>
+            rescueLateFiles(fs, p,
+              new org.apache.hadoop.fs.Path(dest, name), Set.empty, "")
+          }
           if (stuck.nonEmpty)
             throw new java.io.IOException(
               s"ROLLBACK INCOMPLETE: fresh children ${stuck.mkString(", ")} " +
@@ -468,8 +504,25 @@ object LedgerTables {
     else {
       val (ok, late) = renameInto(fs, fresh, dest, trashDir)
       if (!ok) {
-        if (hadOld) fs.rename(old, dest)
-        throw new java.io.IOException(s"cannot move $fresh into place; table restored")
+        // Best-effort recovery, HONESTLY reported. File-level merges, not
+        // a directory rename: `dest` may exist again (a concurrent
+        // appender recreated it — possibly why the install failed), and a
+        // dir rename onto a non-empty dir silently nests (the hazard
+        // renameInto exists to avoid). Everything displaced goes back:
+        // the original partition files, then the appender's late files
+        // (ALL post-snapshot by construction — renameInto only displaces
+        // what appeared after the original tree moved aside).
+        val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+        def mergeBack(label: String, from: org.apache.hadoop.fs.Path): Unit =
+          try rescueLateFiles(fs, from, dest, Set.empty, "")
+          catch { case ex: java.io.IOException =>
+            problems += s"$label stranded at $from (${ex.getMessage})"
+          }
+        if (hadOld) mergeBack("original partition files", old)
+        late.foreach { case (_, p) => mergeBack("late-appended files", p) }
+        throw new java.io.IOException(s"cannot install $fresh at $dest" +
+          (if (problems.isEmpty) "; displaced contents merge-restored in place"
+           else s"; RECOVER MANUALLY from the kept staging dir — ${problems.mkString("; ")}"))
       }
       originals ++ late
     }

@@ -150,6 +150,23 @@ object Maintenance {
     }
   }
 
+  /**
+   * Finish (or sweep) any crashed compaction swap in every partition of
+   * `base`, for a REWRITER about to read the table: a mid-crashed
+   * partition (manifest committed, snapshot files partially deleted,
+   * compacted files still hidden) visibly MISSES rows that only the
+   * manifest replay restores — a DML that read that view and staged a
+   * rewrite from it would make the loss permanent and then discard the
+   * very recovery state the replay needs. Must run under the writer
+   * lease, before the rewrite's `read` lists its file-index snapshot.
+   */
+  private[sources] def recoverCrashedCompactions(fs: FileSystem, base: Path): Unit = {
+    recoverOrSweep(fs, base) // defensive: a root-level swap state (unused today)
+    fs.listStatus(base)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach(s => recoverOrSweep(fs, s.getPath))
+  }
+
   /** Finish a crashed swap (manifest committed: delete named snapshot files,
     * unhide) or discard an uncommitted one (no manifest: drop hidden files). */
   private def recoverOrSweep(fs: FileSystem, dir: Path): Unit = {

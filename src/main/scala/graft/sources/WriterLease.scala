@@ -82,6 +82,16 @@ object WriterLease {
     /** Atomically create an empty placeholder at `p` iff nothing exists
       * there; true iff THIS caller created it. */
     def createIfAbsent(fs: FileSystem, p: Path): Boolean
+
+    /** Reclaim step: delete `p` only if it is still the stale lease the
+      * caller observed (owner + acquisition-time identity). The DEFAULT is
+      * a plain delete — the caller's identity recheck happens just before,
+      * so on a plain filesystem this carries the documented
+      * one-metadata-op reclaimer-vs-reclaimer window. A conditional-write
+      * store overrides with an atomic compare-and-delete (ETag/If-Match),
+      * which closes that window and makes reclaim decisive too. */
+    def deleteIfMatches(fs: FileSystem, p: Path, expected: LeaseInfo): Boolean =
+      fs.delete(p, false)
   }
 
   object LeaseArbiter {
@@ -293,11 +303,13 @@ object WriterLease {
             case Some(stale) =>
               // identity-checked reclaim: delete only if the file is still
               // the very lease we judged expired (a live holder's heartbeat
-              // or another reclaimer's fresh create changes the identity)
+              // or another reclaimer's fresh create changes the identity);
+              // the delete itself goes through the arbiter, so a
+              // conditional-write backend can make recheck+delete atomic
               val recheck = readAt(fs, p)
               if (recheck.exists(r => r.owner == stale.owner &&
                   r.acquiredAtMs == stale.acquiredAtMs && nowMs() > r.expiresAtMs))
-                fs.delete(p, false)
+                arb.deleteIfMatches(fs, p, stale)
               // loop: the exclusive create decides the reclaim winner
           }
       }

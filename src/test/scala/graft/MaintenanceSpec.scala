@@ -105,6 +105,47 @@ class MaintenanceSpec extends SparkSpec {
     assert(WriterLease.read(fs, base).isEmpty)
   }
 
+  test("DML replays a crashed compaction before reading — no permanent row loss") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 30).map { i =>
+      ((i + 1).toLong, "p", "i", "2024-01-07 10:00:00", "2024-01-07 11:00:00", "pending")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dmlrec").toString
+    LedgerTables.write(ledgerOf(rows: _*).repartition(3), tmp)
+    val dir = new Path(s"$tmp/query_window_start_day=2024-01-07")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    def parquets() = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val snapshot = parquets()
+    assert(snapshot.length == 3)
+    // Build a real compacted file holding the partition's FULL data, then
+    // simulate a crash mid-step-3: manifest committed, ONE snapshot file
+    // already deleted, compacted file still hidden. The visible view now
+    // MISSES that file's rows — exactly what a DML must not read.
+    val stage = new Path(java.nio.file.Files.createTempDirectory("graft_dmlrec_st").toString)
+    spark.read.parquet(dir.toString).coalesce(1).write.mode("overwrite")
+      .parquet(stage.toString)
+    val compacted = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(fs.rename(compacted, new Path(dir, s".compact_${compacted.getName}")))
+    val out = fs.create(new Path(dir, ".compact_manifest"), true)
+    out.write(snapshot.map(_.getName).mkString("\n").getBytes("UTF-8")); out.close()
+    fs.delete(snapshot.head, false)
+    assert(LedgerTables.read(spark, tmp).count() < 30,
+      "fixture must visibly miss rows pre-recovery")
+    // The DML must replay the manifest under its lease BEFORE reading —
+    // all 30 rows present and updated afterwards, recovery state consumed.
+    val n = LedgerTables.updateStatus(spark, tmp,
+      col("pipeline_status") === "pending", "completed")
+    assert(n == 30L, s"update must see the recovered partition: $n")
+    val after = LedgerTables.read(spark, tmp)
+    assert(after.count() == 30)
+    assert(after.filter(col("pipeline_status") === "completed").count() == 30)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    assert(!names.exists(_.startsWith(".compact_")), names.mkString(","))
+  }
+
   test("writer lease: heartbeat keeps a long operation exclusive past its TTL") {
     import org.apache.hadoop.fs.Path
     import graft.sources.WriterLease

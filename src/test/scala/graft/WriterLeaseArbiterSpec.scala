@@ -23,11 +23,26 @@ class WriterLeaseArbiterSpec extends SparkSpec {
   private class ConditionalStore extends LeaseArbiter {
     val decisions = new AtomicInteger(0)
     val wins = new AtomicInteger(0)
+    val conditionalDeletes = new AtomicInteger(0)
     override def createIfAbsent(fs: FileSystem, p: Path): Boolean =
       synchronized {
         decisions.incrementAndGet()
         if (fs.exists(p)) false
         else { fs.create(p, true).close(); wins.incrementAndGet(); true }
+      }
+    // atomic compare-and-delete (the If-Match form): the owner check and
+    // the delete commit under the same lock, closing the
+    // reclaimer-vs-reclaimer window the plain-FS default carries
+    override def deleteIfMatches(fs: FileSystem, p: Path,
+        expected: WriterLease.LeaseInfo): Boolean =
+      synchronized {
+        conditionalDeletes.incrementAndGet()
+        val cur = try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq.headOption
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+        if (cur.contains(expected.owner)) fs.delete(p, false) else false
       }
   }
 
@@ -64,9 +79,11 @@ class WriterLeaseArbiterSpec extends SparkSpec {
     Thread.sleep(5) // strictly past the 0 ms TTL
     val got = WriterLease.acquire(fs, base, owner = "reclaimer", arbiter = store)
     assert(got.owner == "reclaimer")
-    // reclaim = unconditional delete of the identity-checked stale lease,
-    // then the arbiter decides the re-create race
+    // reclaim = the arbiter's compare-and-delete of the identity-checked
+    // stale lease, then the arbiter decides the re-create race
     assert(store.wins.get() == 2, s"expected both creates arbitrated: ${store.wins}")
+    assert(store.conditionalDeletes.get() >= 1,
+      "the stale-lease delete must route through the arbiter")
     WriterLease.release(fs, base, got.owner)
   }
 
