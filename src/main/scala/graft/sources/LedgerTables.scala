@@ -300,8 +300,16 @@ object LedgerTables {
           catch { case _: java.io.FileNotFoundException => false }
         if (!nestHappened) return (true, displaced.toSeq)
         // raced a recreation that turned non-empty between our displace and
-        // the rename: pull src back out, loop displaces the recreated dir
-        if (!fs.rename(nested, src)) return (false, displaced.toSeq)
+        // the rename: pull src back out, loop displaces the recreated dir.
+        // A failed unwind may NOT degrade to a false return — the caller's
+        // recovery would then merge-restore around a nested tree and
+        // report success while the partition is unreadable; throw with the
+        // nested location named instead.
+        if (!fs.rename(nested, src))
+          throw new java.io.IOException(
+            s"fresh tree NESTED at $nested after racing a concurrent append " +
+              s"and could not be pulled back out — remove it or move it to " +
+              s"$src manually; the partition is unreadable until then")
       } else if (!fs.exists(dst)) {
         // failed with nothing in the way: a genuine filesystem failure
         return (false, displaced.toSeq)
@@ -502,7 +510,15 @@ object LedgerTables {
       if (hadOld) Seq(dest.getName -> old) else Nil
     if (!fs.exists(fresh)) originals
     else {
-      val (ok, late) = renameInto(fs, fresh, dest, trashDir)
+      // a nest-stuck IOException from renameInto propagates UNWRAPPED in
+      // the merge-restore sense: with a nested tree inside dest, moving
+      // more files in only deepens the damage — add context and rethrow
+      val (ok, late) = try renameInto(fs, fresh, dest, trashDir)
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"install of $fresh at $dest failed mid-swap: ${e.getMessage}" +
+              (if (hadOld) s"; original partition preserved at $old" else ""), e)
+        }
       if (!ok) {
         // Best-effort recovery, HONESTLY reported. File-level merges, not
         // a directory rename: `dest` may exist again (a concurrent

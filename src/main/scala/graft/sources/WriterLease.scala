@@ -84,12 +84,22 @@ object WriterLease {
     def createIfAbsent(fs: FileSystem, p: Path): Boolean
 
     /** Reclaim step: delete `p` only if it is still the stale lease the
-      * caller observed (owner + acquisition-time identity). The DEFAULT is
+      * caller observed (owner + acquisition-time identity, where the
+      * acquisition time is `max(content timestamp, file modification
+      * time)` — exactly what [[WriterLease.read]] reports). The DEFAULT is
       * a plain delete — the caller's identity recheck happens just before,
       * so on a plain filesystem this carries the documented
       * one-metadata-op reclaimer-vs-reclaimer window. A conditional-write
       * store overrides with an atomic compare-and-delete (ETag/If-Match),
-      * which closes that window and makes reclaim decisive too. */
+      * which closes that window and makes reclaim decisive too.
+      *
+      * Contract note for overriders: `expected.owner` may be
+      * [[WriterLease.CorruptOwner]] — the sentinel for a placeholder whose
+      * content was never written (a writer crashed between create and
+      * content write). That lease HAS no owner line to match; the
+      * implementation must treat "still unparseable, same modification
+      * identity" as a match, or such a crash locks the table until a
+      * manual breakLease. */
     def deleteIfMatches(fs: FileSystem, p: Path, expected: LeaseInfo): Boolean =
       fs.delete(p, false)
   }
@@ -143,6 +153,11 @@ object WriterLease {
     * table for only this long. */
   val CorruptGraceMs: Long = 30 * 1000L
 
+  /** Sentinel owner reported for an unparseable/empty lease file (a writer
+    * crashed between its exclusive create and the content write). Part of
+    * the [[LeaseArbiter.deleteIfMatches]] contract — see its scaladoc. */
+  val CorruptOwner: String = "corrupt-lease"
+
   final case class LeaseInfo(owner: String, acquiredAtMs: Long, ttlMs: Long) {
     def expiresAtMs: Long = acquiredAtMs + ttlMs
   }
@@ -178,7 +193,7 @@ object WriterLease {
             // a writer mid-create (or crashed there, or garbage): grant the
             // grace TTL so a winner that has created but not yet written is
             // not instantly reclaimed out from under its content write
-            Some(LeaseInfo("corrupt-lease", modTime, CorruptGraceMs))
+            Some(LeaseInfo(CorruptOwner, modTime, CorruptGraceMs))
         }
       }
     } catch {

@@ -30,19 +30,34 @@ class WriterLeaseArbiterSpec extends SparkSpec {
         if (fs.exists(p)) false
         else { fs.create(p, true).close(); wins.incrementAndGet(); true }
       }
-    // atomic compare-and-delete (the If-Match form): the owner check and
-    // the delete commit under the same lock, closing the
-    // reclaimer-vs-reclaimer window the plain-FS default carries
+    // atomic compare-and-delete (the If-Match form): the FULL identity
+    // check (owner + effective acquisition time, i.e. max(content ts,
+    // modification time) — exactly WriterLease.read's identity) and the
+    // delete commit under the same lock, closing the
+    // reclaimer-vs-reclaimer window the plain-FS default carries. Owner
+    // alone would be wrong: a writer with a stable owner id that crashed,
+    // restarted, and re-acquired must not be evicted by a reclaimer
+    // holding a stale observation of its PREVIOUS lease. The contract's
+    // corrupt-placeholder sentinel (no content to match) matches on
+    // still-unparseable + same modification identity.
     override def deleteIfMatches(fs: FileSystem, p: Path,
         expected: WriterLease.LeaseInfo): Boolean =
       synchronized {
         conditionalDeletes.incrementAndGet()
-        val cur = try {
+        try {
+          val mod = fs.getFileStatus(p).getModificationTime
           val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq.headOption
-          finally in.close()
-        } catch { case _: java.io.IOException => None }
-        if (cur.contains(expected.owner)) fs.delete(p, false) else false
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          val identity = lines match {
+            case owner :: ts :: _ if ts.nonEmpty && ts.forall(_.isDigit) =>
+              (owner, math.max(ts.toLong, mod))
+            case _ => (WriterLease.CorruptOwner, mod)
+          }
+          if (identity == ((expected.owner, expected.acquiredAtMs)))
+            fs.delete(p, false)
+          else false
+        } catch { case _: java.io.IOException => false }
       }
   }
 
@@ -84,6 +99,21 @@ class WriterLeaseArbiterSpec extends SparkSpec {
     assert(store.wins.get() == 2, s"expected both creates arbitrated: ${store.wins}")
     assert(store.conditionalDeletes.get() >= 1,
       "the stale-lease delete must route through the arbiter")
+    WriterLease.release(fs, base, got.owner)
+  }
+
+  test("a crashed writer's empty placeholder is reclaimable through a conditional arbiter") {
+    val (fs, base) = fixture()
+    val store = new ConditionalStore
+    val p = new Path(base, WriterLease.LeaseName)
+    // the crash window: exclusive create happened, content write did not
+    fs.create(p, true).close()
+    // ...and the grace TTL has long passed
+    fs.setTimes(p, System.currentTimeMillis() - 2 * WriterLease.CorruptGraceMs, -1)
+    val got = WriterLease.acquire(fs, base, owner = "writer-C", arbiter = store)
+    assert(got.owner == "writer-C",
+      "the corrupt-placeholder sentinel must be reclaimable, not a lockout")
+    assert(store.conditionalDeletes.get() >= 1)
     WriterLease.release(fs, base, got.owner)
   }
 
