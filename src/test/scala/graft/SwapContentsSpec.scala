@@ -11,11 +11,16 @@ import graft.sources.{LedgerTables, WriterLease}
   * the crash-safety claim the DML path makes in its scaladoc. */
 class SwapContentsSpec extends SparkSpec {
 
-  /** Local filesystem whose rename can be made to fail for chosen names. */
+  /** Local filesystem whose rename can be made to fail for chosen names,
+    * or preceded by an injected action (to simulate a concurrent appender
+    * racing the rename). */
   private class FaultyFs extends RawLocalFileSystem {
     @volatile var failWhen: (Path, Path) => Boolean = (_, _) => false
-    override def rename(src: Path, dst: Path): Boolean =
+    @volatile var beforeRename: (Path, Path) => Unit = (_, _) => ()
+    override def rename(src: Path, dst: Path): Boolean = {
+      beforeRename(src, dst)
       if (failWhen(src, dst)) false else super.rename(src, dst)
+    }
   }
 
   private def newFs(): FaultyFs = {
@@ -93,5 +98,46 @@ class SwapContentsSpec extends SparkSpec {
       "table must be fully restored after a phase-2 rename failure")
     assert(names(fs, fresh).contains("c.parquet") && names(fs, fresh).contains("d.parquet"),
       "fresh children must be pulled back out of the table")
+  }
+
+  test("a partition dir recreated non-empty mid-install is displaced, never nested") {
+    // Deterministic reproduction of the measured Hadoop local-FS hazard:
+    // rename onto a non-empty dir returns TRUE and NESTS src inside it. An
+    // injected "appender" recreates the partition (with a committed late
+    // file) in the exact window between the swap's displace and its
+    // rename-in; the install must detect the nest, unwind it, displace the
+    // recreated dir (returning it so the caller can rescue the late file),
+    // and retry — ending with the fresh tree installed flat.
+    val fs = newFs()
+    val root = new Path(
+      java.nio.file.Files.createTempDirectory("graft_nest").toString)
+    val dest = new Path(root, "table")
+    val fresh = new Path(root, "staging")
+    val day = "query_window_start_day=2024-01-01"
+    fs.mkdirs(new Path(dest, day))
+    mkFile(fs, new Path(dest, s"$day/old.parquet"), "old")
+    mkFile(fs, new Path(dest, WriterLease.LeaseName), "owner\n1\n1\n")
+    fs.mkdirs(new Path(fresh, day))
+    mkFile(fs, new Path(fresh, s"$day/new.parquet"), "new")
+    val injected = new java.util.concurrent.atomic.AtomicInteger(0)
+    fs.beforeRename = (src, dst) =>
+      // exactly once: when the fresh day dir is about to be installed,
+      // the appender's commit beats it to the recreated destination
+      if (dst.getName == day && src.toString.contains("staging") &&
+          injected.getAndIncrement() == 0) {
+        fs.mkdirs(dst)
+        mkFile(fs, new Path(dst, "late.parquet"), "late-rows")
+      }
+    val (_, lateTrees) = LedgerTables.swapContents(fs, fresh, dest)
+    // installed flat: the fresh file, no nested partition-named dir
+    assert(names(fs, new Path(dest, day)) == Set("new.parquet"),
+      s"nest must be unwound: ${names(fs, new Path(dest, day))}")
+    // the appender's file was displaced under its original partition name
+    // for the caller's rescue pass, not deleted
+    val late = lateTrees.filter(_._1 == day)
+    assert(late.nonEmpty, s"displaced appender tree must be returned: $lateTrees")
+    assert(late.exists { case (_, p) =>
+      fs.exists(new Path(p, "late.parquet")) },
+      s"late file must survive in the displaced tree: $lateTrees")
   }
 }
