@@ -39,9 +39,12 @@ object CurationOps {
    * standard LSH trade-off (CurationFunnelSpec pins LSH == exact on the
    * fixture). `useLsh = false` selects the exact join for ground-truth runs.
    *
-   * The census is computed EAGERLY (it is a single row) so the shared
-   * shingle cache can be dropped before returning — a long-lived session
-   * runs funnels without accreting cache entries (see DedupSpec).
+   * The census is computed EAGERLY (it is a single row). The funnel holds
+   * no private cache: its near-dedup stage reads the SHARED full-corpus
+   * shingle relation (filtered to exact-dedup survivors by a semi-join),
+   * so repeated funnels on one corpus reuse a single plan-keyed entry —
+   * drop it with `DedupOps.unpersistShingles(documents)` when the corpus
+   * is done.
    */
   def curationFunnel(
       documents: DataFrame,
@@ -59,11 +62,18 @@ object CurationOps {
       // exact-dedup keeper AMONG quality survivors only
       .withColumn("keeper", min(when(col("q"), col("doc_id"))).over(w))
       .withColumn("keep_exact", col("q") && col("doc_id") === col("keeper"))
-    val exact = flagged.filter(col("keep_exact"))
-      .select(col("doc_id"), col("text"))
+    // Near-dedup over the exact-dedup survivors, through the SHARED
+    // full-corpus shingle relation filtered to the keepers (a semi-join on
+    // doc_id): the funnel reuses the one cache entry every other dedup
+    // operator holds on this corpus instead of shingling the survivor
+    // subset into a private second cache per call. The pair set is
+    // identical either way — a doc's shingles depend only on its text.
+    val keepers = flagged.filter(col("keep_exact")).select(col("doc_id"))
+    val shs = DedupOps.shingleRelation(documents)
+      .join(keepers, Seq("doc_id"), "left_semi")
     val nearDups =
-      if (useLsh) DedupOps.minhashLsh(exact, threshold, maxBucketSize)
-      else DedupOps.ngramJaccard(exact, threshold)
+      if (useLsh) DedupOps.minhashLshFrom(shs, threshold, maxBucketSize)
+      else DedupOps.ngramJaccardFrom(shs, threshold)
     val losers = nearDups
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_loser", lit(true))
@@ -78,12 +88,15 @@ object CurationOps {
         sum(when(col("keep_exact"), 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("keep_near"), 1L).otherwise(0L)).as("n_neardedup"),
         sum(when(col("keep_sample"), 1L).otherwise(0L)).as("n_sampled"))
-    try {
-      val rows = funnel.collect().toIndexedSeq
-      documents.sparkSession.createDataFrame(
-        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        funnel.schema)
-    } finally DedupOps.unpersistShingles(exact)
+    // The census is a single row, computed eagerly; the shared shingle
+    // cache is NOT dropped here — its lifecycle belongs to the corpus
+    // owner (one plan-keyed entry per corpus, reused by every dedup
+    // operator; call DedupOps.unpersistShingles(documents) when done with
+    // the corpus).
+    val rows = funnel.collect().toIndexedSeq
+    documents.sparkSession.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      funnel.schema)
   }
 
   /**

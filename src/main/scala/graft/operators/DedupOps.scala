@@ -117,7 +117,7 @@ object DedupOps {
   /** [[minhashLsh]] over an explicit (possibly filtered) shingle relation —
     * lets [[lshRecallCensus]] sample the CACHED full-corpus relation
     * instead of materializing a second cache for the slice. */
-  private def minhashLshFrom(shs: DataFrame, threshold: Double,
+  private[operators] def minhashLshFrom(shs: DataFrame, threshold: Double,
       maxBucketSize: Int): DataFrame = {
     // MinHash signature: one md5 per DISTINCT (doc, shingle), hash i derived
     // arithmetically as (v*(2i+1) + i) mod p — a universal-family draw with
@@ -294,7 +294,7 @@ object DedupOps {
 
   /** [[ngramJaccard]] over an explicit (possibly filtered) shingle relation
     * — see [[minhashLshFrom]]. */
-  private def ngramJaccardFrom(shArr: DataFrame, threshold: Double): DataFrame = {
+  private[operators] def ngramJaccardFrom(shArr: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Prefix filtering (PPJoin-style): for Jaccard >= t, two docs must share
     // at least one shingle among each doc's first (n - ceil(t*n) + 1) shingles

@@ -151,17 +151,26 @@ class DedupSpec extends SparkSpec {
     assert(c2.getDouble(5) == 0.925, c2.toString)
   }
 
-  test("curation funnel: LSH and exact near-dup stages agree; no cache entries left behind") {
+  test("curation funnel: LSH and exact near-dup stages agree; one shared cache entry, no accretion") {
     import graft.operators.CurationOps
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val lsh = CurationOps.curationFunnel(docs, 30, 0.8, 13, useLsh = true)
       .collect().head.toSeq
+    val mid = spark.sparkContext.getPersistentRDDs.keySet
     val exact = CurationOps.curationFunnel(docs, 30, 0.8, 13, useLsh = false)
       .collect().head.toSeq
     assert(lsh == exact, s"LSH funnel $lsh != exact funnel $exact")
+    // the funnel holds no PRIVATE cache: every call reads the one shared
+    // corpus shingle entry, so repeated funnels do not accrete
     val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert((after -- before).isEmpty,
-      s"funnel leaked cache entries: ${after -- before}")
+    assert((after -- before).size <= 1,
+      s"funnel must add at most the shared corpus entry: ${after -- before}")
+    assert(after == mid, "a second funnel must not accrete cache entries")
+    // ...and the corpus owner drops it
+    DedupOps.unpersistShingles(docs)
+    val cleaned = spark.sparkContext.getPersistentRDDs.keySet
+    assert((cleaned -- before).isEmpty,
+      s"unpersistShingles must drop the shared entry: ${cleaned -- before}")
   }
 }
