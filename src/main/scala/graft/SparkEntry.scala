@@ -270,6 +270,15 @@ object SparkEntry {
     "x30_funnel_capped" -> ((s, d) =>
       CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13,
         useLsh = true, maxBucketSize = 2)),
+    // Within-doc repetition signals (the Gopher-rule family): duplicate
+    // token/trigram masses per language + docs over the dup-token-fraction
+    // bar — the quality filter that removes self-repeating boilerplate.
+    "x31_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(docs(s, d), 0.5)),
+    // Cross-doc duplicate-span census: non-overlapping 8-token windows,
+    // spans shared by >1 doc = boilerplate repeated across documents.
+    "x32_span_dedup" -> ((s, d) =>
+      TextOps.duplicateSpans(docs(s, d), 8)),
     // Skew-mitigated fact/dim join: events.user_id is deliberately hot
     // (15 users over 1000 events at sf0.001), the salt spreads each hot
     // key over 8 reducers, and the result is row-identical to the plain
@@ -975,6 +984,37 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM ex) AS n_exact,
         |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
         |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin,
+    "x31_repetition" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(lower(text), ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT lang, len(w) AS nw, len(list_distinct(w)) AS ndw,
+        |    CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS nt,
+        |    CASE WHEN len(w) >= 3 THEN len(list_distinct(list_transform(range(1, len(w)-1),
+        |      i -> array_to_string(list_slice(w, i, i+2), ' ')))) ELSE 0 END AS ndt
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(nw - ndw) AS BIGINT) AS dup_words,
+        |  CAST(SUM(nt - ndt) AS BIGINT) AS dup_trigrams,
+        |  CAST(SUM(CASE WHEN (nw - ndw)::DOUBLE / greatest(nw, 1) > 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_docs
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "x32_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(range(1, len(w)//8 + 1),
+        |      i -> array_to_string(list_slice(w, (i-1)*8+1, (i-1)*8+8), ' '))
+        |    ELSE [] END) AS span
+        |  FROM d),
+        |per AS (SELECT span, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS nd
+        |        FROM sp GROUP BY span)
+        |SELECT CAST(SUM(n) AS BIGINT) AS total_spans,
+        |       COUNT(*) AS distinct_spans,
+        |       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_spans,
+        |       CAST(MAX(nd) AS BIGINT) AS max_docs_sharing
+        |FROM per""".stripMargin,
     // The salted join is row-identical to the plain equi-join by
     // construction, so the oracle is simply the unsalted form.
     "x29_salted_join" ->

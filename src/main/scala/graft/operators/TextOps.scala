@@ -141,4 +141,64 @@ object TextOps {
         count(lit(1)).as("distinct_fp"),
         max(col("cluster")).as("max_cluster"))
   }
+
+  /**
+   * Within-document repetition signals per language (the Gopher-rule
+   * family: a doc whose tokens are mostly repeats of themselves is
+   * boilerplate/spam, filtered before training). Duplicate-token and
+   * duplicate-trigram masses are exact integer sums (n − n_distinct over
+   * the doc's OWN tokens/trigrams); `repetitive_docs` counts docs whose
+   * duplicate-token fraction exceeds `maxDupFrac`. One scan, per-row array
+   * expressions, map-side integer partials; the flag's single double
+   * division is the same expression in the oracle (IEEE-stable).
+   */
+  def repetitionStats(documents: DataFrame, maxDupFrac: Double = 0.5): DataFrame = {
+    val ws = words(col("text"))
+    val tri = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i => concat_ws(" ", slice(ws, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    documents
+      .select(col("lang"),
+        size(ws).as("nw"), size(array_distinct(ws)).as("ndw"),
+        size(tri).as("nt"), size(array_distinct(tri)).as("ndt"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum((col("nw") - col("ndw")).cast("long")).as("dup_words"),
+        sum((col("nt") - col("ndt")).cast("long")).as("dup_trigrams"),
+        sum(when((col("nw") - col("ndw")).cast("double")
+            / greatest(col("nw"), lit(1)).cast("double") > maxDupFrac, 1L)
+          .otherwise(0L)).as("repetitive_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /**
+   * Cross-document duplicate-span census: non-overlapping windows of
+   * `width` consecutive tokens (docs shorter than `width` contribute
+   * none); a span occurring in more than one document is boilerplate
+   * shared ACROSS docs — the span-level complement of whole-doc dedup,
+   * what a pipeline removes as repeated headers/footers/licenses. Exact
+   * integers: total span occurrences, distinct spans, spans shared by >1
+   * doc, and the widest sharing. Span generation is a per-row expression;
+   * the census is one groupBy(span) with map-side partials — span keys
+   * hash-distribute like any other aggregation key at 100 TB.
+   */
+  def duplicateSpans(documents: DataFrame, width: Int = 8): DataFrame = {
+    require(width > 0, "span width must be positive")
+    val ws = words(col("text"))
+    val nSpans = (size(ws) / lit(width)).cast("int") // int division for positives
+    val spans = when(size(ws) >= width,
+      transform(sequence(lit(1), nSpans), i =>
+        concat_ws(" ", slice(ws, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
+      .otherwise(array().cast("array<string>"))
+    documents
+      .select(col("doc_id"), explode(spans).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .agg(
+        sum(col("n")).as("total_spans"),
+        count(lit(1)).as("distinct_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_spans"),
+        max(col("nd")).as("max_docs_sharing"))
+  }
 }

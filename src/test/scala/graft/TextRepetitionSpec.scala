@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.TextOps
+
+/** Hand-computed fixtures for the repetition-quality and duplicate-span
+  * operators (x31/x32). */
+class TextRepetitionSpec extends SparkSpec {
+
+  test("repetitionStats: duplicate masses and the dup-fraction flag, hand-checked") {
+    // doc1 "a a a a": nw=4 ndw=1 → dup_words 3; trigrams ["a a a","a a a"]
+    //   → nt=2 ndt=1 → dup_trigrams 1; dup-word frac 0.75 > 0.5 → repetitive
+    // doc2 "a b c d": all distinct → nothing; frac 0
+    // doc3 "x y": under the trigram width → nt=ndt=0; frac 0
+    val docs = docsOf(
+      (1L, "a a a a", "en", "s"),
+      (2L, "a b c d", "en", "s"),
+      (3L, "x y", "en", "s"))
+    val r = TextOps.repetitionStats(docs, 0.5).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == (("en", 3L, 3L, 1L, 1L)), row.toString)
+  }
+
+  test("duplicateSpans: non-overlapping windows, cross-doc sharing, hand-checked") {
+    // width 2: doc1 -> ["p q","r s"], doc2 -> ["p q","x y"],
+    // doc3 (1 word) -> none, doc4 "p q p q" -> ["p q","p q"]
+    // span "p q": 4 occurrences across 3 docs; "r s"/"x y": singletons
+    val docs = docsOf(
+      (1L, "p q r s", "en", "s"),
+      (2L, "p q x y", "en", "s"),
+      (3L, "z", "en", "s"),
+      (4L, "p q p q", "en", "s"))
+    val row = TextOps.duplicateSpans(docs, 2).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((6L, 3L, 1L, 3L)), row.toString)
+    // a trailing partial window is dropped, not padded: 5 words -> 2 spans
+    val odd = docsOf((1L, "a b c d e", "en", "s"))
+    val r2 = TextOps.duplicateSpans(odd, 2).collect().head
+    assert(r2.getLong(0) == 2L, r2.toString)
+  }
+}
