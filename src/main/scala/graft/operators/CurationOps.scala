@@ -26,10 +26,10 @@ object CurationOps {
    * stage FLAGS, then a single conditional aggregation — never one scan
    * per stage (five separate stage counts would re-evaluate the shared
    * lineage up to 4×). The flagged corpus lineage is evaluated twice in
-   * total — once feeding the near-dup stage's shingle cache, once for the
-   * census aggregation — which is the correct 100 TB trade: materializing
-   * the full flagged corpus to avoid one extra scan would write corpus-
-   * sized state for a fixed 2× read.
+   * total — once materializing the survivor shingle view (the semi-join's
+   * keeper side), once for the census aggregation — which is the correct
+   * 100 TB trade: materializing the full flagged corpus to avoid one
+   * extra scan would write corpus-sized state for a fixed 2× read.
    *
    * The near-dup stage defaults to the LSH path ([[DedupOps.minhashLsh]]):
    * candidate generation is a band-key equi-join instead of the exact
@@ -68,9 +68,14 @@ object CurationOps {
     // operator holds on this corpus instead of shingling the survivor
     // subset into a private second cache per call. The pair set is
     // identical either way — a doc's shingles depend only on its text.
+    // The semi-joined view IS persisted for the duration of this call
+    // (dropped in the finally): the near-dup stage consumes it 3–4×, and
+    // without the pin each consumer would re-run the keeper window and the
+    // join above the shared cache.
     val keepers = flagged.filter(col("keep_exact")).select(col("doc_id"))
     val shs = DedupOps.shingleRelation(documents)
       .join(keepers, Seq("doc_id"), "left_semi")
+      .persist()
     val nearDups =
       if (useLsh) DedupOps.minhashLshFrom(shs, threshold, maxBucketSize)
       else DedupOps.ngramJaccardFrom(shs, threshold)
@@ -88,15 +93,18 @@ object CurationOps {
         sum(when(col("keep_exact"), 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("keep_near"), 1L).otherwise(0L)).as("n_neardedup"),
         sum(when(col("keep_sample"), 1L).otherwise(0L)).as("n_sampled"))
-    // The census is a single row, computed eagerly; the shared shingle
-    // cache is NOT dropped here — its lifecycle belongs to the corpus
+    // The census is a single row, computed eagerly so the per-call
+    // survivor view can be dropped before returning. The shared CORPUS
+    // shingle cache is NOT dropped — its lifecycle belongs to the corpus
     // owner (one plan-keyed entry per corpus, reused by every dedup
     // operator; call DedupOps.unpersistShingles(documents) when done with
     // the corpus).
-    val rows = funnel.collect().toIndexedSeq
-    documents.sparkSession.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      funnel.schema)
+    try {
+      val rows = funnel.collect().toIndexedSeq
+      documents.sparkSession.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        funnel.schema)
+    } finally shs.unpersist()
   }
 
   /**
