@@ -270,6 +270,11 @@ object SparkEntry {
     "x30_funnel_capped" -> ((s, d) =>
       CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13,
         useLsh = true, maxBucketSize = 2)),
+    // IVF recall census: exact brute-force top-k vs the probed-cell top-k
+    // for a deterministic query sample — the measured trade-off record for
+    // the x5 configuration, sibling of the LSH census x25.
+    "x33_ivf_recall" -> ((s, d) =>
+      SimilarityOps.ivfRecallCensus(emb(s, d), 10, 40, 3, 29)),
     // Within-doc repetition signals (the Gopher-rule family): duplicate
     // token/trigram masses per language + docs over the dup-token-fraction
     // bar — the quality filter that removes self-repeating boilerplate.
@@ -984,6 +989,40 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM ex) AS n_exact,
         |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
         |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin,
+    "x33_ivf_recall" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 29 = 0),
+        |asg AS (SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC, c.cid ASC) AS rn
+        |    FROM q CROSS JOIN cents c) WHERE rn <= 3),
+        |scored AS (
+        |  SELECT q.qid, a.vec_id, a.cid,
+        |    list_cosine_similarity(q.qvec, a.embedding) AS sim
+        |  FROM q CROSS JOIN asg a WHERE a.vec_id != q.qid),
+        |exact_top AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id ASC) AS rn FROM scored) WHERE rn <= 10),
+        |ivf_top AS (SELECT qid, vec_id FROM (
+        |    SELECT s.qid, s.vec_id, row_number() OVER (PARTITION BY s.qid
+        |      ORDER BY s.sim DESC, s.vec_id ASC) AS rn
+        |    FROM scored s JOIN probes p ON s.qid = p.qid AND s.cid = p.cid) WHERE rn <= 10),
+        |ov AS (SELECT q.qid, COALESCE(o.ov, 0) AS ov FROM q LEFT JOIN (
+        |    SELECT e.qid, COUNT(*) AS ov FROM exact_top e
+        |    JOIN ivf_top i ON e.qid = i.qid AND e.vec_id = i.vec_id GROUP BY e.qid) o
+        |  ON q.qid = o.qid)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(SUM(ov) AS BIGINT) AS sum_overlap,
+        |       CAST(MIN(ov) AS BIGINT) AS min_overlap,
+        |       round(SUM(ov)::DOUBLE / (COUNT(*) * 10), 4) AS recall
+        |FROM ov""".stripMargin,
     "x31_repetition" ->
       """WITH d AS (
         |  SELECT lang, string_split(lower(text), ' ') AS w FROM documents),

@@ -193,6 +193,68 @@ object SimilarityOps {
   }
 
   /**
+   * Diagnostic recall census of the IVF configuration against exact
+   * brute-force search — the vector-side sibling of
+   * [[graft.operators.DedupOps.lshRecallCensus]]. For every query vector
+   * in a deterministic id-mod sample, the exact cosine top-k is compared
+   * with the top-k restricted to the query's `nProbe` probed cells (the
+   * same centroid/probe rules as [[annIvf]]); the census reports exact
+   * integers — queries, summed overlap, worst per-query overlap — plus the
+   * recall ratio (single division, rounded). Run it to decide whether a
+   * corpus's (centroids, nProbe) point is acceptable BEFORE building the
+   * index at scale; the exact side is a queries×corpus scan by design
+   * (a sampled diagnostic, not a production search path).
+   *
+   * Plan shape: one crossJoin of the sampled queries against the assigned
+   * corpus, ONE shuffle on qid, then both rankings as back-to-back window
+   * passes over the same partitioning (the IVF rank re-sorts only the
+   * probed subset); overlap is a semi-join of the two top-k id sets.
+   */
+  def ivfRecallCensus(
+      embeddings: DataFrame,
+      k: Int = 10,
+      centroidMod: Int = 40,
+      nProbe: Int = 3,
+      queryMod: Int = 29): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(embeddings, centroidMod)
+    val assigned = assignToCentroids(embeddings, cents)
+    val queries = embeddings.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"), cos(col("qvec"), col("cvec")).as("psim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"), lit(true).as("probed"))
+    val scored = broadcast(queries).crossJoin(assigned)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cid"),
+        cos(col("qvec"), col("embedding")).as("sim"))
+      .join(broadcast(probes), Seq("qid", "cid"), "left_outer")
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val ranked = scored.withColumn("rn_exact", row_number().over(wTop))
+    val exactTop = ranked.filter(col("rn_exact") <= k)
+      .select(col("qid"), col("vec_id"))
+    val ivfTop = ranked.filter(col("probed"))
+      .withColumn("rn_ivf", row_number().over(wTop))
+      .filter(col("rn_ivf") <= k)
+      .select(col("qid"), col("vec_id"))
+    val overlap = exactTop.join(ivfTop, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("ov"))
+    queries.select(col("qid"))
+      .join(overlap, Seq("qid"), "left_outer")
+      .select(coalesce(col("ov"), lit(0L)).as("ov"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("ov")).as("sum_overlap"),
+        min(col("ov")).as("min_overlap"),
+        round(sum(col("ov")).cast("double")
+          / (count(lit(1)) * k).cast("double"), 4).as("recall"))
+  }
+
+  /**
    * The persisted form of the IVF index: the centroid assignment written as
    * parquet `partitionBy(cid)`. Probing then IS partition pruning — a query
    * that touches `nProbe` centroids lists only those directories, so search

@@ -33,6 +33,24 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(selected.length == 3, s"expected 3 pruned cells, got ${selected.length} of $nCells")
   }
 
+  test("IVF recall census: probing every cell gives recall exactly 1.0; fewer probes never more") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val nCells = emb.filter(col("vec_id") % 40 === 0).count().toInt
+    // probing EVERY cell makes the IVF ranking identical to the exact one
+    val full = SimilarityOps.ivfRecallCensus(emb, k = 5, centroidMod = 40,
+      nProbe = nCells, queryMod = 29).collect().head
+    val nQueries = emb.filter(col("vec_id") % 29 === 0).count()
+    assert(full.getLong(0) == nQueries)
+    assert(full.getLong(1) == 5L * nQueries, s"full probe must find every neighbor: $full")
+    assert(full.getLong(2) == 5L && full.getDouble(3) == 1.0, full.toString)
+    // a 1-probe census can only do worse, and stays within bounds
+    val one = SimilarityOps.ivfRecallCensus(emb, k = 5, centroidMod = 40,
+      nProbe = 1, queryMod = 29).collect().head
+    assert(one.getLong(1) <= full.getLong(1))
+    assert(one.getDouble(3) >= 0.0 && one.getDouble(3) <= 1.0)
+  }
+
   test("trained centroids drive the exact near-dup join end-to-end; cells stay balanced") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
