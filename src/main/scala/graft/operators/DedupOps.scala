@@ -333,6 +333,64 @@ object DedupOps {
     verifyJaccard(shArr, pairs, threshold)
   }
 
+  /**
+   * Connected components of the near-dup pair graph: every doc that
+   * appears in a pair, labeled with its component's minimum doc_id. Pairs
+   * say "these two are duplicates"; a pipeline keeps ONE representative
+   * per transitive CLUSTER, and that requires components — two docs with
+   * no direct edge still share a cluster through a chain.
+   *
+   * Algorithm: distributed min-label propagation. Each round joins the
+   * symmetric edge list against the current labels, takes the per-node
+   * min over neighbors (map-side partial min), and stops when no label
+   * changed. Per-round work is entirely distributed (the driver holds one
+   * changed-row COUNTER, never data — the loop is round coordination,
+   * like Pregel supersteps); lineage is truncated per round with
+   * localCheckpoint so plans stay flat. Rounds needed = the graph's
+   * diameter. LSH dedup graphs are unions of band cliques and stars
+   * (diameter a small constant — every member of a bucket is directly
+   * joined to the others or to its representative), so a handful of
+   * rounds closes even a 100 TB corpus; an adversarial long-chain graph
+   * would want the O(log n)-round star-contraction variant instead, which
+   * this deliberately is not (simpler, and right for THIS graph shape).
+   */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxRounds: Int = 50): DataFrame = {
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint()
+    var labels = sym.select(col("u")).distinct()
+      .select(col("u"), col("u").as("lbl")).localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val nbrMin = sym
+        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vlbl")).as("nmin"))
+      val updated = labels.join(nbrMin, Seq("u"), "left_outer")
+        .select(col("u"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("u"), col("lbl").as("old")), Seq("u"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = updated
+    }
+    require(changed == 0, s"components did not converge in $maxRounds rounds " +
+      "— graph diameter exceeds the bound; raise maxRounds or use a " +
+      "star-contraction algorithm for chain-shaped graphs")
+    labels.select(col("u").as("doc_id"), col("lbl").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[connectedComponents]] over [[minhashLsh]]'s confirmed pairs — the
+    * end-to-end "cluster the corpus's near-duplicates" operator. */
+  def dedupComponents(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    connectedComponents(minhashLsh(documents, threshold, maxBucketSize))
+
   /** First 8 md5 hex chars of a word as a 32-bit unsigned value. */
   private def word32(w: Column): Column =
     graft.functions.GraftFunctions.md5PrefixLong(w, 8)

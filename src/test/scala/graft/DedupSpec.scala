@@ -151,6 +151,27 @@ class DedupSpec extends SparkSpec {
     assert(c2.getDouble(5) == 0.925, c2.toString)
   }
 
+  test("connected components: transitive chains collapse to the component minimum") {
+    import spark.implicits._
+    // two components: {1,2,3,4} connected only through chains (no direct
+    // 3-4 or 1-3 edge) and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (4L, 1L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a 10-node path graph needs ~diameter rounds — the convergence loop,
+    // not a single propagation step, does the work
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainGot = DedupOps.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(chainGot.length == 10 && chainGot.forall(_._2 == 1L), chainGot.mkString(","))
+    // and the end-to-end operator clusters the standard fixture: docs 1,
+    // 2, 4 are one near-dup cluster (1-2, 1-4, 2-4 pairs), doc 3 alone
+    val comp = DedupOps.dedupComponents(corpus, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), comp.toString)
+  }
+
   test("curation funnel: LSH and exact near-dup stages agree; one shared cache entry, no accretion") {
     import graft.operators.CurationOps
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
