@@ -362,9 +362,12 @@ object DedupOps {
       .localCheckpoint()
     var labels = sym.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged && round < maxRounds) {
       round += 1
       val nbrMin = sym
         .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
@@ -373,12 +376,15 @@ object DedupOps {
         .select(col("u"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.select(col("u"), col("lbl").as("old")), Seq("u"))
-        .filter(col("lbl") =!= col("old")).count()
+      // labels only ever DECREASE, so an unchanged sum means an unchanged
+      // labeling — one narrow aggregation per round instead of a
+      // join-against-previous + count
+      val newSum = labelSum(updated)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = updated
     }
-    require(changed == 0, s"components did not converge in $maxRounds rounds " +
+    require(converged, s"components did not converge in $maxRounds rounds " +
       "— graph diameter exceeds the bound; raise maxRounds or use a " +
       "star-contraction algorithm for chain-shaped graphs")
     labels.select(col("u").as("doc_id"), col("lbl").as("component"))
