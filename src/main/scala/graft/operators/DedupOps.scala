@@ -354,6 +354,15 @@ object DedupOps {
    * would want the O(log n)-round star-contraction variant instead, which
    * this deliberately is not (simpler, and right for THIS graph shape).
    */
+  /** Drop the executor-storage blocks behind a localCheckpoint'ed frame
+    * (or a projection over one). Spark's ContextCleaner would eventually
+    * reclaim them after driver GC; the propagation loop releases each
+    * superseded round eagerly instead. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxRounds: Int = 50): DataFrame = {
@@ -362,31 +371,34 @@ object DedupOps {
       .localCheckpoint()
     var labels = sym.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl")).localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     var round = 0
-    var prevSum = labelSum(labels)
-    var converged = false
-    while (!converged && round < maxRounds) {
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
       round += 1
       val nbrMin = sym
         .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vlbl")).as("nmin"))
+      // the changed flag is computed INSIDE the update projection (least
+      // ignores the left-outer join's null nmin), so convergence needs one
+      // narrow count over the checkpointed result — never a second join
+      // against the previous labels, and no arithmetic that could wrap on
+      // large id sums
       val updated = labels.join(nbrMin, Seq("u"), "left_outer")
         .select(col("u"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          least(col("lbl"), col("nmin")).as("lbl"),
+          coalesce(col("nmin") < col("lbl"), lit(false)).as("chg"))
         .localCheckpoint()
-      // labels only ever DECREASE, so an unchanged sum means an unchanged
-      // labeling — one narrow aggregation per round instead of a
-      // join-against-previous + count
-      val newSum = labelSum(updated)
-      converged = newSum == prevSum
-      prevSum = newSum
-      labels = updated
+      changed = updated.filter(col("chg")).count()
+      // release the superseded round's checkpointed labels eagerly —
+      // otherwise up to maxRounds snapshots sit in executor storage until
+      // the driver GC lets the ContextCleaner find them
+      releaseCheckpoint(labels)
+      labels = updated.select(col("u"), col("lbl"))
     }
-    require(converged, s"components did not converge in $maxRounds rounds " +
+    require(changed == 0, s"components did not converge in $maxRounds rounds " +
       "— graph diameter exceeds the bound; raise maxRounds or use a " +
       "star-contraction algorithm for chain-shaped graphs")
+    releaseCheckpoint(sym)
     labels.select(col("u").as("doc_id"), col("lbl").as("component"))
       .orderBy(col("doc_id"))
   }
