@@ -289,6 +289,10 @@ object SparkEntry {
     // spans shared by >1 doc = boilerplate repeated across documents.
     "x32_span_dedup" -> ((s, d) =>
       TextOps.duplicateSpans(docs(s, d), 8)),
+    // Span dedup APPLIED: every span occurrence except its first
+    // (min doc_id, pos) is removed; per-language census of the cut.
+    "x35_span_dedup_apply" -> ((s, d) =>
+      TextOps.spanDedupCensus(docs(s, d), 8)),
     // Skew-mitigated fact/dim join: events.user_id is deliberately hot
     // (15 users over 1000 events at sf0.001), the salt spreads each hot
     // key over 8 reducers, and the result is row-identical to the plain
@@ -1100,6 +1104,25 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_spans,
         |       CAST(MAX(nd) AS BIGINT) AS max_docs_sharing
         |FROM per""".stripMargin,
+    "x35_span_dedup_apply" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT lang, doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(range(1, len(w)//8 + 1),
+        |      i -> struct_pack(pos := i,
+        |        span := array_to_string(list_slice(w, (i-1)*8+1, (i-1)*8+8), ' ')))
+        |    ELSE [] END) AS u
+        |  FROM d),
+        |k AS (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY u.span ORDER BY doc_id, u.pos) AS rn
+        |  FROM sp)
+        |SELECT lang, COUNT(*) AS spans,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS removed_spans,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 8 ELSE 0 END) AS BIGINT) AS tokens_removed,
+        |  CAST(COUNT(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT) AS docs_affected
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // The salted join is row-identical to the plain equi-join by
     // construction, so the oracle is simply the unsalted form.
     "x29_salted_join" ->

@@ -183,6 +183,39 @@ object TextOps {
    * the census is one groupBy(span) with map-side partials — span keys
    * hash-distribute like any other aggregation key at 100 TB.
    */
+  /**
+   * APPLY global span dedup (the C4-style "remove duplicated lines
+   * corpus-wide" rule, over fixed-width windows because this corpus has
+   * no line structure): every occurrence of a span except its FIRST —
+   * minimum (doc_id, position) — is marked removed, and the census
+   * reports per language how much text that takes out and how many docs
+   * it touches. Winner selection is one row_number window over the span
+   * key (a single shuffle, the same key distribution as
+   * [[duplicateSpans]]); determinism comes from the (doc_id, pos) order.
+   */
+  def spanDedupCensus(documents: DataFrame, width: Int = 8): DataFrame = {
+    require(width > 0, "span width must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nSpans = (size(ws) / lit(width)).cast("int")
+    val spans = when(size(ws) >= width,
+      transform(sequence(lit(1), nSpans), i =>
+        concat_ws(" ", slice(ws, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
+      .otherwise(array().cast("array<string>"))
+    val occ = documents
+      .select(col("lang"), col("doc_id"), posexplode(spans).as(Seq("pos", "span")))
+    occ
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("span")).orderBy(col("doc_id"), col("pos"))))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("spans"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("removed_spans"),
+        (sum(when(col("rn") > 1, 1L).otherwise(0L)) * width).as("tokens_removed"),
+        countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_affected"))
+      .orderBy(col("lang"))
+  }
+
   def duplicateSpans(documents: DataFrame, width: Int = 8): DataFrame = {
     require(width > 0, "span width must be positive")
     val ws = words(col("text"))

@@ -22,6 +22,22 @@ class TextRepetitionSpec extends SparkSpec {
       row.getLong(4)) == (("en", 3L, 3L, 1L, 1L)), row.toString)
   }
 
+  test("spanDedupCensus: first occurrence survives, later ones counted removed") {
+    // width 2: doc1 ["p q","r s"], doc2 ["p q","x y"], doc4 ["p q","p q"]
+    // winner of "p q" = (doc1, pos0); removed: doc2's copy + BOTH doc4
+    // copies = 3 removed spans, 6 tokens, 2 docs affected
+    val docs = docsOf(
+      (1L, "p q r s", "en", "s"),
+      (2L, "p q x y", "de", "s"),
+      (4L, "p q p q", "en", "s"))
+    val rows = TextOps.spanDedupCensus(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      ("de", 2L, 1L, 2L, 1L),   // doc2: "p q" removed, "x y" kept
+      ("en", 4L, 2L, 4L, 1L)),  // doc4: both copies removed; doc1 keeps all
+      rows.mkString(","))
+  }
+
   test("duplicateSpans: non-overlapping windows, cross-doc sharing, hand-checked") {
     // width 2: doc1 -> ["p q","r s"], doc2 -> ["p q","x y"],
     // doc3 (1 word) -> none, doc4 "p q p q" -> ["p q","p q"]
