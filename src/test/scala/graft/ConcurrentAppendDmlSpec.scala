@@ -48,6 +48,56 @@ class ConcurrentAppendDmlSpec extends SparkSpec {
     assert(markers == Set("0", "1"))
   }
 
+  test("appends survive interleaved DML swaps AND compactions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cx").toString
+    val initialIds = (0L until 30L)
+    // fragmented on purpose so every compaction pass has real work
+    graft.sources.LedgerTables.write(batchOf(initialIds, "pending").repartition(4), tmp)
+    val batches = 4
+    val perBatch = 10
+    val retries = new AtomicInteger(0)
+    val appenderFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      try {
+        for (b <- 0 until batches) {
+          val ids = (2000L + b * perBatch) until (2000L + (b + 1) * perBatch)
+          var done = false
+          var attempts = 0
+          while (!done) {
+            try { LedgerStream.appendBatch(tmp)(batchOf(ids, "appended"), b.toLong); done = true }
+            catch { case e: Exception =>
+              attempts += 1; retries.incrementAndGet()
+              if (attempts > 3) throw e
+            }
+          }
+        }
+      } catch { case t: Throwable => appenderFailure.set(t) }
+    }, "chaos-appender")
+    appender.start()
+    // rewriters hold the lease against each other; appends run through it all
+    for (i <- 0 until 4) {
+      if (i % 2 == 0) flipStatuses(tmp, i)
+      else graft.sources.Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
+    }
+    appender.join(120000)
+    assert(!appender.isAlive, "appender thread hung")
+    assert(appenderFailure.get() == null, s"appender failed: ${appenderFailure.get()}")
+    val got = LedgerTables.read(spark, tmp)
+      .groupBy(col("record_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    initialIds.foreach(i => assert(got.get(i).contains(1L), s"initial row $i: ${got.get(i)}"))
+    (2000L until (2000L + batches.toLong * perBatch)).foreach { i =>
+      assert(got.contains(i), s"appended row $i lost")
+      if (retries.get() == 0) assert(got(i) == 1L, s"appended row $i duplicated: ${got(i)}")
+    }
+  }
+
+  private def flipStatuses(path: String, i: Int): Long = {
+    val (from, to) = if (i % 4 == 0) ("pending", "processing") else ("processing", "pending")
+    LedgerTables.updateWhere(spark, path, col("pipeline_status") === from,
+      Seq("pipeline_status" -> lit(to)))
+  }
+
   test("concurrent appendBatch during looping DML swaps never loses rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
     val initialIds = (0L until 30L)
