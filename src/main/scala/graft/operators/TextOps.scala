@@ -172,20 +172,45 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Non-overlapping `width`-token windows of the text (docs shorter than
+    * `width` contribute none; a trailing partial window is dropped). The
+    * ONE definition both span operators and both their DuckDB oracles
+    * must stay bit-identical to. */
+  private def spanArray(width: Int): Column = {
+    require(width > 0, "span width must be positive")
+    val ws = words(col("text"))
+    val nSpans = (size(ws) / lit(width)).cast("int") // int division for positives
+    when(size(ws) >= width,
+      transform(sequence(lit(1), nSpans), i =>
+        concat_ws(" ", slice(ws, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /**
-   * Cross-document duplicate-span census: non-overlapping windows of
-   * `width` consecutive tokens (docs shorter than `width` contribute
-   * none); a span occurring in more than one document is boilerplate
-   * shared ACROSS docs — the span-level complement of whole-doc dedup,
-   * what a pipeline removes as repeated headers/footers/licenses. Exact
-   * integers: total span occurrences, distinct spans, spans shared by >1
-   * doc, and the widest sharing. Span generation is a per-row expression;
-   * the census is one groupBy(span) with map-side partials — span keys
-   * hash-distribute like any other aggregation key at 100 TB.
+   * Cross-document duplicate-span census: a span occurring in more than
+   * one document is boilerplate shared ACROSS docs — the span-level
+   * complement of whole-doc dedup, what a pipeline removes as repeated
+   * headers/footers/licenses. Exact integers: total span occurrences,
+   * distinct spans, spans shared by >1 doc, and the widest sharing. Span
+   * generation ([[spanArray]]) is a per-row expression; the census is one
+   * groupBy(span) with map-side partials — span keys hash-distribute like
+   * any other aggregation key at 100 TB.
    */
+  def duplicateSpans(documents: DataFrame, width: Int = 8): DataFrame = {
+    documents
+      .select(col("doc_id"), explode(spanArray(width)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .agg(
+        sum(col("n")).as("total_spans"),
+        count(lit(1)).as("distinct_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_spans"),
+        max(col("nd")).as("max_docs_sharing"))
+  }
+
   /**
    * APPLY global span dedup (the C4-style "remove duplicated lines
-   * corpus-wide" rule, over fixed-width windows because this corpus has
+   * corpus-wide" rule, over [[spanArray]] windows because this corpus has
    * no line structure): every occurrence of a span except its FIRST —
    * minimum (doc_id, position) — is marked removed, and the census
    * reports per language how much text that takes out and how many docs
@@ -194,16 +219,9 @@ object TextOps {
    * [[duplicateSpans]]); determinism comes from the (doc_id, pos) order.
    */
   def spanDedupCensus(documents: DataFrame, width: Int = 8): DataFrame = {
-    require(width > 0, "span width must be positive")
     import org.apache.spark.sql.expressions.Window
-    val ws = words(col("text"))
-    val nSpans = (size(ws) / lit(width)).cast("int")
-    val spans = when(size(ws) >= width,
-      transform(sequence(lit(1), nSpans), i =>
-        concat_ws(" ", slice(ws, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
-      .otherwise(array().cast("array<string>"))
-    val occ = documents
-      .select(col("lang"), col("doc_id"), posexplode(spans).as(Seq("pos", "span")))
+    val occ = documents.select(col("lang"), col("doc_id"),
+      posexplode(spanArray(width)).as(Seq("pos", "span")))
     occ
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("span")).orderBy(col("doc_id"), col("pos"))))
@@ -214,24 +232,5 @@ object TextOps {
         (sum(when(col("rn") > 1, 1L).otherwise(0L)) * width).as("tokens_removed"),
         countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_affected"))
       .orderBy(col("lang"))
-  }
-
-  def duplicateSpans(documents: DataFrame, width: Int = 8): DataFrame = {
-    require(width > 0, "span width must be positive")
-    val ws = words(col("text"))
-    val nSpans = (size(ws) / lit(width)).cast("int") // int division for positives
-    val spans = when(size(ws) >= width,
-      transform(sequence(lit(1), nSpans), i =>
-        concat_ws(" ", slice(ws, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
-      .otherwise(array().cast("array<string>"))
-    documents
-      .select(col("doc_id"), explode(spans).as("span"))
-      .groupBy(col("span"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
-      .agg(
-        sum(col("n")).as("total_spans"),
-        count(lit(1)).as("distinct_spans"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_spans"),
-        max(col("nd")).as("max_docs_sharing"))
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
 
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,60 @@ class ConcurrentAppendDmlSpec extends SparkSpec {
     val day = 15 + (i % 3)
     (i, "p", "i", s"2024-01-$day 10:00:00", s"2024-01-$day 11:00:00", status)
   }: _*)
+
+  private def flipStatuses(path: String, forward: Boolean): Long = {
+    val (from, to) =
+      if (forward) ("pending", "processing") else ("processing", "pending")
+    LedgerTables.updateWhere(spark, path, col("pipeline_status") === from,
+      Seq("pipeline_status" -> lit(to)))
+  }
+
+  /** Race an at-least-once retrying appender (`batches`×`perBatch` rows
+    * from `baseId`) against `rewriters` run on the calling thread, then
+    * assert the no-loss contract: every initial row exactly once (they are
+    * only ever rewritten under the lease), every appended row present —
+    * and exactly once when no mid-commit retry fired (at-least-once is
+    * appendBatch's declared contract when one did). */
+  private def raceAppender(
+      tmp: String, initialIds: Seq[Long],
+      baseId: Long, batches: Int, perBatch: Int)(rewriters: => Unit): Unit = {
+    val retries = new AtomicInteger(0)
+    val failure = new AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      try {
+        for (b <- 0 until batches) {
+          val ids = (baseId + b * perBatch) until (baseId + (b + 1) * perBatch)
+          // at-least-once, like a streaming foreachBatch sink: a commit
+          // that raced a partition swap fails loudly and is retried; the
+          // batch marker makes a retry after a SUCCESSFUL commit a no-op
+          var done = false
+          var attempts = 0
+          while (!done) {
+            try { LedgerStream.appendBatch(tmp)(batchOf(ids, "appended"), b.toLong); done = true }
+            catch { case e: Exception =>
+              attempts += 1; retries.incrementAndGet()
+              if (attempts > 3) throw e
+            }
+          }
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    }, "race-appender")
+    appender.start()
+    rewriters
+    appender.join(120000)
+    assert(!appender.isAlive, "appender thread hung")
+    assert(failure.get() == null, s"appender failed permanently: ${failure.get()}")
+    val got = LedgerTables.read(spark, tmp)
+      .groupBy(col("record_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    initialIds.foreach(i =>
+      assert(got.get(i).contains(1L), s"initial row $i: ${got.get(i)}"))
+    (baseId until (baseId + batches.toLong * perBatch)).foreach { i =>
+      assert(got.contains(i), s"appended row $i lost")
+      if (retries.get() == 0)
+        assert(got(i) == 1L, s"appended row $i duplicated: ${got(i)}")
+    }
+  }
 
   test("_graft_batches replay markers survive a whole-table DML swap") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mk").toString
@@ -48,111 +102,30 @@ class ConcurrentAppendDmlSpec extends SparkSpec {
     assert(markers == Set("0", "1"))
   }
 
-  test("appends survive interleaved DML swaps AND compactions") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cx").toString
-    val initialIds = (0L until 30L)
-    // fragmented on purpose so every compaction pass has real work
-    graft.sources.LedgerTables.write(batchOf(initialIds, "pending").repartition(4), tmp)
-    val batches = 4
-    val perBatch = 10
-    val retries = new AtomicInteger(0)
-    val appenderFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val appender = new Thread(() => {
-      try {
-        for (b <- 0 until batches) {
-          val ids = (2000L + b * perBatch) until (2000L + (b + 1) * perBatch)
-          var done = false
-          var attempts = 0
-          while (!done) {
-            try { LedgerStream.appendBatch(tmp)(batchOf(ids, "appended"), b.toLong); done = true }
-            catch { case e: Exception =>
-              attempts += 1; retries.incrementAndGet()
-              if (attempts > 3) throw e
-            }
-          }
-        }
-      } catch { case t: Throwable => appenderFailure.set(t) }
-    }, "chaos-appender")
-    appender.start()
-    // rewriters hold the lease against each other; appends run through it all
-    for (i <- 0 until 4) {
-      if (i % 2 == 0) flipStatuses(tmp, i)
-      else graft.sources.Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
-    }
-    appender.join(120000)
-    assert(!appender.isAlive, "appender thread hung")
-    assert(appenderFailure.get() == null, s"appender failed: ${appenderFailure.get()}")
-    val got = LedgerTables.read(spark, tmp)
-      .groupBy(col("record_id")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    initialIds.foreach(i => assert(got.get(i).contains(1L), s"initial row $i: ${got.get(i)}"))
-    (2000L until (2000L + batches.toLong * perBatch)).foreach { i =>
-      assert(got.contains(i), s"appended row $i lost")
-      if (retries.get() == 0) assert(got(i) == 1L, s"appended row $i duplicated: ${got(i)}")
-    }
-  }
-
-  private def flipStatuses(path: String, i: Int): Long = {
-    val (from, to) = if (i % 4 == 0) ("pending", "processing") else ("processing", "pending")
-    LedgerTables.updateWhere(spark, path, col("pipeline_status") === from,
-      Seq("pipeline_status" -> lit(to)))
-  }
-
   test("concurrent appendBatch during looping DML swaps never loses rows") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
     val initialIds = (0L until 30L)
     LedgerTables.write(batchOf(initialIds, "pending"), tmp)
-
-    val batches = 5
-    val perBatch = 12
-    val retries = new AtomicInteger(0)
-    val appenderFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val appender = new Thread(() => {
-      try {
-        for (b <- 0 until batches) {
-          val ids = (1000L + b * perBatch) until (1000L + (b + 1) * perBatch)
-          // at-least-once, like a streaming foreachBatch sink: a commit that
-          // raced a partition swap fails loudly and is retried; the batch
-          // marker makes a retry after a SUCCESSFUL commit a no-op
-          var done = false
-          var attempts = 0
-          while (!done) {
-            try { LedgerStream.appendBatch(tmp)(batchOf(ids, "appended"), b.toLong); done = true }
-            catch { case e: Exception =>
-              attempts += 1; retries.incrementAndGet()
-              if (attempts > 3) throw e
-            }
-          }
-        }
-      } catch { case t: Throwable => appenderFailure.set(t) }
-    }, "concurrent-appender")
-    appender.start()
-
-    // DML loop on the main thread: each pass rewrites every partition that
-    // holds a matching row (all three days), displacing trees a concurrent
-    // append may just have committed into
-    for (i <- 0 until 4) {
-      val (from, to) = if (i % 2 == 0) ("pending", "processing") else ("processing", "pending")
-      LedgerTables.updateWhere(spark, tmp, col("pipeline_status") === from,
-        Seq("pipeline_status" -> lit(to)))
+    raceAppender(tmp, initialIds, 1000L, batches = 5, perBatch = 12) {
+      // each pass rewrites every partition that holds a matching row (all
+      // three days), displacing trees a concurrent append may just have
+      // committed into
+      for (i <- 0 until 4) flipStatuses(tmp, forward = i % 2 == 0)
     }
-    appender.join(120000)
-    assert(!appender.isAlive, "appender thread hung")
-    assert(appenderFailure.get() == null,
-      s"appender failed permanently: ${appenderFailure.get()}")
+  }
 
-    val got = LedgerTables.read(spark, tmp)
-      .groupBy(col("record_id")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val appendedIds = (1000L until (1000L + batches.toLong * perBatch))
-    // no-loss is unconditional: every initial and appended row is present
-    initialIds.foreach(i => assert(got.contains(i), s"initial row $i lost"))
-    appendedIds.foreach(i => assert(got.contains(i), s"appended row $i lost"))
-    // initial rows were only ever rewritten under the lease — exactly once
-    initialIds.foreach(i => assert(got(i) == 1L, s"initial row $i duplicated: ${got(i)}"))
-    // appended rows are exactly-once too unless a mid-commit retry fired
-    // (at-least-once is the declared appendBatch contract in that case)
-    if (retries.get() == 0)
-      appendedIds.foreach(i => assert(got(i) == 1L, s"appended row $i duplicated: ${got(i)}"))
+  test("appends survive interleaved DML swaps AND compactions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cx").toString
+    val initialIds = (0L until 30L)
+    // fragmented on purpose so every compaction pass has real work
+    LedgerTables.write(batchOf(initialIds, "pending").repartition(4), tmp)
+    raceAppender(tmp, initialIds, 2000L, batches = 4, perBatch = 10) {
+      // rewriters hold the lease against each other; appends run through
+      // it all
+      for (i <- 0 until 4) {
+        if (i % 2 == 0) flipStatuses(tmp, forward = i % 4 == 0)
+        else graft.sources.Maintenance.compact(spark, tmp, targetBytes = 1L << 30)
+      }
+    }
   }
 }
