@@ -275,6 +275,11 @@ object SparkEntry {
     // pipeline needs to keep one representative per cluster.
     "x34_dedup_components" -> ((s, d) =>
       DedupOps.dedupComponents(docs(s, d), 0.8, Int.MaxValue)),
+    // The same clusters by O(log n)-round alternating star contraction —
+    // the long-chain-safe algorithm, gated against the identical oracle.
+    "x36_components_star" -> ((s, d) =>
+      DedupOps.connectedComponentsStar(
+        DedupOps.minhashLsh(docs(s, d), 0.8, Int.MaxValue))),
     // IVF recall census: exact brute-force top-k vs the probed-cell top-k
     // for a deterministic query sample — the measured trade-off record for
     // the x5 configuration, sibling of the LSH census x25.
@@ -363,6 +368,50 @@ object SparkEntry {
     (0 until 32).map(j => s"SUM((bits >> $j) & 1) AS s$j").mkString(", ")
   private val simhashFp: String =
     (0 until 32).map(j => s"(CASE WHEN 2*s$j > n THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  /** x1's pair derivation + a recursive min-label walk: the minimum of a
+    * component reaches every member (each hop away from the min satisfies
+    * the lbl < v guard), so MIN(lbl) per node is the component id. Shared
+    * by x34 (label propagation) and x36 (star contraction) — two
+    * algorithms, one output contract. */
+  private val componentsOracleSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM docs),
+      |vs AS (
+      |  SELECT doc_id, list_transform(sh,
+      |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
+      |  FROM vs),
+      |banded AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4),
+      |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT doc_a, doc_b,
+      |      len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      |        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      |    FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
+      |  WHERE jac >= 0.8),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |walk(u, lbl) AS (
+      |  SELECT DISTINCT u, u FROM edges
+      |  UNION
+      |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON w.u = e.u WHERE w.lbl < e.v)
+      |SELECT u AS doc_id, MIN(lbl) AS component FROM walk
+      |GROUP BY u ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "r1_overlap_input" -> s"""$cte
@@ -998,47 +1047,9 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM ex) AS n_exact,
         |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
         |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin,
-    // x1's pair derivation + a recursive min-label walk: the minimum of a
-    // component reaches every member (each hop away from the min satisfies
-    // the lbl < v guard), so MIN(lbl) per node is the component id.
-    "x34_dedup_components" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
-        |    ELSE [array_to_string(w, ' ')] END) AS sh
-        |  FROM docs),
-        |vs AS (
-        |  SELECT doc_id, list_transform(sh,
-        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 16),
-        |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
-        |  FROM vs),
-        |banded AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, 4),
-        |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
-        |  FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b,
-        |      len(list_intersect(sa.sh, sb.sh))::DOUBLE
-        |        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
-        |    FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
-        |  WHERE jac >= 0.8),
-        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |walk(u, lbl) AS (
-        |  SELECT DISTINCT u, u FROM edges
-        |  UNION
-        |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON w.u = e.u WHERE w.lbl < e.v)
-        |SELECT u AS doc_id, MIN(lbl) AS component FROM walk
-        |GROUP BY u ORDER BY doc_id""".stripMargin,
+    // two component algorithms, one output contract — see componentsOracleSql
+    "x36_components_star" -> componentsOracleSql,
+    "x34_dedup_components" -> componentsOracleSql,
     "x33_ivf_recall" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0),

@@ -130,6 +130,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("star-contraction components equal label-propagation components on any graph") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    def check(name: String, edges: Seq[(Long, Long)]): Unit = {
+      val df = edges.toDF("doc_a", "doc_b")
+      val prop = DedupOps.connectedComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val star = DedupOps.connectedComponentsStar(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(star == prop, s"$name: star $star != propagation $prop")
+    }
+    // the shape star contraction exists for: a long chain (diameter = n−1)
+    check("chain", (1L until 20L).map(i => (i, i + 1)))
+    // a clique plus a pendant, and two disjoint components
+    check("clique+pendant",
+      (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)) :+ (5L -> 99L))
+    check("disjoint", Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L)))
+    // random graphs across densities (deterministic seeds)
+    (40 to 42).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (0 until 45).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      check(s"random-$seed", edges)
+    }
+  }
+
   test("bucketed embedding near-dup equals the brute-force pair set") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
