@@ -440,9 +440,10 @@ object DedupOps {
       .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
       .groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
-    // set difference probe, short-circuiting at the first witness
+    // set-inequality probe: one job over the symmetric difference,
+    // short-circuiting at the first witness row
     def differs(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count() > 0
+      a.exceptAll(b).unionByName(b.exceptAll(a)).limit(1).count() > 0
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
