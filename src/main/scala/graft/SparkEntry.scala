@@ -298,6 +298,25 @@ object SparkEntry {
     // (min doc_id, pos) is removed; per-language census of the cut.
     "x35_span_dedup_apply" -> ((s, d) =>
       TextOps.spanDedupCensus(docs(s, d), 8)),
+    // The CLEANED corpus from span dedup — documents reassembled from
+    // surviving spans + tails; gated via per-language token/char sums of
+    // the reassembled text itself (verifying the output, not a census).
+    "x37_span_apply_corpus" -> ((s, d) =>
+      TextOps.spanDedupApply(docs(s, d), 8)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"),
+          sum(length(col("text")).cast("long")).as("kept_chars"))
+        .orderBy(col("lang"))),
+    // The CLEANED corpus from near-dup clustering — components keep their
+    // min-doc_id representative, losers anti-joined away; per-language
+    // survivor census over the surviving documents' own columns.
+    "x38_dedup_corpus" -> ((s, d) =>
+      DedupOps.dedupCorpus(docs(s, d), 0.8, Int.MaxValue)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang"))),
     // Skew-mitigated fact/dim join: events.user_id is deliberately hot
     // (15 users over 1000 events at sf0.001), the salt spreads each hot
     // key over 8 reducers, and the result is row-identical to the plain
@@ -374,7 +393,7 @@ object SparkEntry {
     * the lbl < v guard), so MIN(lbl) per node is the component id. Shared
     * by x34 (label propagation) and x36 (star contraction) — two
     * algorithms, one output contract. */
-  private val componentsOracleSql: String =
+  private val componentsWalkCte: String =
     """WITH RECURSIVE docs AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |sh AS (
@@ -409,9 +428,21 @@ object SparkEntry {
       |walk(u, lbl) AS (
       |  SELECT DISTINCT u, u FROM edges
       |  UNION
-      |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON w.u = e.u WHERE w.lbl < e.v)
+      |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON w.u = e.u WHERE w.lbl < e.v)""".stripMargin
+
+  private val componentsOracleSql: String = componentsWalkCte +
+    """
       |SELECT u AS doc_id, MIN(lbl) AS component FROM walk
       |GROUP BY u ORDER BY doc_id""".stripMargin
+
+  /** x38: the walk's losers (component min ≠ self) anti-joined from the
+    * corpus — the oracle of the cleaned-corpus operator. */
+  private val dedupCorpusOracleSql: String = componentsWalkCte +
+    """
+      |, losers AS (SELECT u AS doc_id FROM walk GROUP BY u HAVING MIN(lbl) <> u)
+      |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "r1_overlap_input" -> s"""$cte
@@ -1050,6 +1081,41 @@ object SparkEntry {
     // two component algorithms, one output contract — see componentsOracleSql
     "x36_components_star" -> componentsOracleSql,
     "x34_dedup_components" -> componentsOracleSql,
+    "x38_dedup_corpus" -> dedupCorpusOracleSql,
+    // Cleaned corpus from span dedup: the oracle rebuilds every document
+    // from its surviving spans + tail exactly as TextOps.spanDedupApply
+    // does, then sums token/char counts of the reassembled text.
+    "x37_span_apply_corpus" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(range(1, len(w)//8 + 1),
+        |      i -> struct_pack(pos := i,
+        |        span := array_to_string(list_slice(w, (i-1)*8+1, (i-1)*8+8), ' ')))
+        |    ELSE [] END) AS u
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, u.pos AS pos, u.span AS span, row_number() OVER (
+        |    PARTITION BY u.span ORDER BY doc_id, u.pos) AS rn
+        |  FROM sp),
+        |kept AS (
+        |  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS kept_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |cleaned AS (
+        |  -- COALESCE both the slice-join (array_to_string([]) is NULL in
+        |  -- DuckDB, '' in Spark's concat_ws) and the final text, so a doc
+        |  -- that loses everything comes out '' in both engines
+        |  SELECT d.lang, COALESCE(array_to_string(list_filter(
+        |    [COALESCE(kept.kept_text, ''),
+        |     COALESCE(array_to_string(
+        |       list_slice(d.w, (len(d.w)//8)*8+1, len(d.w)), ' '), '')],
+        |    s -> s <> ''), ' '), '') AS text
+        |  FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id)
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS kept_chars
+        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
     "x33_ivf_recall" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0),

@@ -492,6 +492,28 @@ object DedupOps {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     connectedComponents(minhashLsh(documents, threshold, maxBucketSize))
 
+  /**
+   * Deduplicate the corpus and RETURN THE SURVIVING DOCUMENTS — the
+   * end-to-end "cleaned corpus" operator a pipeline feeds to training,
+   * where [[dedupComponents]] only labels clusters. Near-dup pairs
+   * ([[minhashLsh]]) are closed into transitive clusters
+   * ([[connectedComponents]]); each cluster keeps its minimum doc_id (the
+   * component label itself) and every other member is anti-joined away.
+   * Documents in no cluster pass through untouched, with all their
+   * columns.
+   *
+   * Scale shape: the loser set is at most one row per clustered document
+   * — tiny next to the corpus — and the anti-join shuffles on doc_id like
+   * any key join; nothing here adds driver-side state beyond the
+   * component loop's round counter.
+   */
+  def dedupCorpus(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val comp = dedupComponents(documents, threshold, maxBucketSize)
+    val losers = comp.filter(col("component") =!= col("doc_id")).select(col("doc_id"))
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** First 8 md5 hex chars of a word as a 32-bit unsigned value. */
   private def word32(w: Column): Column =
     graft.functions.GraftFunctions.md5PrefixLong(w, 8)

@@ -209,6 +209,50 @@ object TextOps {
   }
 
   /**
+   * APPLY global span dedup and RETURN THE CLEANED CORPUS — the output a
+   * training run actually consumes, where [[spanDedupCensus]] only counts
+   * the cut. Every occurrence of a span except its first — minimum
+   * (doc_id, position) over [[spanArray]] windows — is removed; each
+   * document is reassembled from its surviving spans (in position order)
+   * followed by its tail tokens (the trailing partial window, which the
+   * span grid never covers and is therefore always kept). Documents
+   * shorter than `width` pass through whole; a document can come out
+   * empty if every one of its spans lost and it has no tail. The
+   * reassembled text is in the span domain (lowercased, single-space
+   * joined) — the same normalization every span operator applies.
+   *
+   * Scale shape: winner selection is the same single row_number window
+   * over the span key as [[spanDedupCensus]]; reassembly is one
+   * groupBy(doc_id) collecting the doc's OWN surviving spans (bounded by
+   * the doc's length, never corpus-wide) joined back to the corpus —
+   * both keys hash-distribute.
+   */
+  def spanDedupApply(documents: DataFrame, width: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = words(col("text"))
+    val nSpans = (size(ws) / lit(width)).cast("int")
+    val base = documents.select(
+      col("doc_id"), col("lang"),
+      spanArray(width).as("spans"),
+      // tokens after the last full window (all of them for short docs)
+      concat_ws(" ", slice(ws, nSpans * width + 1, size(ws))).as("tail_text"))
+    val kept = base
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("span")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s("span"))).as("kept_text"))
+    base.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", array_remove(
+          array(coalesce(col("kept_text"), lit("")), col("tail_text")), ""))
+          .as("text"))
+  }
+
+  /**
    * APPLY global span dedup (the C4-style "remove duplicated lines
    * corpus-wide" rule, over [[spanArray]] windows because this corpus has
    * no line structure): every occurrence of a span except its FIRST —

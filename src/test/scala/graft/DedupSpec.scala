@@ -172,6 +172,16 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), comp.toString)
   }
 
+  test("dedupCorpus: one representative per cluster survives with all columns") {
+    // cluster {1,2,4} keeps 1; singleton 3 passes through untouched
+    val survivors = DedupOps.dedupCorpus(corpus, 0.5).collect()
+    assert(survivors.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      survivors.mkString(","))
+    // original columns (text, lang, source, n_chars) ride along unchanged
+    val d3 = survivors.find(_.getLong(0) == 3L).get
+    assert(d3.getString(1) == other && d3.getString(3) == "s1", d3.toString)
+  }
+
   test("curation funnel: LSH and exact near-dup stages agree; one shared cache entry, no accretion") {
     import graft.operators.CurationOps
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")

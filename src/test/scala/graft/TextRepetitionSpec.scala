@@ -38,6 +38,30 @@ class TextRepetitionSpec extends SparkSpec {
       rows.mkString(","))
   }
 
+  test("spanDedupApply: cleaned corpus — losers cut, tails and short docs kept") {
+    // width 2: doc1 ["p q","r s"] keeps both (first everywhere);
+    // doc2 ["p q","x y"] + tail "t" loses "p q", keeps "x y t";
+    // doc3 "z" is shorter than the width -> passes through whole;
+    // doc4 "p q p q" loses both copies -> comes out empty.
+    val docs = docsOf(
+      (1L, "p q r s", "en", "s"),
+      (2L, "p q x y t", "de", "s"),
+      (3L, "z", "en", "s"),
+      (4L, "p q p q", "en", "s"))
+    val out = TextOps.spanDedupApply(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out == Map(
+      1L -> "p q r s", 2L -> "x y t", 3L -> "z", 4L -> ""), out.toString)
+  }
+
+  test("spanDedupApply: uppercase text lands in the lowercased span domain") {
+    val docs = docsOf((1L, "A B c d", "en", "s"), (2L, "a b E", "en", "s"))
+    val out = TextOps.spanDedupApply(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    // doc1's "a b" wins; doc2 keeps only its tail token "e"
+    assert(out == Map(1L -> "a b c d", 2L -> "e"), out.toString)
+  }
+
   test("duplicateSpans: non-overlapping windows, cross-doc sharing, hand-checked") {
     // width 2: doc1 -> ["p q","r s"], doc2 -> ["p q","x y"],
     // doc3 (1 word) -> none, doc4 "p q p q" -> ["p q","p q"]
