@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked run JVM inherit sbt's stdout directly instead of piping
+// it through the sbt logger: the logger prefixes every line with
+// "[info] ", which made Bench's one-line metric JSON unparseable to any
+// consumer that json-loads the captured stdout tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

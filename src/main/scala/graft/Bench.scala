@@ -80,13 +80,25 @@ object Bench {
         s"""    "$n": {"cold": ${cold(t)}, "steady": ${steady(t)}, "reps": [${t.mkString(", ")}]}"""
       }.mkString(",\n"))
       .append("\n  }\n}\n").toString
-    // CWD-relative default (the driver launches from the repo root); the
-    // stdout line advertises the ABSOLUTE path so a bench launched from
-    // elsewhere — a cluster driver, say — points at where it actually
-    // wrote, not at a stale repo copy. Override with SPARK_GRAFT_BENCH_OUT.
-    val outFile = java.nio.file.Paths
-      .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/BENCH_full_latest.json"))
-      .toAbsolutePath
+    // Default detail path resolves against the REPO ROOT (walk up from
+    // this class's code source to the nearest build.sbt), not the CWD — a
+    // bench launched from elsewhere would otherwise silently grow a docs/
+    // tree there. Explicit SPARK_GRAFT_BENCH_OUT stays CWD-relative (the
+    // caller asked for that path); the stdout line advertises the
+    // ABSOLUTE path either way.
+    val docsDir = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(p) => java.nio.file.Paths.get(p).toAbsolutePath.getParent
+      case None =>
+        val codeSrc = java.nio.file.Paths.get(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        Iterator.iterate(codeSrc)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+          .resolve("docs")
+    }
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(p => java.nio.file.Paths.get(p).toAbsolutePath)
+      .getOrElse(docsDir.resolve("BENCH_full_latest.json"))
     try {
       Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(outFile, full.getBytes("UTF-8"))
@@ -100,9 +112,19 @@ object Bench {
     // explicitly so cross-round trending tools compare like with like.
     def series(sel: Seq[Double] => Double): String =
       results.map(t => "\"" + t._1 + "\":" + sel(t._2)).mkString("{", ",", "}")
-    println(s"""{"metric":"total_steady","value":$steadyTotal,"unit":"sec",""" +
+    val line = s"""{"metric":"total_steady","value":$steadyTotal,"unit":"sec",""" +
       s""""queries":${series(steady)},"total_cold":$coldTotal,"reps":$reps,""" +
-      s""""sf":"$sfDir","detail":"$outFile"}""")
+      s""""sf":"$sfDir","detail":"$outFile"}"""
+    // The line ALSO lands in a known repo file: three rounds of driver
+    // records failed to parse the sbt-logged stdout copy ("[info] "
+    // prefix), so a machine-readable copy must exist independent of how
+    // the launcher captures stdout.
+    try java.nio.file.Files.write(docsDir.resolve("BENCH_line.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"bench: could not write BENCH_line.json: $e")
+    }
+    println(line)
     spark.stop()
   }
 }
