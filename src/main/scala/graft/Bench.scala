@@ -52,7 +52,13 @@ object Bench {
     // NOT cached data — nothing is persisted between reps except what the
     // query itself caches (the dedup shingle cache is plan-keyed and shared,
     // exactly as in the composite-funnel production shape).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for isolation runs (measuring
+    // one query without the rest of the suite's GC/JIT neighborhood).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
@@ -66,7 +72,8 @@ object Bench {
     val coldTotal = results.map(t => cold(t._2)).sum
     val notes = "steady=min of warm reps (regression gauge), cold=first run " +
       "(includes per-query codegen compile); full per-rep series in the " +
-      "detail file"
+      "detail file; slow-JIT queries (x2) need 4+ warm reps to reach their " +
+      "floor - isolation floors + analysis in docs/BENCH_notes_r6.md"
     // Full audit record as a repo file: the stdout line was truncated in
     // the round-3/4 driver records, so the complete cold+steady+per-rep
     // series must be readable without re-running the bench.
