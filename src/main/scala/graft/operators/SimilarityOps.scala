@@ -172,7 +172,7 @@ object SimilarityOps {
       queryVecId: Long = 0L,
       k: Int = 10,
       centroidMod: Int = 40,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 12): DataFrame = {
     val cents = centroids(embeddings, centroidMod)
     val assigned = assignToCentroids(embeddings, cents)
     // probe list: nProbe centroids nearest to the query vector
@@ -214,10 +214,22 @@ object SimilarityOps {
       embeddings: DataFrame,
       k: Int = 10,
       centroidMod: Int = 40,
-      nProbe: Int = 3,
-      queryMod: Int = 29): DataFrame = {
+      nProbe: Int = 12,
+      queryMod: Int = 29): DataFrame =
+    ivfRecallCensusWith(embeddings, k, centroids(embeddings, centroidMod),
+      nProbe, queryMod)
+
+  /** [[ivfRecallCensus]] with a caller-supplied centroid table — measures
+    * the recall of e.g. a [[trainCentroids]] quantizer, whose cells a
+    * trained corpus clusters far more tightly than the deterministic
+    * `% mod` subset can. */
+  def ivfRecallCensusWith(
+      embeddings: DataFrame,
+      k: Int,
+      cents: DataFrame,
+      nProbe: Int,
+      queryMod: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = centroids(embeddings, centroidMod)
     val assigned = assignToCentroids(embeddings, cents)
     val queries = embeddings.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -319,7 +331,7 @@ object SimilarityOps {
       queryVec: DataFrame,  // 1 row: (qvec array<float>)
       queryVecId: Long,
       k: Int = 10,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 12): DataFrame = {
     val probes = centroids.crossJoin(broadcast(queryVec))
       .select(col("cid"), cos(col("qvec"), col("cvec")).as("psim"))
       .orderBy(col("psim").desc, col("cid").asc)

@@ -51,6 +51,24 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(one.getDouble(3) >= 0.0 && one.getDouble(3) <= 1.0)
   }
 
+  test("shipped IVF defaults reach production recall (>=0.9) on the gated fixture") {
+    graft.functions.GraftFunctions.register(spark)
+    // sf0.01 is what the driver gate runs; (mod=40, nProbe=12) is the
+    // configuration the r6 sweep shipped (measured 0.9722 here) — this
+    // pins it so a future default change must re-clear the bar. The
+    // trained-quantizer path must also clear it at the same probe count
+    // with matched cell count (13 = the %40 cell count at this SF).
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    val shipped = SimilarityOps.ivfRecallCensus(emb).collect().head
+    assert(shipped.getDouble(3) >= 0.9,
+      s"shipped defaults must reach 0.9 recall on sf0.01: $shipped")
+    val trained = SimilarityOps.ivfRecallCensusWith(emb, 10,
+      SimilarityOps.trainCentroids(emb, 13), nProbe = 12, queryMod = 29)
+      .collect().head
+    assert(trained.getDouble(3) >= 0.9,
+      s"trained k=13 nProbe=12 must reach 0.9 recall on sf0.01: $trained")
+  }
+
   test("trained centroids drive the exact near-dup join end-to-end; cells stay balanced") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
