@@ -440,38 +440,56 @@ object DedupOps {
       .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
       .groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
-    // set-inequality probe: one job over the symmetric difference,
-    // short-circuiting at the first witness row
-    def differs(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).limit(1).count() > 0
     var round = 0
-    var changed = true
-    while (changed && round < maxRounds) {
+    var certified = false
+    while (!certified && round <= maxRounds) {
       round += 1
-      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
-        .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
-      // large-star: edges (v, m(u)) for v > u; m ≤ u < v so already canonical
-      val mt = minTable(edges)
-      val large = sym.filter(col("v") > col("u")).join(mt, Seq("u"))
-        .select(col("m").as("x"), col("v").as("y"))
-      val afterLarge = canon(large).localCheckpoint()
-      // small-star on the large-star output: (v, m(u)) for v ≤ u, plus (u, m(u))
-      val mt2 = minTable(afterLarge)
-      val sym2 = afterLarge.select(col("lo").as("u"), col("hi").as("v"))
-        .unionByName(afterLarge.select(col("hi").as("u"), col("lo").as("v")))
-      val small = sym2.filter(col("v") < col("u")).join(mt2, Seq("u"))
-        .select(col("m").as("x"), col("v").as("y"))
-        .unionByName(mt2.select(col("m").as("x"), col("u").as("y")))
-      val afterSmall = canon(small).localCheckpoint()
-      // converged only when the edge set is a fixpoint of BOTH passes —
-      // large leaving it unchanged AND small leaving large's output
-      // unchanged (stars rooted at component minima satisfy both)
-      changed = differs(afterLarge, edges) || differs(afterSmall, afterLarge)
-      releaseCheckpoint(edges)
-      releaseCheckpoint(afterLarge)
-      edges = afterSmall
+      // Checkpointed: the min table feeds both the convergence certificate
+      // and the large-star pass this round.
+      val mt = minTable(edges).localCheckpoint()
+      // Star certificate, checked BEFORE running the passes: the edge set
+      // is a star forest rooted at neighborhood minima iff every canonical
+      // edge (lo, hi) has m(hi) = lo AND m(lo) = lo. (⇐ m(hi)=lo forces
+      // each node to appear as `hi` in at most one edge — two distinct
+      // `lo`s can't both be its neighborhood min; m(lo)=lo plus lo being
+      // hi's neighbor forbids lo from also being some edge's `hi` — a
+      // smaller neighbor would contradict m(lo)=lo. So every node is a
+      // root or a single-rooted leaf: a star forest, whose roots are the
+      // component minima.) Stars are exactly the fixpoints the alternation
+      // converges to (Kiveris et al.), so certifying here replaces the two
+      // symmetric-difference (exceptAll) jobs per round with ONE
+      // short-circuiting probe over joins of the edge set against the
+      // already-needed min table.
+      val viol = edges
+        .join(mt.select(col("u").as("hi"), col("m").as("m_hi")), Seq("hi"))
+        .join(mt.select(col("u").as("lo"), col("m").as("m_lo")), Seq("lo"))
+        .filter(col("m_hi") =!= col("lo") || col("m_lo") =!= col("lo"))
+        .limit(1).count()
+      if (viol == 0L) {
+        certified = true
+        releaseCheckpoint(mt)
+      } else {
+        val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+          .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+        // large-star: edges (v, m(u)) for v > u; m ≤ u < v so already canonical
+        val large = sym.filter(col("v") > col("u")).join(mt, Seq("u"))
+          .select(col("m").as("x"), col("v").as("y"))
+        val afterLarge = canon(large).localCheckpoint()
+        // small-star on the large-star output: (v, m(u)) for v ≤ u, plus (u, m(u))
+        val mt2 = minTable(afterLarge)
+        val sym2 = afterLarge.select(col("lo").as("u"), col("hi").as("v"))
+          .unionByName(afterLarge.select(col("hi").as("u"), col("lo").as("v")))
+        val small = sym2.filter(col("v") < col("u")).join(mt2, Seq("u"))
+          .select(col("m").as("x"), col("v").as("y"))
+          .unionByName(mt2.select(col("m").as("x"), col("u").as("y")))
+        val afterSmall = canon(small).localCheckpoint()
+        releaseCheckpoint(edges)
+        releaseCheckpoint(mt)
+        releaseCheckpoint(afterLarge)
+        edges = afterSmall
+      }
     }
-    require(!changed, s"star contraction did not converge in $maxRounds rounds")
+    require(certified, s"star contraction did not converge in $maxRounds rounds")
     // converged: every edge is (component root, member)
     val labels = edges.select(col("hi").as("doc_id"), col("lo").as("component"))
       .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("component")))
