@@ -74,6 +74,17 @@ object SparkEntry {
     // old mod 40); the pair set is centroid-independent by the exactness
     // guarantee, so the oracle result is unchanged.
     "x4_embed_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(emb(s, d), 0.4, 100)),
+    // The TRAINED-quantizer near-dup path, end-to-end under the driver
+    // gate: k-means||-trained centroids feed the same cell-pair join. The
+    // pair set is provably centroid-independent (the per-cell
+    // triangle-inequality radii guarantee exactness for ANY centroid
+    // table), so the oracle is x4's — a hash-identical row proves the
+    // trained path computes the same relation. maxIter 5 keeps the
+    // training cost bench-sane; iteration count changes centroids, never
+    // results.
+    "x39_neardup_trained" -> ((s, d) =>
+      SimilarityOps.embeddingNearDupWith(emb(s, d), 0.4,
+        SimilarityOps.trainCentroids(emb(s, d), 16, seed = 42L, maxIter = 5))),
     // nProbe 12 of the 13 cells at the gated SF = the ≥0.9-recall
     // configuration the r6 sweep picked (recall 0.97 at sf0.01; the full
     // cost/recall grid incl. the trained-centroid curves is in
@@ -450,6 +461,15 @@ object SparkEntry {
       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** x4/x39: the all-pairs form IS the oracle for every centroid choice —
+    * the bucketed join's exactness is centroid-independent. */
+  private val embedNearDupOracleSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "r1_overlap_input" -> s"""$cte
       |SELECT * FROM pipeline_runs
@@ -578,12 +598,9 @@ object SparkEntry {
         |  FROM bd a JOIN bd b ON a.block = b.block AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b)) AS hamming FROM cand
         |WHERE bit_count(xor(fp_a, fp_b)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
-    "x4_embed_neardup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "x4_embed_neardup" -> embedNearDupOracleSql,
+    // same relation by the exactness guarantee — see the x39 query comment
+    "x39_neardup_trained" -> embedNearDupOracleSql,
     "x5_ann_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0),
