@@ -334,6 +334,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("lang"))),
+    // Incremental dedup over an append sequence: the corpus split into
+    // two deterministic batches; batch-0 internal pairs + the incremental
+    // detector's pairs for batch 1 against the batch-0 signature store
+    // must union to EXACTLY the full-corpus pair set — so x1's oracle
+    // gates the incremental path (both-in-batch-0 and ≥1-in-batch-1 are
+    // disjoint and exhaustive; candidate generation and verification are
+    // batch-independent).
+    "x40_lsh_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      val b0 = all.filter(col("doc_id") % 2 === 0)
+      val b1 = all.filter(col("doc_id") % 2 =!= 0)
+      DedupOps.minhashLsh(b0, 0.8, Int.MaxValue)
+        .unionByName(DedupOps.minhashLshIncremental(b1, b0, 0.8, Int.MaxValue))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // Skew-mitigated fact/dim join: events.user_id is deliberately hot
     // (15 users over 1000 events at sf0.001), the salt spreads each hot
     // key over 8 reducers, and the result is row-identical to the plain
@@ -461,6 +476,39 @@ object SparkEntry {
       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** x1/x40: the full-corpus LSH pipeline — also the oracle of the
+    * incremental batch-split union, which reproduces the same relation. */
+  private val minhashLshOracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM docs),
+      |vs AS (
+      |  SELECT doc_id, list_transform(sh,
+      |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, list_transform(range(0, 16),
+      |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
+      |  FROM vs),
+      |banded AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4),
+      |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
+      |  FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(sa.sh, sb.sh))::DOUBLE
+      |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+      |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+      |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
   /** x4/x39: the all-pairs form IS the oracle for every centroid choice —
     * the bucketed join's exactness is centroid-independent. */
   private val embedNearDupOracleSql: String =
@@ -533,36 +581,9 @@ object SparkEntry {
       """SELECT d.lang, e.label, COUNT(*) AS n
         |FROM documents d INNER JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin,
-    "x1_minhash_lsh" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
-        |    ELSE [array_to_string(w, ' ')] END) AS sh
-        |  FROM docs),
-        |vs AS (
-        |  SELECT doc_id, list_transform(sh,
-        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 16),
-        |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
-        |  FROM vs),
-        |banded AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, 4),
-        |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
-        |  FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE
-        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
-        |  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
-        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
-        |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "x1_minhash_lsh" -> minhashLshOracleSql,
+    // batch-split union == full recompute — see the x40 query comment
+    "x40_lsh_incremental" -> minhashLshOracleSql,
     "x2_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

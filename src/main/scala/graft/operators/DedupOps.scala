@@ -134,7 +134,13 @@ object DedupOps {
     // *within* each bucket (ids only — shingle arrays are joined back
     // afterwards, once per surviving candidate pair), never by self-joining
     // the banded relation.
-    val banded = bandedKeys(shs)
+    verifyJaccard(shs, candidatePairs(bandedKeys(shs), maxBucketSize), threshold)
+  }
+
+  /** Deduplicated candidate id pairs (doc_a < doc_b) from a banded
+    * relation — the clique(≤cap) ∪ representative-star(>cap) generator,
+    * shared by the full and the incremental detector. */
+  private def candidatePairs(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     // Bucket size + representative via a whole-partition window over
     // band_key: ONE shuffle of the banded relation, after which the
     // clique-path groupBy below reuses the same hash partitioning (no
@@ -160,9 +166,89 @@ object DedupOps {
     // no collect_list, no quadratic expansion, bounded per-row work.
     val starPairs = sized.filter(col("bsz") > maxBucketSize && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val pairs = cliquePairs.unionByName(starPairs)
+    cliquePairs.unionByName(starPairs)
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccard(shs, pairs, threshold)
+  }
+
+  /**
+   * Persist the LSH signature store for a corpus BESIDE it (the dedup
+   * analogue of [[SimilarityOps.buildIvfIndex]]): `<path>/shingles` holds
+   * (doc_id, sh, shv) — the per-doc distinct shingle arrays and their
+   * 60-bit hashes — and `<path>/bands` holds the (doc_id, band_key)
+   * banding relation. A 100 TB corpus grows by appended batches; with the
+   * store on disk, [[minhashLshIncremental]] dedups a new batch by
+   * banding ONLY the new docs and joining their band keys against the
+   * store — cost proportional to the batch, not the corpus.
+   */
+  def buildLshStore(documents: DataFrame, path: String): Unit = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val shs = shingleRelation(documents)
+    shs.write.mode("overwrite").parquet(s"$path/shingles")
+    bandedKeys(shs).write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Append a new batch's signatures/bands to an existing store (call
+    * AFTER [[minhashLshIncremental]] has reported the batch's pairs, or
+    * before — a doc's signature depends only on its own text, so store
+    * order never changes any result; doc_ids must be corpus-unique). */
+  def appendLshStore(newDocs: DataFrame, path: String): Unit = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val shs = shingleRelation(newDocs)
+    shs.write.mode("append").parquet(s"$path/shingles")
+    bandedKeys(shs).write.mode("append").parquet(s"$path/bands")
+  }
+
+  /**
+   * Incremental MinHash/LSH near-dup pairs for an appended batch against
+   * a persisted [[buildLshStore]] store: every confirmed pair with AT
+   * LEAST ONE side in `newDocs` (new–new pairs via the same clique∪star
+   * generator as [[minhashLsh]], new–old pairs via an equi-join of the
+   * batch's band keys against the store's). Union the batches' outputs
+   * and you have exactly the full-corpus uncapped pair set — the
+   * candidate condition "shares ≥1 band key" and the exact-Jaccard
+   * verification are both independent of which batch a doc arrived in
+   * (property-tested against the full recompute over append sequences in
+   * DedupSpec).
+   *
+   * Scale shape: the batch is banded from scratch (cost ∝ batch); the
+   * store side is READ pre-banded — no re-shingling of history. The
+   * new–old join shuffles on band_key, and a hot store bucket costs its
+   * membership as join-output rows spread across tasks, never a
+   * collected array; `maxBucketSize` caps the new–new clique path
+   * exactly as in the full detector.
+   */
+  def minhashLshIncremental(newDocs: DataFrame, storePath: String,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    val spark = newDocs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    minhashLshIncrementalFrom(shingleRelation(newDocs),
+      spark.read.parquet(s"$storePath/shingles"),
+      spark.read.parquet(s"$storePath/bands"), threshold, maxBucketSize)
+  }
+
+  /** [[minhashLshIncremental]] with the prior corpus as a DataFrame — the
+    * store computed in-flight (shared via the plan-keyed shingle cache)
+    * instead of read back from parquet. */
+  def minhashLshIncremental(newDocs: DataFrame, priorDocs: DataFrame,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val priorShs = shingleRelation(priorDocs)
+    minhashLshIncrementalFrom(shingleRelation(newDocs), priorShs,
+      bandedKeys(priorShs), threshold, maxBucketSize)
+  }
+
+  private def minhashLshIncrementalFrom(newShs: DataFrame, storeShs: DataFrame,
+      storeBands: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val newBands = bandedKeys(newShs)
+    val newNew = candidatePairs(newBands, maxBucketSize)
+    val newOld = newBands
+      .join(storeBands.select(col("doc_id").as("old_id"), col("band_key")), Seq("band_key"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(least(col("doc_id"), col("old_id")).as("doc_a"),
+        greatest(col("doc_id"), col("old_id")).as("doc_b"))
+    val pairs = newNew.unionByName(newOld).dropDuplicates("doc_a", "doc_b")
+    verifyJaccard(storeShs.unionByName(newShs), pairs, threshold)
   }
 
   /** (doc_id, band_key) LSH banding relation: minhash signatures from the

@@ -172,6 +172,31 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), comp.toString)
   }
 
+  test("incremental LSH over an append sequence equals the full recompute (parquet store)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairSet(DedupOps.minhashLsh(docs, 0.8, Int.MaxValue))
+    assert(full.nonEmpty, "fixture must contain near-dup pairs")
+    // three append batches through the REAL store IO: build from batch 0,
+    // then for each later batch report increments before appending it
+    val store = java.nio.file.Files.createTempDirectory("lsh_store").toString
+    def batch(i: Int) = docs.filter(col("doc_id") % 3 === i)
+    DedupOps.buildLshStore(batch(0), store)
+    var got = pairSet(DedupOps.minhashLsh(batch(0), 0.8, Int.MaxValue))
+    for (i <- 1 to 2) {
+      got ++= pairSet(
+        DedupOps.minhashLshIncremental(batch(i), store, 0.8, Int.MaxValue))
+      DedupOps.appendLshStore(batch(i), store)
+    }
+    assert(got == full,
+      s"missing=${full -- got} extra=${got -- full}")
+    // incremental batches only ever ADD pairs touching the new batch
+    val b1Inc = DedupOps.minhashLshIncremental(batch(1), batch(0), 0.8, Int.MaxValue)
+    assert(pairSet(b1Inc).subsetOf(full))
+  }
+
   test("dedupCorpus: one representative per cluster survives with all columns") {
     // cluster {1,2,4} keeps 1; singleton 3 passes through untouched
     val survivors = DedupOps.dedupCorpus(corpus, 0.5).collect()
