@@ -53,12 +53,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * a CONCURRENT RECLAIMER's just-created lease (never a live renewing
  * holder — its fresh modification time fails the staleness recheck); the
  * window is one metadata operation wide, and an evicted holder's next
- * heartbeat detects and logs the loss. On object stores without atomic
- * create, the DEFAULT arbiter is advisory — the same caveat the swap
- * itself carries ([[Maintenance]] scaladoc) — but the arbitration is
- * pluggable ([[WriterLease.LeaseArbiter]]): a backend built on the
- * store's conditional write (If-None-Match / precondition PUT) makes the
- * exclusion decisive there too.
+ * heartbeat detects and logs the loss. Where OS advisory locking exists
+ * (local disks, NFSv4), [[WriterLease.LeaseArbiter.fileLock]] closes even
+ * that window — both decisions run atomically under a sidecar FileLock.
+ * On object stores without atomic create, the DEFAULT arbiter is advisory
+ * — the same caveat the swap itself carries ([[Maintenance]] scaladoc) —
+ * but the arbitration is pluggable ([[WriterLease.LeaseArbiter]]): a
+ * backend built on the store's conditional write (If-None-Match /
+ * precondition PUT) makes the exclusion decisive there too.
  */
 object WriterLease {
 
@@ -133,6 +135,65 @@ object WriterLease {
       * never overrode it.) */
     def forFileSystem(fs: FileSystem): LeaseArbiter =
       if (fs.getUri.getScheme == "file") posixLocal else exclusiveCreate
+
+    /**
+     * FULLY DECISIVE arbitration on any filesystem with OS advisory
+     * locking (local disks, NFSv4): every decision — create-iff-absent
+     * AND the reclaim's compare-and-delete — executes as one atomic step
+     * under an exclusive `FileLock` on a sidecar `_writer_lease.arb`
+     * file, closing the one-metadata-op reclaimer-vs-reclaimer window
+     * that [[posixLocal]]'s plain-delete default documents. A JVM-striped
+     * monitor serializes in-process callers first (the JVM throws
+     * `OverlappingFileLockException` rather than queueing overlapping
+     * locks from one process); the OS lock then arbitrates across
+     * processes. The sidecar is underscore-prefixed (invisible to Spark
+     * listings, preserved by the swap's `_`-children rule) and is itself
+     * never deleted — deleting it would race its own lock.
+     *
+     * This is the second REAL backend behind the [[LeaseArbiter]] seam
+     * (beside the create-only [[posixLocal]]/[[exclusiveCreate]] pair and
+     * the conditional-write shape a cloud object store provides):
+     * lifecycle- and contention-tested in WriterLeaseArbiterSpec.
+     * Requires a `file://` path — the sidecar is locked through java.nio.
+     */
+    val fileLock: LeaseArbiter = new LeaseArbiter {
+      private val jvmLocks =
+        new java.util.concurrent.ConcurrentHashMap[String, Object]()
+      private def withSidecarLock[A](fs: FileSystem, p: Path)(body: => A): A = {
+        val uri = fs.makeQualified(p).toUri
+        require(uri.getScheme == null || uri.getScheme == "file",
+          s"fileLock arbiter needs a java.nio-lockable file:// path, got $uri")
+        val target = java.nio.file.Paths.get(uri.getPath)
+        val side = target.resolveSibling(target.getFileName.toString + ".arb")
+        Option(side.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        val mon = jvmLocks.computeIfAbsent(side.toString, _ => new Object)
+        mon.synchronized {
+          val ch = java.nio.channels.FileChannel.open(side,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val l = ch.lock()
+            try body finally l.release()
+          } finally ch.close()
+        }
+      }
+      override def createIfAbsent(fs: FileSystem, p: Path): Boolean =
+        withSidecarLock(fs, p) {
+          // absence check and create commit under ONE lock — the
+          // overwrite flag is irrelevant here, exclusion came first
+          if (fs.exists(p)) false
+          else { fs.create(p, true).close(); true }
+        }
+      override def deleteIfMatches(fs: FileSystem, p: Path,
+          expected: LeaseInfo): Boolean =
+        withSidecarLock(fs, p) {
+          // the full (owner, effective-acquisition-time) identity — which
+          // readAt already computes, including the corrupt-placeholder
+          // sentinel — rechecked and acted on atomically
+          readAt(fs, p).exists(r => r.owner == expected.owner &&
+            r.acquiredAtMs == expected.acquiredAtMs) && fs.delete(p, false)
+        }
+    }
   }
 
   /** Lease file name, inside the table root; underscore-prefixed so Spark

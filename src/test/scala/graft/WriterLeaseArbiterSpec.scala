@@ -117,6 +117,76 @@ class WriterLeaseArbiterSpec extends SparkSpec {
     WriterLease.release(fs, base, got.owner)
   }
 
+  test("fileLock backend: full lifecycle — acquire, deny, renew, release, reclaim") {
+    val (fs, base) = fixture()
+    val arb = LeaseArbiter.fileLock
+    val got = WriterLease.acquire(fs, base, owner = "writer-A", arbiter = arb)
+    val e = intercept[WriterLease.HeldByOtherWriterException] {
+      WriterLease.acquire(fs, base, owner = "writer-B", arbiter = arb)
+    }
+    assert(e.getMessage.contains("writer-A"))
+    assert(WriterLease.renew(fs, base, got.owner))
+    WriterLease.release(fs, base, got.owner)
+    // expired-lease reclaim routes through the locked compare-and-delete
+    WriterLease.acquire(fs, base, owner = "crashed", ttlMs = 0L, arbiter = arb)
+    Thread.sleep(5)
+    val re = WriterLease.acquire(fs, base, owner = "reclaimer", arbiter = arb)
+    assert(re.owner == "reclaimer")
+    WriterLease.release(fs, base, re.owner)
+    // the sidecar must stay invisible to data listings (underscore prefix)
+    val children = fs.listStatus(base).map(_.getPath.getName).toSet
+    assert(children.forall(_.startsWith("_")), children.toString)
+  }
+
+  test("fileLock compare-and-delete refuses a stale identity observation") {
+    val (fs, base) = fixture()
+    val arb = LeaseArbiter.fileLock
+    val p = new Path(base, WriterLease.LeaseName)
+    val first = WriterLease.acquire(fs, base, owner = "writer-A", arbiter = arb)
+    val staleObservation = WriterLease.read(fs, base).get
+    // the holder releases and a NEW writer takes the slot...
+    WriterLease.release(fs, base, first.owner)
+    Thread.sleep(5) // a fresh acquisition gets a distinct timestamp identity
+    val second = WriterLease.acquire(fs, base, owner = "writer-B", arbiter = arb)
+    // ...so a reclaimer still holding the OLD observation must not evict it
+    assert(!arb.deleteIfMatches(fs, p, staleObservation),
+      "a changed identity must refuse the conditional delete")
+    assert(WriterLease.read(fs, base).exists(_.owner == "writer-B"),
+      "writer-B's live lease must survive the stale delete attempt")
+    // while the CURRENT identity does delete
+    val current = WriterLease.read(fs, base).get
+    assert(arb.deleteIfMatches(fs, p, current))
+    assert(WriterLease.read(fs, base).isEmpty)
+    WriterLease.release(fs, base, second.owner) // no-op; slot already clear
+  }
+
+  test("racing writers through the fileLock backend never overlap") {
+    val (fs, base) = fixture()
+    val inCritical = new AtomicBoolean(false)
+    val overlaps = new AtomicInteger(0)
+    val completed = new AtomicInteger(0)
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        var done = false
+        while (!done) {
+          try {
+            WriterLease.withLease(fs, base, arbiter = LeaseArbiter.fileLock) {
+              if (!inCritical.compareAndSet(false, true)) overlaps.incrementAndGet()
+              Thread.sleep(20)
+              inCritical.set(false)
+            }
+            completed.incrementAndGet(); done = true
+          } catch {
+            case _: WriterLease.HeldByOtherWriterException => Thread.sleep(10)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(completed.get() == 6, s"all writers must eventually run: ${completed.get()}")
+    assert(overlaps.get() == 0, s"overlapping critical sections: ${overlaps.get()}")
+  }
+
   test("racing writers through the conditional backend never overlap") {
     val (fs, base) = fixture()
     val store = new ConditionalStore
