@@ -334,6 +334,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("lang"))),
+    // Star-gap observability: per-bucket counts of representative-star
+    // pairs that FAILED exact verification — the runtime signal that the
+    // capped path's documented recall trade-off is being hit (ADVICE r5).
+    // cap=2 so the star generator engages on the fixture, like x28.
+    "x41_lsh_star_gap" -> ((s, d) =>
+      DedupOps.lshStarGapCensus(docs(s, d), 0.8, 2)),
     // Incremental dedup over an append sequence: the corpus split into
     // two deterministic batches; batch-0 internal pairs + the incremental
     // detector's pairs for batch 1 against the batch-0 signature store
@@ -1122,6 +1128,51 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM ex) AS n_exact,
         |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
         |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin,
+    // x41: the star pairs of buckets > cap(2) with per-bucket verification
+    // failure counts — the same banded/bs CTEs as x28's oracle.
+    "x41_lsh_star_gap" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM docs),
+        |vs AS (
+        |  SELECT doc_id, list_transform(sh,
+        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS v
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |    i -> list_min(list_transform(v, x -> (x*(2*i+1) + i) % 2147483647))) AS sig
+        |  FROM vs),
+        |banded AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, 4),
+        |    b -> b::VARCHAR || ':' || array_to_string(list_slice(sig, b*4+1, b*4+4), ','))) AS band_key
+        |  FROM sig),
+        |bs AS (
+        |  SELECT band_key, COUNT(*) AS bsz, MIN(doc_id) AS rep
+        |  FROM banded GROUP BY band_key),
+        |star AS (
+        |  SELECT banded.band_key, bs.rep AS doc_a, banded.doc_id AS doc_b
+        |  FROM banded JOIN bs ON bs.band_key = banded.band_key
+        |  WHERE bs.bsz > 2 AND banded.doc_id <> bs.rep),
+        |v AS (
+        |  SELECT band_key,
+        |    len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+        |  FROM star JOIN sh sa ON sa.doc_id = star.doc_a
+        |            JOIN sh sb ON sb.doc_id = star.doc_b),
+        |per AS (
+        |  SELECT band_key, COUNT(*) AS tried,
+        |    SUM(CASE WHEN jac < 0.8 THEN 1 ELSE 0 END) AS failed
+        |  FROM v GROUP BY band_key)
+        |SELECT CAST(COALESCE(SUM(tried), 0) AS BIGINT) AS star_pairs,
+        |  CAST(COALESCE(SUM(failed), 0) AS BIGINT) AS failed_pairs,
+        |  CAST(COALESCE(SUM(CASE WHEN failed > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS buckets_with_failures,
+        |  CAST(COALESCE(MAX(failed), 0) AS BIGINT) AS max_failed_per_bucket
+        |FROM per""".stripMargin,
     // two component algorithms, one output contract — see componentsOracleSql
     "x36_components_star" -> componentsOracleSql,
     "x34_dedup_components" -> componentsOracleSql,

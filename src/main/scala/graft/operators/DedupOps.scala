@@ -298,6 +298,45 @@ object DedupOps {
   }
 
   /**
+   * Diagnostic census of the star path's recall gap IN ACTION: for every
+   * oversized bucket, the representative-star pairs that fail exact
+   * verification — the members whose true duplicates (if any) can then
+   * only be reported through another band. A zero `failed_pairs` means
+   * the star trade-off cost nothing on this corpus; a large
+   * `max_failed_per_bucket` flags a bucket whose representative sits
+   * below threshold against much of its cluster (chain another star from
+   * the second-lowest member, or raise the cap for that corpus). Counts
+   * are per (bucket, member) — a pair failing in two bands counts twice,
+   * because the gap is per bucket. Same banded relation and window as
+   * the detector, so the census sees exactly the buckets it capped.
+   */
+  def lshStarGapCensus(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val shs = shingleRelation(documents)
+    val wBand = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val star = bandedKeys(shs)
+      .withColumn("bsz", count(lit(1)).over(wBand))
+      .withColumn("rep", min(col("doc_id")).over(wBand))
+      .filter(col("bsz") > maxBucketSize && col("doc_id") =!= col("rep"))
+      .select(col("band_key"), col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val verified = star
+      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    val (_, j) = jaccard(col("sh_a"), col("sh_b"))
+    verified.select(col("band_key"), j.as("jac"))
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("tried"),
+        sum(when(col("jac") < threshold, 1L).otherwise(0L)).as("failed"))
+      .agg(
+        coalesce(sum(col("tried")), lit(0L)).as("star_pairs"),
+        coalesce(sum(col("failed")), lit(0L)).as("failed_pairs"),
+        coalesce(sum(when(col("failed") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("buckets_with_failures"),
+        coalesce(max(col("failed")), lit(0L)).as("max_failed_per_bucket"))
+  }
+
+  /**
    * Diagnostic recall census of the LSH detector against the exact
    * ground-truth operator: one row of exact integers — true pairs at the
    * threshold ([[ngramJaccard]]), pairs the banded detector found, pairs it
@@ -459,31 +498,39 @@ object DedupOps {
       .select(col("u"), col("u").as("lbl")).localCheckpoint()
     var round = 0
     var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      round += 1
-      val nbrMin = sym
-        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("vlbl")).as("nmin"))
-      // the changed flag is computed INSIDE the update projection (least
-      // ignores the left-outer join's null nmin), so convergence needs one
-      // narrow count over the checkpointed result — never a second join
-      // against the previous labels, and no arithmetic that could wrap on
-      // large id sums
-      val updated = labels.join(nbrMin, Seq("u"), "left_outer")
-        .select(col("u"),
-          least(col("lbl"), col("nmin")).as("lbl"),
-          coalesce(col("nmin") < col("lbl"), lit(false)).as("chg"))
-        .localCheckpoint()
-      changed = updated.filter(col("chg")).count()
-      // release the superseded round's checkpointed labels eagerly —
-      // otherwise up to maxRounds snapshots sit in executor storage until
-      // the driver GC lets the ContextCleaner find them
+    // on ANY failure (incl. the non-convergence require) release the
+    // checkpointed frames before rethrowing — otherwise up to maxRounds
+    // of executor storage stays pinned until driver GC lets the
+    // ContextCleaner find it
+    try {
+      while (changed > 0 && round < maxRounds) {
+        round += 1
+        val nbrMin = sym
+          .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
+          .groupBy(col("u")).agg(min(col("vlbl")).as("nmin"))
+        // the changed flag is computed INSIDE the update projection (least
+        // ignores the left-outer join's null nmin), so convergence needs one
+        // narrow count over the checkpointed result — never a second join
+        // against the previous labels, and no arithmetic that could wrap on
+        // large id sums
+        val updated = labels.join(nbrMin, Seq("u"), "left_outer")
+          .select(col("u"),
+            least(col("lbl"), col("nmin")).as("lbl"),
+            coalesce(col("nmin") < col("lbl"), lit(false)).as("chg"))
+          .localCheckpoint()
+        changed = updated.filter(col("chg")).count()
+        // release the superseded round's checkpointed labels eagerly
+        releaseCheckpoint(labels)
+        labels = updated.select(col("u"), col("lbl"))
+      }
+      require(changed == 0, s"components did not converge in $maxRounds rounds " +
+        "— graph diameter exceeds the bound; raise maxRounds or use a " +
+        "star-contraction algorithm for chain-shaped graphs")
+    } catch { case e: Throwable =>
+      releaseCheckpoint(sym)
       releaseCheckpoint(labels)
-      labels = updated.select(col("u"), col("lbl"))
+      throw e
     }
-    require(changed == 0, s"components did not converge in $maxRounds rounds " +
-      "— graph diameter exceeds the bound; raise maxRounds or use a " +
-      "star-contraction algorithm for chain-shaped graphs")
     releaseCheckpoint(sym)
     labels.select(col("u").as("doc_id"), col("lbl").as("component"))
       .orderBy(col("doc_id"))
@@ -528,54 +575,63 @@ object DedupOps {
       .select(col("u"), least(col("u"), col("mn")).as("m"))
     var round = 0
     var certified = false
-    while (!certified && round <= maxRounds) {
-      round += 1
-      // Checkpointed: the min table feeds both the convergence certificate
-      // and the large-star pass this round.
-      val mt = minTable(edges).localCheckpoint()
-      // Star certificate, checked BEFORE running the passes: the edge set
-      // is a star forest rooted at neighborhood minima iff every canonical
-      // edge (lo, hi) has m(hi) = lo AND m(lo) = lo. (⇐ m(hi)=lo forces
-      // each node to appear as `hi` in at most one edge — two distinct
-      // `lo`s can't both be its neighborhood min; m(lo)=lo plus lo being
-      // hi's neighbor forbids lo from also being some edge's `hi` — a
-      // smaller neighbor would contradict m(lo)=lo. So every node is a
-      // root or a single-rooted leaf: a star forest, whose roots are the
-      // component minima.) Stars are exactly the fixpoints the alternation
-      // converges to (Kiveris et al.), so certifying here replaces the two
-      // symmetric-difference (exceptAll) jobs per round with ONE
-      // short-circuiting probe over joins of the edge set against the
-      // already-needed min table.
-      val viol = edges
-        .join(mt.select(col("u").as("hi"), col("m").as("m_hi")), Seq("hi"))
-        .join(mt.select(col("u").as("lo"), col("m").as("m_lo")), Seq("lo"))
-        .filter(col("m_hi") =!= col("lo") || col("m_lo") =!= col("lo"))
-        .limit(1).count()
-      if (viol == 0L) {
-        certified = true
-        releaseCheckpoint(mt)
-      } else {
-        val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
-          .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
-        // large-star: edges (v, m(u)) for v > u; m ≤ u < v so already canonical
-        val large = sym.filter(col("v") > col("u")).join(mt, Seq("u"))
-          .select(col("m").as("x"), col("v").as("y"))
-        val afterLarge = canon(large).localCheckpoint()
-        // small-star on the large-star output: (v, m(u)) for v ≤ u, plus (u, m(u))
-        val mt2 = minTable(afterLarge)
-        val sym2 = afterLarge.select(col("lo").as("u"), col("hi").as("v"))
-          .unionByName(afterLarge.select(col("hi").as("u"), col("lo").as("v")))
-        val small = sym2.filter(col("v") < col("u")).join(mt2, Seq("u"))
-          .select(col("m").as("x"), col("v").as("y"))
-          .unionByName(mt2.select(col("m").as("x"), col("u").as("y")))
-        val afterSmall = canon(small).localCheckpoint()
-        releaseCheckpoint(edges)
-        releaseCheckpoint(mt)
-        releaseCheckpoint(afterLarge)
-        edges = afterSmall
+    // failure path (incl. the non-convergence require) releases the live
+    // checkpoints before rethrowing — see connectedComponents
+    try {
+      while (!certified && round <= maxRounds) {
+        round += 1
+        // Checkpointed: the min table feeds both the convergence certificate
+        // and the large-star pass this round; released per-round in the
+        // finally so an exception mid-pass cannot strand it.
+        val mt = minTable(edges).localCheckpoint()
+        try {
+          // Star certificate, checked BEFORE running the passes: the edge
+          // set is a star forest rooted at neighborhood minima iff every
+          // canonical edge (lo, hi) has m(hi) = lo AND m(lo) = lo. (⇐
+          // m(hi)=lo forces each node to appear as `hi` in at most one
+          // edge — two distinct `lo`s can't both be its neighborhood min;
+          // m(lo)=lo plus lo being hi's neighbor forbids lo from also
+          // being some edge's `hi` — a smaller neighbor would contradict
+          // m(lo)=lo. So every node is a root or a single-rooted leaf: a
+          // star forest, whose roots are the component minima.) Stars are
+          // exactly the fixpoints the alternation converges to (Kiveris
+          // et al.), so certifying here replaces the two
+          // symmetric-difference (exceptAll) jobs per round with ONE
+          // short-circuiting probe over joins of the edge set against the
+          // already-needed min table.
+          val viol = edges
+            .join(mt.select(col("u").as("hi"), col("m").as("m_hi")), Seq("hi"))
+            .join(mt.select(col("u").as("lo"), col("m").as("m_lo")), Seq("lo"))
+            .filter(col("m_hi") =!= col("lo") || col("m_lo") =!= col("lo"))
+            .limit(1).count()
+          if (viol == 0L) certified = true
+          else {
+            val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+              .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
+            // large-star: edges (v, m(u)) for v > u; m ≤ u < v so already canonical
+            val large = sym.filter(col("v") > col("u")).join(mt, Seq("u"))
+              .select(col("m").as("x"), col("v").as("y"))
+            val afterLarge = canon(large).localCheckpoint()
+            // small-star on the large-star output: (v, m(u)) for v ≤ u, plus (u, m(u))
+            val mt2 = minTable(afterLarge)
+            val sym2 = afterLarge.select(col("lo").as("u"), col("hi").as("v"))
+              .unionByName(afterLarge.select(col("hi").as("u"), col("lo").as("v")))
+            val small = sym2.filter(col("v") < col("u")).join(mt2, Seq("u"))
+              .select(col("m").as("x"), col("v").as("y"))
+              .unionByName(mt2.select(col("m").as("x"), col("u").as("y")))
+            val afterSmall = canon(small).localCheckpoint()
+            releaseCheckpoint(edges)
+            releaseCheckpoint(afterLarge)
+            edges = afterSmall
+          }
+        } finally releaseCheckpoint(mt)
       }
+      require(certified, s"star contraction did not converge in $maxRounds rounds")
+    } catch { case e: Throwable =>
+      releaseCheckpoint(edges)
+      releaseCheckpoint(allNodes)
+      throw e
     }
-    require(certified, s"star contraction did not converge in $maxRounds rounds")
     // converged: every edge is (component root, member)
     val labels = edges.select(col("hi").as("doc_id"), col("lo").as("component"))
       .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("component")))

@@ -441,6 +441,31 @@ object LedgerTables {
     // from earlier renameInto passes are dot-prefixed and excluded too.
     val incoming = fs.listStatus(fresh).map(_.getPath).toIndexedSeq
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+    // Snapshot each staged child's own (visible) files before installing
+    // anything: if phase 2 fails part-way, an already-installed child may
+    // have received a concurrent appender's files AFTER install, and the
+    // pull-back below would carry those committed rows into the staging
+    // dir — invisible to the table. The snapshot lets the failure handler
+    // tell the staged write's files from the appender's and merge the
+    // latter back (same mechanism as the displaced-tree rescue).
+    def visibleFilesUnder(root: org.apache.hadoop.fs.Path): Set[String] = {
+      def walk(p: org.apache.hadoop.fs.Path, prefix: String): Iterator[String] =
+        fs.listStatus(p).iterator.flatMap { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("_") || name.startsWith(".")) Iterator.empty
+          else {
+            val rel = if (prefix.isEmpty) name else s"$prefix/$name"
+            if (st.isDirectory) walk(st.getPath, rel) else Iterator.single(rel)
+          }
+        }
+      try walk(root, "").toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty }
+    }
+    val stagedSnapshot: Map[String, Set[String]] = incoming.flatMap { c =>
+      val isDir = try fs.getFileStatus(c).isDirectory
+        catch { case _: java.io.FileNotFoundException => false }
+      if (isDir) Some(c.getName -> visibleFilesUnder(c)) else None
+    }.toMap
     val lateTrees = scala.collection.mutable.ArrayBuffer.empty[
       (String, org.apache.hadoop.fs.Path)]
     def moveIncoming(): Unit = incoming.foreach { c =>
@@ -468,10 +493,22 @@ object LedgerTables {
             rescueLateFiles(fs, p,
               new org.apache.hadoop.fs.Path(dest, name), Set.empty, "")
           }
+          // ...and any files an appender committed into an
+          // already-installed fresh child (pulled back into staging
+          // above): everything under a pulled-back child that is NOT in
+          // its staged snapshot is appended data — merge it back
+          incoming.foreach { c =>
+            stagedSnapshot.get(c.getName).foreach { snap =>
+              rescueLateFiles(fs, c,
+                new org.apache.hadoop.fs.Path(dest, c.getName), snap, "")
+            }
+          }
           if (stuck.nonEmpty)
             throw new java.io.IOException(
               s"ROLLBACK INCOMPLETE: fresh children ${stuck.mkString(", ")} " +
-                s"could not be pulled back out of $dest — recover manually")
+                s"could not be pulled back out of $dest — recover manually; " +
+                s"the staged write (and possibly late-appended files) sit " +
+                s"under $fresh")
         }
         throw e
     }

@@ -100,6 +100,44 @@ class SwapContentsSpec extends SparkSpec {
       "fresh children must be pulled back out of the table")
   }
 
+  test("phase-2 rollback rescues files appended into an already-installed fresh child") {
+    // An appender commits into a fresh partition AFTER the swap installed
+    // it; then the NEXT install fails. The pull-back carries the appended
+    // file into staging — the handler must merge it back into the
+    // restored table (it is committed data the rewrite never saw), while
+    // the staged write's own files stay in staging.
+    val fs = newFs()
+    val root = new Path(
+      java.nio.file.Files.createTempDirectory("graft_lateinstall").toString)
+    val dest = new Path(root, "table")
+    val fresh = new Path(root, "staging")
+    for (d <- Seq("day=1", "day=2")) {
+      fs.mkdirs(new Path(dest, d)); fs.mkdirs(new Path(fresh, d))
+      mkFile(fs, new Path(dest, s"$d/old.parquet"), "old")
+      mkFile(fs, new Path(fresh, s"$d/new.parquet"), "new")
+    }
+    def isInstall(src: Path, dst: Path): Boolean =
+      src.getParent != null && src.getParent.getName == "staging" &&
+        dst.getParent != null && dst.getParent.getName == "table"
+    // whichever child installs first receives the appended file just
+    // before the second install, which then fails — order-independent
+    val first = new java.util.concurrent.atomic.AtomicReference[String](null)
+    fs.beforeRename = (src, dst) => if (isInstall(src, dst)) {
+      if (first.get() == null) first.set(src.getName)
+      else mkFile(fs, new Path(dest, s"${first.get()}/appended.parquet"), "late")
+    }
+    fs.failWhen = (src, dst) =>
+      isInstall(src, dst) && first.get() != null && src.getName != first.get()
+    intercept[java.io.IOException] { LedgerTables.swapContents(fs, fresh, dest) }
+    val a = first.get()
+    val b = if (a == "day=1") "day=2" else "day=1"
+    assert(names(fs, new Path(dest, a)) == Set("old.parquet", "appended.parquet"),
+      s"the appended file must be rescued back into the restored $a")
+    assert(names(fs, new Path(dest, b)) == Set("old.parquet"))
+    assert(names(fs, new Path(fresh, a)) == Set("new.parquet"),
+      "the staged write's own file stays in staging after the rescue")
+  }
+
   test("a partition dir recreated non-empty mid-install is displaced, never nested") {
     // Deterministic reproduction of the measured Hadoop local-FS hazard:
     // rename onto a non-empty dir returns TRUE and NESTS src inside it. An
