@@ -236,6 +236,15 @@ object SparkEntry {
     // near-dedup -> deterministic sample, census of survivors per stage.
     "x19_curation_funnel" -> ((s, d) =>
       CurationOps.curationFunnel(docs(s, d), 30, 0.8, 13)),
+    // The funnel's CLEANED CORPUS — the surviving documents themselves,
+    // gated via a per-lang census over their own columns (the output a
+    // training run consumes; x19 only counts it).
+    "x42_curation_corpus" -> ((s, d) =>
+      CurationOps.curationCorpus(docs(s, d), 30, 0.8, 13)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang"))),
     // Benchmark decontamination: corpus docs sharing >= 5 shingles with the
     // deterministic doc_id % 97 == 0 "benchmark" subset, per language.
     "x21_decontaminate" -> ((s, d) =>
@@ -481,6 +490,40 @@ object SparkEntry {
       |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** x19/x42: the curation funnel's stage CTEs (quality gate → exact-dedup
+    * keeper window → exact near-dup losers → survivor sample) — the x19
+    * census and the x42 cleaned-corpus survivor census share them. */
+  private val funnelCte: String =
+    """WITH q AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 30),
+      |ex AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+      |    FROM q) WHERE doc_id = keeper),
+      |docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM ex),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM docs),
+      |sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |losers AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM inter
+      |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+      |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+      |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+      |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      |samp AS (
+      |  SELECT doc_id FROM nd
+      |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 13)""".stripMargin
 
   /** x1/x40: the full-corpus LSH pipeline — also the oracle of the
     * incremental batch-split union, which reproduces the same relation. */
@@ -993,41 +1036,20 @@ object SparkEntry {
         |  SELECT user_id FROM events
         |  WHERE event_type = 'signup' AND CAST(ts AS DATE) = DATE '2024-01-15')
         |ORDER BY user_id""".stripMargin,
-    "x19_curation_funnel" ->
-      """WITH q AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(lower(text), ' ')) >= 30),
-        |ex AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
-        |    FROM q) WHERE doc_id = keeper),
-        |docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM ex),
-        |shl AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
-        |    ELSE [array_to_string(w, ' ')] END) AS sh
-        |  FROM docs),
-        |sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |losers AS (
-        |  SELECT DISTINCT doc_b AS doc_id FROM inter
-        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
-        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
-        |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
-        |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-        |samp AS (
-        |  SELECT doc_id FROM nd
-        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 13)
+    "x19_curation_funnel" -> (funnelCte +
+      """
         |SELECT (SELECT COUNT(*) FROM documents) AS n_input,
         |       (SELECT COUNT(*) FROM q) AS n_quality,
         |       (SELECT COUNT(*) FROM ex) AS n_exact,
         |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
-        |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin,
+        |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin),
+    // x42: the funnel's surviving documents themselves — per-lang census
+    // over the samp id set joined back to the corpus's own columns.
+    "x42_curation_corpus" -> (funnelCte +
+      """
+        |SELECT d.lang, COUNT(*) AS docs, CAST(SUM(d.n_chars) AS BIGINT) AS chars
+        |FROM documents d JOIN samp ON d.doc_id = samp.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
     // The capped LSH detector: candidates = cliques of buckets ≤ cap(2)
     // UNION star pairs (bucket representative = min doc_id, one pair per
     // other member) of buckets > cap — exactly DedupOps.minhashLsh's

@@ -46,6 +46,21 @@ object CurationOps {
    * drop it with `DedupOps.unpersistShingles(documents)` when the corpus
    * is done.
    */
+  /** Quality + exact-dedup stage flags (shared by the census and the
+    * cleaned-corpus forms): `q` = over the word bar, `keep_exact` = the
+    * minimum doc_id of its normalized-text group among quality
+    * survivors. */
+  private def exactFlags(documents: DataFrame, minWords: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm"))
+    documents
+      .withColumn("q", size(TextOps.words(col("text"))) >= minWords)
+      .withColumn("norm", md5(lower(trim(col("text"))).cast("binary")))
+      // exact-dedup keeper AMONG quality survivors only
+      .withColumn("keeper", min(when(col("q"), col("doc_id"))).over(w))
+      .withColumn("keep_exact", col("q") && col("doc_id") === col("keeper"))
+  }
+
   def curationFunnel(
       documents: DataFrame,
       minWords: Int = 30,
@@ -54,14 +69,7 @@ object CurationOps {
       useLsh: Boolean = true,
       maxBucketSize: Int = DedupOps.DefaultMaxBucketSize): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("norm"))
-    val flagged = documents
-      .withColumn("q", size(TextOps.words(col("text"))) >= minWords)
-      .withColumn("norm", md5(lower(trim(col("text"))).cast("binary")))
-      // exact-dedup keeper AMONG quality survivors only
-      .withColumn("keeper", min(when(col("q"), col("doc_id"))).over(w))
-      .withColumn("keep_exact", col("q") && col("doc_id") === col("keeper"))
+    val flagged = exactFlags(documents, minWords)
     // Near-dedup over the exact-dedup survivors, through the SHARED
     // full-corpus shingle relation filtered to the keepers (a semi-join on
     // doc_id): the funnel reuses the one cache entry every other dedup
@@ -104,6 +112,47 @@ object CurationOps {
       documents.sparkSession.createDataFrame(
         new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         funnel.schema)
+    } finally shs.unpersist()
+  }
+
+  /**
+   * The funnel's CLEANED CORPUS — the surviving documents themselves (all
+   * original columns), where [[curationFunnel]] returns the stage census:
+   * quality gate ∧ exact-dedup keeper ∧ not a near-dup loser ∧ inside the
+   * deterministic sample. Same stages, same parameters, same shared
+   * shingle cache; `curationFunnel(...).n_sampled` equals this frame's
+   * count by construction (pinned in CurationOpsSpec).
+   *
+   * Lifecycle: the loser id set (one row per dropped near-duplicate) is
+   * materialized with localCheckpoint so the per-call survivor shingle
+   * view can be released before returning — the result is a LAZY frame
+   * over the flagged corpus anti-joined against that small checkpointed
+   * set, safe to consume any number of times.
+   */
+  def curationCorpus(
+      documents: DataFrame,
+      minWords: Int = 30,
+      threshold: Double = 0.8,
+      keepNibbles: Int = 13,
+      useLsh: Boolean = true,
+      maxBucketSize: Int = DedupOps.DefaultMaxBucketSize): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val flagged = exactFlags(documents, minWords)
+    val keepers = flagged.filter(col("keep_exact")).select(col("doc_id"))
+    val shs = DedupOps.shingleRelation(documents)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .persist()
+    try {
+      val nearDups =
+        if (useLsh) DedupOps.minhashLshFrom(shs, threshold, maxBucketSize)
+        else DedupOps.ngramJaccardFrom(shs, threshold)
+      val losers = nearDups.select(col("doc_b").as("doc_id")).distinct()
+        .localCheckpoint() // eager + tiny: frees the shingle view below
+      flagged
+        .filter(col("keep_exact") &&
+          graft.functions.GraftFunctions.sampleGate(col("doc_id"), keepNibbles))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select(documents.columns.map(col).toIndexedSeq: _*)
     } finally shs.unpersist()
   }
 

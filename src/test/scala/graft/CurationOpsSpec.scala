@@ -83,6 +83,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("negative weight"), e2.getMessage)
   }
 
+  test("curationCorpus: the survivors ARE what the funnel census counts") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val census = CurationOps.curationFunnel(docs, 30, 0.8, 13).collect().head
+    val corpus = CurationOps.curationCorpus(docs, 30, 0.8, 13)
+    assert(corpus.count() == census.getLong(4),
+      s"corpus count must equal the census n_sampled: $census")
+    // survivors carry the original schema, and every survivor passes the
+    // stages it claims: over the word bar and inside the sample gate
+    assert(corpus.columns.toSeq == docs.columns.toSeq)
+    val bad = corpus.filter(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(col("text")), " ")) < 30).count()
+    assert(bad == 0L, "a surviving doc under the quality bar")
+    // deterministic: two runs, same ids
+    val ids1 = corpus.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = CurationOps.curationCorpus(docs, 30, 0.8, 13)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("decontamination: flagged docs really share >= minShared shingles with the benchmark") {
     import graft.operators.DedupOps
     val census = CurationOps.decontaminate(docs, benchMod = 7, minShared = 3)
