@@ -95,6 +95,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("cleaned-corpus and incremental-dedup plans stay key-distributed") {
+    // x37's winner window partitions by span, x38's anti-join and x40's
+    // new-old candidate join are key equi-joins — none may degrade to a
+    // single-partition window or a cartesian product (the corpus would
+    // collapse onto one task at 100 TB).
+    Seq("x37_span_apply_corpus", "x38_dedup_corpus", "x40_lsh_incremental")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, d)
+        df.collect() // finalize the adaptive plan before inspecting
+        val p = df.queryExecution.executedPlan
+        assert(!p.toString.contains("CartesianProduct"),
+          s"$q: cartesian product\n${p.toString.take(1500)}")
+        windows(p).foreach(w => assert(w.partitionSpec.nonEmpty,
+          s"$q has a single-partition WindowExec:\n$w"))
+      }
+  }
+
   test("decontamination broadcasts the benchmark shingles; corpus side streams once") {
     val p = plan("x21_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
