@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/**
+ * Streaming corpus ingest with INCREMENTAL near-duplicate detection — the
+ * streaming twin of [[DedupOps.minhashLshIncremental]], for the way a
+ * 100 TB corpus actually grows: continuously, batch by batch. Each
+ * micro-batch is banded and verified against the persisted signature
+ * store (cost ∝ batch, never ∝ corpus), its confirmed pairs appended to
+ * a pairs table (tagged with the batch id), and its own signatures
+ * appended to the store so later batches dedup against it.
+ *
+ * Wire as `docsStream.writeStream.foreachBatch(
+ * CorpusStream.dedupIngestBatch(store, pairs)).start()`.
+ *
+ * Replay semantics mirror [[LedgerStream.appendBatch]]: a
+ * `_graft_batches/<batchId>` marker under the store root makes a
+ * replayed micro-batch (restart between the sink commit and the
+ * checkpoint commit) a no-op. The marker is written last and is not
+ * atomic with the three writes it covers, so a crash INSIDE the batch
+ * can re-run it: the pairs table is at-least-once (its consumers
+ * `distinct` by (doc_a, doc_b) — duplicate ROWS, never wrong pairs),
+ * and the store can hold one batch's signatures twice, which inflates
+ * candidate generation (deduplicated at the pair level) but never the
+ * confirmed pair SET. Defense in depth, not a transaction log — the
+ * same honest contract as the ledger's streaming append.
+ */
+object CorpusStream {
+
+  /** foreachBatch sink: incremental-dedup then store-append one
+    * micro-batch of documents (doc_id must be corpus-unique). The first
+    * batch bootstraps the store and dedups within itself. */
+  def dedupIngestBatch(
+      storePath: String,
+      pairsPath: String,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DedupOps.DefaultMaxBucketSize)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val markerDir = new Path(s"$storePath/_graft_batches")
+    val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(markerDir, batchId.toString)
+    if (fs.exists(marker)) return
+    try {
+      val bootstrapped = fs.exists(new Path(s"$storePath/bands"))
+      // pairs BEFORE the store append: the incremental detector requires
+      // the store not to contain this batch yet
+      val pairs =
+        if (bootstrapped)
+          DedupOps.minhashLshIncremental(batch, storePath, threshold, maxBucketSize)
+        else DedupOps.minhashLsh(batch, threshold, maxBucketSize)
+      pairs.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(pairsPath)
+      if (bootstrapped) DedupOps.appendLshStore(batch, storePath)
+      else DedupOps.buildLshStore(batch, storePath)
+      fs.mkdirs(markerDir)
+      fs.create(marker, true).close()
+    } finally
+      // the shared shingle cache is plan-keyed per BATCH here — a stream
+      // that never dropped it would accrete one entry per micro-batch
+      DedupOps.unpersistShingles(batch)
+  }
+}

@@ -197,6 +197,31 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(b1Inc).subsetOf(full))
   }
 
+  test("streaming dedup ingest: batch-by-batch pairs equal the full recompute; replays skipped") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.CorpusStream
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val full = DedupOps.minhashLsh(docs, 0.8, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("corpus_stream").toString
+    val sink = CorpusStream.dedupIngestBatch(
+      s"$tmp/store", s"$tmp/pairs", 0.8, Int.MaxValue) _
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    for (i <- 0L to 2L) sink(docs.filter(col("doc_id") % 3 === i), i)
+    // each micro-batch drops its own shingle cache entry — one per batch
+    // would accrete forever on an unbounded stream
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "streaming batches must not accrete cache entries")
+    def pairsOnDisk() = spark.read.parquet(s"$tmp/pairs")
+    val got = pairsOnDisk().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == full, s"missing=${full -- got} extra=${got -- full}")
+    // a replayed micro-batch (same batchId) is a marker-guarded no-op
+    val before = pairsOnDisk().count()
+    sink(docs.filter(col("doc_id") % 3 === 2), 2L)
+    assert(pairsOnDisk().count() == before, "replay must not re-append")
+  }
+
   test("dedupCorpus: one representative per cluster survives with all columns") {
     // cluster {1,2,4} keeps 1; singleton 3 passes through untouched
     val survivors = DedupOps.dedupCorpus(corpus, 0.5).collect()
