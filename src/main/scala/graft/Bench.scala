@@ -96,16 +96,28 @@ object Bench {
     val docsDir = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
       case Some(p) => java.nio.file.Paths.get(p).toAbsolutePath.getParent
       case None =>
-        val codeSrc = java.nio.file.Paths.get(
-          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-        Iterator.iterate(codeSrc)(_.getParent).takeWhile(_ != null)
-          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        // CodeSource (or its location) can legitimately be null under
+        // launcher/boot classloaders — fall back to the CWD rather than
+        // dying before any output is written
+        val codeSrc = for {
+          cs <- Option(Bench.getClass.getProtectionDomain.getCodeSource)
+          loc <- Option(cs.getLocation)
+        } yield java.nio.file.Paths.get(loc.toURI)
+        codeSrc
+          .flatMap(start => Iterator.iterate(start)(_.getParent)
+            .takeWhile(_ != null)
+            .find(p => java.nio.file.Files.exists(p.resolve("build.sbt"))))
           .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
           .resolve("docs")
     }
+    // A name-filtered run measures a PARTIAL suite: never let it clobber
+    // the canonical full-suite records — divert the default detail file
+    // and skip the BENCH_line.json copy (explicit SPARK_GRAFT_BENCH_OUT
+    // still goes exactly where the caller pointed it).
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(p => java.nio.file.Paths.get(p).toAbsolutePath)
-      .getOrElse(docsDir.resolve("BENCH_full_latest.json"))
+      .getOrElse(docsDir.resolve(
+        if (only.isDefined) "BENCH_filtered_latest.json" else "BENCH_full_latest.json"))
     try {
       Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(outFile, full.getBytes("UTF-8"))
@@ -125,11 +137,14 @@ object Bench {
     // The line ALSO lands in a known repo file: three rounds of driver
     // records failed to parse the sbt-logged stdout copy ("[info] "
     // prefix), so a machine-readable copy must exist independent of how
-    // the launcher captures stdout.
-    try java.nio.file.Files.write(docsDir.resolve("BENCH_line.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"bench: could not write BENCH_line.json: $e")
+    // the launcher captures stdout. Partial (name-filtered) runs don't
+    // write it — their totals would masquerade as the full suite's.
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(docsDir.resolve("BENCH_line.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench: could not write BENCH_line.json: $e")
+      }
     }
     println(line)
     spark.stop()

@@ -46,21 +46,6 @@ object CurationOps {
    * drop it with `DedupOps.unpersistShingles(documents)` when the corpus
    * is done.
    */
-  /** Quality + exact-dedup stage flags (shared by the census and the
-    * cleaned-corpus forms): `q` = over the word bar, `keep_exact` = the
-    * minimum doc_id of its normalized-text group among quality
-    * survivors. */
-  private def exactFlags(documents: DataFrame, minWords: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("norm"))
-    documents
-      .withColumn("q", size(TextOps.words(col("text"))) >= minWords)
-      .withColumn("norm", md5(lower(trim(col("text"))).cast("binary")))
-      // exact-dedup keeper AMONG quality survivors only
-      .withColumn("keeper", min(when(col("q"), col("doc_id"))).over(w))
-      .withColumn("keep_exact", col("q") && col("doc_id") === col("keeper"))
-  }
-
   def curationFunnel(
       documents: DataFrame,
       minWords: Int = 30,
@@ -113,6 +98,21 @@ object CurationOps {
         new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         funnel.schema)
     } finally shs.unpersist()
+  }
+
+  /** Quality + exact-dedup stage flags (shared by the census and the
+    * cleaned-corpus forms): `q` = over the word bar, `keep_exact` = the
+    * minimum doc_id of its normalized-text group among quality
+    * survivors. */
+  private def exactFlags(documents: DataFrame, minWords: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm"))
+    documents
+      .withColumn("q", size(TextOps.words(col("text"))) >= minWords)
+      .withColumn("norm", md5(lower(trim(col("text"))).cast("binary")))
+      // exact-dedup keeper AMONG quality survivors only
+      .withColumn("keeper", min(when(col("q"), col("doc_id"))).over(w))
+      .withColumn("keep_exact", col("q") && col("doc_id") === col("keeper"))
   }
 
   /**

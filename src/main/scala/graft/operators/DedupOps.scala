@@ -518,7 +518,10 @@ object DedupOps {
             least(col("lbl"), col("nmin")).as("lbl"),
             coalesce(col("nmin") < col("lbl"), lit(false)).as("chg"))
           .localCheckpoint()
-        changed = updated.filter(col("chg")).count()
+        // a failed convergence count must release the JUST-checkpointed
+        // round too — the outer catch only knows the `labels` var
+        try changed = updated.filter(col("chg")).count()
+        catch { case e: Throwable => releaseCheckpoint(updated); throw e }
         // release the superseded round's checkpointed labels eagerly
         releaseCheckpoint(labels)
         labels = updated.select(col("u"), col("lbl"))
@@ -605,24 +608,31 @@ object DedupOps {
             .filter(col("m_hi") =!= col("lo") || col("m_lo") =!= col("lo"))
             .limit(1).count()
           if (viol == 0L) certified = true
-          else {
+          else if (round > maxRounds) {
+            // the final allowed entry is probe-only: running another full
+            // contraction pass here would be discarded work — the loop
+            // exits before any further certificate could bless it
+          } else {
             val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
               .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
             // large-star: edges (v, m(u)) for v > u; m ≤ u < v so already canonical
             val large = sym.filter(col("v") > col("u")).join(mt, Seq("u"))
               .select(col("m").as("x"), col("v").as("y"))
             val afterLarge = canon(large).localCheckpoint()
-            // small-star on the large-star output: (v, m(u)) for v ≤ u, plus (u, m(u))
-            val mt2 = minTable(afterLarge)
-            val sym2 = afterLarge.select(col("lo").as("u"), col("hi").as("v"))
-              .unionByName(afterLarge.select(col("hi").as("u"), col("lo").as("v")))
-            val small = sym2.filter(col("v") < col("u")).join(mt2, Seq("u"))
-              .select(col("m").as("x"), col("v").as("y"))
-              .unionByName(mt2.select(col("m").as("x"), col("u").as("y")))
-            val afterSmall = canon(small).localCheckpoint()
-            releaseCheckpoint(edges)
-            releaseCheckpoint(afterLarge)
-            edges = afterSmall
+            // afterLarge is released in the finally: it is superseded on
+            // success AND must not stay pinned if the small pass throws
+            try {
+              // small-star on the large-star output: (v, m(u)) for v ≤ u, plus (u, m(u))
+              val mt2 = minTable(afterLarge)
+              val sym2 = afterLarge.select(col("lo").as("u"), col("hi").as("v"))
+                .unionByName(afterLarge.select(col("hi").as("u"), col("lo").as("v")))
+              val small = sym2.filter(col("v") < col("u")).join(mt2, Seq("u"))
+                .select(col("m").as("x"), col("v").as("y"))
+                .unionByName(mt2.select(col("m").as("x"), col("u").as("y")))
+              val afterSmall = canon(small).localCheckpoint()
+              releaseCheckpoint(edges)
+              edges = afterSmall
+            } finally releaseCheckpoint(afterLarge)
           }
         } finally releaseCheckpoint(mt)
       }

@@ -325,13 +325,22 @@ object LedgerTables {
     * input — they hold rows the rewrite never saw, and deleting the
     * displaced tree without this pass would silently drop them. Hidden
     * (`_`/`.`-prefixed) names are never data and stay behind. A failed
-    * rescue rename throws: losing appended rows must be loud. */
+    * rescue rename throws: losing appended rows must be loud.
+    *
+    * `sized = true` switches the membership key to `rel@length`
+    * (matching [[swapContents]]' staged snapshot): an appended file whose
+    * NAME collides with a staged file but whose size differs is then still
+    * recognized as foreign and rescued, instead of silently deleted with
+    * the staging dir. */
   private def rescueLateFiles(
       fs: org.apache.hadoop.fs.FileSystem,
       displaced: org.apache.hadoop.fs.Path,
       dest: org.apache.hadoop.fs.Path,
       snapshot: Set[String],
-      relPrefix: String): Unit = {
+      relPrefix: String,
+      sized: Boolean = false): Unit = {
+    def key(rel: String, len: Long): String =
+      if (sized) s"$rel@$len" else rel
     val st0 = try fs.getFileStatus(displaced)
       catch { case _: java.io.FileNotFoundException => return }
     if (st0.isFile) {
@@ -340,7 +349,7 @@ object LedgerTables {
       // the hidden-name filter below, but the caller's mapping carries its
       // original identity — here `dest` is the full original path and
       // `relPrefix` its table-relative name.
-      if (!snapshot.contains(relPrefix)) {
+      if (!snapshot.contains(key(relPrefix, st0.getLen))) {
         Option(dest.getParent).foreach(fs.mkdirs(_))
         if (!fs.rename(displaced, dest))
           throw new java.io.IOException(
@@ -355,8 +364,8 @@ object LedgerTables {
         val rel = if (relPrefix.isEmpty) name else s"$relPrefix/$name"
         if (st.isDirectory)
           rescueLateFiles(fs, st.getPath,
-            new org.apache.hadoop.fs.Path(dest, name), snapshot, rel)
-        else if (!snapshot.contains(rel)) {
+            new org.apache.hadoop.fs.Path(dest, name), snapshot, rel, sized)
+        else if (!snapshot.contains(key(rel, st.getLen))) {
           fs.mkdirs(dest)
           if (!fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dest, name)))
             throw new java.io.IOException(
@@ -448,6 +457,8 @@ object LedgerTables {
     // dir — invisible to the table. The snapshot lets the failure handler
     // tell the staged write's files from the appender's and merge the
     // latter back (same mechanism as the displaced-tree rescue).
+    // keys are `rel@length` (rescueLateFiles' sized form): name equality
+    // alone would mistake an appender's same-named file for staged output
     def visibleFilesUnder(root: org.apache.hadoop.fs.Path): Set[String] = {
       def walk(p: org.apache.hadoop.fs.Path, prefix: String): Iterator[String] =
         fs.listStatus(p).iterator.flatMap { st =>
@@ -455,7 +466,8 @@ object LedgerTables {
           if (name.startsWith("_") || name.startsWith(".")) Iterator.empty
           else {
             val rel = if (prefix.isEmpty) name else s"$prefix/$name"
-            if (st.isDirectory) walk(st.getPath, rel) else Iterator.single(rel)
+            if (st.isDirectory) walk(st.getPath, rel)
+            else Iterator.single(s"$rel@${st.getLen}")
           }
         }
       try walk(root, "").toSet
@@ -486,29 +498,47 @@ object LedgerTables {
             if (fs.exists(d) && !fs.rename(d, c)) Some(d) else None
           }
           restoreFromTrash()
+          // Both rescue passes below are per-item best-effort: one stuck
+          // file must not abort the rescue of the others — every failure
+          // is collected and reported together with the stuck children.
+          val rescueFailures = scala.collection.mutable.ArrayBuffer.empty[String]
           // give the appender's displaced late files back to the restored
           // table — file-level merges AFTER the dir-level restore above,
           // so they land inside (not instead of) the restored partitions
           lateTrees.foreach { case (name, p) =>
-            rescueLateFiles(fs, p,
+            try rescueLateFiles(fs, p,
               new org.apache.hadoop.fs.Path(dest, name), Set.empty, "")
+            catch { case r: java.io.IOException =>
+              rescueFailures += s"$p: ${r.getMessage}"
+            }
           }
           // ...and any files an appender committed into an
           // already-installed fresh child (pulled back into staging
           // above): everything under a pulled-back child that is NOT in
-          // its staged snapshot is appended data — merge it back
+          // its staged (rel@length) snapshot is appended data — merge it
+          // back
           incoming.foreach { c =>
             stagedSnapshot.get(c.getName).foreach { snap =>
-              rescueLateFiles(fs, c,
-                new org.apache.hadoop.fs.Path(dest, c.getName), snap, "")
+              try rescueLateFiles(fs, c,
+                new org.apache.hadoop.fs.Path(dest, c.getName), snap, "",
+                sized = true)
+              catch { case r: java.io.IOException =>
+                rescueFailures += s"$c: ${r.getMessage}"
+              }
             }
           }
-          if (stuck.nonEmpty)
+          if (stuck.nonEmpty || rescueFailures.nonEmpty)
             throw new java.io.IOException(
-              s"ROLLBACK INCOMPLETE: fresh children ${stuck.mkString(", ")} " +
-                s"could not be pulled back out of $dest — recover manually; " +
-                s"the staged write (and possibly late-appended files) sit " +
-                s"under $fresh")
+              (if (stuck.nonEmpty)
+                s"ROLLBACK INCOMPLETE: fresh children ${stuck.mkString(", ")} " +
+                  s"could not be pulled back out of $dest — recover manually; " +
+                  s"the staged write (and possibly late-appended files) sit " +
+                  s"under $fresh. "
+              else "") +
+              (if (rescueFailures.nonEmpty)
+                s"APPENDED-FILE RESCUE INCOMPLETE: ${rescueFailures.mkString("; ")} " +
+                  s"— committed appended rows may still sit under $fresh or $trash"
+              else ""))
         }
         throw e
     }
