@@ -343,6 +343,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("lang"))),
+    // Feature-hashing embedding: the model-free text→vector bridge. Gated
+    // by an exact-integer per-bucket census OVER THE DENSE VECTORS
+    // (posexplode of the built embeddings, zeros dropped) — the sums pin
+    // every vector component, so the construction itself is verified.
+    "x43_hash_embed" -> ((s, d) =>
+      TextOps.hashEmbed(docs(s, d), 64)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("bucket", "c")))
+        .filter(col("c") > 0)
+        .groupBy(col("bucket"))
+        .agg(sum(col("c").cast("long")).as("total_words"),
+          count(lit(1)).as("docs_nonzero"),
+          max(col("c").cast("long")).as("max_count"))
+        .orderBy(col("bucket"))),
     // Star-gap observability: per-bucket counts of representative-star
     // pairs that FAILED exact verification — the runtime signal that the
     // capped path's documented recall trade-off is being hit (ADVICE r5).
@@ -1150,6 +1163,17 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM ex) AS n_exact,
         |       (SELECT COUNT(*) FROM nd) AS n_neardedup,
         |       (SELECT COUNT(*) FROM samp) AS n_sampled""".stripMargin,
+    "x43_hash_embed" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |exp AS (SELECT doc_id, unnest(w) AS x FROM d),
+        |wb AS (
+        |  SELECT doc_id, ('0x' || substr(md5(x), 1, 8))::BIGINT % 64 AS b,
+        |    COUNT(*) AS c
+        |  FROM exp GROUP BY 1, 2)
+        |SELECT b AS bucket, CAST(SUM(c) AS BIGINT) AS total_words,
+        |  COUNT(*) AS docs_nonzero, CAST(MAX(c) AS BIGINT) AS max_count
+        |FROM wb GROUP BY b ORDER BY b""".stripMargin,
     // x41: the star pairs of buckets > cap(2) with per-bucket verification
     // failure counts — the same banded/bs CTEs as x28's oracle.
     "x41_lsh_star_gap" ->

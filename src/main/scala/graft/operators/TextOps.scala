@@ -172,6 +172,38 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /**
+   * Deterministic feature-hashing embedding (the "hashing trick"): every
+   * word hashes (md5-prefix, the oracle-reproducible family) to one of
+   * `dim` buckets and the document's vector is its per-bucket word
+   * counts as float32 — a model-free text→vector bridge, so the entire
+   * similarity stack ([[graft.operators.SimilarityOps]]: cosine top-k,
+   * near-dup, IVF) runs on corpora that ship no embedding column.
+   * Output: (doc_id, embedding array<float>).
+   *
+   * Scale shape: one explode → one (doc, bucket) count aggregation
+   * (map-side partials) → one per-doc map_from_entries + dense transform
+   * (O(dim · nnz) per row, dim a small constant) — no joins, no UDFs,
+   * fully codegen'd. Deterministic everywhere, so the same text always
+   * embeds identically on any cluster.
+   */
+  def hashEmbed(documents: DataFrame, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val bucket =
+      graft.functions.GraftFunctions.md5PrefixLong(col("x"), 8) % dim
+    documents
+      .select(col("doc_id"), explode(words(col("text"))).as("x"))
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          j => coalesce(element_at(col("m"), j), lit(0L)).cast("float"))
+          .as("embedding"))
+  }
+
   /** Non-overlapping `width`-token windows of the text (docs shorter than
     * `width` contribute none; a trailing partial window is dropped). The
     * ONE definition both span operators and both their DuckDB oracles

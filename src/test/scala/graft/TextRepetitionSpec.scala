@@ -62,6 +62,29 @@ class TextRepetitionSpec extends SparkSpec {
     assert(out == Map(1L -> "a b c d", 2L -> "e"), out.toString)
   }
 
+  test("hashEmbed: counts land in md5 buckets; the vectors drive the similarity stack") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilarityOps
+    val docs = docsOf(
+      (1L, "alpha beta alpha", "en", "s"),
+      (2L, "alpha beta alpha", "en", "s"), // identical -> identical vector
+      (3L, "gamma delta epsilon zeta", "en", "s"))
+    val emb = graft.operators.TextOps.hashEmbed(docs, 64)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs.values.forall(_.length == 64))
+    // vector mass = word count; dims are exact integer counts
+    assert(vecs(1L).map(_.toDouble).sum == 3.0 && vecs(3L).map(_.toDouble).sum == 4.0)
+    assert(vecs(1L) == vecs(2L), "identical text must embed identically")
+    assert(vecs(1L) != vecs(3L))
+    // the bridge really feeds the vector operators: identical docs are a
+    // cosine-1.0 near-dup pair through the exact bucketed join
+    val pairs = SimilarityOps.embeddingNearDupBrute(
+      emb.withColumnRenamed("doc_id", "vec_id"), 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)), pairs.mkString(","))
+  }
+
   test("duplicateSpans: non-overlapping windows, cross-doc sharing, hand-checked") {
     // width 2: doc1 -> ["p q","r s"], doc2 -> ["p q","x y"],
     // doc3 (1 word) -> none, doc4 "p q p q" -> ["p q","p q"]
