@@ -430,12 +430,48 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("run_cents"),
           col("l_shipdate"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-        .drop("l_shipdate"))
+        .drop("l_shipdate")),
+    // ---- training-data PREP operators (x44-x48, PrepOps) ----
+    // Redaction census: the PII defaults (which this synthetic corpus
+    // cannot contain — their zero hit counts are part of the gated
+    // answer) plus one corpus-active pattern proving the match/replace
+    // machinery end-to-end: chars_before vs chars_after pins the real
+    // sequential apply.
+    "x44_redact" -> ((s, d) =>
+      PrepOps.redactCensus(docs(s, d),
+        PrepOps.PiiPatterns :+ ("term" -> "sp[a-z]+k"), "<X>")),
+    // Gopher/C4-style quality-rule census AND the surviving corpus: the
+    // census carries per-rule failure counts plus the kept token mass, so
+    // the gate verifies both the audit row and the filter's output.
+    "x45_quality_filter" -> ((s, d) =>
+      PrepOps.qualityFilterCensus(docs(s, d), 30, 1000)),
+    // Deterministic train/val/test split census (md5-bucket mod 100):
+    // content-independent, append-stable eval-set assignment.
+    "x46_split_assign" -> ((s, d) =>
+      PrepOps.splitCensus(docs(s, d), 80, 10)),
+    // Token-budget sequence packing (2048-token packs in doc_id order)
+    // through the DISTRIBUTED two-pass prefix sum; the oracle is the
+    // plain global-window form — bit-identical by WindowOps' guarantee.
+    "x47_seq_pack" -> ((s, d) =>
+      PrepOps.seqPackCensus(docs(s, d), 2048L)),
+    // Vocabulary census: top-20 tokens by document frequency — the
+    // word-count shape (explode → agg → TakeOrderedAndProject).
+    "x48_vocab_topk" -> ((s, d) =>
+      PrepOps.vocabTopK(docs(s, d), 20))
   )
 
   // ---------------------------------------------------------------- oracle
 
   private val cte = Tables.pipelineRunsCte
+
+  /** x44's pattern list: the PII defaults + one corpus-active demo term —
+    * interpolated into BOTH the Spark query and the DuckDB oracle. */
+  private val redactREs: Seq[String] =
+    (PrepOps.PiiPatterns :+ ("term" -> "sp[a-z]+k")).map(_._2)
+  private val redactHitsSql: String =
+    redactREs.map(re => s"len(regexp_extract_all(text, '$re'))").mkString(" + ")
+  private val redactApplySql: String =
+    redactREs.foldLeft("text")((acc, re) => s"regexp_replace($acc, '$re', '<X>', 'g')")
 
   private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ",", "]")
 
@@ -1347,6 +1383,68 @@ object SparkEntry {
       """SELECT e.event_type, COUNT(*) AS n,
         |       CAST(SUM(c.c_nationkey) AS BIGINT) AS nation_sum
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // ---- training-data PREP operators (x44-x48) ----
+    // The regex list is interpolated from PrepOps.PiiPatterns so the
+    // Spark operator and the oracle can never drift apart.
+    "x44_redact" -> s"""WITH m AS (
+        |  SELECT lang, $redactHitsSql AS h, strlen(text) AS cb,
+        |         strlen($redactApplySql) AS ca
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(h) AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+        |  CAST(SUM(cb) AS BIGINT) AS chars_before,
+        |  CAST(SUM(ca) AS BIGINT) AS chars_after
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    "x45_quality_filter" ->
+      """WITH d AS (
+        |  SELECT lang, string_split(lower(text), ' ') AS w, strlen(text) AS c
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, len(w) AS n, len(list_distinct(w)) AS u, c,
+        |    list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) AS dm
+        |  FROM d),
+        |f AS (
+        |  SELECT lang, n,
+        |    (n >= 30 AND n <= 1000) AS p_wc,
+        |    (3*n <= c - n + 1 AND c - n + 1 <= 12*n) AS p_wlen,
+        |    (5*u >= n) AS p_ttr,
+        |    (5*dm <= n) AS p_dom
+        |  FROM m)
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(CASE WHEN p_wc AND p_wlen AND p_ttr AND p_dom THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(SUM(CASE WHEN NOT p_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+        |  CAST(SUM(CASE WHEN NOT p_wlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_wlen,
+        |  CAST(SUM(CASE WHEN NOT p_ttr THEN 1 ELSE 0 END) AS BIGINT) AS fail_ttr,
+        |  CAST(SUM(CASE WHEN NOT p_dom THEN 1 ELSE 0 END) AS BIGINT) AS fail_dom,
+        |  CAST(SUM(CASE WHEN p_wc AND p_wlen AND p_ttr AND p_dom THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "x46_split_assign" ->
+      """WITH b AS (
+        |  SELECT lang, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bk,
+        |    len(string_split(lower(text), ' ')) AS toks
+        |  FROM documents)
+        |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The oracle is the plain single-window form; WindowOps.runningTotal
+    // guarantees the distributed two-pass layout is bit-identical.
+    "x47_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, SUM(toks) OVER (ORDER BY doc_id) AS cum FROM t)
+        |SELECT ((cum - toks) // 2048)::BIGINT AS pack_id, COUNT(*) AS docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x48_vocab_topk" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents)
+        |SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        |FROM e GROUP BY word ORDER BY df DESC, tf DESC, word ASC LIMIT 20""".stripMargin
   )
 }

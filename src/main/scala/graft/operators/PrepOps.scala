@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/**
+ * Training-data PREPARATION operators — the last-mile transforms between a
+ * curated corpus and a training run: sensitive-term redaction, multi-rule
+ * quality filtering (Gopher/C4-style), deterministic train/val/test
+ * splitting, token-budget sequence packing, and a vocabulary census.
+ *
+ * Complements the reference-derived surface (SURVEY.md §2.4): where
+ * [[CurationOps]] decides WHICH documents survive, PrepOps shapes WHAT the
+ * trainer ingests. Design rules shared with [[TextOps]]:
+ *
+ *  - per-row column expressions + integer aggregations — one scan, map-side
+ *    partials, no UDFs, everything inside whole-stage codegen;
+ *  - cross-engine determinism: ratio rules are integer cross-multiplications
+ *    (never double compares), hashes are the md5-prefix family, so every
+ *    census is DuckDB-oracle-gateable bit-for-bit;
+ *  - apply forms return the corpus a trainer consumes; census forms return
+ *    exact-integer audit rows over the SAME definitions.
+ */
+object PrepOps {
+
+  /** Whitespace tokens of the lowercased text (the corpus-wide definition). */
+  private def ws: Column = TextOps.words(col("text"))
+
+  // ---------------------------------------------------------------- redact
+
+  /**
+   * Default sensitive-string patterns: email addresses, NANP-style phone
+   * numbers, dotted-quad IPv4 addresses. RE2-compatible (no backreferences
+   * or lookaround) so Spark's Java regex and the DuckDB oracle agree on
+   * every match.
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "phone" -> """\d{3}[-.]\d{3}[-.]\d{4}""",
+    "ipv4" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""")
+
+  /** Sequential left-fold of `regexp_replace` over `patterns`. */
+  private def redactedText(patterns: Seq[(String, String)], replacement: String): Column =
+    patterns.foldLeft(col("text")) { case (c, (_, re)) =>
+      regexp_replace(c, lit(re), lit(replacement))
+    }
+
+  /**
+   * APPLY redaction and return the cleaned corpus (doc_id, lang, text):
+   * every match of every pattern replaced by `replacement`, patterns
+   * applied in order (each sees the previous replacements). Pure per-row
+   * expression work — no shuffle at all; the scan parallelism IS the
+   * operator's parallelism at any corpus size.
+   */
+  def redact(
+      documents: DataFrame,
+      patterns: Seq[(String, String)] = PiiPatterns,
+      replacement: String = "<PII>"): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      redactedText(patterns, replacement).as("text"))
+
+  /**
+   * Redaction census per language: documents scanned, total pattern hits,
+   * documents touched, and exact char mass before/after. Hit counts are
+   * per-pattern over the INPUT text (replacement is sequential, so a
+   * pathological pattern pair could overlap — the census documents the
+   * input-side view; the char delta reflects the real sequential apply).
+   * One scan, integer partials.
+   */
+  def redactCensus(
+      documents: DataFrame,
+      patterns: Seq[(String, String)] = PiiPatterns,
+      replacement: String = "<PII>"): DataFrame = {
+    val hitCols = patterns.map { case (_, re) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    }
+    val hitsPerDoc = hitCols.reduce(_ + _)
+    documents
+      .select(col("lang"),
+        hitsPerDoc.as("h"),
+        length(col("text")).as("cb"),
+        length(redactedText(patterns, replacement)).as("ca"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("h").cast("long")).as("hits"),
+        sum(when(col("h") > 0, 1L).otherwise(0L)).as("docs_touched"),
+        sum(col("cb").cast("long")).as("chars_before"),
+        sum(col("ca").cast("long")).as("chars_after"))
+      .orderBy(col("lang"))
+  }
+
+  // -------------------------------------------------------- quality filter
+
+  /**
+   * The four Gopher/C4-style per-document quality rules, as exact integer
+   * predicates over the shared token definition (n = tokens, u = distinct
+   * tokens, c = text chars; mean word length uses c − n + 1 = total word
+   * chars under single-space joining):
+   *
+   *  - `wc`:   minWords ≤ n ≤ maxWords  (too short / too long);
+   *  - `wlen`: 3n ≤ c − n + 1 ≤ 12n     (mean word length in [3, 12] —
+   *            symbol soup or minified blobs fail);
+   *  - `ttr`:  5u ≥ n                   (type-token ratio ≥ 0.2 —
+   *            repetitive boilerplate fails);
+   *  - `dom`:  5·max-word-count ≤ n     (no single token exceeds 20% of
+   *            the doc — "spam spam spam" fails).
+   *
+   * Integer cross-multiplication keeps every rule bit-identical across
+   * engines and summation orders.
+   */
+  private def ruleFlags(minWords: Int, maxWords: Int): DataFrame => DataFrame = { df =>
+    val n = size(ws)
+    val u = size(array_distinct(ws))
+    val c = length(col("text"))
+    val dom = array_max(transform(array_distinct(ws),
+      x => size(filter(ws, y => y === x))))
+    df.withColumn("p_wc", n >= minWords && n <= maxWords)
+      .withColumn("p_wlen", lit(3) * n <= c - n + 1 && c - n + 1 <= lit(12) * n)
+      .withColumn("p_ttr", lit(5) * u >= n)
+      .withColumn("p_dom", lit(5) * dom <= n)
+      .withColumn("n_toks", n)
+  }
+
+  /**
+   * APPLY the quality rules and return the surviving corpus — the rows a
+   * trainer keeps. Same single-scan shape as [[redact]]: the rules are
+   * per-row expressions, the filter pushes into the scan stage.
+   */
+  def qualityFilter(documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame =
+    ruleFlags(minWords, maxWords)(documents)
+      .filter(col("p_wc") && col("p_wlen") && col("p_ttr") && col("p_dom"))
+      .select(documents.columns.map(col): _*)
+
+  /**
+   * Quality-rule census per language: documents, survivors, per-rule
+   * failure counts (non-exclusive — a doc failing two rules counts in
+   * both), and the surviving token mass. The audit row that tells a
+   * pipeline operator WHY the filter cut what it cut.
+   */
+  def qualityFilterCensus(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame =
+    ruleFlags(minWords, maxWords)(documents)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("p_wc") && col("p_wlen") && col("p_ttr") && col("p_dom"), 1L)
+          .otherwise(0L)).as("kept"),
+        sum(when(!col("p_wc"), 1L).otherwise(0L)).as("fail_wc"),
+        sum(when(!col("p_wlen"), 1L).otherwise(0L)).as("fail_wlen"),
+        sum(when(!col("p_ttr"), 1L).otherwise(0L)).as("fail_ttr"),
+        sum(when(!col("p_dom"), 1L).otherwise(0L)).as("fail_dom"),
+        sum(when(col("p_wc") && col("p_wlen") && col("p_ttr") && col("p_dom"),
+          col("n_toks").cast("long")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+
+  // ----------------------------------------------------------------- split
+
+  /**
+   * Deterministic train/val/test assignment: bucket = first four md5 hex
+   * chars of the doc_id's string form, mod 100; bucket < trainPct → train,
+   * < trainPct+valPct → val, else test. Content-independent and
+   * RNG-free — the same document lands in the same split on every cluster,
+   * every run, every append (the property that keeps eval sets
+   * uncontaminated as the corpus grows). Per-row expression; no shuffle.
+   */
+  def splitAssign(documents: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    GraftFunctions.register(documents.sparkSession)
+    val bucket = GraftFunctions.md5PrefixLong(col("doc_id").cast("string"), 4) % 100
+    documents.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Split census: per (split, lang) document and token counts. */
+  def splitCensus(documents: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    splitAssign(documents, trainPct, valPct)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(size(ws).cast("long")).as("tokens"))
+      .orderBy(col("split"), col("lang"))
+
+  // ------------------------------------------------------ sequence packing
+
+  /**
+   * Token-budget sequence packing: documents are laid out in doc_id order
+   * and each is assigned to the pack where its first token lands —
+   * pack_id = (exclusive running token total) div `budget`. The
+   * deterministic, order-preserving packing a pretraining loader uses to
+   * cut a corpus into ~budget-token shards.
+   *
+   * The running total is [[WindowOps.runningTotal]] — the two-pass
+   * distributed prefix sum (per-bucket partials → O(#buckets) driver
+   * offsets → intra-bucket windows), NOT a single-partition global window,
+   * so the layout scales with the corpus. `bucketWidth` doc_ids per prefix
+   * bucket bounds the widest window any task sees.
+   *
+   * Output: one row per document — doc_id, lang, toks, pack_id.
+   */
+  def seqPack(documents: DataFrame, budget: Long, bucketWidth: Long = 4096L): DataFrame = {
+    require(budget > 0, s"pack budget must be positive: $budget")
+    val toks = documents.select(col("doc_id"), col("lang"), size(ws).as("toks"))
+    WindowOps.runningTotal(
+        toks,
+        bucket = (col("doc_id") / bucketWidth).cast("long"),
+        orderCols = Seq(col("doc_id")),
+        valueCol = col("toks"),
+        resultName = "cum")
+      .select(col("doc_id"), col("lang"), col("toks"),
+        // integer DIV of the exclusive prefix (both longs) — exact at any
+        // corpus size, no double rounding
+        expr(s"(cum - toks) DIV ${budget}L").as("pack_id"))
+  }
+
+  /**
+   * Packing census: per-pack document and token counts. Every pack except
+   * possibly the first of a run holds ≥ budget − maxDocTokens + 1 and
+   * ≤ budget + maxDocTokens − 1 tokens (a document is never split), so the
+   * census doubles as a shard-balance audit.
+   */
+  def seqPackCensus(documents: DataFrame, budget: Long): DataFrame =
+    seqPack(documents, budget)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks").cast("long")).as("tokens"))
+      .orderBy(col("pack_id"))
+
+  // ------------------------------------------------------------ vocabulary
+
+  /**
+   * Corpus vocabulary census: the `k` tokens with the highest document
+   * frequency (ties: total frequency desc, then token asc). One explode →
+   * one groupBy(word) with map-side partials → top-k via orderBy+limit
+   * (`TakeOrderedAndProject`: per-partition heaps, no global sort) — the
+   * classic word-count shape, scale-bounded by vocabulary size, not corpus
+   * size.
+   */
+  def vocabTopK(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(ws).as("word"), col("doc_id"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("word").asc)
+      .limit(k)
+}

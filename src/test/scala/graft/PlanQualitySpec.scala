@@ -142,6 +142,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(meta.count() == 1)
   }
 
+  test("prep operators keep their scale shapes: shuffle-free redaction, " +
+      "distributed packing window, top-k vocabulary") {
+    import graft.operators.PrepOps
+    val docs = Tables.read(spark, d, "documents")
+    // redact/qualityFilter are pure per-row work: no Exchange anywhere
+    Seq(PrepOps.redact(docs), PrepOps.qualityFilter(docs)).foreach { df =>
+      val ex = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+      assert(ex.isEmpty, s"per-row prep operator shuffles:\n${df.queryExecution.executedPlan}")
+    }
+    // seqPack's window partitions by the prefix bucket — never one task
+    val packed = PrepOps.seqPack(docs, 2048L)
+    packed.collect()
+    val ws = windows(packed.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "expected the packing window")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"single-partition WindowExec in seqPack:\n$w"))
+    // vocabulary top-k plans as TakeOrderedAndProject, not a global sort
+    assert(PrepOps.vocabTopK(docs, 20).queryExecution.executedPlan
+      .toString.contains("TakeOrderedAndProject"))
+  }
+
   test("bucketed tables sort-merge-join without any exchange") {
     val docs = Tables.read(spark, d, "documents")
     val emb = Tables.read(spark, d, "embeddings").select(col("vec_id"), col("label"))

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrepOps
+
+/** Training-prep operators: redaction (on a REAL-PII fixture — the gated
+  * corpus cannot contain PII, so the pattern machinery is proven here),
+  * quality rules, split assignment, sequence packing, vocabulary. */
+class PrepOpsSpec extends SparkSpec {
+
+  private def prepDocs(rows: (Long, String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "lang", "text")
+      .withColumn("source", concat(lit("src"), col("doc_id") % 3))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  test("redact removes emails, phones, and IPv4s; clean text keeps no match") {
+    val d = prepDocs(
+      (1L, "en", "contact bob.smith+x@example.co.uk or call 415-555-1234 today"),
+      (2L, "en", "server at 10.0.255.7 responded; backup 192.168.1.1 did not"),
+      (3L, "en", "email a@b.io phone 800.555.0199 ip 8.8.8.8 all in one doc"),
+      (4L, "en", "nothing sensitive here at all"))
+    val out = PrepOps.redact(d).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "contact <PII> or call <PII> today")
+    assert(out(2L) == "server at <PII> responded; backup <PII> did not")
+    assert(out(3L) == "email <PII> phone <PII> ip <PII> all in one doc")
+    assert(out(4L) == "nothing sensitive here at all")
+    // the cleaned corpus has zero residual matches of any default pattern
+    val residual = PrepOps.redact(d).select(
+      PrepOps.PiiPatterns.map { case (n, re) =>
+        sum(size(regexp_extract_all(col("text"), lit(re), lit(0)))).as(n)
+      }: _*).collect()(0)
+    PrepOps.PiiPatterns.indices.foreach(i => assert(residual.getLong(i) == 0L))
+  }
+
+  test("redactCensus counts hits, touched docs, and the exact char delta") {
+    val d = prepDocs(
+      (1L, "en", "a@b.io and c@d.org wrote"), // 2 emails, 18 chars removed, 10 added
+      (2L, "en", "clean"))
+    val r = PrepOps.redactCensus(d).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("docs") == 2L)
+    assert(row.getAs[Long]("hits") == 2L)
+    assert(row.getAs[Long]("docs_touched") == 1L)
+    val before = "a@b.io and c@d.org wrote".length + "clean".length
+    val after = "<PII> and <PII> wrote".length + "clean".length
+    assert(row.getAs[Long]("chars_before") == before.toLong)
+    assert(row.getAs[Long]("chars_after") == after.toLong)
+  }
+
+  test("quality rules each reject their targeted pathology") {
+    val good = (1 to 40).map(i => s"word$i").mkString(" ") // 40 distinct 5-6 char words
+    val d = prepDocs(
+      (1L, "en", good),
+      (2L, "en", "too short"), // fails wc
+      (3L, "en", (1 to 40).map(_ => "x y").mkString(" ")), // mean word len 1: fails wlen
+      (4L, "en", (1 to 40).map(_ => "same same").mkString(" ")), // fails ttr + dom
+      (5L, "en", ("unique" +: (1 to 39).map(i => s"w$i")).mkString(" ") +
+        (" filler" * 15))) // 'filler' 15/55 > 20%: fails dom
+    val kept = PrepOps.qualityFilter(d, minWords = 30, maxWords = 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    val c = PrepOps.qualityFilterCensus(d, 30, 1000).collect()(0)
+    assert(c.getAs[Long]("docs") == 5L)
+    assert(c.getAs[Long]("kept") == 1L)
+    assert(c.getAs[Long]("fail_wc") == 1L)
+    assert(c.getAs[Long]("fail_wlen") >= 1L)
+    assert(c.getAs[Long]("fail_ttr") >= 1L)
+    assert(c.getAs[Long]("fail_dom") >= 2L)
+    // census and filter agree on the surviving token mass
+    val keptToks = PrepOps.qualityFilter(d, 30, 1000)
+      .agg(sum(size(split(lower(col("text")), " ")))).collect()(0).getLong(0)
+    assert(c.getAs[Long]("kept_tokens") == keptToks)
+  }
+
+  test("splitAssign is deterministic, complete, and append-stable") {
+    val d = prepDocs((0L until 200L).map(i => (i, "en", s"doc number $i")): _*)
+    val s1 = PrepOps.splitAssign(d).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = PrepOps.splitAssign(d).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(s1.size == 200)
+    // roughly 80/10/10 (md5 buckets: generous tolerance, determinism is the contract)
+    val train = s1.values.count(_ == "train")
+    assert(train > 120 && train < 200, s"train=$train")
+    // append stability: the first 100 docs keep their assignment when 100 more arrive
+    val first = PrepOps.splitAssign(prepDocs((0L until 100L).map(i => (i, "en", s"doc number $i")): _*))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    first.foreach { case (id, sp) => assert(s1(id) == sp) }
+  }
+
+  test("seqPack preserves totals, packs contiguously, and bounds pack size") {
+    val d = prepDocs((0L until 300L).map(i =>
+      (i, "en", (0 to (i % 37).toInt).map(j => s"t$j").mkString(" "))): _*)
+    val budget = 64L
+    val packed = PrepOps.seqPack(d, budget, bucketWidth = 32L).collect()
+    assert(packed.length == 300)
+    val byPack = packed.groupBy(_.getAs[Long]("pack_id"))
+    val maxTok = packed.map(_.getAs[Int]("toks").toLong).max
+    // pack ids are 0..max contiguous
+    val ids = byPack.keys.toSeq.sorted
+    assert(ids == (0L to ids.last))
+    // no pack exceeds budget + (largest doc - 1): a doc is never split
+    byPack.foreach { case (_, rows) =>
+      val t = rows.map(_.getAs[Int]("toks").toLong).sum
+      assert(t <= budget + maxTok - 1, s"pack too large: $t")
+    }
+    // every doc keeps its token count; totals preserved
+    assert(packed.map(_.getAs[Int]("toks").toLong).sum ==
+      d.agg(sum(size(split(lower(col("text")), " ")))).collect()(0).getLong(0))
+    // the census is exactly the per-pack rollup of the assignment
+    val census = PrepOps.seqPackCensus(d, budget).collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("docs"), r.getAs[Long]("tokens")))
+    val expected = byPack.toSeq.map { case (p, rows) =>
+      (p, rows.length.toLong, rows.map(_.getAs[Int]("toks").toLong).sum)
+    }.sortBy(_._1)
+    assert(census.toSeq == expected)
+  }
+
+  test("vocabTopK ranks by document frequency with deterministic ties") {
+    val d = prepDocs(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "alpha beta beta"),
+      (3L, "en", "alpha delta"))
+    val top = PrepOps.vocabTopK(d, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // alpha df=3; beta df=2 tf=3; gamma/delta df=1 tf=1 → tie broken by word asc
+    assert(top.toSeq == Seq(("alpha", 3L, 3L), ("beta", 2L, 3L), ("delta", 1L, 1L)))
+  }
+}
