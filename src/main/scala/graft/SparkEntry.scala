@@ -457,7 +457,12 @@ object SparkEntry {
     // Vocabulary census: top-20 tokens by document frequency — the
     // word-count shape (explode → agg → TakeOrderedAndProject).
     "x48_vocab_topk" -> ((s, d) =>
-      PrepOps.vocabTopK(docs(s, d), 20))
+      PrepOps.vocabTopK(docs(s, d), 20)),
+    // Split-leakage audit: train-split contamination against the held-out
+    // test split — splitAssign composed with the generalized two-table
+    // decontamination (the eval-leak check a real pipeline runs per append).
+    "x49_split_leakage" -> ((s, d) =>
+      PrepOps.splitLeakage(docs(s, d), 80, 10, 5))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1445,6 +1450,32 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
         |  FROM documents)
         |SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
-        |FROM e GROUP BY word ORDER BY df DESC, tf DESC, word ASC LIMIT 20""".stripMargin
+        |FROM e GROUP BY word ORDER BY df DESC, tf DESC, word ASC LIMIT 20""".stripMargin,
+    // x21's census shape over x46's split assignment: corpus = train
+    // (bucket < 80), benchmark = test (bucket >= 90); val is out of scope.
+    "x49_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bk,
+        |    string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |shl AS (
+        |  SELECT doc_id, lang, bk, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE bk >= 90),
+        |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE bk < 80),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS shared
+        |  FROM corpus JOIN bench USING (s) GROUP BY doc_id),
+        |per AS (
+        |  SELECT p.doc_id, p.lang, COALESCE(ov.shared, 0) AS shared
+        |  FROM (SELECT doc_id, lang FROM shl WHERE bk < 80) p
+        |  LEFT JOIN ov ON p.doc_id = ov.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN shared >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |       CAST(MAX(shared) AS BIGINT) AS max_overlap
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

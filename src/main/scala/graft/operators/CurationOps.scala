@@ -270,10 +270,25 @@ object CurationOps {
       benchMod: Int = 97,
       minShared: Int = 5): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
-    val benchShingles = documents.filter(isBench)
+    decontaminateAgainst(
+      documents.filter(!isBench), documents.filter(isBench), minShared)
+  }
+
+  /**
+   * The general two-table form of [[decontaminate]]: per-lang leakage census
+   * of `corpus` against an arbitrary `benchmark` document set (both need
+   * doc_id, lang, text). This is what a split audit composes —
+   * [[graft.operators.PrepOps.splitLeakage]] passes the train split as the
+   * corpus and the held-out test split as the benchmark, answering "does my
+   * eval set leak into training?" with exact integers.
+   */
+  def decontaminateAgainst(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      minShared: Int = 5): DataFrame = {
+    val benchShingles = benchmark
       .select(explode(DedupOps.shingles(col("text"))).as("s"))
       .distinct()
-    val corpus = documents.filter(!isBench)
     val corpusShingles = corpus
       .select(col("doc_id"), explode(DedupOps.shingles(col("text"))).as("s"))
     // shingles() is per-doc distinct, so count(*) = distinct shared shingles

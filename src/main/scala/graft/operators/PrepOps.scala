@@ -228,6 +228,28 @@ object PrepOps {
       .agg(count(lit(1)).as("docs"), sum(col("toks").cast("long")).as("tokens"))
       .orderBy(col("pack_id"))
 
+  /**
+   * Split-leakage audit: the per-language contamination census of the TRAIN
+   * split against the held-out TEST split — [[splitAssign]] composed with
+   * [[CurationOps.decontaminateAgainst]]. A train doc is leaked when it
+   * shares ≥ `minShared` distinct word-3-gram shingles with any test doc;
+   * run it after every corpus append (the split is append-stable, the
+   * leakage is not). Scale shape is decontamination's: the test-split
+   * shingle set broadcasts (an eval-sized split; widen to a shuffled join
+   * for a giant one), the train side streams once.
+   */
+  def splitLeakage(
+      documents: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      minShared: Int = 5): DataFrame = {
+    val assigned = splitAssign(documents, trainPct, valPct)
+    CurationOps.decontaminateAgainst(
+      assigned.filter(col("split") === "train"),
+      assigned.filter(col("split") === "test"),
+      minShared)
+  }
+
   // ------------------------------------------------------------ vocabulary
 
   /**

@@ -123,6 +123,29 @@ class PrepOpsSpec extends SparkSpec {
     assert(census.toSeq == expected)
   }
 
+  test("splitLeakage counts exactly the planted train→test copy") {
+    // learn the deterministic split for ids 0..99, then plant one leak:
+    // a TRAIN doc carrying a TEST doc's exact text (10 tokens → 8 shared
+    // trigrams ≥ minShared=5); every other doc is trigram-disjoint
+    val probe = prepDocs((0L until 100L).map(i => (i, "en", s"p$i")): _*)
+    val splits = PrepOps.splitAssign(probe).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val testId = splits.collectFirst { case (id, "test") => id }.get
+    val trainIds = splits.collect { case (id, "train") => id }.toSeq.sorted
+    val leaked = (1 to 10).map(j => s"shared$j").mkString(" ")
+    val d = prepDocs(splits.keys.toSeq.sorted.map { id =>
+      val text =
+        if (id == testId || id == trainIds.head) leaked
+        else (1 to 10).map(j => s"u${id}w$j").mkString(" ")
+      (id, "en", text)
+    }: _*)
+    val census = PrepOps.splitLeakage(d, 80, 10, minShared = 5).collect()
+    assert(census.length == 1)
+    assert(census(0).getAs[Long]("n_docs") == trainIds.length.toLong)
+    assert(census(0).getAs[Long]("n_contaminated") == 1L)
+    assert(census(0).getAs[Long]("max_overlap") == 8L)
+  }
+
   test("vocabTopK ranks by document frequency with deterministic ties") {
     val d = prepDocs(
       (1L, "en", "alpha beta gamma"),
