@@ -462,7 +462,24 @@ object SparkEntry {
     // test split — splitAssign composed with the generalized two-table
     // decontamination (the eval-leak check a real pipeline runs per append).
     "x49_split_leakage" -> ((s, d) =>
-      PrepOps.splitLeakage(docs(s, d), 80, 10, 5))
+      PrepOps.splitLeakage(docs(s, d), 80, 10, 5)),
+    // Temperature mixing (tokens^0.5, integer-rounded weights): the
+    // standard multilingual/multi-source rebalance, same census contract
+    // as x23.
+    "x50_mix_temperature" -> ((s, d) =>
+      CurationOps.tokenBudgetMixTemperature(docs(s, d), 10000L, 0.5)),
+    // Decontamination APPLIED: the cleaned corpus (x21's benchmark split),
+    // gated via per-language doc/token/char sums over the survivors.
+    "x51_decontaminate_apply" -> ((s, d) => {
+      val all = docs(s, d)
+      CurationOps.decontaminateApply(
+          all.filter(col("doc_id") % 97 =!= 0), all.filter(col("doc_id") % 97 === 0), 5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(lower(col("text")), " ")).cast("long")).as("tokens"),
+          sum(length(col("text")).cast("long")).as("chars"))
+        .orderBy(col("lang"))
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1476,6 +1493,56 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(CASE WHEN shared >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
         |       CAST(MAX(shared) AS BIGINT) AS max_overlap
-        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    // x23's mixing oracle with temperature weights: w = round(sqrt(tokens)).
+    "x50_mix_temperature" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        |tot0 AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens_total
+        |  FROM t GROUP BY source),
+        |tot AS (
+        |  SELECT source, n_docs, tokens_total,
+        |         round(sqrt(CAST(tokens_total AS DOUBLE))) AS w
+        |  FROM tot0),
+        |sw AS (SELECT CAST(SUM(w) AS DOUBLE) AS sumw FROM tot),
+        |r AS (
+        |  SELECT source, n_docs, tokens_total,
+        |         least(1.0, 10000.0 * w / sumw / tokens_total) AS rate
+        |  FROM tot, sw),
+        |k AS (
+        |  SELECT t.source, t.toks, r.n_docs, r.tokens_total, r.rate,
+        |         (('0x' || substr(md5(t.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0)
+        |           < r.rate AS keep
+        |  FROM t JOIN r ON t.source = r.source)
+        |SELECT source, ANY_VALUE(n_docs) AS n_docs, ANY_VALUE(tokens_total) AS tokens_total,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
+        |       round(ANY_VALUE(rate), 6) AS rate
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // x21's contamination definition, APPLIED: survivors = shared < 5;
+    // the census aggregates the surviving documents themselves.
+    "x51_decontaminate_apply" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, lang, text, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE doc_id % 97 != 0),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS shared
+        |  FROM corpus JOIN bench USING (s) GROUP BY doc_id),
+        |surv AS (
+        |  SELECT p.lang, p.text
+        |  FROM (SELECT doc_id, lang, text FROM shl WHERE doc_id % 97 != 0) p
+        |  LEFT JOIN ov ON p.doc_id = ov.doc_id
+        |  WHERE COALESCE(ov.shared, 0) < 5)
+        |SELECT lang, COUNT(*) AS docs,
+        |       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens,
+        |       CAST(SUM(strlen(text)) AS BIGINT) AS chars
+        |FROM surv GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

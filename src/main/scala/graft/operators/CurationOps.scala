@@ -174,6 +174,32 @@ object CurationOps {
           expr("try_cast(substring(source, 4, 10) AS INT)"), lit(0)), lit(3))))
 
   /**
+   * Temperature-weighted token-budget mixing: source weights are
+   * `tokens_total ^ alpha` — the standard multilingual/multi-source
+   * rebalance (alpha = 1 keeps natural proportions, alpha → 0 flattens
+   * toward uniform; 0.5 is the common square-root temperature). Same
+   * census contract and scale shape as [[tokenBudgetMix]].
+   *
+   * Weights are INTEGER-ROUNDED: `round(tokens_total ^ alpha)`. A raw
+   * `sqrt` weight is irrational, and `SUM(w)` over doubles is
+   * summation-order-dependent — a different engine (or partitioning)
+   * could flip a keep decision by an ulp of `sumw`. Integer-valued
+   * doubles sum exactly in ANY order (each addend ≤ 2^53), and sqrt of
+   * an integer is never exactly half-way, so the rounding itself is
+   * engine-stable too (alpha = 0.5 goes through IEEE-correctly-rounded
+   * `sqrt`, not libm `pow`). The lost weight resolution is < 0.5 on
+   * weights of hundreds — noise at mixing granularity.
+   */
+  def tokenBudgetMixTemperature(
+      documents: DataFrame,
+      budgetTokens: Long,
+      alpha: Double = 0.5): DataFrame =
+    mixWithTotals(documents, budgetTokens, totals =>
+      totals.withColumn("w", round(
+        if (alpha == 0.5) sqrt(col("tokens_total").cast("double"))
+        else pow(col("tokens_total").cast("double"), lit(alpha)), 0)))
+
+  /**
    * Token-budget corpus mixing: sample every source down so the corpus hits
    * a global token budget split by the supplied (source, weight) table — the
    * "data mixture" step of a training-data pipeline, with the mixture config
@@ -285,7 +311,34 @@ object CurationOps {
   def decontaminateAgainst(
       corpus: DataFrame,
       benchmark: DataFrame,
-      minShared: Int = 5): DataFrame = {
+      minShared: Int = 5): DataFrame =
+    withBenchOverlap(corpus, benchmark)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("shared") >= minShared, 1L).otherwise(0L)).as("n_contaminated"),
+        max(col("shared")).as("max_overlap"))
+      .orderBy(col("lang"))
+
+  /**
+   * APPLY decontamination and return the cleaned corpus: every corpus row
+   * sharing ≥ `minShared` distinct shingles with the benchmark is dropped,
+   * survivors pass through with ALL their columns. The output a training
+   * run consumes ([[decontaminateAgainst]] is its audit twin). Same scale
+   * shape: broadcast benchmark shingles, one semi-style overlap aggregate,
+   * one key equi-join back — nothing corpus-quadratic.
+   */
+  def decontaminateApply(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      minShared: Int = 5): DataFrame =
+    withBenchOverlap(corpus, benchmark)
+      .filter(col("shared") < minShared)
+      .select(corpus.columns.map(col): _*)
+
+  /** Shared core: corpus rows + their distinct-shingle overlap with the
+    * benchmark set (`shared`, 0 when disjoint). */
+  private def withBenchOverlap(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
     val benchShingles = benchmark
       .select(explode(DedupOps.shingles(col("text"))).as("s"))
       .distinct()
@@ -296,14 +349,8 @@ object CurationOps {
       .join(broadcast(benchShingles), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared"))
-    corpus.select(col("doc_id"), col("lang"))
+    corpus
       .join(overlap, Seq("doc_id"), "left_outer")
       .withColumn("shared", coalesce(col("shared"), lit(0L)))
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("shared") >= minShared, 1L).otherwise(0L)).as("n_contaminated"),
-        max(col("shared")).as("max_overlap"))
-      .orderBy(col("lang"))
   }
 }

@@ -34,6 +34,41 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix: sqrt weights flatten the mixture toward uniform") {
+    // two sources, 16:1 token imbalance → sqrt weights 4:1
+    val skewed = docsOf(
+      (Seq.tabulate(16)(i => (i.toLong, ("w " * 64).trim, "en", "big")) :+
+        (100L, ("w " * 64).trim, "en", "small")): _*)
+    val rows = CurationOps.tokenBudgetMixTemperature(skewed, 512L, 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    val (bigTotal, bigRate) = rows("big")
+    val (smallTotal, smallRate) = rows("small")
+    assert(bigTotal == 16 * smallTotal)
+    // natural shares would be 16/17 vs 1/17; sqrt weights give 4/5 vs 1/5:
+    // the small source's keep RATE must exceed the big one's
+    assert(smallRate > bigRate, s"small=$smallRate big=$bigRate")
+    // expected rates from the closed form (integer-rounded sqrt weights)
+    val wBig = math.round(math.sqrt(bigTotal.toDouble)).toDouble
+    val wSmall = math.round(math.sqrt(smallTotal.toDouble)).toDouble
+    val sumw = wBig + wSmall
+    def exp(w: Double, tot: Long) = math.min(1.0, 512.0 * w / sumw / tot)
+    assert(math.abs(bigRate - exp(wBig, bigTotal)) < 1e-6)
+    assert(math.abs(smallRate - exp(wSmall, smallTotal)) < 1e-6)
+  }
+
+  test("decontaminateApply returns exactly the docs the census calls clean") {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val census = CurationOps.decontaminateAgainst(corpus, bench, 5)
+      .agg(sum(col("n_docs")), sum(col("n_contaminated"))).head
+    val survivors = CurationOps.decontaminateApply(corpus, bench, 5)
+    assert(survivors.columns.toSeq == corpus.columns.toSeq, "schema passes through")
+    assert(survivors.count() == census.getLong(0) - census.getLong(1))
+    // survivors are a subset of the corpus (no row invented or mutated)
+    assert(survivors.join(corpus, Seq("doc_id"), "left_anti").isEmpty)
+  }
+
   test("token-budget mix: non-numeric source names and a zero budget degrade gracefully") {
     // ANSI mode makes substring(...).cast(int) throw on a name without a
     // numeric tail; the demo weights must fall back to weight 1 instead
