@@ -468,6 +468,12 @@ object SparkEntry {
     // as x23.
     "x50_mix_temperature" -> ((s, d) =>
       CurationOps.tokenBudgetMixTemperature(docs(s, d), 10000L, 0.5)),
+    // Asymmetric containment near-dup (quotes/excerpts/subset docs):
+    // directed pairs with |A∩B|/|A| >= 0.9, prefix-filtered on the
+    // contained side, exact-verified — the oracle runs the naive
+    // all-pairs form.
+    "x52_containment" -> ((s, d) =>
+      DedupOps.ngramContainment(docs(s, d), 0.9)),
     // Decontamination APPLIED: the cleaned corpus (x21's benchmark split),
     // gated via per-language doc/token/char sums over the survivors.
     "x51_decontaminate_apply" -> ((s, d) => {
@@ -1520,6 +1526,22 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
         |       round(ANY_VALUE(rate), 6) AS rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // Naive all-pairs containment — the exact spec the prefix-filtered
+    // Spark operator must reproduce verbatim.
+    "x52_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM d),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) AS cont
+        |  FROM shl a JOIN shl b ON a.doc_id != b.doc_id)
+        |SELECT doc_a, doc_b, round(cont, 4) AS containment
+        |FROM p WHERE cont >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     // x21's contamination definition, APPLIED: survivors = shared < 5;
     // the census aggregates the surviving documents themselves.
     "x51_decontaminate_apply" ->

@@ -459,6 +459,54 @@ object DedupOps {
   }
 
   /**
+   * Exact n-gram CONTAINMENT ≥ threshold — the asymmetric near-dup:
+   * c(A→B) = |A ∩ B| / |A| over the distinct-shingle sets. Finds quotes,
+   * excerpts, and subset documents that symmetric Jaccard misses (a short
+   * doc wholly quoted inside a long one has low Jaccard but containment 1).
+   * Output: DIRECTED pairs (doc_a contained-in doc_b, a ≠ b, containment
+   * rounded to 4); two identical docs appear in both directions.
+   *
+   * Scale shape: the PPJoin prefix filter applies on the CONTAINED side
+   * only — A must share ≥ ceil(t·|A|) keys with B, so if B holds none of
+   * A's (|A| − ceil(t·|A|) + 1) globally-rarest keys the pair is
+   * impossible; candidates join A's short rare-key prefix against B's full
+   * inverted index, then verify exactly on the string arrays. Hashed-key
+   * containment can only exceed string containment (collisions shrink |A|
+   * and grow the intersection), so the prefix pass keeps every true pair —
+   * same completeness argument as [[ngramJaccardFrom]], asymmetric form.
+   */
+  def ngramContainment(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val shArr = shingleRelation(documents)
+    val sh = shArr
+      .select(col("doc_id"), array_distinct(col("shv")).as("shd"))
+      .select(col("doc_id"), size(col("shd")).as("n_sh"), explode(col("shd")).as("s"))
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, Seq("s"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+    val prefixA = ranked
+      .filter(col("r") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id").as("doc_a"), col("s"))
+    val fullB = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val pairs = prefixA.join(fullB, Seq("s"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val candidates = pairs
+      .join(shArr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(shArr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    candidates
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /**
    * Connected components of the near-dup pair graph: every doc that
    * appears in a pair, labeled with its component's minimum doc_id. Pairs
    * say "these two are duplicates"; a pipeline keeps ONE representative

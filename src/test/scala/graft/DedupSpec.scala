@@ -32,6 +32,38 @@ class DedupSpec extends SparkSpec {
     assert((exact -- lsh).isEmpty, s"LSH missed: ${exact -- lsh}") // and here it misses nothing
   }
 
+  test("ngramContainment finds the quote Jaccard misses; matches brute force") {
+    val quote = "alpha beta gamma delta epsilon zeta" // 6 words → 4 shingles
+    val long = s"opening line before the excerpt $quote and then a very long tail " +
+      (0 until 60).map(i => s"tail$i").mkString(" ")
+    val d = docsOf(
+      (1L, long, "en", "s0"),
+      (2L, quote, "en", "s0"), // wholly contained in 1
+      (3L, base, "en", "s1"),
+      (4L, nearDup, "en", "s1"),
+      (5L, other, "en", "s2"))
+    val got = DedupOps.ngramContainment(d, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the quote is contained in the long doc, not vice versa
+    assert(got((2L, 1L)) == 1.0)
+    assert(!got.contains((1L, 2L)))
+    // symmetric near-dups (1-word diff over 98 shingles) contain each other
+    assert(got.contains((3L, 4L)) && got.contains((4L, 3L)))
+    // brute force over the fixture: the prefix filter must lose nothing
+    def shingleSet(text: String): Set[String] = {
+      val ws = text.toLowerCase.split(" ").toSeq
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    val texts = Map(1L -> long, 2L -> quote, 3L -> base, 4L -> nearDup, 5L -> other)
+    val brute = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a != b
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= 0.9
+    } yield (a, b)).toSet
+    assert(got.keySet == brute, s"got=${got.keySet} brute=$brute")
+  }
+
   test("simhash: identical docs at distance 0; near-dups within threshold; ordering deterministic") {
     val rows = DedupOps.simhash(corpus, 3).collect()
     val ham = rows.map(r => ((r.getLong(0), r.getLong(1)), r)).toMap
