@@ -468,6 +468,10 @@ object SparkEntry {
     // as x23.
     "x50_mix_temperature" -> ((s, d) =>
       CurationOps.tokenBudgetMixTemperature(docs(s, d), 10000L, 0.5)),
+    // Deterministic stratified sample: exactly 40 docs per language by
+    // (md5, doc_id) order — fixed-size per-stratum probes, RNG-free.
+    "x53_stratified_sample" -> ((s, d) =>
+      PrepOps.stratifiedSampleCensus(docs(s, d), 40)),
     // Asymmetric containment near-dup (quotes/excerpts/subset docs):
     // directed pairs with |A∩B|/|A| >= 0.9, prefix-filtered on the
     // contained side, exact-verified — the oracle runs the naive
@@ -1526,6 +1530,14 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
         |       round(ANY_VALUE(rate), 6) AS rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "x53_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, len(string_split(lower(text), ' ')) AS toks,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens
+        |FROM r WHERE rn <= 40 GROUP BY lang ORDER BY lang""".stripMargin,
     // Naive all-pairs containment — the exact spec the prefix-filtered
     // Spark operator must reproduce verbatim.
     "x52_containment" ->

@@ -250,6 +250,43 @@ object PrepOps {
       minShared)
   }
 
+  /**
+   * Deterministic stratified sample: the `perGroup` documents with the
+   * smallest (md5-hash, doc_id) per `groupCol` value — a fixed-size,
+   * RNG-free per-stratum sample (eval slices, labeling batches, per-language
+   * probes). Unlike rate-based sampling ([[CurationOps.tokenBudgetMix]])
+   * the output size is exact per group; unlike `ORDER BY rand()` it is
+   * reproducible on any cluster and stable under partitioning.
+   *
+   * Scale shape: one row_number window PARTITIONED BY the stratum (strata
+   * hash-distribute; no global sort, no single-partition window). All
+   * input columns pass through.
+   */
+  def stratifiedSample(
+      documents: DataFrame,
+      perGroup: Int,
+      groupCol: String = "lang"): DataFrame = {
+    require(perGroup > 0, s"perGroup must be positive: $perGroup")
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(documents.sparkSession)
+    val h = GraftFunctions.md5PrefixLong(col("doc_id").cast("string"), 8)
+    documents
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(h, col("doc_id"))))
+      .filter(col("__rn") <= perGroup)
+      .drop("__rn")
+  }
+
+  /** Stratified-sample census: per-group kept docs and token mass. */
+  def stratifiedSampleCensus(
+      documents: DataFrame,
+      perGroup: Int,
+      groupCol: String = "lang"): DataFrame =
+    stratifiedSample(documents, perGroup, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs"), sum(size(ws).cast("long")).as("tokens"))
+      .orderBy(col(groupCol))
+
   // ------------------------------------------------------------ vocabulary
 
   /**

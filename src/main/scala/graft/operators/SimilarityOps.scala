@@ -323,6 +323,22 @@ object SimilarityOps {
       .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
   }
 
+  /**
+   * Append a batch of NEW vectors to a persisted IVF index — the growing
+   * corpus costs one batch assignment, never a rebuild (the IVF sibling of
+   * [[graft.operators.DedupOps.appendLshStore]]). Assignment is per-row
+   * against the PERSISTED centroid table, so append-then-query is
+   * row-identical to a full rebuild with the same centroids
+   * (SimilarityIndexSpec pins this); parquet append into `partitionBy(cid)`
+   * keeps probing = partition pruning. Re-train + rebuild only when drift
+   * makes the recall census ([[ivfRecallCensusWith]]) unacceptable.
+   */
+  def appendIvfIndex(newVectors: DataFrame, path: String): Unit = {
+    val cents = newVectors.sparkSession.read.parquet(s"${path}_centroids")
+    assignToCentroids(newVectors, cents)
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Query the persisted IVF index: prune to the `nProbe` closest cells.
     * `centroidsPath` defaults to the table [[buildIvfIndex]] wrote. */
   def queryIvfIndex(

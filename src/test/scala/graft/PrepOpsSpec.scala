@@ -146,6 +146,22 @@ class PrepOpsSpec extends SparkSpec {
     assert(census(0).getAs[Long]("max_overlap") == 8L)
   }
 
+  test("stratifiedSample: exact per-group size, deterministic, rows pass through") {
+    val d = prepDocs(((0L until 30L).map(i => (i, "en", s"en doc $i")) ++
+      (30L until 38L).map(i => (i, "de", s"de doc $i")) ++
+      (38L until 41L).map(i => (i, "fr", s"fr doc $i"))): _*)
+    val s1 = PrepOps.stratifiedSample(d, 5)
+    assert(s1.columns.toSeq == d.columns.toSeq)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 5L, "de" -> 5L, "fr" -> 3L)) // min(k, group)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = PrepOps.stratifiedSample(d, 5).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "sample must be deterministic")
+    assert(s1.join(d, Seq("doc_id"), "left_anti").isEmpty, "no invented rows")
+  }
+
   test("vocabTopK ranks by document frequency with deterministic ties") {
     val d = prepDocs(
       (1L, "en", "alpha beta gamma"),

@@ -33,6 +33,33 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(selected.length == 3, s"expected 3 pruned cells, got ${selected.length} of $nCells")
   }
 
+  test("appendIvfIndex: build-then-append equals full rebuild; pruning and queries intact") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val b0 = emb.filter(col("vec_id") % 2 === 0)
+    val b1 = emb.filter(col("vec_id") % 2 =!= 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    val (inc, full) = (base + "/inc", base + "/full")
+    // centroids from the FULL id space (vec_id % 40 == 0 picks even ids, all
+    // in batch 0) so both paths share one centroid table
+    SimilarityOps.buildIvfIndex(b0, inc, centroidMod = 40)
+    SimilarityOps.appendIvfIndex(b1, inc)
+    SimilarityOps.buildIvfIndex(emb, full, centroidMod = 40)
+    val read = (p: String) => spark.read.parquet(p)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong)).toSet
+    assert(read(inc) == read(full), "append must equal rebuild row-for-row")
+    // queries over the appended index match the inline ANN on the union
+    val cents = spark.read.parquet(inc + "_centroids")
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val viaInc = SimilarityOps.queryIvfIndex(
+        spark.read.parquet(inc), cents, qvec, 0L, k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = SimilarityOps.annIvf(emb, 0L, 10, 40, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaInc == inline, "appended index must reproduce the inline result")
+  }
+
   test("IVF recall census: probing every cell gives recall exactly 1.0; fewer probes never more") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
