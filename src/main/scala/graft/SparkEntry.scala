@@ -468,6 +468,12 @@ object SparkEntry {
     // as x23.
     "x50_mix_temperature" -> ((s, d) =>
       CurationOps.tokenBudgetMixTemperature(docs(s, d), 10000L, 0.5)),
+    // Content-defined chunking census: rolling-hash cut points (md5 of the
+    // trailing 3-gram % 8 == 0) — the shift-robust twin of the x32 span
+    // grid; an early insertion re-synchronizes instead of re-aligning
+    // every later window.
+    "x54_cdc_chunks" -> ((s, d) =>
+      TextOps.cdcChunkCensus(docs(s, d), 8)),
     // Deterministic stratified sample: exactly 40 docs per language by
     // (md5, doc_id) order — fixed-size per-stratum probes, RNG-free.
     "x53_stratified_sample" -> ((s, d) =>
@@ -1530,6 +1536,28 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
         |       round(ANY_VALUE(rate), 6) AS rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "x54_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |b AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    CASE WHEN len(w) >= 3 THEN list_filter(range(3, len(w)+1),
+        |      p -> ('0x' || substr(md5(array_to_string(list_slice(w, p-2, p), ' ')), 1, 8))::BIGINT % 8 = 0)
+        |    ELSE [] END AS bp
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, w, list_concat(list_concat([0::BIGINT], bp),
+        |    CASE WHEN len(bp) > 0 AND bp[-1] = n THEN [] ELSE [n] END) AS ed
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ed)), i ->
+        |    array_to_string(list_slice(w, ed[i]+1, ed[i+1]), ' '))) AS chunk
+        |  FROM e),
+        |g AS (SELECT chunk, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY chunk)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks, COUNT(*) AS distinct_chunks,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+        |  CAST(MAX(nd) AS BIGINT) AS max_docs_sharing
+        |FROM g""".stripMargin,
     "x53_stratified_sample" ->
       """WITH r AS (
         |  SELECT lang, len(string_split(lower(text), ' ')) AS toks,

@@ -219,6 +219,60 @@ object TextOps {
   }
 
   /**
+   * Content-defined chunks of a document (CDC, the rolling-hash cut rule):
+   * a boundary falls AFTER token position p whenever the md5-prefix hash
+   * of the 3-gram ending at p is ≡ 0 (mod `m`) — so cut points depend on
+   * LOCAL content only, and an insertion early in a document shifts no
+   * boundary after the edit's 3-gram neighborhood. That is the property
+   * the fixed-width span grid ([[spanArray]]) lacks: one added token
+   * re-aligns every later span, hiding all cross-doc duplication past the
+   * edit; CDC chunks re-synchronize immediately (the backup-dedup /
+   * rsync-style chunking argument, applied to corpus text). Docs shorter
+   * than 3 tokens (or with no qualifying gram) form one whole-doc chunk;
+   * expected chunk length is ~`m` tokens. Pure per-row expression work.
+   */
+  private[graft] def cdcChunks(m: Int): Column = {
+    require(m > 0, "cdc modulus must be positive")
+    val ws = words(col("text"))
+    val n = size(ws)
+    val bpos = when(n >= 3,
+      filter(sequence(lit(3), n), p =>
+        graft.functions.GraftFunctions
+          .md5PrefixLong(concat_ws(" ", slice(ws, p - 2, lit(3))), 8) % m === 0))
+      .otherwise(array().cast("array<int>"))
+    // edges = 0 :: boundaries :: n (skip n if the last gram already cut
+    // there); try_element_at: ANSI mode throws on indexing an empty array
+    val edges = concat(array(lit(0)), bpos,
+      when(coalesce(try_element_at(bpos, lit(-1)), lit(-1)) === n,
+        array().cast("array<int>"))
+        .otherwise(array(n)))
+    transform(sequence(lit(1), size(edges) - 1), i =>
+      concat_ws(" ", slice(ws,
+        element_at(edges, i) + 1,
+        element_at(edges, i + 1) - element_at(edges, i))))
+  }
+
+  /**
+   * Cross-document CDC duplicate-chunk census — [[duplicateSpans]] with
+   * content-defined boundaries instead of the fixed grid: exact integers
+   * over the corpus chunk relation (total chunk occurrences, distinct
+   * chunks, chunks appearing in >1 doc, widest sharing). Same scale shape:
+   * per-row chunking, one groupBy(chunk) with map-side partials.
+   */
+  def cdcChunkCensus(documents: DataFrame, m: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), explode(cdcChunks(m)).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("nd"))
+      .agg(
+        sum(col("cnt")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_chunks"),
+        max(col("nd")).as("max_docs_sharing"))
+  }
+
+  /**
    * Cross-document duplicate-span census: a span occurring in more than
    * one document is boilerplate shared ACROSS docs — the span-level
    * complement of whole-doc dedup, what a pipeline removes as repeated

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.TextOps
 
 /** Hand-computed fixtures for the repetition-quality and duplicate-span
@@ -101,5 +103,32 @@ class TextRepetitionSpec extends SparkSpec {
     val odd = docsOf((1L, "a b c d e", "en", "s"))
     val r2 = TextOps.duplicateSpans(odd, 2).collect().head
     assert(r2.getLong(0) == 2L, r2.toString)
+  }
+
+  test("cdc chunks: tokens conserved, short docs whole, boundaries shift-robust") {
+    graft.functions.GraftFunctions.register(spark)
+    val body = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val shifted = s"inserted $body" // one token prepended
+    val d = docsOf(
+      (1L, body, "en", "s"),
+      (2L, shifted, "en", "s"),
+      (3L, "a b", "en", "s")) // < 3 tokens: one whole-doc chunk
+    val rel = d.select(col("doc_id"), TextOps.cdcChunks(8).as("chunks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // token conservation: chunks re-join to the original (lowercased) text
+    assert(rel(1L).mkString(" ") == body)
+    assert(rel(2L).mkString(" ") == shifted)
+    assert(rel(3L) == Seq("a b"))
+    // shift robustness: every chunk of doc1 except possibly the FIRST
+    // (whose leading grams absorb the insertion) reappears in doc2
+    val common = rel(1L).toSet.intersect(rel(2L).toSet)
+    assert(rel(1L).length >= 3, s"fixture should cut into several chunks: ${rel(1L)}")
+    assert(common.size >= rel(1L).length - 1,
+      s"CDC must re-synchronize after an insertion: only $common")
+    // the fixed span grid, by contrast, loses alignment entirely
+    val spans1 = d.filter(col("doc_id") === 1L)
+    val spans2 = d.filter(col("doc_id") === 2L)
+    val g1 = TextOps.duplicateSpans(spans1.union(spans2), 8).collect().head
+    assert(g1.getLong(2) == 0L, s"span grid should share nothing after a 1-token shift: $g1")
   }
 }
