@@ -474,6 +474,15 @@ object SparkEntry {
     // every later window.
     "x54_cdc_chunks" -> ((s, d) =>
       TextOps.cdcChunkCensus(docs(s, d), 8)),
+    // CDC dedup APPLIED: the cleaned corpus with non-first chunk
+    // occurrences removed — x37's contract, shift-robust boundaries.
+    "x55_cdc_apply_corpus" -> ((s, d) =>
+      TextOps.cdcDedupApply(docs(s, d), 8)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"),
+          sum(length(col("text")).cast("long")).as("kept_chars"))
+        .orderBy(col("lang"))),
     // Deterministic stratified sample: exactly 40 docs per language by
     // (md5, doc_id) order — fixed-size per-stratum probes, RNG-free.
     "x53_stratified_sample" -> ((s, d) =>
@@ -1536,6 +1545,41 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
         |       round(ANY_VALUE(rate), 6) AS rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // The CDC CTEs of x54 + x37's winner/reassembly shape: survivors =
+    // first (doc_id, pos) per chunk, documents re-joined from their own
+    // surviving chunks, census over the reassembled text.
+    "x55_cdc_apply_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, w, len(w) AS n,
+        |    CASE WHEN len(w) >= 3 THEN list_filter(range(3, len(w)+1),
+        |      p -> ('0x' || substr(md5(array_to_string(list_slice(w, p-2, p), ' ')), 1, 8))::BIGINT % 8 = 0)
+        |    ELSE [] END AS bp
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, lang, w, list_concat(list_concat([0::BIGINT], bp),
+        |    CASE WHEN len(bp) > 0 AND bp[-1] = n THEN [] ELSE [n] END) AS ed
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ed)), i ->
+        |    struct_pack(pos := i,
+        |      chunk := array_to_string(list_slice(w, ed[i]+1, ed[i+1]), ' ')))) AS u
+        |  FROM e),
+        |k AS (
+        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk, row_number() OVER (
+        |    PARTITION BY u.chunk ORDER BY doc_id, u.pos) AS rn
+        |  FROM c),
+        |kept AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT e.lang, COALESCE(kept.kept_text, '') AS text
+        |  FROM e LEFT JOIN kept ON e.doc_id = kept.doc_id)
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS kept_chars
+        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
     "x54_cdc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

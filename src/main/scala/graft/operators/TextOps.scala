@@ -273,6 +273,38 @@ object TextOps {
   }
 
   /**
+   * APPLY corpus-wide CDC chunk dedup and RETURN THE CLEANED CORPUS — the
+   * shift-robust twin of [[spanDedupApply]]: every occurrence of a chunk
+   * except its first (minimum (doc_id, position)) is removed and each
+   * document is reassembled from its surviving chunks in position order
+   * (chunks cover the whole token sequence, so there is no tail case; a
+   * document can come out empty). Because [[cdcChunks]] boundaries are
+   * content-local, a one-token edit in one copy of shared boilerplate
+   * still lets every later chunk dedup — the span grid would miss all of
+   * them. Winner selection is one row_number window over the chunk key;
+   * reassembly is one groupBy(doc_id) of the doc's own chunks — both keys
+   * hash-distribute.
+   */
+  def cdcDedupApply(documents: DataFrame, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val base = documents.select(col("doc_id"), col("lang"), cdcChunks(m).as("chunks"))
+    val kept = base
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s("chunk"))).as("kept_text"))
+    base.select(col("doc_id"), col("lang"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("kept_text"), lit("")).as("text"))
+  }
+
+  /**
    * Cross-document duplicate-span census: a span occurring in more than
    * one document is boilerplate shared ACROSS docs — the span-level
    * complement of whole-doc dedup, what a pipeline removes as repeated

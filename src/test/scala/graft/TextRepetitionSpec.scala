@@ -130,5 +130,14 @@ class TextRepetitionSpec extends SparkSpec {
     val spans2 = d.filter(col("doc_id") === 2L)
     val g1 = TextOps.duplicateSpans(spans1.union(spans2), 8).collect().head
     assert(g1.getLong(2) == 0L, s"span grid should share nothing after a 1-token shift: $g1")
+
+    // APPLY: doc1 (lower id) keeps everything; doc2 keeps only its unique
+    // first chunk — the shared tail chunks dedup despite the shift
+    val cleaned = TextOps.cdcDedupApply(d.filter(col("doc_id") <= 2L), 8)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(cleaned(1L) == body)
+    assert(cleaned(2L) == rel(2L).filterNot(rel(1L).toSet).mkString(" "),
+      s"doc2 must keep exactly its unshared chunks, got: ${cleaned(2L)}")
+    assert(cleaned(2L).length < shifted.length / 2, "most of doc2 is boilerplate cut")
   }
 }
