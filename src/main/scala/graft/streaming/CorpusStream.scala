@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, PrepOps}
 
 /**
  * Streaming corpus ingest with INCREMENTAL near-duplicate detection — the
@@ -64,5 +64,38 @@ object CorpusStream {
       // the shared shingle cache is plan-keyed per BATCH here — a stream
       // that never dropped it would accrete one entry per micro-batch
       DedupOps.unpersistShingles(batch)
+  }
+
+  /**
+   * foreachBatch sink: the streaming PREP pipeline — redact → quality
+   * filter → split assignment ([[graft.operators.PrepOps]]), appended to a
+   * curated corpus partitioned by split. Every stage is per-row (the batch
+   * never shuffles), and the split is content-independent md5 hashing, so
+   * the streamed corpus is IDENTICAL to running the same operators in
+   * batch over the union of micro-batches — no cross-batch state needed at
+   * all, which is why this composition streams for free. Same
+   * marker-guarded replay contract as [[dedupIngestBatch]].
+   */
+  def prepIngestBatch(
+      outPath: String,
+      patterns: Seq[(String, String)] = PrepOps.PiiPatterns,
+      replacement: String = "<PII>",
+      minWords: Int = 30,
+      maxWords: Int = 1000,
+      trainPct: Int = 80,
+      valPct: Int = 10)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val markerDir = new Path(s"$outPath/_graft_batches")
+    val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(markerDir, batchId.toString)
+    if (fs.exists(marker)) return
+    PrepOps.splitAssign(
+        PrepOps.qualityFilter(
+          PrepOps.redact(batch, patterns, replacement), minWords, maxWords),
+        trainPct, valPct)
+      .write.mode("append").partitionBy("split").parquet(outPath)
+    fs.mkdirs(markerDir)
+    fs.create(marker, true).close()
   }
 }

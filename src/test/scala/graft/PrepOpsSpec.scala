@@ -162,6 +162,30 @@ class PrepOpsSpec extends SparkSpec {
     assert(s1.join(d, Seq("doc_id"), "left_anti").isEmpty, "no invented rows")
   }
 
+  test("streaming prep ingest equals the batch pipeline; replays are no-ops") {
+    import graft.streaming.CorpusStream
+    val d = prepDocs((0L until 120L).map(i =>
+      (i, "en", (0 to (i % 50).toInt).map(j => s"word$j").mkString(" ") +
+        (if (i % 7 == 0) " mail me at a@b.io now" else ""))): _*)
+      .select("doc_id", "lang", "text") // the redact output shape
+    val batchExpected = PrepOps.splitAssign(
+        PrepOps.qualityFilter(PrepOps.redact(d), 30, 1000), 80, 10)
+      .collect().map(_.toString).sorted.toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("prep_stream").toString + "/out"
+    val sink = CorpusStream.prepIngestBatch(tmp)(_, _)
+    for (i <- 0L to 3L) sink(d.filter(col("doc_id") % 4 === i), i)
+    def onDisk() = spark.read.parquet(tmp)
+      .select("doc_id", "lang", "text", "split")
+    assert(onDisk().collect().map(_.toString).sorted.toSeq == batchExpected,
+      "streamed union must equal the batch pipeline")
+    // replay of a committed batch is marker-guarded
+    val n = onDisk().count()
+    sink(d.filter(col("doc_id") % 4 === 1), 1L)
+    assert(onDisk().count() == n)
+    // split is a physical partition of the curated store
+    assert(onDisk().filter(col("split") === "train").count() > 0)
+  }
+
   test("vocabTopK ranks by document frequency with deterministic ties") {
     val d = prepDocs(
       (1L, "en", "alpha beta gamma"),
