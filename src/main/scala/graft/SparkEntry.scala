@@ -504,8 +504,65 @@ object SparkEntry {
           sum(size(split(lower(col("text")), " ")).cast("long")).as("tokens"),
           sum(length(col("text")).cast("long")).as("chars"))
         .orderBy(col("lang"))
-    })
+    }),
+    // ---- retrieval, sketches, versioning (round 6) ----
+    // BM25 keyword retrieval (rational idf — see SearchOps for why no ln):
+    // per-row tf expressions, one single-row stats broadcast, top-k sort;
+    // 'dup' is the high-idf rare term, the others are corpus-common.
+    "x56_bm25_topk" -> ((s, d) =>
+      SearchOps.bm25TopK(docs(s, d), Bm25Terms, 10)),
+    // SemDeDup-style semantic dedup APPLIED over the embedding corpus:
+    // exact cell-bucketed pairs -> transitive components -> keep min
+    // vec_id; gated via a per-label survivor census (the all-pairs oracle
+    // is centroid-independent, same guarantee as x4/x39).
+    "x57_semdedup_corpus" -> ((s, d) =>
+      SimilarityOps.semanticDedupCorpus(emb(s, d), 0.4, 100)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("vecs"), sum(col("vec_id")).as("id_sum"))
+        .orderBy(col("label"))),
+    // Snapshot diff census between the corpus and a derived v2 snapshot
+    // (every doc_id%11==0 removed, %13 changed, %17 re-added under a new
+    // id) — the data-versioning audit, one fingerprint full-outer join.
+    "x58_corpus_diff" -> ((s, d) =>
+      SnapshotOps.corpusDiff(docs(s, d), newSnapshot(docs(s, d)))),
+    // Misra-Gries heavy-hitter sketch (k=8 over a 31-token vocabulary, so
+    // eviction churns constantly) gated on its order-independent
+    // guarantee verdict + exact corpus totals.
+    "x59_heavy_tokens" -> ((s, d) =>
+      SearchOps.heavyHittersVerdict(docs(s, d), 8)),
+    // Rare-token density census: exact per-doc mean token document
+    // frequency; 385 sits just under the corpus-common df plateau (~390),
+    // so rare_docs counts docs leaning on the rare tail.
+    "x60_rare_tokens" -> ((s, d) =>
+      SearchOps.rareTokenCensus(docs(s, d), 385L)),
+    // The incremental re-process set (new + content-changed docs of the
+    // v2 snapshot), gated via the per-language census idiom of x51.
+    "x61_delta_reprocess" -> ((s, d) =>
+      SnapshotOps.snapshotDelta(docs(s, d), newSnapshot(docs(s, d)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(lower(col("text")), " ")).cast("long")).as("tokens"),
+          sum(length(col("text")).cast("long")).as("chars"))
+        .orderBy(col("lang")))
   )
+
+  /** x56's query terms — interpolated into BOTH the Spark query and the
+    * DuckDB oracle. 'dup' is rare (df≈25/500 at sf0.01), the rest common. */
+  private val Bm25Terms: Seq[String] = Seq("spark", "dup", "vector", "the")
+
+  /** x58/x61's derived second snapshot: doc_id%11==0 dropped, %13 content-
+    * changed, %17 re-added under doc_id+1000000 — same derivation in the
+    * oracle SQL so both sides diff identical snapshots. */
+  private def newSnapshot(old: DataFrame): DataFrame = {
+    val carried = old.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val added = old.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        concat(lit("new doc "), col("doc_id").cast("string")).as("text"))
+    carried.unionByName(added)
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -1649,6 +1706,107 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS docs,
         |       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens,
         |       CAST(SUM(strlen(text)) AS BIGINT) AS chars
-        |FROM surv GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM surv GROUP BY lang ORDER BY lang""".stripMargin,
+    // ---- retrieval, sketches, versioning (round 6) ----
+    "x56_bm25_topk" -> bm25OracleSql(Bm25Terms, 10, 1.2, 0.75),
+    // x4's all-pairs pair derivation + the x34 recursive min-label walk +
+    // the x38 anti-join — survivors grouped by label.
+    "x57_semdedup_corpus" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4),
+        |edges AS (SELECT va AS u, vb AS v FROM pairs
+        |          UNION ALL SELECT vb, va FROM pairs),
+        |walk(u, lbl) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON w.u = e.u WHERE w.lbl < e.v),
+        |losers AS (SELECT u AS vec_id FROM walk GROUP BY u HAVING MIN(lbl) <> u)
+        |SELECT label, COUNT(*) AS vecs, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+        |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "x58_corpus_diff" -> (newSnapshotSql +
+      """,
+        |o AS (SELECT doc_id, md5(text) AS h, len(text)::BIGINT AS l FROM documents),
+        |nw AS (SELECT doc_id, md5(text) AS h, len(text)::BIGINT AS l FROM newsnap),
+        |j AS (SELECT
+        |    CASE WHEN o.h IS NULL THEN 'added' WHEN nw.h IS NULL THEN 'removed'
+        |         WHEN o.h <> nw.h THEN 'changed' ELSE 'unchanged' END AS status,
+        |    COALESCE(o.l, 0) AS lo, COALESCE(nw.l, 0) AS ln
+        |  FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
+        |SELECT status, COUNT(*) AS docs, CAST(SUM(lo) AS BIGINT) AS chars_old,
+        |       CAST(SUM(ln) AS BIGINT) AS chars_new
+        |FROM j GROUP BY status ORDER BY status""".stripMargin),
+    // the sketch-content columns are order-dependent by design; the gated
+    // verdict booleans are guaranteed by the MG invariants — see SearchOps
+    "x59_heavy_tokens" ->
+      """WITH occ AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |ex AS (SELECT tok, COUNT(*) AS cnt FROM occ GROUP BY tok)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS distinct_tokens,
+        |       TRUE AS size_ok, TRUE AS heavy_present, TRUE AS estimates_bounded
+        |FROM ex""".stripMargin,
+    "x60_rare_tokens" ->
+      """WITH occ AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |dfk AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY tok),
+        |pd AS (
+        |  SELECT o.doc_id, o.lang, COUNT(*) AS n_tokens,
+        |         CAST(SUM(df) AS BIGINT) AS sum_df
+        |  FROM occ o JOIN dfk USING (tok) GROUP BY o.doc_id, o.lang)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |       round(SUM(sum_df)::DOUBLE / SUM(n_tokens), 6) AS mean_df,
+        |       CAST(SUM(CASE WHEN sum_df < n_tokens * 385 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS rare_docs
+        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin,
+    "x61_delta_reprocess" -> (newSnapshotSql +
+      """,
+        |o AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |delta AS (
+        |  SELECT nw.lang, nw.text FROM newsnap nw
+        |  LEFT JOIN o ON o.doc_id = nw.doc_id AND o.h = md5(nw.text)
+        |  WHERE o.doc_id IS NULL)
+        |SELECT lang, COUNT(*) AS docs,
+        |       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens,
+        |       CAST(SUM(strlen(text)) AS BIGINT) AS chars
+        |FROM delta GROUP BY lang ORDER BY lang""".stripMargin)
   )
+
+  /** x58/x61's v2-snapshot derivation as a DuckDB CTE — must mirror
+    * [[newSnapshot]] exactly. */
+  private val newSnapshotSql: String =
+    """WITH newsnap AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, 'new doc ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 17 = 0)""".stripMargin
+
+  /** x56's oracle: the SAME fixed-order IEEE double chain as
+    * [[SearchOps.bm25TopK]], constants interpolated from the identical
+    * Scala expressions so both engines parse the identical literals. */
+  private def bm25OracleSql(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t'))::BIGINT AS tf$i"
+    }.mkString(",\n    ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val score = terms.indices.map { i =>
+      s"(n - df$i + 0.5) / (df$i + 0.5) * (tf$i * ${k1 + 1}) / " +
+        s"(tf$i + $k1 * (${1 - b} + $b * (dl / (sumdl / n))))"
+    }.mkString(" + ")
+    val anyHit = terms.indices.map(i => s"tf$i").mkString(" + ") + " > 0"
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |t AS (SELECT doc_id, len(w)::BIGINT AS dl,
+       |    $tfs
+       |  FROM d),
+       |s AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl, $dfs FROM t)
+       |SELECT doc_id, round($score, 4) AS score
+       |FROM t, s WHERE $anyHit
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

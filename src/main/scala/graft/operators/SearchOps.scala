@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Lexical retrieval + lexical-statistics operators over the `documents`
+ * table — the keyword-search complement of [[SimilarityOps]]' vector stack
+ * (SURVEY.md §2.4 north-star surface). A training-data pipeline uses these
+ * for targeted corpus probes ("which documents mention X", dataset search
+ * UIs) and for rarity-based quality signals.
+ *
+ * Design rules shared with [[TextOps]]:
+ *  - per-row column expressions wherever possible — the BM25 scorer never
+ *    explodes the corpus (term frequencies for a FIXED query term list are
+ *    per-row `filter(ws, _ = t)` counts), so scoring is one scan plus a
+ *    single-row stats broadcast;
+ *  - cross-engine determinism: every float operation is a fixed-order
+ *    IEEE +,-,*,/ chain over exact integers (no transcendentals — see
+ *    [[bm25TopK]]'s rational-idf note), so results hash-gate bit-for-bit
+ *    against the DuckDB oracle.
+ */
+object SearchOps {
+
+  private def ws: Column = TextOps.words(col("text"))
+
+  /**
+   * BM25 top-k retrieval for a fixed term list, with a RATIONAL idf.
+   *
+   * Standard BM25 weights each term by `ln((N - df + 0.5)/(df + 0.5) + 1)`.
+   * `ln` is the one piece that is NOT bit-stable across engines (Java's
+   * `Math.log` intrinsic and DuckDB's libm are each ≤1 ulp but not the
+   * SAME ulp), so this operator keeps the raw odds ratio
+   * `(N - df + 0.5)/(df + 0.5)` as the idf — monotone in the classic idf,
+   * always positive, and computable with division only. Every remaining
+   * operation is a fixed-order IEEE double chain evaluated identically
+   * here and in the oracle SQL; term scores sum left-to-right in term-list
+   * order. The tf saturation is the standard
+   * `tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+   *
+   * Scale shape: term frequencies are per-row expressions (the term list
+   * is a small constant — no corpus explode, no per-term shuffle); corpus
+   * stats (N, Σdl, per-term df) reduce to ONE row broadcast back over the
+   * scan; the result is a `TakeOrderedAndProject` top-k. Total cost: two
+   * scans of (doc_id, text) and a k-row sort — no join shuffle at all.
+   *
+   * Docs matching no term are excluded (integer tf-sum guard, not a float
+   * compare). Ties break toward the smaller doc_id.
+   */
+  def bm25TopK(
+      documents: DataFrame,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    val tf = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(ws, w => w === lit(t))).cast("long").as(s"tf$i")
+    }
+    val perDoc = documents.select(
+      col("doc_id") +: size(ws).cast("long").as("dl") +: tf: _*)
+    val dfAggs = terms.indices.map { i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+    }
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl") +: dfAggs: _*)
+    val avgdl = col("sumdl") / col("n")
+    val score = terms.indices.map { i =>
+      val idf = (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))
+      idf * (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / avgdl)))
+    }.reduce(_ + _)
+    val anyHit = terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0
+    perDoc.crossJoin(broadcast(stats))
+      .filter(anyHit)
+      .select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
+   * Rare-token density census — the "does this document use unusual
+   * vocabulary" quality signal (the rarity complement of
+   * [[TextOps.repetitionStats]]' redundancy signal). Every token
+   * occurrence is weighted by its document frequency (how many documents
+   * contain the token at least once); a document whose mean token df is
+   * far below the corpus norm is either specialist content or noise, and
+   * a pipeline routes it to review instead of blind inclusion.
+   *
+   * Exact-integer contract: per-document `sum_df` (Σ df over the doc's
+   * token occurrences, with multiplicity) and `n_tokens` are exact longs;
+   * `rare_docs` counts documents with `sum_df < n_tokens · maxMeanDf`
+   * (integer cross-multiplication — no float compare); the per-language
+   * `mean_df` is one double division of two exact corpus-level sums.
+   *
+   * Scale shape: explode → df aggregation per token (map-side partials)
+   * → re-join occurrences to df on the token key → per-doc aggregation →
+   * per-language census. Both shuffles are plain hash keys (token,
+   * doc_id); token df skew is the zipfian head, which the map-side
+   * partial absorbs before the shuffle.
+   */
+  /**
+   * Heavy-hitter token detection via a bounded-memory Misra–Gries sketch
+   * ([[graft.functions.MisraGriesAggregator]]) — one k-counter partial per
+   * partition, merged pairwise, NO token-keyed shuffle — verified in the
+   * same job against the exact counts. The sketch's CONTENT is
+   * arrival-order-dependent (legitimately so), so the gated output is the
+   * ORDER-INDEPENDENT verdict its guarantees make deterministic:
+   *
+   *  - `size_ok`: the merged sketch holds ≤ k counters;
+   *  - `heavy_present`: every token with true count > n/(k+1) is in the
+   *    sketch (integer cross-multiplied — no float compare);
+   *  - `estimates_bounded`: sketch counts underestimate by at most
+   *    n/(k+1) and never overestimate.
+   *
+   * Alongside exact `n_tokens` / `distinct_tokens` so the gate pins real
+   * corpus numbers, not just tautologies. The exact side exists only to
+   * judge the sketch; a production run keeps the sketch alone.
+   */
+  def heavyHittersVerdict(documents: DataFrame, k: Int = 8): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val occ = documents.select(explode(ws).as("tok"))
+    val sketch = occ.agg(mg(col("tok")).as("sk"))
+      .select(explode(col("sk")).as(Seq("tok", "est")))
+    val exact = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = exact.agg(
+      sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"))
+    exact.join(sketch, Seq("tok"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        max(col("n_distinct")).as("distinct_tokens"),
+        (sum(when(col("est").isNotNull, 1L).otherwise(0L)) <= k).as("size_ok"),
+        min(when(col("cnt") * (k + 1) > col("n"), col("est").isNotNull)
+          .otherwise(lit(true))).as("heavy_present"),
+        min(when(col("est").isNotNull,
+            col("cnt") - col("est") >= 0 &&
+              (col("cnt") - col("est")) * (k + 1) <= col("n"))
+          .otherwise(lit(true))).as("estimates_bounded"))
+  }
+
+  def rareTokenCensus(documents: DataFrame, maxMeanDf: Long = 50L): DataFrame = {
+    val occ = documents.select(col("doc_id"), col("lang"), explode(ws).as("tok"))
+    val dfPerTok = occ.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val perDoc = occ.join(dfPerTok, Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
+    perDoc.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        round(sum(col("sum_df")).cast("double") / sum(col("n_tokens")), 6)
+          .as("mean_df"),
+        sum(when(col("sum_df") < col("n_tokens") * maxMeanDf, 1L).otherwise(0L))
+          .as("rare_docs"))
+      .orderBy(col("lang"))
+  }
+}

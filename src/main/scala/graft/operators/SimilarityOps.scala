@@ -117,6 +117,32 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /**
+   * SemDeDup-style semantic deduplication, APPLIED — the embedding-space
+   * twin of [[DedupOps.dedupCorpus]] (Abbas et al. 2023, "SemDeDup":
+   * cluster embeddings, drop all but one member of each semantic-duplicate
+   * group). Pairs come from the exact cell-bucketed near-dup join
+   * ([[embeddingNearDup]] — never all-pairs), are closed into transitive
+   * clusters by [[DedupOps.connectedComponents]], and each cluster keeps
+   * its minimum vec_id; every other member is anti-joined away. Returns
+   * the surviving `embeddings` rows with all their columns.
+   *
+   * Scale shape: inherits the near-dup join's per-cell bounds and the
+   * component loop's counter-only driver state; the loser set is at most
+   * one row per clustered vector and the anti-join shuffles on vec_id.
+   */
+  def semanticDedupCorpus(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      centroidMod: Int = 40): DataFrame = {
+    val pairs = embeddingNearDup(embeddings, threshold, centroidMod)
+      .select(col("vec_a"), col("vec_b"))
+    val comp = DedupOps.connectedComponents(pairs, "vec_a", "vec_b")
+    val losers = comp.filter(col("component") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    embeddings.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** The O(n²) all-pairs form of [[embeddingNearDup]] — correctness baseline
     * for the property test, and the fallback when no centroid exists. */
   def embeddingNearDupBrute(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGriesAggregator
+import graft.operators.SearchOps
+
+class SearchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs3(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+
+  test("bm25 ranks the rare-term doc first and breaks ties by doc_id") {
+    val d = docs3(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha alpha alpha beta"),
+      (3L, "en", "rare beta gamma delta"),
+      (4L, "en", "beta gamma delta zeta"),
+      (5L, "en", "alpha beta gamma delta")) // same text as doc 1
+    val r = SearchOps.bm25TopK(d, Seq("alpha", "rare"), 10).collect()
+    // 'rare' has df=1 -> idf (5-1+0.5)/1.5 = 3 vs 'alpha' df=3 -> 1.5/3.5
+    assert(r.head.getLong(0) === 3L)
+    // docs 1 and 5 have identical text -> identical score, id tie-break
+    val ids = r.map(_.getLong(0)).toSeq
+    assert(ids.indexOf(1L) < ids.indexOf(5L))
+    // doc 4 matches no term -> excluded
+    assert(!ids.contains(4L))
+  }
+
+  test("bm25 tf saturation: repeating a term gains sublinearly") {
+    val d = docs3(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha alpha alpha alpha"),
+      (3L, "en", "beta gamma delta zeta"))
+    val r = SearchOps.bm25TopK(d, Seq("alpha"), 10).collect()
+    val byId = r.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(byId(2L) > byId(1L))
+    assert(byId(2L) < byId(1L) * 4) // saturation, not linear tf
+  }
+
+  test("Misra-Gries guarantees hold on skewed and uniform streams") {
+    // skewed: 'hot' is >n/(k+1) of the stream; uniform: nothing is heavy
+    val streams = Seq(
+      (1 to 400).map(_ => "hot") ++ (1 to 30).flatMap(i => Seq(s"t$i", s"u$i")),
+      (1 to 50).flatMap(i => (1 to 4).map(_ => s"w$i")))
+    for (toks <- streams; k <- Seq(4, 8)) {
+      val agg = new MisraGriesAggregator(k)
+      // exercise BOTH reduce and merge: fold in 4 chunks, merge pairwise
+      val parts = toks.grouped(math.max(1, toks.size / 4)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val sketch = parts.reduce(agg.merge)
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      assert(sketch.size <= k)
+      for ((t, c) <- exact if c * (k + 1) > n)
+        assert(sketch.contains(t), s"heavy '$t' (cnt=$c, n=$n, k=$k) evicted")
+      for ((t, est) <- sketch) {
+        val c = exact(t)
+        assert(est <= c, s"'$t' overestimated: est=$est > cnt=$c")
+        assert((c - est) * (k + 1) <= n,
+          s"'$t' underestimate too large: cnt=$c est=$est n=$n k=$k")
+      }
+    }
+  }
+
+  test("heavyHittersVerdict emits all-true verdict with exact totals") {
+    val d = docs3(
+      (1L, "en", "a a a a a a a a b c"),
+      (2L, "en", "a a a a d e f g h i"),
+      (3L, "en", "j k l m n o p q r s"))
+    val r = SearchOps.heavyHittersVerdict(d, 4).collect().head
+    assert(r.getAs[Long]("n_tokens") === 30L)
+    assert(r.getAs[Long]("distinct_tokens") === 19L)
+    assert(r.getAs[Boolean]("size_ok"))
+    assert(r.getAs[Boolean]("heavy_present"))
+    assert(r.getAs[Boolean]("estimates_bounded"))
+  }
+
+  test("rareTokenCensus: exact mean df and integer-exact rare flag") {
+    // 'x' df=3, 'y' df=3, 'z' df=1
+    val d = docs3(
+      (1L, "en", "x y"),
+      (2L, "en", "x y"),
+      (3L, "en", "x y z"))
+    val r = SearchOps.rareTokenCensus(d, 3L).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("docs") === 3L)
+    assert(row.getAs[Long]("tokens") === 7L)
+    // sum_df = 3+3 + 3+3 + 3+3+1 = 19; mean = round(19/7, 6)
+    assert(math.abs(row.getAs[Double]("mean_df") - 2.714286) < 1e-6)
+    // doc 3: sum_df=7 < 3*3=9 -> rare; docs 1,2: 6 >= 2*3
+    assert(row.getAs[Long]("rare_docs") === 1L)
+  }
+
+  test("bm25 plan: no join shuffle — broadcast stats + TakeOrderedAndProject") {
+    val q = SparkEntry.queries("x56_bm25_topk")(spark, "/root/testdata/sf0.001")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+}
