@@ -543,7 +543,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"),
           sum(size(split(lower(col("text")), " ")).cast("long")).as("tokens"),
           sum(length(col("text")).cast("long")).as("chars"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+    // Query-by-document similarity search: doc 8 has a confirmed near-dup
+    // at sf0.01, so the top of the ranking is a real match, not noise.
+    "x62_similar_docs" -> ((s, d) =>
+      DedupOps.similarDocs(docs(s, d), 8L, 10)),
+    // Ordered conversion funnel with first-touch anchors — each stage one
+    // user-keyed join + min aggregation, census rows unioned.
+    "x63_event_funnel" -> ((s, d) =>
+      EventOps.funnelCensus(Tables.read(s, d, "events"),
+        Seq("view", "click", "purchase"))),
+    // CUBE over (split, lang) with '(all)' markers — grouping-sets
+    // coverage beyond a6's ROLLUP, composed with the x46 split.
+    "x64_cube_census" -> ((s, d) =>
+      PrepOps.cubeCensus(docs(s, d), 80, 10))
   )
 
   /** x56's query terms — interpolated into BOTH the Spark query and the
@@ -1771,7 +1784,51 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS docs,
         |       CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens,
         |       CAST(SUM(strlen(text)) AS BIGINT) AS chars
-        |FROM delta GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM delta GROUP BY lang ORDER BY lang""".stripMargin),
+    "x62_similar_docs" ->
+      """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM docs),
+        |sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |q AS (SELECT s FROM sh WHERE doc_id = 8),
+        |nq AS (SELECT len(sh) AS nq FROM shl WHERE doc_id = 8),
+        |inter AS (
+        |  SELECT sh.doc_id, COUNT(*) AS c FROM sh JOIN q USING (s)
+        |  WHERE sh.doc_id <> 8 GROUP BY sh.doc_id)
+        |SELECT i.doc_id, round(c::DOUBLE / (len(shl.sh) + nq.nq - c)::DOUBLE, 4) AS jaccard
+        |FROM inter i JOIN shl ON shl.doc_id = i.doc_id, nq
+        |ORDER BY jaccard DESC, i.doc_id LIMIT 10""".stripMargin,
+    "x63_event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+    "x64_cube_census" ->
+      """WITH b AS (
+        |  SELECT lang, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bk,
+        |    len(string_split(lower(text), ' ')) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+        |              ELSE 'test' END AS split, lang, toks
+        |  FROM b)
+        |SELECT COALESCE(split, '(all)') AS split, COALESCE(lang, '(all)') AS lang,
+        |       COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens
+        |FROM s GROUP BY CUBE (split, lang) ORDER BY 1, 2""".stripMargin
   )
 
   /** x58/x61's v2-snapshot derivation as a DuckDB CTE — must mirror

@@ -79,6 +79,37 @@ object DedupOps {
   def unpersistShingles(documents: DataFrame): Unit =
     shingleRelation(documents).unpersist()
 
+  /**
+   * Query-by-document similarity search: the top-k most Jaccard-similar
+   * documents to `queryDocId` over the shared shingle relation — "find the
+   * variants OF THIS document", the targeted complement of the corpus-wide
+   * pair detectors. Ties break toward the smaller doc_id on the rounded
+   * similarity, the same contract as every top-k in the engine.
+   *
+   * Scale shape: the query document's distinct shingles (bounded by ONE
+   * document's length) broadcast to a semi-join over the exploded corpus
+   * relation; common-shingle counts aggregate per doc_id (map-side
+   * partials) and the result is a TakeOrderedAndProject. The corpus is
+   * scanned once; nothing all-pairs anywhere.
+   */
+  def similarDocs(documents: DataFrame, queryDocId: Long, k: Int = 10): DataFrame = {
+    val shs = shingleRelation(documents)
+    val occ = shs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val qsh = occ.filter(col("doc_id") === queryDocId).select(col("s"))
+    val qn = shs.filter(col("doc_id") === queryDocId)
+      .select(size(col("sh")).as("nq"))
+    occ.filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(qsh), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .join(shs.select(col("doc_id"), size(col("sh")).as("na")), Seq("doc_id"))
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        round(col("c").cast("double")
+          / (col("na") + col("nq") - col("c")).cast("double"), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private def jaccard(sa: Column, sb: Column): (Column, Column) = {
     val inter = size(array_intersect(sa, sb))
     val j = inter.cast("double") / (size(sa) + size(sb) - inter).cast("double")

@@ -34,4 +34,36 @@ object EventOps {
       .agg(count(lit(1)).as("sessions"), max(col("n")).as("max_events"))
       .orderBy(col("user_id"))
   }
+
+  /**
+   * Ordered conversion funnel: how many users performed `stages(0)`, then
+   * `stages(1)` STRICTLY AFTER their first `stages(0)`, then `stages(2)`
+   * strictly after that, … — the classic product-analytics funnel, each
+   * stage anchored at the user's EARLIEST qualifying event (first-touch
+   * semantics, so one pass per stage suffices and results are
+   * deterministic).
+   *
+   * Scale shape: stage i is one filter + one user-keyed join against the
+   * (user, anchor-ts) relation of stage i-1 (one row per surviving user —
+   * always the small side) + one user-keyed min aggregation. Everything
+   * hashes on user_id; the census rows are single-row aggregates unioned.
+   * No windows, no per-user event collection — a hot user costs their
+   * event count, never a sort.
+   */
+  def funnelCensus(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val reached = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))) { (prev, stage) =>
+      events.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("ts") > col("pt"), col("ts"))).as("t"))
+        .filter(col("t").isNotNull)
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("users"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
 }

@@ -184,6 +184,24 @@ object PrepOps {
       .agg(count(lit(1)).as("docs"), sum(size(ws).cast("long")).as("tokens"))
       .orderBy(col("split"), col("lang"))
 
+  /**
+   * Grouping-sets corpus census: doc/token masses for every combination of
+   * (split, lang) INCLUDING subtotals and the grand total (CUBE — one
+   * shuffle, Spark expands the grouping sets map-side). The grouping NULLs
+   * are replaced by '(all)' markers so ordering and cross-engine hashing
+   * never depend on NULL-sort conventions (Spark sorts NULLS FIRST, DuckDB
+   * NULLS LAST; neither `split` nor `lang` is otherwise nullable here).
+   */
+  def cubeCensus(documents: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    splitAssign(documents, trainPct, valPct)
+      .cube(col("split"), col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(size(ws).cast("long")).as("tokens"))
+      .select(
+        coalesce(col("split"), lit("(all)")).as("split"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("docs"), col("tokens"))
+      .orderBy(col("split"), col("lang"))
+
   // ------------------------------------------------------ sequence packing
 
   /**

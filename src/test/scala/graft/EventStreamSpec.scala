@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventStream, SessionEvent}
+
+/** Stateful streaming sessionization == the x11 batch operator. */
+class EventStreamSpec extends SparkSpec {
+
+  private def ev(uid: Long, ts: String, id: Long) =
+    SessionEvent(uid, java.sql.Timestamp.valueOf(ts), id)
+
+  test("stream sessions match batch sessionize across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent]
+    // nonzero delay: after batch 1 the watermark sits at max(ts) - 10 min,
+    // so user 2's batch-2 event (equal to batch 1's max ts) is NOT late
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two sessions (gap 45 min); user 2: one session, split
+      // across micro-batches (gap 10 min spans the batch boundary)
+      mem.addData(
+        ev(1, "2024-01-15 10:00:00", 1), ev(1, "2024-01-15 10:10:00", 2),
+        ev(2, "2024-01-15 10:00:00", 3))
+      q.processAllAvailable()
+      mem.addData(
+        ev(1, "2024-01-15 10:55:00", 4), // 45 min gap -> closes session 1
+        ev(2, "2024-01-15 10:10:00", 5))
+      q.processAllAvailable()
+      // sentinel far in the future: watermark passes every open session's
+      // last + gap, so the event-time timeouts flush them
+      mem.addData(ev(99, "2024-01-16 00:00:00", 6))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_out")
+        .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(streamed === Set(
+        (1L, "2024-01-15 10:00:00", 2L),
+        (1L, "2024-01-15 10:55:00", 1L),
+        (2L, "2024-01-15 10:00:00", 2L)))
+
+      // the batch operator over the union of all batches agrees on the
+      // per-user census (minus the sentinel, which is still open — its
+      // timeout needs a later watermark)
+      val all = Seq(
+        (1L, "2024-01-15 10:00:00", 1L), (1L, "2024-01-15 10:10:00", 2L),
+        (2L, "2024-01-15 10:00:00", 3L), (1L, "2024-01-15 10:55:00", 4L),
+        (2L, "2024-01-15 10:10:00", 5L))
+        .toDF("user_id", "s", "event_id")
+        .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("event_id"))
+      val batch = graft.operators.EventOps.sessionize(all, 30).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val streamCensus = streamed.groupBy(_._1).map { case (u, ss) =>
+        u -> (ss.size.toLong, ss.map(_._3).max) }
+      assert(streamCensus === batch)
+    } finally q.stop()
+  }
+
+  test("out-of-order events WITHIN a micro-batch sessionize correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append").start()
+    try {
+      // delivered out of order; sorted fold must see 10:00, 10:20, 11:30
+      mem.addData(
+        ev(7, "2024-01-15 11:30:00", 3),
+        ev(7, "2024-01-15 10:00:00", 1),
+        ev(7, "2024-01-15 10:20:00", 2))
+      q.processAllAvailable()
+      mem.addData(ev(99, "2024-01-16 00:00:00", 9))
+      q.processAllAvailable()
+      val out = spark.table("sess_ooo")
+        .filter(col("user_id") === 7)
+        .select(col("session_start").cast("string"), col("n_events"))
+        .as[(String, Long)].collect().toSet
+      assert(out === Set(("2024-01-15 10:00:00", 2L), ("2024-01-15 11:30:00", 1L)))
+    } finally q.stop()
+  }
+}

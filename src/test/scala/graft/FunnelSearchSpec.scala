@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, EventOps, PrepOps}
+
+/** Fixtures for the round-6 funnel / query-by-doc / cube operators. */
+class FunnelSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsOf(rows: (Long, Long, String, String)*): DataFrame =
+    rows.toDF("event_id", "user_id", "event_type", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("s")).as("ts"))
+
+  test("funnelCensus: strict ordering and first-touch anchors") {
+    val ev = eventsOf(
+      // user 1 converts fully in order
+      (1L, 1L, "view", "2024-01-15 10:00:00"),
+      (2L, 1L, "click", "2024-01-15 10:05:00"),
+      (3L, 1L, "purchase", "2024-01-15 10:10:00"),
+      // user 2: click BEFORE the first view — stage 2 must not count it
+      (4L, 2L, "click", "2024-01-15 09:00:00"),
+      (5L, 2L, "view", "2024-01-15 10:00:00"),
+      // user 3: view then click, no purchase
+      (6L, 3L, "view", "2024-01-15 08:00:00"),
+      (7L, 3L, "click", "2024-01-15 08:30:00"),
+      // user 4: purchase only — never enters the funnel
+      (8L, 4L, "purchase", "2024-01-15 12:00:00"))
+    val r = EventOps.funnelCensus(ev, Seq("view", "click", "purchase"))
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnelCensus first-touch: a click between two views only counts after the FIRST") {
+    val ev = eventsOf(
+      (1L, 1L, "view", "2024-01-15 10:00:00"),
+      (2L, 1L, "view", "2024-01-15 11:00:00"),
+      (3L, 1L, "click", "2024-01-15 10:30:00"))
+    val r = EventOps.funnelCensus(ev, Seq("view", "click"))
+      .collect().map(x => (x.getInt(0), x.getLong(2))).toSeq
+    assert(r === Seq((1, 1L), (2, 1L)))
+  }
+
+  test("similarDocs ranks the near-identical doc first and excludes the query doc") {
+    val d = docsOf(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s"),
+      (2L, "the quick brown fox jumps over the lazy cat", "en", "s"),
+      (3L, "a completely different document entirely here", "en", "s"),
+      (4L, "the quick brown fox jumps over the lazy dog", "en", "s"))
+    val r = DedupOps.similarDocs(d, 1L, 10).collect()
+    assert(r.head.getLong(0) === 4L) // identical text -> jaccard 1.0 first
+    assert(r.head.getDouble(1) === 1.0)
+    assert(!r.map(_.getLong(0)).contains(1L))
+    val byId = r.map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(byId(2L) > byId.getOrElse(3L, 0.0))
+  }
+
+  test("cubeCensus covers all grouping sets with consistent masses") {
+    val d = docsOf(
+      (1L, "one two three", "en", "s"),
+      (2L, "four five", "de", "s"),
+      (3L, "six", "en", "s"))
+    val rows = PrepOps.cubeCensus(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(("(all)", "(all)")) === ((3L, 6L)))
+    assert(rows(("(all)", "en")) === ((2L, 4L)))
+    assert(rows(("(all)", "de")) === ((1L, 2L)))
+    // per-(split,lang) rows sum to the grand total
+    val leaves = rows.filter { case ((s, l), _) => s != "(all)" && l != "(all)" }
+    assert(leaves.values.map(_._1).sum === 3L)
+    assert(leaves.values.map(_._2).sum === 6L)
+    // the split marginals agree with the leaves
+    for ((s, g) <- leaves.groupBy(_._1._1)) {
+      assert(rows((s, "(all)")) === ((g.values.map(_._1).sum, g.values.map(_._2).sum)))
+    }
+  }
+}
