@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarityF32, Md5PrefixLong}
+import graft.functions.{BloomContainsLong, CosineSimilarityF32, Md5PrefixLong}
 
 /**
  * SparkSessionExtensions entry point — the deployment route for the engine's
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("md5_prefix_long"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
       GraftExtensions.md5PrefixBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains_long"),
+      new ExpressionInfo(classOf[BloomContainsLong].getName, "bloom_contains_long"),
+      GraftExtensions.bloomContainsBuilder))
   }
 }
 
@@ -51,6 +55,22 @@ object GraftExtensions {
       case Literal(k: Int, IntegerType) => Md5PrefixLong(children(0), k)
       case other => throw new IllegalArgumentException(
         s"md5_prefix_long: hexChars must be an integer literal, got $other")
+    }
+  }
+
+  /** `bloom_contains_long(hash, bloomBytes)` — the sketch must be a binary
+    * literal (it parameterizes the per-executor filter instance, it is not a
+    * per-row value). */
+  private[graft] val bloomContainsBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"bloom_contains_long expects exactly 2 arguments (bigint, binary literal), got ${children.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    children(1) match {
+      case Literal(b: Array[Byte], BinaryType) => BloomContainsLong(children(0), b)
+      case other => throw new IllegalArgumentException(
+        s"bloom_contains_long: the sketch must be a binary literal, got $other")
     }
   }
 }

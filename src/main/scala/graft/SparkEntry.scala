@@ -556,7 +556,21 @@ object SparkEntry {
     // CUBE over (split, lang) with '(all)' markers — grouping-sets
     // coverage beyond a6's ROLLUP, composed with the x46 split.
     "x64_cube_census" -> ((s, d) =>
-      PrepOps.cubeCensus(docs(s, d), 80, 10))
+      PrepOps.cubeCensus(docs(s, d), 80, 10)),
+    // Bloom-prefiltered decontamination: the large-benchmark path — the
+    // benchmark rides as a fixed-size sketch, a codegen'd prefilter thins
+    // the corpus shingles at the scan, the exact string confirm join makes
+    // the census hash-identical to the broadcast path (same oracle as x21).
+    "x65_decontaminate_bloom" -> ((s, d) =>
+      CurationOps.decontaminateBloom(docs(s, d), 97, 5, 0.03)),
+    // PIVOT: sources as rows, pinned language domain as columns — the one
+    // relational reshape x64's CUBE doesn't cover.
+    "x66_lang_pivot" -> ((s, d) =>
+      PrepOps.langPivotCensus(docs(s, d))),
+    // Order-invariant corpus checksum: per-lang XOR-fold of the 60-bit
+    // row hash — the migration-equality audit (one scan, map-side XORs).
+    "x67_corpus_checksum" -> ((s, d) =>
+      SnapshotOps.corpusChecksum(docs(s, d)))
   )
 
   /** x56's query terms — interpolated into BOTH the Spark query and the
@@ -1828,7 +1842,44 @@ object SparkEntry {
         |  FROM b)
         |SELECT COALESCE(split, '(all)') AS split, COALESCE(lang, '(all)') AS lang,
         |       COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens
-        |FROM s GROUP BY CUBE (split, lang) ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY CUBE (split, lang) ORDER BY 1, 2""".stripMargin,
+    // Identical to x21's oracle BY DESIGN: the Bloom prefilter must be
+    // invisible in the output — no false negatives, false positives killed
+    // by the exact confirm join.
+    "x65_decontaminate_bloom" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, lang, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE doc_id % 97 != 0),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS shared
+        |  FROM corpus JOIN bench USING (s) GROUP BY doc_id),
+        |per AS (
+        |  SELECT p.doc_id, p.lang, COALESCE(ov.shared, 0) AS shared
+        |  FROM (SELECT doc_id, lang FROM shl WHERE doc_id % 97 != 0) p
+        |  LEFT JOIN ov ON p.doc_id = ov.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN shared >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |       CAST(MAX(shared) AS BIGINT) AS max_overlap
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    "x66_lang_pivot" ->
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x67_corpus_checksum" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS row_xor
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** x58/x61's v2-snapshot derivation as a DuckDB CTE — must mirror

@@ -93,6 +93,8 @@ object GraftFunctions {
         "cosine_f32", graft.GraftExtensions.cosineBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
         "md5_prefix_long", graft.GraftExtensions.md5PrefixBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "bloom_contains_long", graft.GraftExtensions.bloomContainsBuilder, "scala_udf")
     }
 
   /** Column helper for the md5-prefix hash — the one place the SQL name and
@@ -100,6 +102,12 @@ object GraftFunctions {
   def md5PrefixLong(c: org.apache.spark.sql.Column, hexChars: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("md5_prefix_long",
       c.cast("binary"), org.apache.spark.sql.functions.lit(hexChars))
+
+  /** Column helper for the Bloom membership probe — the sketch bytes travel
+    * as a binary literal, the hash column must already be a bigint. */
+  def bloomContainsLong(hash: org.apache.spark.sql.Column, bloomBytes: Array[Byte]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("bloom_contains_long",
+      hash, org.apache.spark.sql.functions.lit(bloomBytes))
 
   /** Deterministic id-hash keep/sample gate: the first md5 nibble of `id`'s
     * string form, compared against `nibbles` (0..16; 16 keeps everything).

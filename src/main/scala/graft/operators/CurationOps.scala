@@ -312,7 +312,11 @@ object CurationOps {
       corpus: DataFrame,
       benchmark: DataFrame,
       minShared: Int = 5): DataFrame =
-    withBenchOverlap(corpus, benchmark)
+    contaminationCensus(withBenchOverlap(corpus, benchmark), minShared)
+
+  /** Shared census shaping over a per-doc `shared` overlap relation. */
+  private def contaminationCensus(perDoc: DataFrame, minShared: Int): DataFrame =
+    perDoc
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -335,6 +339,96 @@ object CurationOps {
     withBenchOverlap(corpus, benchmark)
       .filter(col("shared") < minShared)
       .select(corpus.columns.map(col): _*)
+
+  /**
+   * Bloom-prefiltered decontamination census — the LARGE-benchmark form of
+   * [[decontaminateAgainst]], hash-identical in output (gated as x65 against
+   * the same oracle as x21).
+   *
+   * [[decontaminateAgainst]] force-broadcasts the exact benchmark shingle
+   * set, which caps the benchmark at broadcast size. Here the benchmark's
+   * shingle set is summarized into a fixed-size Bloom sketch (built
+   * DISTRIBUTED — executor-side `treeAggregate` merge via
+   * `DataFrameStatFunctions.bloomFilter`; the driver holds one sketch of a
+   * few MB regardless of benchmark cardinality), the sketch rides into a
+   * codegen'd row-local prefilter ([[graft.functions.BloomContainsLong]])
+   * at the corpus shingle scan, and ONLY the surviving fraction — expected
+   * `overlap + fpp · corpus` shingle occurrences — reaches the exact
+   * string-equality confirm join. The confirm join is deliberately NOT
+   * broadcast-hinted: at scale both its inputs are already thin (bloom
+   * survivors vs benchmark shingles), and the planner picks freely.
+   *
+   * Exactness: the Bloom filter has no false negatives, so the prefilter
+   * only discards rows the confirm join would drop anyway; false positives
+   * are eliminated by the confirm join on the shingle STRING (not its
+   * 60-bit hash — a hash collision cannot fake an overlap). The result is
+   * therefore bit-identical to the exact path at ANY `fpp`, which the
+   * property spec exercises up to fpp = 0.5.
+   */
+  def decontaminateBloom(
+      documents: DataFrame,
+      benchMod: Int = 97,
+      minShared: Int = 5,
+      fpp: Double = 0.03): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    decontaminateBloomAgainst(
+      documents.filter(!isBench), documents.filter(isBench), minShared, fpp)
+  }
+
+  def decontaminateBloomAgainst(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      minShared: Int = 5,
+      fpp: Double = 0.03): DataFrame =
+    contaminationCensus(withBenchOverlapBloom(corpus, benchmark, fpp), minShared)
+
+  /** APPLY form of the Bloom-prefiltered path: the cleaned corpus, all
+    * columns, contaminated rows dropped — [[decontaminateApply]] for
+    * benchmarks too big to broadcast. */
+  def decontaminateBloomApply(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      minShared: Int = 5,
+      fpp: Double = 0.03): DataFrame =
+    withBenchOverlapBloom(corpus, benchmark, fpp)
+      .filter(col("shared") < minShared)
+      .select(corpus.columns.map(col): _*)
+
+  /** Bloom-prefiltered twin of [[withBenchOverlap]]: same output, the
+    * benchmark travels as a sketch instead of a broadcast relation. */
+  private def withBenchOverlapBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      fpp: Double): DataFrame = {
+    import graft.functions.{BloomContainsLong, GraftFunctions}
+    GraftFunctions.register(corpus.sparkSession)
+    val benchShingles = benchmark
+      .select(explode(DedupOps.shingles(col("text"))).as("s"))
+      .distinct()
+    val benchHashes = benchShingles
+      .select(GraftFunctions.md5PrefixLong(col("s"), 15).as("h"))
+    // Sized to the true distinct-shingle count (one narrow job); the build
+    // itself merges executor-side, the driver receives the single merged
+    // sketch — O(sketch bytes), never O(benchmark).
+    val expected = math.max(benchHashes.count(), 1L)
+    val bloomBytes = BloomContainsLong.serialize(
+      benchHashes.stat.bloomFilter("h", expected, fpp))
+    val corpusShingles = corpus
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"))).as("s"))
+      // row-local prefilter: no shuffle, no join — the sketch rides in the
+      // closure as a binary literal and probes the 60-bit shingle hash
+      .filter(GraftFunctions.bloomContainsLong(
+        GraftFunctions.md5PrefixLong(col("s"), 15), bloomBytes))
+    // exact confirm on the STRING key — survivors only, planner's choice of
+    // join strategy (no broadcast hint: the benchmark may not fit one)
+    val overlap = corpusShingles
+      .join(benchShingles, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+    corpus
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
+  }
 
   /** Shared core: corpus rows + their distinct-shingle overlap with the
     * benchmark set (`shared`, 0 when disjoint). */

@@ -202,6 +202,29 @@ object PrepOps {
         col("docs"), col("tokens"))
       .orderBy(col("split"), col("lang"))
 
+  /**
+   * PIVOT census: sources as rows, languages as columns, doc counts in the
+   * cells — the wide-format coverage report a curation dashboard reads.
+   * The language domain is an explicit argument: pinning the pivot values
+   * keeps the output schema static (no extra distinct-values job, no
+   * column set that drifts with the data — at 100 TB a stray lang value
+   * must not reshape the report), and the pivot itself is then a single
+   * groupBy(source) aggregate with one CASE-gated count per pinned lang,
+   * map-side partials included. Absent (source, lang) cells are 0, never
+   * NULL.
+   */
+  def langPivotCensus(
+      documents: DataFrame,
+      langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")): DataFrame = {
+    val pivoted = documents
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+    pivoted
+      .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------ sequence packing
 
   /**

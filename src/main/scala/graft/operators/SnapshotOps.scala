@@ -63,4 +63,37 @@ object SnapshotOps {
         md5(newer("text").cast("binary")) === o("_old_h"),
       "left_anti")
   }
+
+  /**
+   * Order-invariant per-lang corpus checksum — the migration-equality
+   * audit: after moving/rewriting a 100 TB corpus (new layout, new
+   * partitioning, new cluster), run this on both sides and compare the tiny
+   * result; equal checksums certify row-set equality without sorting or
+   * shuffling the corpus even once.
+   *
+   * `row_xor` is the XOR-fold of a 60-bit md5 over `doc_id || ':' || text`
+   * — XOR is commutative/associative, so the fold is independent of row
+   * order, partitioning, and aggregation tree shape (unlike a float SUM),
+   * and binding the id INTO the hash catches id-remap bugs that content-
+   * only hashing would miss. The whole audit is one scan with map-side
+   * partial XORs: bytes shuffled = O(#langs), the ideal shape at any scale.
+   * (A swapped PAIR of rows between langs XORs out per-lang counts/masses
+   * but not `row_xor`; a same-lang duplicate+omission flips `row_xor`
+   * unless the duplicate is the omitted row itself — md5 makes engineered
+   * collisions impractical for an integrity audit, though this is not a
+   * cryptographic MAC.)
+   */
+  def corpusChecksum(documents: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(documents.sparkSession)
+    documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        call_function("bit_xor", GraftFunctions.md5PrefixLong(
+          concat(col("doc_id").cast("string"), lit(":"), col("text")), 15))
+          .as("row_xor"))
+      .orderBy(col("lang"))
+  }
 }
