@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContainsLong, CosineSimilarityF32, Md5PrefixLong}
+import graft.functions.{BloomContainsLong, CdcChunks, CosineSimilarityF32, Md5PrefixLong}
 
 /**
  * SparkSessionExtensions entry point — the deployment route for the engine's
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_contains_long"),
       new ExpressionInfo(classOf[BloomContainsLong].getName, "bloom_contains_long"),
       GraftExtensions.bloomContainsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      GraftExtensions.cdcChunksBuilder))
   }
 }
 
@@ -71,6 +75,21 @@ object GraftExtensions {
       case Literal(b: Array[Byte], BinaryType) => BloomContainsLong(children(0), b)
       case other => throw new IllegalArgumentException(
         s"bloom_contains_long: the sketch must be a binary literal, got $other")
+    }
+  }
+
+  /** `cdc_chunks(array<string>, m)` — m must be a foldable integer literal
+    * (it parameterizes the generated code, it is not a per-row value). */
+  private[graft] val cdcChunksBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"cdc_chunks expects exactly 2 arguments (array<string>, int literal), got ${children.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    children(1) match {
+      case Literal(m: Int, IntegerType) => CdcChunks(children(0), m)
+      case other => throw new IllegalArgumentException(
+        s"cdc_chunks: the modulus must be an integer literal, got $other")
     }
   }
 }

@@ -95,6 +95,8 @@ object GraftFunctions {
         "md5_prefix_long", graft.GraftExtensions.md5PrefixBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
         "bloom_contains_long", graft.GraftExtensions.bloomContainsBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "cdc_chunks", graft.GraftExtensions.cdcChunksBuilder, "scala_udf")
     }
 
   /** Column helper for the md5-prefix hash — the one place the SQL name and

@@ -229,27 +229,20 @@ object TextOps {
    * edit; CDC chunks re-synchronize immediately (the backup-dedup /
    * rsync-style chunking argument, applied to corpus text). Docs shorter
    * than 3 tokens (or with no qualifying gram) form one whole-doc chunk;
-   * expected chunk length is ~`m` tokens. Pure per-row expression work.
+   * expected chunk length is ~`m` tokens. Pure per-row expression work —
+   * one codegen'd pass over the token array ([[graft.functions.CdcChunks]]).
+   *
+   * Round-7 note: this was a higher-order-function pipeline through round 6
+   * and the suite's one scale-killer (92 s at sf0.1 — every lambda reference
+   * re-evaluated the whole `split` subtree, an md5 per position times
+   * O(tokens) re-splits). The single-pass expression keeps the identical
+   * boundary rule and edge cases (equivalence property-tested against the
+   * legacy column form in CdcChunksSpec), so the x54/x55 oracle hashes are
+   * unchanged.
    */
   private[graft] def cdcChunks(m: Int): Column = {
     require(m > 0, "cdc modulus must be positive")
-    val ws = words(col("text"))
-    val n = size(ws)
-    val bpos = when(n >= 3,
-      filter(sequence(lit(3), n), p =>
-        graft.functions.GraftFunctions
-          .md5PrefixLong(concat_ws(" ", slice(ws, p - 2, lit(3))), 8) % m === 0))
-      .otherwise(array().cast("array<int>"))
-    // edges = 0 :: boundaries :: n (skip n if the last gram already cut
-    // there); try_element_at: ANSI mode throws on indexing an empty array
-    val edges = concat(array(lit(0)), bpos,
-      when(coalesce(try_element_at(bpos, lit(-1)), lit(-1)) === n,
-        array().cast("array<int>"))
-        .otherwise(array(n)))
-    transform(sequence(lit(1), size(edges) - 1), i =>
-      concat_ws(" ", slice(ws,
-        element_at(edges, i) + 1,
-        element_at(edges, i + 1) - element_at(edges, i))))
+    call_function("cdc_chunks", words(col("text")), lit(m))
   }
 
   /**
