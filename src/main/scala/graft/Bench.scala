@@ -147,6 +147,13 @@ object Bench {
       }
     }
     println(line)
+    // The stdout copy has failed to parse in four consecutive driver
+    // records (sbt's "[info] " prefix, then tail truncation once the
+    // suite grew past the captured-tail size). stderr is NOT wrapped by
+    // sbt's log formatter, so a raw copy there gives the driver a second,
+    // prefix-free capture channel; the line stays compact (steady map
+    // only) so it fits any reasonable tail window.
+    System.err.println(line)
     spark.stop()
   }
 }

@@ -17,9 +17,12 @@ import org.apache.spark.util.sketch.BloomFilter
  * This is the engine's large-benchmark decontamination prefilter
  * ([[graft.operators.CurationOps.decontaminateBloomAgainst]]): at 100 TB the
  * benchmark shingle set can be far too big to broadcast as an exact hash
- * relation, but its Bloom sketch is a few MB regardless of cardinality —
- * ship the sketch, drop ~all non-overlapping shingle occurrences at the
- * scan, and run the exact confirm join only on the tiny surviving fraction.
+ * relation, but its Bloom sketch is orders of magnitude smaller — ~5 bits
+ * per distinct item at fpp 0.03 (linear in cardinality, NOT constant; the
+ * builder caps the sizing so the sketch stays plan-shippable and lets the
+ * effective fpp rise instead) — ship the sketch, drop ~all non-overlapping
+ * shingle occurrences at the scan, and run the exact confirm join only on
+ * the tiny surviving fraction.
  * Same shape as Spark's own injected runtime filters
  * (`BloomFilterMightContain`), but with the sketch as an explicit argument
  * so it can be built once, persisted beside the corpus, and reused across
@@ -34,6 +37,18 @@ case class BloomContainsLong(child: Expression, bloomBytes: Array[Byte])
 
   @transient private lazy val bloom: BloomFilter =
     BloomContainsLong.deserialize(bloomBytes)
+
+  // Content equality over the sketch bytes: the case-class default compares
+  // Array[Byte] by reference, so two probes built from equal-content sketches
+  // would defeat Catalyst canonicalization / common-subexpression reuse
+  // (never wrong results — just a missed dedup of identical probe work).
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomContainsLong =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess

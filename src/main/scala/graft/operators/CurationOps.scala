@@ -347,14 +347,20 @@ object CurationOps {
    *
    * [[decontaminateAgainst]] force-broadcasts the exact benchmark shingle
    * set, which caps the benchmark at broadcast size. Here the benchmark's
-   * shingle set is summarized into a fixed-size Bloom sketch (built
-   * DISTRIBUTED — executor-side `treeAggregate` merge via
-   * `DataFrameStatFunctions.bloomFilter`; the driver holds one sketch of a
-   * few MB regardless of benchmark cardinality), the sketch rides into a
+   * shingle set is summarized into a Bloom sketch (built DISTRIBUTED —
+   * executor-side `treeAggregate` merge via
+   * `DataFrameStatFunctions.bloomFilter`; the driver holds only the merged
+   * sketch). Sketch size is LINEAR in the sized-for cardinality — ~5 bits
+   * per distinct shingle at fpp 0.03, so a multi-billion-shingle benchmark
+   * would be a multi-hundred-MB plan literal — which is why the sizing is
+   * capped at `maxSketchItems` (default 2^26 ≈ 40 MB): past the cap the
+   * EFFECTIVE false-positive rate rises above `fpp` (more rows survive the
+   * prefilter, the confirm join works harder) but correctness never moves,
+   * because false positives die in the exact join. The sketch rides into a
    * codegen'd row-local prefilter ([[graft.functions.BloomContainsLong]])
    * at the corpus shingle scan, and ONLY the surviving fraction — expected
-   * `overlap + fpp · corpus` shingle occurrences — reaches the exact
-   * string-equality confirm join. The confirm join is deliberately NOT
+   * `overlap + effective_fpp · corpus` shingle occurrences — reaches the
+   * exact string-equality confirm join. The confirm join is deliberately NOT
    * broadcast-hinted: at scale both its inputs are already thin (bloom
    * survivors vs benchmark shingles), and the planner picks freely.
    *
@@ -379,8 +385,10 @@ object CurationOps {
       corpus: DataFrame,
       benchmark: DataFrame,
       minShared: Int = 5,
-      fpp: Double = 0.03): DataFrame =
-    contaminationCensus(withBenchOverlapBloom(corpus, benchmark, fpp), minShared)
+      fpp: Double = 0.03,
+      expectedItems: Option[Long] = None): DataFrame =
+    contaminationCensus(
+      withBenchOverlapBloom(corpus, benchmark, fpp, expectedItems), minShared)
 
   /** APPLY form of the Bloom-prefiltered path: the cleaned corpus, all
     * columns, contaminated rows dropped — [[decontaminateApply]] for
@@ -389,17 +397,34 @@ object CurationOps {
       corpus: DataFrame,
       benchmark: DataFrame,
       minShared: Int = 5,
-      fpp: Double = 0.03): DataFrame =
-    withBenchOverlapBloom(corpus, benchmark, fpp)
+      fpp: Double = 0.03,
+      expectedItems: Option[Long] = None): DataFrame =
+    withBenchOverlapBloom(corpus, benchmark, fpp, expectedItems)
       .filter(col("shared") < minShared)
       .select(corpus.columns.map(col): _*)
 
+  /** Sizing cap for the Bloom sketch: 2^26 items ≈ 40 MB at fpp 0.03. Past
+    * this the sketch is sized AT the cap and the effective fpp rises —
+    * graceful selectivity loss, never a correctness change (see
+    * [[decontaminateBloomAgainst]]'s scaladoc). */
+  private[graft] val MaxSketchItems: Long = 1L << 26
+
   /** Bloom-prefiltered twin of [[withBenchOverlap]]: same output, the
-    * benchmark travels as a sketch instead of a broadcast relation. */
+    * benchmark travels as a sketch instead of a broadcast relation.
+    *
+    * `expectedItems`: caller's estimate of the benchmark's distinct-shingle
+    * count (e.g. carried metadata from a previous run). When present, the
+    * sizing `count()` pass is skipped — the build then scans the benchmark
+    * shingles exactly once. Either way the shingle relation is persisted
+    * across the build's eager action(s) and released before returning; the
+    * lazy confirm join recomputes its own scan (it belongs to the caller's
+    * query and benefits from pushdown there).
+    */
   private def withBenchOverlapBloom(
       corpus: DataFrame,
       benchmark: DataFrame,
-      fpp: Double): DataFrame = {
+      fpp: Double,
+      expectedItems: Option[Long] = None): DataFrame = {
     import graft.functions.{BloomContainsLong, GraftFunctions}
     GraftFunctions.register(corpus.sparkSession)
     val benchShingles = benchmark
@@ -407,12 +432,19 @@ object CurationOps {
       .distinct()
     val benchHashes = benchShingles
       .select(GraftFunctions.md5PrefixLong(col("s"), 15).as("h"))
-    // Sized to the true distinct-shingle count (one narrow job); the build
-    // itself merges executor-side, the driver receives the single merged
-    // sketch — O(sketch bytes), never O(benchmark).
-    val expected = math.max(benchHashes.count(), 1L)
-    val bloomBytes = BloomContainsLong.serialize(
-      benchHashes.stat.bloomFilter("h", expected, fpp))
+    // Sized to the caller's hint, else one counting pass over the persisted
+    // shingle relation; the build itself merges executor-side, the driver
+    // receives the single merged sketch — O(sketch bytes), never
+    // O(benchmark). The sizing is capped (see MaxSketchItems) so the sketch
+    // stays plan-shippable at any benchmark cardinality.
+    benchShingles.persist()
+    val bloomBytes =
+      try {
+        val expected = math.min(MaxSketchItems,
+          math.max(expectedItems.getOrElse(benchHashes.count()), 1L))
+        BloomContainsLong.serialize(
+          benchHashes.stat.bloomFilter("h", expected, fpp))
+      } finally benchShingles.unpersist()
     val corpusShingles = corpus
       .select(col("doc_id"), explode(DedupOps.shingles(col("text"))).as("s"))
       // row-local prefilter: no shuffle, no join — the sketch rides in the
