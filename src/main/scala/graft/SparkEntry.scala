@@ -96,6 +96,13 @@ object SparkEntry {
     "x8_tokens" -> ((s, d) => TextOps.tokenStats(docs(s, d))),
     "x9_fingerprint" -> ((s, d) => TextOps.fingerprintCensus(docs(s, d))),
     "x10_multimodal_meta" -> ((s, d) => MultimodalOps.assetMetaStats(docs(s, d))),
+    // Real image decode END-TO-END: deterministic P6 fixtures are encoded,
+    // the pure-JVM PPM parser decodes header + pixel array, and the census
+    // aggregates DECODED quantities only — the oracle replays the fixture
+    // formula in closed form, so a parser that misread dims or skipped
+    // header bytes hash-mismatches.
+    "x70_image_decode" -> ((s, d) =>
+      MultimodalOps.imageDecodeCensus(docs(s, d))),
     // ---- general analytics over the TPC-H-ish tables ----
     "a1_pricing_summary" -> ((s, d) =>
       Tables.read(s, d, "lineitem")
@@ -249,6 +256,18 @@ object SparkEntry {
     // deterministic doc_id % 97 == 0 "benchmark" subset, per language.
     "x21_decontaminate" -> ((s, d) =>
       CurationOps.decontaminate(docs(s, d), 97, 5)),
+    // The production funnel END-TO-END in its large-benchmark (Bloom)
+    // configuration: curation corpus -> Bloom decontamination -> CDC chunk
+    // dedup, gated via the same per-lang census shape as x55. The oracle
+    // composes the EXACT stages — the Bloom prefilter is hash-identical by
+    // construction (no false negatives, exact confirm join).
+    "x69_production_corpus" -> ((s, d) =>
+      CurationOps.productionCorpus(docs(s, d), 97, 30, 0.8, 13, 5, 0.03, 8)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"),
+          sum(length(col("text")).cast("long")).as("kept_chars"))
+        .orderBy(col("lang"))),
     // Token-budget corpus mixing: per-source keep rates from weights +
     // a global token budget, deterministic hash-gated membership.
     "x23_token_mix" -> ((s, d) =>
@@ -920,6 +939,24 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_assets, CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
         |       COUNT(DISTINCT md5(text)) AS distinct_payloads
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Closed-form replay of the x70 fixture formula: per doc, w = 4 +
+    // n_chars%5, h = 3 + doc_id%4, pixel byte k = (doc_id*31 + k*7) % 256
+    // over k in [0, 3wh) — the engine must reproduce these sums from the
+    // DECODED payload bytes.
+    "x70_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, lang,
+        |    (4 + strlen(text) % 5)::BIGINT AS w, (3 + doc_id % 4)::BIGINT AS h
+        |  FROM documents),
+        |per AS (
+        |  SELECT lang, 3*w*h AS n_px,
+        |    (SELECT SUM((doc_id*31 + k*7) % 256)
+        |     FROM unnest(range(3*w*h)) AS t(k)) AS px_sum
+        |  FROM dims)
+        |SELECT lang, COUNT(*) AS images, CAST(SUM(n_px) AS BIGINT) AS pixels,
+        |  CAST(SUM(px_sum) AS BIGINT) AS pixel_sum,
+        |  round(CAST(SUM(px_sum) AS DOUBLE) / SUM(n_px), 4) AS mean_pixel
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
         |       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
@@ -1629,6 +1666,93 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CASE WHEN keep THEN toks END), 0) AS BIGINT) AS tokens_kept,
         |       round(ANY_VALUE(rate), 6) AS rate
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    // The whole production pipeline composed from its gated stages' CTEs:
+    // the x42 funnel over the corpus split, the x51 exact decontamination
+    // census shape (the Spark side runs the Bloom path — bit-identical by
+    // construction), then the x55 CDC dedup/reassembly, censused per lang.
+    "x69_production_corpus" ->
+      """WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 != 0),
+        |bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+        |q AS (
+        |  SELECT doc_id, text FROM corpus
+        |  WHERE len(string_split(lower(text), ' ')) >= 30),
+        |ex AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+        |    FROM q) WHERE doc_id = keeper),
+        |fdocs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM ex),
+        |fshl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM fdocs),
+        |fsh AS (SELECT doc_id, unnest(sh) AS s FROM fshl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM fsh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |  FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+        |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+        |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |samp AS (
+        |  SELECT doc_id FROM nd
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 13),
+        |curw AS (
+        |  SELECT c.doc_id, c.lang, c.text, string_split(lower(c.text), ' ') AS w
+        |  FROM corpus c JOIN samp ON c.doc_id = samp.doc_id),
+        |curshl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM curw),
+        |cursh AS (SELECT doc_id, unnest(sh) AS s FROM curshl),
+        |bw AS (SELECT string_split(lower(text), ' ') AS w FROM bench),
+        |bshl AS (
+        |  SELECT list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM bw),
+        |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM bshl),
+        |ov AS (SELECT cursh.doc_id, COUNT(*) AS shared FROM cursh JOIN bsh USING (s) GROUP BY 1),
+        |decon AS (
+        |  SELECT curw.doc_id, curw.lang, curw.text FROM curw
+        |  LEFT JOIN ov ON curw.doc_id = ov.doc_id
+        |  WHERE COALESCE(ov.shared, 0) < 5),
+        |d2 AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM decon),
+        |b2 AS (
+        |  SELECT doc_id, lang, w, len(w) AS n,
+        |    CASE WHEN len(w) >= 3 THEN list_filter(range(3, len(w)+1),
+        |      p -> ('0x' || substr(md5(array_to_string(list_slice(w, p-2, p), ' ')), 1, 8))::BIGINT % 8 = 0)
+        |    ELSE [] END AS bp
+        |  FROM d2),
+        |e2 AS (
+        |  SELECT doc_id, lang, w, list_concat(list_concat([0::BIGINT], bp),
+        |    CASE WHEN len(bp) > 0 AND bp[-1] = n THEN [] ELSE [n] END) AS ed
+        |  FROM b2),
+        |c2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ed)), i ->
+        |    struct_pack(pos := i,
+        |      chunk := array_to_string(list_slice(w, ed[i]+1, ed[i+1]), ' ')))) AS u
+        |  FROM e2),
+        |k2 AS (
+        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk, row_number() OVER (
+        |    PARTITION BY u.chunk ORDER BY doc_id, u.pos) AS rn
+        |  FROM c2),
+        |kept AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+        |  FROM k2 WHERE rn = 1 GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT e2.lang, COALESCE(kept.kept_text, '') AS text
+        |  FROM e2 LEFT JOIN kept ON e2.doc_id = kept.doc_id)
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS kept_chars
+        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
     // The CDC CTEs of x54 + x37's winner/reassembly shape: survivors =
     // first (doc_id, pos) per chunk, documents re-joined from their own
     // surviving chunks, census over the reassembled text.

@@ -157,6 +157,46 @@ object CurationOps {
   }
 
   /**
+   * The funnel run END-TO-END in its LARGE-BENCHMARK configuration — the
+   * full production pipeline a training corpus actually goes through,
+   * composed from the individually-gated stages:
+   *
+   *   quality gate → exact dedup → near-dedup → deterministic sample
+   *   ([[curationCorpus]]) → Bloom-prefiltered decontamination against the
+   *   `doc_id % benchMod == 0` benchmark split
+   *   ([[decontaminateBloomApply]] — the path with no broadcast-size cap on
+   *   the benchmark) → content-defined-chunk boilerplate dedup
+   *   ([[graft.operators.TextOps.cdcDedupApply]], viable in the hot path
+   *   since the round-7 single-pass chunker).
+   *
+   * Output: the cleaned corpus (doc_id, lang, text) with text in the CDC
+   * chunk domain (lowercased, single-space joined). The Bloom stage is
+   * hash-identical to the exact-broadcast stage at any fpp (false positives
+   * die in the exact confirm join), so the composite's oracle is simply the
+   * exact stages composed — gated as x69.
+   *
+   * Scale: every stage is itself gated and 100 TB-shaped; composing them
+   * adds no new shuffle beyond each stage's own (the curated survivor set
+   * only shrinks downstream).
+   */
+  def productionCorpus(
+      documents: DataFrame,
+      benchMod: Int = 97,
+      minWords: Int = 30,
+      threshold: Double = 0.8,
+      keepNibbles: Int = 13,
+      minShared: Int = 5,
+      fpp: Double = 0.03,
+      cdcM: Int = 8): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    val curated =
+      curationCorpus(documents.filter(!isBench), minWords, threshold, keepNibbles)
+    val decontaminated =
+      decontaminateBloomApply(curated, documents.filter(isBench), minShared, fpp)
+    TextOps.cdcDedupApply(decontaminated, cdcM)
+  }
+
+  /**
    * Token-budget corpus mixing with name-derived demo weights
    * (weight_s = 1 + source-id%3, a deterministic stand-in for a mixture
    * config), computed inline on the per-source totals — no extra corpus

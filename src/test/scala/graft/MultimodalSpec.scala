@@ -21,11 +21,54 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(2L)("lang") == "zh" && meta(2L)("source") == "s1")
   }
 
-  test("decoder stub is deterministic on identical payloads") {
+  test("byte-histogram featurizer is deterministic on identical payloads") {
     val a = MultimodalOps.decode("same bytes".getBytes("UTF-8"))
     val b = MultimodalOps.decode("same bytes".getBytes("UTF-8"))
     assert(a.toSeq == b.toSeq)
     assert(MultimodalOps.decode(Array.emptyByteArray).toSeq == Seq.fill(16)(0f))
+  }
+
+  test("PPM decode: round-trip, comment/whitespace grammar, hand-built header") {
+    import MultimodalOps.{Raster, decodePpm, encodePpm}
+    // round-trip through the encoder
+    val px = Array.tabulate(3 * 4 * 2)(i => ((i * 37 + 5) % 256).toByte)
+    val r = decodePpm(encodePpm(Raster(4, 2, px)))
+    assert(r.width == 4 && r.height == 2 && r.pixels.toSeq == px.toSeq)
+    // hand-built header with comments between every token and mixed ws —
+    // the full Netpbm grammar, not just the encoder's canonical layout
+    val hand = ("P6 # format comment\n" +
+      "# a full-line comment\n 2\t# width done\n3 # height\n  255\n").getBytes("US-ASCII") ++
+      Array.tabulate(18)(i => i.toByte)
+    val r2 = decodePpm(hand)
+    assert(r2.width == 2 && r2.height == 3 && r2.pixels.toSeq == (0 until 18).map(_.toByte))
+    // malformed payloads fail loudly instead of fabricating pixels
+    intercept[IllegalArgumentException](decodePpm("P6\n2 2\n255\nxx".getBytes)) // truncated
+    intercept[IllegalArgumentException](decodePpm("P6\n2 2\n65535\n".getBytes)) // bad maxval
+    intercept[IllegalArgumentException](decodePpm("not an image".getBytes))
+    // kind dispatch: a TEXT payload that happens to start with "P6" is
+    // featurized as bytes, never parsed as an image
+    val tricky = docsOf((9L, "P6 is a chess move", "en", "s0"))
+    val f = MultimodalOps.extractFeatures(MultimodalOps.documentsAsAssets(tricky))
+      .collect().head
+    assert(f.feature.length == 16 && math.abs(f.feature.sum - 1f) < 1e-5)
+  }
+
+  test("image decode census: decoded sums equal the fixture formula") {
+    val docs = docsOf(
+      (1L, "abcdef", "en", "s0"),    // w=4+6%5=5, h=3+1%4=4
+      (2L, "xy", "en", "s0"),        // w=6, h=5
+      (3L, "hola mundo!", "es", "s0")) // w=5, h=6
+    val rows = MultimodalOps.imageDecodeCensus(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def expect(docId: Long, nChars: Long): (Long, Long) = {
+      val w = 4 + nChars % 5; val h = 3 + docId % 4
+      val n = 3 * w * h
+      (n, (0L until n).map(k => (docId * 31 + k * 7) % 256).sum)
+    }
+    val (n1, s1) = expect(1, 6); val (n2, s2) = expect(2, 2)
+    val (n3, s3) = expect(3, 11)
+    assert(rows("en") == ((2L, n1 + n2, s1 + s2)))
+    assert(rows("es") == ((1L, n3, s3)))
   }
 
   test("frame sampling: stride selection, tail drop, sub-frame payloads") {
