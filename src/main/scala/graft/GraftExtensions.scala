@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContainsLong, CdcChunks, CosineSimilarityF32, Md5PrefixLong}
+import graft.functions.{BloomContainsLong, BpeSegment, CdcChunks, CosineSimilarityF32, Md5PrefixLong}
 
 /**
  * SparkSessionExtensions entry point — the deployment route for the engine's
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
       GraftExtensions.cdcChunksBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_segment"),
+      new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
+      GraftExtensions.bpeSegmentBuilder))
   }
 }
 
@@ -90,6 +94,23 @@ object GraftExtensions {
       case Literal(m: Int, IntegerType) => CdcChunks(children(0), m)
       case other => throw new IllegalArgumentException(
         s"cdc_chunks: the modulus must be an integer literal, got $other")
+    }
+  }
+
+  /** `bpe_segment(array<string>, mergesEncoded)` — the merge table must be
+    * a string literal (it parameterizes the per-instance hash table, it is
+    * not a per-row value). */
+  private[graft] val bpeSegmentBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"bpe_segment expects exactly 2 arguments (array<string>, string literal), got ${children.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    children(1) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        BpeSegment(children(0), s.toString)
+      case other => throw new IllegalArgumentException(
+        s"bpe_segment: the merge table must be a string literal, got $other")
     }
   }
 }

@@ -473,10 +473,22 @@ object SparkEntry {
     // plain global-window form — bit-identical by WindowOps' guarantee.
     "x47_seq_pack" -> ((s, d) =>
       PrepOps.seqPackCensus(docs(s, d), 2048L)),
+    // x47 under SUBWORD (BPE) budgets: the packing census with tokens
+    // counted by the checked-in merge table instead of whitespace — the
+    // trainer-faithful budget unit. The oracle replays the SAME table via
+    // a recursive CTE, so the segmentation cannot drift between engines.
+    "x68_bpe_seq_pack" -> ((s, d) => {
+      GraftFunctions.register(s)
+      PrepOps.seqPackCensus(docs(s, d), 2048L, tokens = BpeOps.tokenCount())
+    }),
     // Vocabulary census: top-20 tokens by document frequency — the
     // word-count shape (explode → agg → TakeOrderedAndProject).
     "x48_vocab_topk" -> ((s, d) =>
       PrepOps.vocabTopK(docs(s, d), 20)),
+    // x48 in the BPE domain: df/tf of every SUBWORD unit under the
+    // checked-in merge table.
+    "x71_bpe_vocab" -> ((s, d) =>
+      BpeOps.vocabTopK(docs(s, d))),
     // Split-leakage audit: train-split contamination against the held-out
     // test split — splitAssign composed with the generalized two-table
     // decontamination (the eval-leak check a real pipeline runs per append).
@@ -723,6 +735,41 @@ object SparkEntry {
       |samp AS (
       |  SELECT doc_id FROM nd
       |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 13)""".stripMargin
+
+  /** x68/x71: the BPE merge table as a DuckDB MAP literal — interpolated
+    * from the SAME checked-in resource the engine expression loads, so the
+    * two sides replay one artifact. */
+  private def bpeMapLiteral: String = {
+    val ms = BpeOps.defaultMerges
+    val keys = ms.map { case (a, b) =>
+      "'" + (a + " " + b).replace("'", "''") + "'"
+    }.mkString(", ")
+    val vals = ms.indices.map(_ + 1).mkString(", ")
+    s"MAP([$keys], [$vals])"
+  }
+
+  /** The greedy BPE application as a recursive CTE: per distinct word,
+    * repeatedly merge the LEFTMOST occurrence of the minimum-rank adjacent
+    * pair (rk sentinel 2147483647 = not in table) until no pair applies;
+    * the fixpoint row is the one with the fewest symbols (lengths strictly
+    * decrease per step). Mirrors graft.functions.BpeSegment exactly. */
+  private def bpeCte: String =
+    s"""WITH RECURSIVE
+       |mt AS (SELECT $bpeMapLiteral AS mm),
+       |wds AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+       |bpe(word, syms) AS (
+       |  SELECT word, string_split(word, '') FROM wds
+       |  UNION ALL
+       |  SELECT word, list_concat(list_concat(list_slice(syms, 1, idx-1),
+       |      [syms[idx] || syms[idx+1]]), list_slice(syms, idx+2, len(syms)))
+       |  FROM (
+       |    SELECT word, syms, list_min(rk) AS best, list_position(rk, list_min(rk)) AS idx
+       |    FROM (
+       |      SELECT word, syms,
+       |        list_transform(range(1, len(syms)),
+       |          i -> coalesce(mm[syms[i] || ' ' || syms[i+1]][1], 2147483647)) AS rk
+       |      FROM bpe, mt))
+       |  WHERE best < 2147483647)""".stripMargin
 
   /** x1/x40: the full-corpus LSH pipeline — also the oracle of the
     * incremental batch-split union, which reproduces the same relation. */
@@ -1614,6 +1661,33 @@ object SparkEntry {
         |  FROM documents)
         |SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
         |FROM e GROUP BY word ORDER BY df DESC, tf DESC, word ASC LIMIT 20""".stripMargin,
+    // x47's packing shape under the recursive-CTE BPE replay: per-word
+    // subword counts joined back to the corpus word stream, then the same
+    // prefix-sum pack assignment.
+    "x68_bpe_seq_pack" -> (bpeCte +
+      """,
+        |ntok AS (SELECT word, MIN(len(syms)) AS n_tok FROM bpe GROUP BY word),
+        |t AS (
+        |  SELECT d.doc_id, SUM(n.n_tok) AS toks
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) d
+        |  JOIN ntok n ON d.word = n.word
+        |  GROUP BY d.doc_id),
+        |c AS (SELECT doc_id, toks, SUM(toks) OVER (ORDER BY doc_id) AS cum FROM t)
+        |SELECT ((cum - toks) // 2048)::BIGINT AS pack_id, COUNT(*) AS docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    // x48's census over SUBWORD units: the fixpoint segmentation (arg_min
+    // on symbol count — lengths strictly decrease) unnested per word
+    // occurrence.
+    "x71_bpe_vocab" -> (bpeCte +
+      """,
+        |seg AS (SELECT word, arg_min(syms, len(syms)) AS syms FROM bpe GROUP BY word),
+        |e AS (
+        |  SELECT d.doc_id, unnest(s.syms) AS tok
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents) d
+        |  JOIN seg s ON d.word = s.word)
+        |SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        |FROM e GROUP BY tok ORDER BY df DESC, tf DESC, tok ASC LIMIT 20""".stripMargin),
     // x21's census shape over x46's split assignment: corpus = train
     // (bucket < 80), benchmark = test (bucket >= 90); val is out of scope.
     "x49_split_leakage" ->

@@ -97,6 +97,8 @@ object GraftFunctions {
         "bloom_contains_long", graft.GraftExtensions.bloomContainsBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
         "cdc_chunks", graft.GraftExtensions.cdcChunksBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "bpe_segment", graft.GraftExtensions.bpeSegmentBuilder, "scala_udf")
     }
 
   /** Column helper for the md5-prefix hash — the one place the SQL name and

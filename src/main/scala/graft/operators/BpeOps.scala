@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeSegment
+
+/**
+ * Deterministic byte-pair encoding over the corpus — subword token budgets
+ * for the prep operators (SURVEY.md §2.4 text analysis; VERDICT r6 asked
+ * for trainer-faithful token counting: whitespace counts are 1.3–2× off
+ * real subword budgets and language-skewed).
+ *
+ * Training is the public BPE algorithm (Sennrich et al. 2016): start from
+ * codepoint symbols, repeatedly merge the most frequent adjacent pair
+ * (frequency weighted by word occurrence counts), record the pair; the
+ * ranked merge list IS the tokenizer. Ties break lexicographically on the
+ * pair, so training is bit-deterministic for a given word histogram.
+ *
+ * Scale shape: the only distributed work is the word histogram — one
+ * explode + groupBy with map-side partials, the same shape as vocabTopK.
+ * The DRIVER trains on the top-`maxVocab` histogram rows (the standard
+ * practice: BPE is trained on a bounded vocabulary/sample, then applied
+ * corpus-wide), so driver memory is capped regardless of corpus size, and
+ * the iteration count is `nMerges` — no per-round Spark jobs. Application
+ * is a per-row codegen'd expression ([[graft.functions.BpeSegment]]); the
+ * merge table rides the plan as one string literal.
+ */
+object BpeOps {
+
+  /**
+   * Train `nMerges` BPE merges on the corpus' word histogram. Returns the
+   * ranked merge list (rank = position, highest-frequency first). Stops
+   * early when no adjacent pair occurs with weight ≥ 2 (merging a
+   * singleton pair can never help a tokenizer). `maxVocab` bounds the
+   * driver-side histogram: distinct words beyond the top-`maxVocab` by
+   * (count desc, word asc) are ignored for TRAINING (application still
+   * covers them — unseen pairs simply never merge).
+   */
+  def trainMerges(
+      documents: DataFrame,
+      nMerges: Int = 40,
+      maxVocab: Int = 50000): Seq[(String, String)] = {
+    require(nMerges > 0 && maxVocab > 0, "nMerges and maxVocab must be positive")
+    val hist: Seq[(Vector[String], Long)] = documents
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().toIndexedSeq
+      .map { r =>
+        val w = r.getString(0)
+        require(!w.contains('\n'), s"cannot train BPE on a token with a newline: '$w'")
+        (splitCodepoints(w), r.getLong(1))
+      }
+    var vocab = hist
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- vocab; j <- 0 until syms.length - 1)
+        counts.updateWith((syms(j), syms(j + 1)))(p => Some(p.getOrElse(0L) + c))
+      if (counts.isEmpty) continue = false
+      else {
+        // max weight, ties broken lexicographically on the pair — the one
+        // deterministic order both engines can replay
+        val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < 2) continue = false
+        else {
+          merges += pair
+          vocab = vocab.map { case (syms, c) => (mergeAll(syms, pair), c) }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def splitCodepoints(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      b += w.substring(i, i + cc)
+      i += cc
+    }
+    b.result()
+  }
+
+  /** Left-to-right non-overlapping merge of every occurrence of `pair` —
+    * the training-side apply (equivalent, per step, to the inference
+    * loop's repeated leftmost single merges of that pair). */
+  private def mergeAll(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += pair._1 + pair._2
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /**
+   * The checked-in merge table: trained once (deterministically, via
+   * [[trainMerges]] — `graft.BpeTrain` regenerates it) on the sf0.001
+   * documents corpus and shipped as a resource, the way a production
+   * pipeline carries its tokenizer as a versioned artifact rather than
+   * retraining per query. The x68/x71 oracles embed THIS table, so the
+   * engine-side expression and the DuckDB replay cannot drift.
+   */
+  lazy val defaultMerges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "resource /graft/bpe_merges.txt missing")
+    try {
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      BpeSegment.decode(text.stripLineEnd)
+    } finally in.close()
+  }
+
+  /** Subword tokens of `wordsCol` (array<string>), flattened in word
+    * order. Requires [[graft.functions.GraftFunctions.register]]. */
+  def segment(wordsCol: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_segment", wordsCol, lit(BpeSegment.encode(merges)))
+
+  /** Subword token COUNT of the document text under `merges` — the
+    * trainer-faithful drop-in for `size(split(lower(text), ' '))`. */
+  def tokenCount(merges: Seq[(String, String)] = defaultMerges): Column =
+    size(segment(TextOps.words(col("text")), merges)).cast("long")
+
+  /**
+   * Subword vocabulary census — [[PrepOps.vocabTopK]] in the BPE domain:
+   * document frequency and total frequency of every subword token, top-k.
+   * Same single explode + groupBy shape; the segmentation happens inside
+   * the scan projection, so there is still exactly one shuffle.
+   */
+  def vocabTopK(
+      documents: DataFrame,
+      merges: Seq[(String, String)] = defaultMerges,
+      k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        explode(segment(TextOps.words(col("text")), merges)).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("tok").asc)
+      .limit(k)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -207,11 +207,13 @@ object CurationOps {
    * negative weight past the raise_error guard of the weights-table
    * overload). Oracle-gated as x23.
    */
-  def tokenBudgetMix(documents: DataFrame, budgetTokens: Long): DataFrame =
+  def tokenBudgetMix(documents: DataFrame, budgetTokens: Long,
+      tokens: Column = size(split(col("text"), " ")).cast("long")): DataFrame =
     mixWithTotals(documents, budgetTokens, totals =>
       totals.withColumn("w",
         lit(1.0) + pmod(coalesce(
-          expr("try_cast(substring(source, 4, 10) AS INT)"), lit(0)), lit(3))))
+          expr("try_cast(substring(source, 4, 10) AS INT)"), lit(0)), lit(3))),
+      tokens)
 
   /**
    * Temperature-weighted token-budget mixing: source weights are
@@ -282,10 +284,14 @@ object CurationOps {
   private def mixWithTotals(
       documents: DataFrame,
       budgetTokens: Long,
-      withWeights: DataFrame => DataFrame): DataFrame = {
+      withWeights: DataFrame => DataFrame,
+      // budget unit, swappable for a subword counter (BpeOps.tokenCount) —
+      // the census stays gate-identical because both engines replay the
+      // same counter definition
+      tokens: Column = size(split(col("text"), " ")).cast("long")): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val toks = documents.select(col("source"), col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("toks"))
+      tokens.as("toks"))
     val totals = withWeights(toks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens_total")))
     val sumW = totals.agg(sum(col("w")).as("sumw"))

