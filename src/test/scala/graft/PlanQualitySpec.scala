@@ -163,6 +163,33 @@ class PlanQualitySpec extends SparkSpec {
       .toString.contains("TakeOrderedAndProject"))
   }
 
+  test("round-7 queries keep their scale shapes: BPE packing window " +
+      "distributed, composed funnel never cartesian, BPE vocab top-k") {
+    // x68: the packing window under subword counts still partitions by the
+    // prefix bucket; the segmentation is ONE projection expression (no
+    // join, no shuffle added relative to x47)
+    val x68 = SparkEntry.queries("x68_bpe_seq_pack")(spark, d)
+    x68.collect()
+    val ws68 = windows(x68.queryExecution.executedPlan)
+    assert(ws68.nonEmpty, "expected the packing window")
+    ws68.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"single-partition WindowExec in x68:\n$w"))
+    // x69: three composed stages — still no cartesian product anywhere,
+    // and every window keys on a distributing column
+    val x69 = SparkEntry.queries("x69_production_corpus")(spark, d)
+    x69.collect()
+    val p69 = x69.queryExecution.executedPlan
+    assert(!p69.toString.contains("CartesianProduct"),
+      s"x69: cartesian product\n${p69.toString.take(1500)}")
+    windows(p69).foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"x69 has a single-partition WindowExec:\n$w"))
+    // x71: subword vocabulary top-k plans as TakeOrderedAndProject
+    assert(plan("x71_bpe_vocab").contains("TakeOrderedAndProject"))
+    // x70: decode census is scan → mapPartitions → one aggregation; no join
+    val p70 = plan("x70_image_decode")
+    assert(!p70.contains("Join") && !p70.contains("CartesianProduct"), p70.take(1500))
+  }
+
   test("bucketed tables sort-merge-join without any exchange") {
     val docs = Tables.read(spark, d, "documents")
     val emb = Tables.read(spark, d, "embeddings").select(col("vec_id"), col("label"))
