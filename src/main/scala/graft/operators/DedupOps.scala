@@ -230,6 +230,69 @@ object DedupOps {
   }
 
   /**
+   * RETIRE documents from a persisted store — the other half of snapshot
+   * maintenance ([[appendLshStore]] covers additions; removed or
+   * content-changed docs must stop matching). Retirement is a TOMBSTONE
+   * append: the ids land in `<path>/tombstones` and every store read
+   * subtracts them — O(batch) write, no store rewrite, which is the only
+   * acceptable cost on a 100 TB store where a changed doc would otherwise
+   * force rewriting every row-group it touches.
+   *
+   * Maintenance protocol per snapshot update (tombstones carry no
+   * generation, so a live and a retired row with one doc_id cannot
+   * coexist): `retire(stale ids)` → [[compactLshStore]] →
+   * `append(delta)`. Removed docs need only the first step (compaction
+   * can then wait for the next maintenance window — reads already
+   * subtract them); a content-CHANGED doc re-appends under its old id and
+   * therefore REQUIRES the compaction between retire and append, one
+   * bounded rewrite per snapshot regardless of how many docs changed. The
+   * delta-reprocess spec pins store-read equality with a from-scratch
+   * rebuild over the v2 snapshot for the full add/change/remove case.
+   */
+  def retireLshStore(ids: DataFrame, path: String): Unit =
+    ids.select(col("doc_id")).write.mode("append").parquet(s"$path/tombstones")
+
+  /**
+   * Physically drop tombstoned rows and clear the tombstone table —
+   * bounded store rewrite, run at maintenance cadence (the read-side
+   * anti-join cost grows with the tombstone table, not the store, so
+   * compaction frequency trades write amplification against read
+   * overhead). The rewrite goes through a sibling directory + rename so a
+   * crash mid-compaction leaves either the old store or the new one,
+   * never a half-written mix being read.
+   */
+  def compactLshStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!fs.exists(tomb)) return
+    Seq("shingles", "bands").foreach { rel =>
+      val cur = s"$path/$rel"
+      val next = s"$path/${rel}_compact"
+      spark.read.parquet(cur)
+        .join(spark.read.parquet(s"$path/tombstones"), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(next)
+      fs.delete(new org.apache.hadoop.fs.Path(cur), true)
+      fs.rename(new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(cur))
+    }
+    fs.delete(tomb, true)
+  }
+
+  /** Store read with tombstones subtracted (shared by the incremental
+    * detector; the anti-join is O(tombstones) broadcast-shaped between
+    * compactions). */
+  private def loadStoreRelation(
+      spark: org.apache.spark.sql.SparkSession, path: String, rel: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/$rel")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+      df.join(broadcast(spark.read.parquet(s"$path/tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
+    else df
+  }
+
+  /**
    * Incremental MinHash/LSH near-dup pairs for an appended batch against
    * a persisted [[buildLshStore]] store: every confirmed pair with AT
    * LEAST ONE side in `newDocs` (new–new pairs via the same clique∪star
@@ -253,8 +316,8 @@ object DedupOps {
     val spark = newDocs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     minhashLshIncrementalFrom(shingleRelation(newDocs),
-      spark.read.parquet(s"$storePath/shingles"),
-      spark.read.parquet(s"$storePath/bands"), threshold, maxBucketSize)
+      loadStoreRelation(spark, storePath, "shingles"),
+      loadStoreRelation(spark, storePath, "bands"), threshold, maxBucketSize)
   }
 
   /** [[minhashLshIncremental]] with the prior corpus as a DataFrame — the

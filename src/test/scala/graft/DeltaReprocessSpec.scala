@@ -102,6 +102,39 @@ class DeltaReprocessSpec extends SparkSpec {
       == rows(s"$base/full/shingles", "doc_id", "sh"))
   }
 
+  test("full add/change/remove snapshot through the persisted store: " +
+      "retire -> compact -> append equals a rebuild over v2") {
+    graft.functions.GraftFunctions.register(spark)
+    val v1 = v1Docs
+    val v2 = v2Docs
+    val delta = SnapshotOps.snapshotDelta(v1, v2)   // 3 (changed), 7, 8
+    val stale = SnapshotOps.snapshotDelta(v2, v1)   // 3 (pre-change), 5
+
+    val base = java.nio.file.Files.createTempDirectory("graft_delta_store").toString
+    DedupOps.buildLshStore(v1, s"$base/incr")
+    // the per-snapshot maintenance protocol (see retireLshStore scaladoc)
+    DedupOps.retireLshStore(stale.select("doc_id"), s"$base/incr")
+    // BEFORE compaction: incremental detection already excludes retired
+    // rows — pairs of the delta against the tombstoned store equal pairs
+    // against v2's unchanged docs
+    val viaStore = pairSet(DedupOps.minhashLshIncremental(
+      delta, s"$base/incr", 0.8, Int.MaxValue))
+    val unchanged = v2.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+    val viaFrames = pairSet(DedupOps.minhashLshIncremental(
+      delta, unchanged, 0.8, Int.MaxValue))
+    assert(viaStore == viaFrames, s"store=$viaStore frames=$viaFrames")
+    // compact (physical drop + tombstone clear), then re-append the delta
+    // under its original ids
+    DedupOps.compactLshStore(spark, s"$base/incr")
+    assert(!new java.io.File(s"$base/incr/tombstones").exists())
+    DedupOps.appendLshStore(delta, s"$base/incr")
+    DedupOps.buildLshStore(v2, s"$base/full")
+    def rows(p: String): Set[(Long, String)] =
+      spark.read.parquet(p).select(col("doc_id"), col("band_key")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(s"$base/incr/bands") == rows(s"$base/full/bands"))
+  }
+
   test("snapshot delta drives IVF append: queries equal a same-centroid rebuild") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
