@@ -489,6 +489,11 @@ object SparkEntry {
     // checked-in merge table.
     "x71_bpe_vocab" -> ((s, d) =>
       BpeOps.vocabTopK(docs(s, d))),
+    // Numericalization: units -> deterministic ids (x71's ranking over the
+    // FULL unit set), documents -> id sequences; id_sum is an exact-integer
+    // checksum over the whole mapping.
+    "x72_bpe_numericalize" -> ((s, d) =>
+      BpeOps.numericalizeCensus(docs(s, d))),
     // Split-leakage audit: train-split contamination against the held-out
     // test split — splitAssign composed with the generalized two-table
     // decontamination (the eval-leak check a real pipeline runs per append).
@@ -1676,6 +1681,25 @@ object SparkEntry {
         |SELECT ((cum - toks) // 2048)::BIGINT AS pack_id, COUNT(*) AS docs,
         |  CAST(SUM(toks) AS BIGINT) AS tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+    // The numericalized corpus fingerprint: ids ranked over the full unit
+    // set (df desc, tf desc, tok asc — x71's order, unlimited), id sums
+    // per language.
+    "x72_bpe_numericalize" -> (bpeCte +
+      """,
+        |seg AS (SELECT word, arg_min(syms, len(syms)) AS syms FROM bpe GROUP BY word),
+        |e AS (
+        |  SELECT d.doc_id, d.lang, unnest(s.syms) AS tok
+        |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents) d
+        |  JOIN seg s ON d.word = s.word),
+        |vocab AS (
+        |  SELECT tok, row_number() OVER (
+        |    ORDER BY COUNT(DISTINCT doc_id) DESC, COUNT(*) DESC, tok ASC) AS id
+        |  FROM e GROUP BY tok)
+        |SELECT e.lang, COUNT(DISTINCT e.doc_id) AS docs, COUNT(*) AS tokens,
+        |  CAST(SUM(v.id) AS BIGINT) AS id_sum
+        |FROM e JOIN vocab v ON e.tok = v.tok
+        |GROUP BY e.lang ORDER BY e.lang""".stripMargin),
     // x48's census over SUBWORD units: the fixpoint segmentation (arg_min
     // on symbol count — lengths strictly decrease) unnested per word
     // occurrence.

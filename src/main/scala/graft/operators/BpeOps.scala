@@ -132,6 +132,46 @@ object BpeOps {
     size(segment(TextOps.words(col("text")), merges)).cast("long")
 
   /**
+   * NUMERICALIZATION census — the last hop to actual trainer input: every
+   * subword unit gets a deterministic integer id (ranked by document
+   * frequency desc, total frequency desc, token asc — x71's order, ids
+   * 1-based over the FULL unit set), documents become id sequences, and
+   * the census fingerprints the whole mapping with exact integer sums
+   * (`id_sum` moves if ANY unit's id or count shifts — a checksum over
+   * the numericalized corpus, cross-engine-gateable).
+   *
+   * Scale note on the ranking window: it is a single-partition window by
+   * construction, but over a PROVABLY BOUNDED relation — the distinct BPE
+   * unit set is a subset of {single codepoints seen} ∪ {merge outputs},
+   * i.e. ≤ charset + nMerges rows at ANY corpus size (the corpus can only
+   * shrink which merges fire, never invent units). The token stream never
+   * passes through it; documents join the finished vocab (broadcast) and
+   * aggregate with map-side partials.
+   */
+  def numericalizeCensus(
+      documents: DataFrame,
+      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val toks = documents.select(col("doc_id"), col("lang"),
+      explode(segment(TextOps.words(col("text")), merges)).as("tok"))
+    val vocab = toks
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .withColumn("id", row_number().over(
+          Window.orderBy(col("df").desc, col("tf").desc, col("tok").asc))
+        .cast("long"))
+      .select(col("tok"), col("id"))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("tokens"),
+        sum(col("id")).as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * Subword vocabulary census — [[PrepOps.vocabTopK]] in the BPE domain:
    * document frequency and total frequency of every subword token, top-k.
    * Same single explode + groupBy shape; the segmentation happens inside

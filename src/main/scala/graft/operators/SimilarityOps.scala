@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarityF32
@@ -363,6 +363,60 @@ object SimilarityOps {
     val cents = newVectors.sparkSession.read.parquet(s"${path}_centroids")
     assignToCentroids(newVectors, cents)
       .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
+  /**
+   * RETIRE vectors from a persisted IVF index — the removed/changed half of
+   * snapshot maintenance, mirroring
+   * [[graft.operators.DedupOps.retireLshStore]]: ids append to
+   * `<path>_tombstones` (O(batch), no index rewrite), and
+   * [[queryIvfIndexLive]] subtracts them at read time. The per-snapshot
+   * protocol is the same: retire(stale) → [[compactIvfIndex]] →
+   * [[appendIvfIndex]](delta) — a changed vector re-appends under its old
+   * vec_id, so the physical drop must land between retire and re-append.
+   */
+  def retireIvfIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id")).write.mode("append").parquet(s"${path}_tombstones")
+
+  /** Physically drop tombstoned vectors (per-cell rewrite through a
+    * sibling directory + rename — crash-safe like the LSH compactor; the
+    * partitionBy(cid) layout is preserved so probing stays partition
+    * pruning) and clear the tombstone table. */
+  def compactIvfIndex(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tomb = new org.apache.hadoop.fs.Path(s"${path}_tombstones")
+    if (!fs.exists(tomb)) return
+    val next = s"${path}_compact"
+    spark.read.parquet(path)
+      .join(spark.read.parquet(s"${path}_tombstones"), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cid").parquet(next)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
+    fs.delete(tomb, true)
+  }
+
+  /** [[queryIvfIndex]] against the LIVE view of a possibly-tombstoned
+    * index path: subtracts `<path>_tombstones` when present (broadcast
+    * anti-join, O(tombstones) between compactions). */
+  def queryIvfIndexLive(
+      spark: SparkSession,
+      path: String,
+      queryVec: DataFrame,
+      queryVecId: Long,
+      k: Int = 10,
+      nProbe: Int = 12): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val index = spark.read.parquet(path)
+    val live =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"${path}_tombstones")))
+        index.join(broadcast(
+          spark.read.parquet(s"${path}_tombstones").distinct()),
+          Seq("vec_id"), "left_anti")
+      else index
+    queryIvfIndex(live, spark.read.parquet(s"${path}_centroids"),
+      queryVec, queryVecId, k, nProbe)
   }
 
   /** Query the persisted IVF index: prune to the `nProbe` closest cells.

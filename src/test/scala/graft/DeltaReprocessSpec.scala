@@ -166,5 +166,32 @@ class DeltaReprocessSpec extends SparkSpec {
     // the appended vectors are actually reachable (7 is vec-identical to
     // nothing, but must appear in the candidate set of some probe)
     assert(spark.read.parquet(s"$base/incr").filter(col("vec_id") >= 7L).count() == 2L)
+
+    // --- change/remove: retire -> (live queries already correct) ->
+    // compact -> re-append, equals a same-centroid rebuild over v3
+    import spark.implicits._
+    def vecs(ids: Seq[Long], shift: Long): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, (0 until 8).map(j => ((i * 7 + j * 3 + shift) % 11).toFloat + 1f), i % 3))
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"), col("label"))
+    val changed = vecs(Seq(3L), shift = 5)        // vec 3 gets new content
+    val staleIds = Seq(3L, 5L).toDF("vec_id")     // 3 changed, 5 removed
+    val v3 = v2.filter(!col("vec_id").isin(3L, 5L)).unionByName(changed)
+
+    SimilarityOps.retireIvfIndex(staleIds, s"$base/incr")
+    // BEFORE compaction: live query excludes retired vecs (5 gone, old 3 gone)
+    val liveTop = SimilarityOps.queryIvfIndexLive(spark, s"$base/incr", qvec, 1L, 5, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!liveTop.contains(5L) && !liveTop.contains(3L))
+    SimilarityOps.compactIvfIndex(spark, s"$base/incr")
+    assert(!new java.io.File(s"$base/incr_tombstones").exists())
+    SimilarityOps.appendIvfIndex(changed, s"$base/incr")
+    SimilarityOps.buildIvfIndexWith(v3, s"$base/full3", cents)
+    val incr3 = SimilarityOps.queryIvfIndexLive(spark, s"$base/incr", qvec, 1L, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full3 = SimilarityOps.queryIvfIndex(
+        spark.read.parquet(s"$base/full3"), cents, qvec, 1L, 5, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(incr3 == full3, s"incr3=$incr3 full3=$full3")
   }
 }
