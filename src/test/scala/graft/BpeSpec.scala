@@ -65,6 +65,77 @@ class BpeSpec extends SparkSpec {
     assert(table.size() == merges.length)
   }
 
+  test("property: expression equals the classical merge-all-occurrences algorithm") {
+    // Independent reference implementation, deliberately formulated the
+    // OTHER way the public algorithm is usually written: find the
+    // lowest-rank pair present, merge ALL its occurrences left-to-right,
+    // repeat. The expression merges one leftmost occurrence per step; the
+    // two are equivalent because a merge can only create higher-rank pairs
+    // (see BpeSegment scaladoc). If they ever diverge, that argument — and
+    // the oracle CTE built on it — is wrong.
+    def codepoints(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cc = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + cc); i += cc
+      }
+      val r = b.result(); if (r.isEmpty) Vector("") else r
+    }
+    def mergeAllLR(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def classical(word: String, merges: Seq[(String, String)]): Vector[String] = {
+      var syms = codepoints(word)
+      var go = true
+      while (go) {
+        val applicable = merges.zipWithIndex.filter { case ((a, b), _) =>
+          (0 until syms.length - 1).exists(i => syms(i) == a && syms(i + 1) == b)
+        }
+        if (applicable.isEmpty) go = false
+        else {
+          val (a, b) = applicable.minBy(_._2)._1
+          syms = mergeAllLR(syms, a, b)
+        }
+      }
+      syms
+    }
+
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abcde"
+    def randWord(): String =
+      (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (round <- 1 to 8) {
+      // random merge table over random short symbol pairs — including
+      // chained merges ("ab"+"c") and pairs that can never fire
+      val pool = scala.collection.mutable.ArrayBuffer[String]() ++= alphabet.map(_.toString)
+      val merges = (1 to 12).map { _ =>
+        val a = pool(rnd.nextInt(pool.length)); val b = pool(rnd.nextInt(pool.length))
+        pool += (a + b)
+        (a, b)
+      }.distinct
+      val words = (1 to 60).map(_ => randWord())
+      val d = docsOf(words.zipWithIndex.map { case (w, i) => (i.toLong, w, "en", "s") }: _*)
+      val got = d.select(col("doc_id"),
+          graft.operators.BpeOps.segment(split(lower(col("text")), " "), merges).as("seg"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        val expect = classical(w.toLowerCase, merges)
+        assert(got(i.toLong) == expect,
+          s"round $round word '$w' merges $merges: got ${got(i.toLong)}, classical $expect")
+        assert(got(i.toLong).mkString("") == (if (w.isEmpty) "" else w.toLowerCase),
+          "segmentation must concatenate back to the word")
+      }
+    }
+  }
+
   test("checked-in merge table loads and x68 packing census is consistent") {
     graft.functions.GraftFunctions.register(spark)
     val merges = BpeOps.defaultMerges
