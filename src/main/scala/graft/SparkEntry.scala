@@ -57,6 +57,11 @@ object SparkEntry {
     // ---- north-star extensions (E1-E4) ----
     "e1_dedup_exact" -> ((s, d) => TextOps.dedupExact(docs(s, d))),
     "e2_topk_cosine" -> ((s, d) => SimilarityOps.topkCosine(emb(s, d), 0L, 10)),
+    // E2 over the int8-QUANTIZED store: same query through quantize →
+    // dequantize → f32 cosine — the 3.8×-smaller-index path, gated against
+    // an oracle replaying the identical quantization arithmetic.
+    "x73_quantized_topk" -> ((s, d) =>
+      SimilarityOps.topkCosineQuantized(emb(s, d), 0L, 10)),
     "e3_text_stats" -> ((s, d) => TextOps.textStats(docs(s, d))),
     "e4_multimodal_join" -> ((s, d) =>
       SimilarityOps.multimodalJoin(docs(s, d), emb(s, d))),
@@ -873,6 +878,29 @@ object SparkEntry {
         |FROM embeddings e1 CROSS JOIN embeddings e2
         |WHERE e1.vec_id = 0 AND e2.vec_id != 0
         |ORDER BY sim DESC, e2.vec_id ASC LIMIT 10""".stripMargin,
+    // The quantization replay: f32 max-abs scale, double-domain
+    // floor(x/s*127 + 0.5) codes (floor+0.5, NOT round() — half-way rules
+    // differ between engines), double dequant cast to FLOAT, then the same
+    // f32 cosine as e2.
+    "x73_quantized_topk" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS sc
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, sc,
+        |    CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+        |    ELSE list_transform(embedding,
+        |      x -> floor(x::DOUBLE / sc::DOUBLE * 127 + 0.5)::BIGINT) END AS q
+        |  FROM s),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(q, b -> (b::DOUBLE * (sc::DOUBLE / 127))::FLOAT) AS emb
+        |  FROM qq)
+        |SELECT d2.vec_id, round(list_cosine_similarity(d1.emb, d2.emb), 6) AS sim
+        |FROM dq d1 CROSS JOIN dq d2
+        |WHERE d1.vec_id = 0 AND d2.vec_id != 0
+        |ORDER BY sim DESC, d2.vec_id ASC LIMIT 10""".stripMargin,
     "e3_text_stats" ->
       """SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
         |       round(AVG(len(string_split(text, ' '))), 4) AS avg_tokens

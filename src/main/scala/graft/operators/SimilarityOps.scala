@@ -143,6 +143,59 @@ object SimilarityOps {
     embeddings.join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /**
+   * Symmetric int8 quantization of the embedding column — the storage/IO
+   * path for a 100 TB vector corpus: a 64-dim float32 vector (256 B)
+   * becomes 64 int8 codes + one float32 scale (68 B), a 3.8× reduction
+   * that cuts index size, shuffle bytes, and scan IO by the same factor
+   * (and unlocks int8 SIMD kernels in native deployments). Per-vector
+   * max-abs scaling: `q_i = floor(x_i/s · 127 + 0.5)`, `s = max|x_i|` —
+   * codes span [-127, 127], the worst-case dequantization error is
+   * `s/254` per coordinate.
+   *
+   * Cross-engine determinism: the scale is an exact f32 max; the quantize
+   * arithmetic runs in DOUBLE (exact for these magnitudes) with an
+   * explicit `floor(·+0.5)` — NOT `round()`, whose half-way rule
+   * (HALF_UP vs HALF_EVEN) differs between engines; zero vectors quantize
+   * to all-zero codes rather than NaN. [[dequantized]] reverses in double
+   * and casts to float, so both engines land on bit-identical f32 vectors
+   * and the existing cosine machinery stays oracle-gateable (x73).
+   */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val maxAbs = aggregate(col("embedding"), lit(0f), (acc, x) => greatest(acc, abs(x)))
+    embeddings
+      .withColumn("scale", maxAbs)
+      .withColumn("q",
+        when(col("scale") === lit(0f),
+          transform(col("embedding"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("embedding"), x =>
+            floor(x.cast("double") / col("scale").cast("double") * lit(127d) + lit(0.5d))
+              .cast("byte"))))
+      .drop("embedding")
+  }
+
+  /** Reconstruct f32 vectors from int8 codes + scale (double math, one
+    * float rounding at the end — bit-identical across engines). */
+  def dequantized(q: Column, scale: Column): Column =
+    transform(q, b => (b.cast("double") * (scale.cast("double") / lit(127d))).cast("float"))
+
+  /** E2's top-k over the QUANTIZED store: quantize → dequantize → the same
+    * f32 cosine + top-k. Gated as x73 — the oracle replays the identical
+    * quantization arithmetic, so the gate pins both the codes and the
+    * reconstruction. In production the index stores (q, scale) and this
+    * reconstruction happens at scan time, trading ~1e-3 similarity error
+    * for 3.8× less IO (the error census lives in QuantizationSpec). */
+  def topkCosineQuantized(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val dq = quantizeEmbeddings(embeddings)
+      .select(col("vec_id"), dequantized(col("q"), col("scale")).as("embedding"))
+    val q = dq.filter(col("vec_id") === queryVecId).select(col("embedding").as("qvec"))
+    dq.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round6f(cos(col("qvec"), col("embedding"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** The O(n²) all-pairs form of [[embeddingNearDup]] — correctness baseline
     * for the property test, and the fallback when no centroid exists. */
   def embeddingNearDupBrute(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
