@@ -594,6 +594,11 @@ object SparkEntry {
     "x63_event_funnel" -> ((s, d) =>
       EventOps.funnelCensus(Tables.read(s, d, "events"),
         Seq("view", "click", "purchase"))),
+    // Retention cohorts: users keyed by first-active day, counted on each
+    // later active day (offset 0 = cohort size) — two user-keyed hash
+    // aggregations + one equi-join, nothing windowed.
+    "x75_retention_cohorts" -> ((s, d) =>
+      EventOps.retentionCohorts(Tables.read(s, d, "events"), 30)),
     // CUBE over (split, lang) with '(all)' markers — grouping-sets
     // coverage beyond a6's ROLLUP, composed with the x46 split.
     "x64_cube_census" -> ((s, d) =>
@@ -2081,6 +2086,16 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY stage""".stripMargin,
+    "x75_retention_cohorts" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id)
+        |SELECT c.cohort_day, (a.day - c.cohort_day) AS "offset",
+        |  COUNT(DISTINCT a.user_id) AS users
+        |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        |WHERE (a.day - c.cohort_day) <= 30
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x64_cube_census" ->
       """WITH b AS (
         |  SELECT lang, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bk,

@@ -66,4 +66,30 @@ object EventOps {
         .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("users"))
     }.reduce(_ unionByName _).orderBy(col("stage"))
   }
+
+  /**
+   * Retention cohorts — the other classic product-analytics table: users
+   * grouped by their FIRST-ACTIVE day (the cohort), counted on each later
+   * day they return (`offset` = days since the cohort day; offset 0 is the
+   * cohort's size). Weekly/monthly granularities are the same query with
+   * a coarser `trunc`.
+   *
+   * Scale shape: one user-keyed min-aggregation for the cohort relation
+   * (one row per user — map-side partials), one user-keyed equi-join back
+   * to the (user, active-day) relation, one (cohort, offset) count-distinct
+   * aggregation. Everything hashes; nothing is windowed or collected. At
+   * 100 TB the events table streams through exactly twice.
+   */
+  def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    active.join(cohorts, Seq("user_id"))
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort_day"), col("offset"))
+  }
 }

@@ -50,6 +50,29 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("quantized IVF index: smaller on disk, same probes, near-identical top-k") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft_qivf").toString
+    SimilarityOps.buildIvfIndex(emb, s"$base/f", centroidMod = 40)
+    SimilarityOps.buildIvfIndexQuantized(emb, s"$base/q", centroidMod = 40)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length()
+      walk(new java.io.File(p))
+    }
+    assert(bytes(s"$base/q") < bytes(s"$base/f"),
+      s"quantized index should be smaller: ${bytes(s"$base/q")} vs ${bytes(s"$base/f")}")
+    val cents = spark.read.parquet(s"$base/f_centroids")
+    val qvec = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val fTop = SimilarityOps.queryIvfIndex(
+        spark.read.parquet(s"$base/f"), cents, qvec, 0L, 10, 3)
+      .collect().map(_.getLong(0)).toSet
+    val qTop = SimilarityOps.queryIvfIndexQuantized(spark, s"$base/q", qvec, 0L, 10, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(fTop.intersect(qTop).size >= 8, s"float=$fTop quant=$qTop")
+  }
+
   test("quantized top-k closely tracks the exact float top-k on real embeddings") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
