@@ -273,6 +273,16 @@ object SparkEntry {
           sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"),
           sum(length(col("text")).cast("long")).as("kept_chars"))
         .orderBy(col("lang"))),
+    // The trainer EXPORT end-to-end: production corpus → deterministic
+    // split → train shard packed under subword (BPE) budgets. The final
+    // composition a training run actually reads.
+    "x76_trainer_export" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val cleaned = CurationOps.productionCorpus(docs(s, d), 97, 30, 0.8, 13, 5, 0.03, 8)
+      val train = PrepOps.splitAssign(cleaned).filter(col("split") === "train")
+        .select(col("doc_id"), col("lang"), col("text"))
+      PrepOps.seqPackCensus(train, 2048L, tokens = BpeOps.tokenCount())
+    }),
     // Token-budget corpus mixing: per-source keep rates from weights +
     // a global token budget, deterministic hash-gated membership.
     "x23_token_mix" -> ((s, d) =>
@@ -763,15 +773,16 @@ object SparkEntry {
     s"MAP([$keys], [$vals])"
   }
 
-  /** The greedy BPE application as a recursive CTE: per distinct word,
-    * repeatedly merge the LEFTMOST occurrence of the minimum-rank adjacent
-    * pair (rk sentinel 2147483647 = not in table) until no pair applies;
-    * the fixpoint row is the one with the fewest symbols (lengths strictly
-    * decrease per step). Mirrors graft.functions.BpeSegment exactly. */
-  private def bpeCte: String =
-    s"""WITH RECURSIVE
-       |mt AS (SELECT $bpeMapLiteral AS mm),
-       |wds AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+  /** The greedy BPE application as a recursive CTE: per distinct word of
+    * `source`, repeatedly merge the LEFTMOST occurrence of the
+    * minimum-rank adjacent pair (rk sentinel 2147483647 = not in table)
+    * until no pair applies; the fixpoint row is the one with the fewest
+    * symbols (lengths strictly decrease per step). Mirrors
+    * graft.functions.BpeSegment exactly. Body only — the caller supplies
+    * the `WITH RECURSIVE` intro so it can compose with other CTEs. */
+  private def bpeCteBody(source: String): String =
+    s"""mt AS (SELECT $bpeMapLiteral AS mm),
+       |wds AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word FROM $source),
        |bpe(word, syms) AS (
        |  SELECT word, string_split(word, '') FROM wds
        |  UNION ALL
@@ -785,6 +796,90 @@ object SparkEntry {
        |          i -> coalesce(mm[syms[i] || ' ' || syms[i+1]][1], 2147483647)) AS rk
        |      FROM bpe, mt))
        |  WHERE best < 2147483647)""".stripMargin
+
+  private def bpeCte: String = "WITH RECURSIVE\n" + bpeCteBody("documents")
+
+  /** x69/x76: the production pipeline's stage CTEs (corpus/benchmark split →
+    * x42 funnel → x51 decontamination → x55 CDC dedup), ending at `kept`
+    * (doc_id → reassembled text). The RECURSIVE marker is for x76's BPE
+    * stage; it is inert for x69. */
+  private val productionStagesCte: String =
+    """WITH RECURSIVE
+      |corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 != 0),
+      |bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+      |q AS (
+      |  SELECT doc_id, text FROM corpus
+      |  WHERE len(string_split(lower(text), ' ')) >= 30),
+      |ex AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+      |    FROM q) WHERE doc_id = keeper),
+      |fdocs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM ex),
+      |fshl AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM fdocs),
+      |fsh AS (SELECT doc_id, unnest(sh) AS s FROM fshl),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM fsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |losers AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM inter
+      |  JOIN sizes sa ON sa.doc_id = inter.doc_a
+      |  JOIN sizes sb ON sb.doc_id = inter.doc_b
+      |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
+      |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      |samp AS (
+      |  SELECT doc_id FROM nd
+      |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 13),
+      |curw AS (
+      |  SELECT c.doc_id, c.lang, c.text, string_split(lower(c.text), ' ') AS w
+      |  FROM corpus c JOIN samp ON c.doc_id = samp.doc_id),
+      |curshl AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM curw),
+      |cursh AS (SELECT doc_id, unnest(sh) AS s FROM curshl),
+      |bw AS (SELECT string_split(lower(text), ' ') AS w FROM bench),
+      |bshl AS (
+      |  SELECT list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS sh
+      |  FROM bw),
+      |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM bshl),
+      |ov AS (SELECT cursh.doc_id, COUNT(*) AS shared FROM cursh JOIN bsh USING (s) GROUP BY 1),
+      |decon AS (
+      |  SELECT curw.doc_id, curw.lang, curw.text FROM curw
+      |  LEFT JOIN ov ON curw.doc_id = ov.doc_id
+      |  WHERE COALESCE(ov.shared, 0) < 5),
+      |d2 AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM decon),
+      |b2 AS (
+      |  SELECT doc_id, lang, w, len(w) AS n,
+      |    CASE WHEN len(w) >= 3 THEN list_filter(range(3, len(w)+1),
+      |      p -> ('0x' || substr(md5(array_to_string(list_slice(w, p-2, p), ' ')), 1, 8))::BIGINT % 8 = 0)
+      |    ELSE [] END AS bp
+      |  FROM d2),
+      |e2 AS (
+      |  SELECT doc_id, lang, w, list_concat(list_concat([0::BIGINT], bp),
+      |    CASE WHEN len(bp) > 0 AND bp[-1] = n THEN [] ELSE [n] END) AS ed
+      |  FROM b2),
+      |c2 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ed)), i ->
+      |    struct_pack(pos := i,
+      |      chunk := array_to_string(list_slice(w, ed[i]+1, ed[i+1]), ' ')))) AS u
+      |  FROM e2),
+      |k2 AS (
+      |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk, row_number() OVER (
+      |    PARTITION BY u.chunk ORDER BY doc_id, u.pos) AS rn
+      |  FROM c2),
+      |kept AS (
+      |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+      |  FROM k2 WHERE rn = 1 GROUP BY doc_id)""".stripMargin
 
   /** x1/x40: the full-corpus LSH pipeline — also the oracle of the
     * incremental batch-split union, which reproduces the same relation. */
@@ -1801,89 +1896,39 @@ object SparkEntry {
     // the x42 funnel over the corpus split, the x51 exact decontamination
     // census shape (the Spark side runs the Bloom path — bit-identical by
     // construction), then the x55 CDC dedup/reassembly, censused per lang.
-    "x69_production_corpus" ->
-      """WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 != 0),
-        |bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
-        |q AS (
-        |  SELECT doc_id, text FROM corpus
-        |  WHERE len(string_split(lower(text), ' ')) >= 30),
-        |ex AS (
-        |  SELECT doc_id, text FROM (
-        |    SELECT doc_id, text,
-        |      min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
-        |    FROM q) WHERE doc_id = keeper),
-        |fdocs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM ex),
-        |fshl AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
-        |    ELSE [array_to_string(w, ' ')] END) AS sh
-        |  FROM fdocs),
-        |fsh AS (SELECT doc_id, unnest(sh) AS s FROM fshl),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM fsh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        |  FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |losers AS (
-        |  SELECT DISTINCT doc_b AS doc_id FROM inter
-        |  JOIN sizes sa ON sa.doc_id = inter.doc_a
-        |  JOIN sizes sb ON sb.doc_id = inter.doc_b
-        |  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= 0.8),
-        |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-        |samp AS (
-        |  SELECT doc_id FROM nd
-        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::BIGINT < 13),
-        |curw AS (
-        |  SELECT c.doc_id, c.lang, c.text, string_split(lower(c.text), ' ') AS w
-        |  FROM corpus c JOIN samp ON c.doc_id = samp.doc_id),
-        |curshl AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
-        |    ELSE [array_to_string(w, ' ')] END) AS sh
-        |  FROM curw),
-        |cursh AS (SELECT doc_id, unnest(sh) AS s FROM curshl),
-        |bw AS (SELECT string_split(lower(text), ' ') AS w FROM bench),
-        |bshl AS (
-        |  SELECT list_distinct(CASE WHEN len(w) >= 3
-        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
-        |    ELSE [array_to_string(w, ' ')] END) AS sh
-        |  FROM bw),
-        |bsh AS (SELECT DISTINCT unnest(sh) AS s FROM bshl),
-        |ov AS (SELECT cursh.doc_id, COUNT(*) AS shared FROM cursh JOIN bsh USING (s) GROUP BY 1),
-        |decon AS (
-        |  SELECT curw.doc_id, curw.lang, curw.text FROM curw
-        |  LEFT JOIN ov ON curw.doc_id = ov.doc_id
-        |  WHERE COALESCE(ov.shared, 0) < 5),
-        |d2 AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM decon),
-        |b2 AS (
-        |  SELECT doc_id, lang, w, len(w) AS n,
-        |    CASE WHEN len(w) >= 3 THEN list_filter(range(3, len(w)+1),
-        |      p -> ('0x' || substr(md5(array_to_string(list_slice(w, p-2, p), ' ')), 1, 8))::BIGINT % 8 = 0)
-        |    ELSE [] END AS bp
-        |  FROM d2),
-        |e2 AS (
-        |  SELECT doc_id, lang, w, list_concat(list_concat([0::BIGINT], bp),
-        |    CASE WHEN len(bp) > 0 AND bp[-1] = n THEN [] ELSE [n] END) AS ed
-        |  FROM b2),
-        |c2 AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ed)), i ->
-        |    struct_pack(pos := i,
-        |      chunk := array_to_string(list_slice(w, ed[i]+1, ed[i+1]), ' ')))) AS u
-        |  FROM e2),
-        |k2 AS (
-        |  SELECT doc_id, u.pos AS pos, u.chunk AS chunk, row_number() OVER (
-        |    PARTITION BY u.chunk ORDER BY doc_id, u.pos) AS rn
-        |  FROM c2),
-        |kept AS (
-        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS kept_text
-        |  FROM k2 WHERE rn = 1 GROUP BY doc_id),
+    "x69_production_corpus" -> (productionStagesCte +
+      """,
         |cleaned AS (
         |  SELECT e2.lang, COALESCE(kept.kept_text, '') AS text
         |  FROM e2 LEFT JOIN kept ON e2.doc_id = kept.doc_id)
         |SELECT lang, COUNT(*) AS docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
         |  CAST(SUM(strlen(text)) AS BIGINT) AS kept_chars
-        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin),
+    // The trainer-export composition END-TO-END: the production corpus,
+    // split-assigned, train split packed under SUBWORD (BPE) budgets — the
+    // x69 stages + x46's split gate + x68's recursive BPE replay + x47's
+    // prefix-sum packing, composed.
+    "x76_trainer_export" -> (productionStagesCte +
+      """,
+        |cleaned2 AS (
+        |  SELECT e2.doc_id, COALESCE(kept.kept_text, '') AS text
+        |  FROM e2 LEFT JOIN kept ON e2.doc_id = kept.doc_id),
+        |train AS (
+        |  SELECT doc_id, text FROM cleaned2
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 80),
+        |""".stripMargin + bpeCteBody("train") +
+      """,
+        |ntok AS (SELECT word, MIN(len(syms)) AS n_tok FROM bpe GROUP BY word),
+        |t AS (
+        |  SELECT d.doc_id, SUM(n.n_tok) AS toks
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM train) d
+        |  JOIN ntok n ON d.word = n.word
+        |  GROUP BY d.doc_id),
+        |c AS (SELECT doc_id, toks, SUM(toks) OVER (ORDER BY doc_id) AS cum FROM t)
+        |SELECT ((cum - toks) // 2048)::BIGINT AS pack_id, COUNT(*) AS docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
     // The CDC CTEs of x54 + x37's winner/reassembly shape: survivors =
     // first (doc_id, pos) per chunk, documents re-joined from their own
     // surviving chunks, census over the reassembled text.
