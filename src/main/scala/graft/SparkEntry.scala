@@ -609,6 +609,10 @@ object SparkEntry {
     // aggregations + one equi-join, nothing windowed.
     "x75_retention_cohorts" -> ((s, d) =>
       EventOps.retentionCohorts(Tables.read(s, d, "events"), 30)),
+    // Integer-exact spike detection: z >= 2 via cross-multiplied moments —
+    // no double ever enters the flag decision.
+    "x77_spike_census" -> ((s, d) =>
+      EventOps.spikeCensus(Tables.read(s, d, "events"), 2)),
     // CUBE over (split, lang) with '(all)' markers — grouping-sets
     // coverage beyond a6's ROLLUP, composed with the x46 split.
     "x64_cube_census" -> ((s, d) =>
@@ -2131,6 +2135,19 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY stage""".stripMargin,
+    "x77_spike_census" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS qq
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, CAST(MAX(n) AS BIGINT) AS days,
+        |  CAST(SUM(CASE WHEN (n*c - s) > 0
+        |    AND (n*c - s)*(n*c - s) >= 4*(n*qq - s*s) THEN 1 ELSE 0 END) AS BIGINT) AS spikes,
+        |  CAST(MAX(c) AS BIGINT) AS max_daily
+        |FROM daily d JOIN stats USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x75_retention_cohorts" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -80,6 +80,42 @@ object EventOps {
    * aggregation. Everything hashes; nothing is windowed or collected. At
    * 100 TB the events table streams through exactly twice.
    */
+  /**
+   * Daily spike census per event type — anomaly detection whose DECISION
+   * uses exact integer arithmetic only: over a type's daily counts
+   * (n = #days, S = Σc, Q = Σc²), day `c` is a spike iff
+   * `n·c − S > 0` and `(n·c − S)² ≥ k²·(n·Q − S²)` — the population
+   * z-score test `z ≥ k`, cross-multiplied so no double is ever compared
+   * (partitioning or summation order can therefore never flip a flag, the
+   * engine's standard determinism rule). Long arithmetic is exact while
+   * `n·c` stays under ~3·10⁹ (squares under 2⁶³); a corpus beyond that
+   * needs the decimal form — at that volume per event-type per day, spike
+   * detection is the least of one's problems.
+   *
+   * Scale shape: two hash aggregations (daily counts, per-type moments —
+   * both map-side partial) and one broadcast-sized join back (one row per
+   * event type). The events table streams once.
+   */
+  def spikeCensus(events: DataFrame, k: Int = 2): DataFrame = {
+    require(k > 0, "spike threshold must be positive")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("qq"))
+    val dev = col("n") * col("c") - col("s")
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("spike",
+        dev > 0 && dev * dev >= lit(k.toLong * k) * (col("n") * col("qq") - col("s") * col("s")))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("days"),
+        sum(when(col("spike"), 1L).otherwise(0L)).as("spikes"),
+        max(col("c")).as("max_daily"))
+      .orderBy(col("event_type"))
+  }
+
   def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
     val active = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
