@@ -613,6 +613,14 @@ object SparkEntry {
     // no double ever enters the flag decision.
     "x77_spike_census" -> ((s, d) =>
       EventOps.spikeCensus(Tables.read(s, d, "events"), 2)),
+    // Power-of-two token-length histogram via bin()-digit buckets (never
+    // log2 — float ulp under an exact power flips a bucket cross-engine).
+    "x74_length_histogram" -> ((s, d) =>
+      TextOps.lengthHistogram(docs(s, d))),
+    // Cross-source duplication matrix: distinct shared shingles per source
+    // pair beside each side's shingle mass.
+    "x78_source_overlap" -> ((s, d) =>
+      CurationOps.sourceOverlapMatrix(docs(s, d))),
     // CUBE over (split, lang) with '(all)' markers — grouping-sets
     // coverage beyond a6's ROLLUP, composed with the x46 split.
     "x64_cube_census" -> ((s, d) =>
@@ -2135,6 +2143,33 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
         |ORDER BY stage""".stripMargin,
+    "x74_length_histogram" ->
+      """WITH t AS (
+        |  SELECT lang, len(string_split(lower(text), ' ')) AS toks FROM documents)
+        |SELECT lang, length(bin(toks)) AS bucket, COUNT(*) AS docs,
+        |  CAST(MIN(toks) AS BIGINT) AS min_toks, CAST(MAX(toks) AS BIGINT) AS max_toks,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x78_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT source, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM d),
+        |ss AS (SELECT DISTINCT source, unnest(sh) AS s FROM shl),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        |  FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b
+        |FROM shared
+        |JOIN sizes sa ON sa.source = shared.src_a
+        |JOIN sizes sb ON sb.source = shared.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "x77_spike_census" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c

@@ -197,6 +197,37 @@ object CurationOps {
   }
 
   /**
+   * Cross-source duplication matrix — which source repeats which: for every
+   * source pair, the count of DISTINCT word-3-gram shingles they share,
+   * beside each side's distinct-shingle mass (`shared/n_a` is the directed
+   * containment of A in B at source granularity). The curation signal that
+   * decides which source to drop when two scrape the same sites — doc-level
+   * dedup tells you pairs exist; this tells you which SOURCES are the
+   * problem. Pairs sharing nothing are absent (inner join).
+   *
+   * Scale shape: the (source, shingle)-distinct relation is one
+   * aggregation; the matrix is a self-equi-join ON THE SHINGLE — per
+   * shared shingle it emits at most #sources² rows (sources are dozens,
+   * not millions), then aggregates to a #sources² output. Nothing is ever
+   * quadratic in documents.
+   */
+  def sourceOverlapMatrix(documents: DataFrame): DataFrame = {
+    val ss = documents
+      .select(col("source"), explode(DedupOps.shingles(col("text"))).as("s"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.select(col("source").as("src_a"), col("s"))
+      .join(ss.select(col("source").as("src_b"), col("s")), Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /**
    * Token-budget corpus mixing with name-derived demo weights
    * (weight_s = 1 + source-id%3, a deterministic stand-in for a mixture
    * config), computed inline on the per-source totals — no extra corpus

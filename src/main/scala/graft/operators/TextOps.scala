@@ -124,6 +124,27 @@ object TextOps {
       .orderBy(col("lang"))
 
   /**
+   * Token-length histogram in power-of-two buckets — the corpus-profiling
+   * census behind packing/truncation decisions (how much mass sits in each
+   * length regime). The bucket is the BINARY DIGIT COUNT of the token
+   * count (`length(bin(toks))`: 1 ⇒ 0–1 tokens, 5 ⇒ 16–31, …), computed
+   * through the engines' identical `bin()` string — never `log2`, whose
+   * float result can sit an ulp under an exact power and flip a bucket on
+   * one engine only. One scan, integer partials.
+   */
+  def lengthHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), size(words(col("text"))).cast("long").as("toks"))
+      .withColumn("bucket", length(bin(col("toks"))))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("docs"),
+        min(col("toks")).as("min_toks"),
+        max(col("toks")).as("max_toks"),
+        sum(col("toks")).as("tokens"))
+      .orderBy(col("lang"), col("bucket"))
+
+  /**
    * Document fingerprinting (winnowing-lite): fingerprint = lexicographic min
    * of md5 over word 5-gram shingles (a 1-hash MinHash). Docs sharing a
    * fingerprint are near-dup candidates. Output: corpus census — total docs,
