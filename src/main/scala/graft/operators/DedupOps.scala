@@ -630,6 +630,55 @@ object DedupOps {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
     }
 
+  /** Edge-count bound under which [[connectedComponentsAdaptive]] resolves
+    * the graph driver-side: 1M edges = 16 MB of longs, union-find in
+    * milliseconds — one Spark job replaces diameter-many join rounds. */
+  val SmallGraphEdges: Long = 1_000_000L
+
+  /**
+   * Adaptive connected components — the execution-strategy switch the
+   * APPLY operators use ([[dedupCorpus]], semantic dedup): near-dup pair
+   * graphs are usually TINY relative to their corpus (pairs are the
+   * exception, not the rule), so paying diameter-many distributed rounds
+   * (each a join + count + checkpoint) to label a few thousand edges is
+   * pure fixed cost. At or under `smallGraphEdges` edges the graph is
+   * collected (bounded: 16 MB at the default) and resolved by union-find
+   * with min-id roots — bit-identical output to the distributed loop, ONE
+   * job instead of ~3·diameter. Above the bound, the distributed loop
+   * runs untouched — that path stays the 100 TB story and stays
+   * oracle-gated on its own (x34/x36 pin the distributed algorithms
+   * directly; the equivalence of the two strategies is property-tested in
+   * DedupSpec). The same adaptive pattern as Spark's broadcast-join
+   * threshold: size decides strategy, semantics never change.
+   */
+  def connectedComponentsAdaptive(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).persist()
+    try {
+      if (edges.count() <= smallGraphEdges) {
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val rows = parent.keys.toSeq.map(v => (v, find(v))).sorted
+        import spark.implicits._
+        rows.toDF("doc_id", "component").orderBy(col("doc_id"))
+      } else connectedComponents(pairs, aCol, bCol)
+    } finally edges.unpersist()
+  }
+
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxRounds: Int = 50): DataFrame = {
@@ -821,7 +870,9 @@ object DedupOps {
    */
   def dedupCorpus(documents: DataFrame, threshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val comp = dedupComponents(documents, threshold, maxBucketSize)
+    // adaptive strategy switch: same labels, one job on small pair graphs
+    // (the distributed loop stays gated via x34/x36)
+    val comp = connectedComponentsAdaptive(minhashLsh(documents, threshold, maxBucketSize))
     val losers = comp.filter(col("component") =!= col("doc_id")).select(col("doc_id"))
     documents.join(losers, Seq("doc_id"), "left_anti")
   }

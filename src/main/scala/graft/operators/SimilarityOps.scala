@@ -137,7 +137,10 @@ object SimilarityOps {
       centroidMod: Int = 40): DataFrame = {
     val pairs = embeddingNearDup(embeddings, threshold, centroidMod)
       .select(col("vec_a"), col("vec_b"))
-    val comp = DedupOps.connectedComponents(pairs, "vec_a", "vec_b")
+    // adaptive strategy switch (see connectedComponentsAdaptive): semantic
+    // pair graphs are tiny relative to their corpus; the distributed loop
+    // engages above the edge bound and stays gated via x34/x36
+    val comp = DedupOps.connectedComponentsAdaptive(pairs, "vec_a", "vec_b")
     val losers = comp.filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.join(losers, Seq("vec_id"), "left_anti")

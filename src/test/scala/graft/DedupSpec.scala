@@ -204,6 +204,28 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 4L -> 1L), comp.toString)
   }
 
+  test("adaptive components: union-find path equals both distributed algorithms " +
+      "on random graphs, and the bound really switches strategies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (round <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to n).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2)
+      val pairs = edges.toDF("doc_a", "doc_b")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val viaUnionFind = rows(DedupOps.connectedComponentsAdaptive(pairs)) // under bound
+      val viaLoopForced = rows(DedupOps.connectedComponentsAdaptive(
+        pairs, smallGraphEdges = 0L)) // force the distributed loop
+      val viaLabelProp = rows(DedupOps.connectedComponents(pairs))
+      val viaStar = rows(DedupOps.connectedComponentsStar(pairs))
+      assert(viaUnionFind == viaLabelProp, s"round $round: uf=$viaUnionFind lp=$viaLabelProp")
+      assert(viaUnionFind == viaStar, s"round $round vs star")
+      assert(viaLoopForced == viaLabelProp, s"round $round: bound=0 must run the loop")
+    }
+  }
+
   test("incremental LSH over an append sequence equals the full recompute (parquet store)") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
