@@ -281,6 +281,9 @@ object SparkEntry {
       val cleaned = CurationOps.productionCorpus(docs(s, d), 97, 30, 0.8, 13, 5, 0.03, 8)
       val train = PrepOps.splitAssign(cleaned).filter(col("split") === "train")
         .select(col("doc_id"), col("lang"), col("text"))
+        // materialize the shard once: the packing prefix-sum scans its
+        // input twice, and each lazy scan would re-run the entire funnel
+        .localCheckpoint()
       PrepOps.seqPackCensus(train, 2048L, tokens = BpeOps.tokenCount())
     }),
     // Token-budget corpus mixing: per-source keep rates from weights +
