@@ -189,6 +189,15 @@ object CurationOps {
       fpp: Double = 0.03,
       cdcM: Int = 8): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
+    // Stage boundaries stay LAZY: the downstream stages do scan their
+    // input more than once (shingle explode + survivor join; chunk
+    // winners + reassembly join), but the re-scans ride the plan-keyed
+    // shingle cache and cheap survivor filters — measured at sf0.1,
+    // materializing the boundaries with localCheckpoint was a net LOSS
+    // (3.9 → 4.8 s: two extra materialization jobs plus storage churn
+    // outweigh the recomputation). Composites that add genuinely
+    // expensive downstream double-scans (x76's packing prefix-sum)
+    // materialize at THEIR boundary instead.
     val curated =
       curationCorpus(documents.filter(!isBench), minWords, threshold, keepNibbles)
     val decontaminated =
