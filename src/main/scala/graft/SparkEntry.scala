@@ -620,6 +620,15 @@ object SparkEntry {
     // log2 — float ulp under an exact power flips a bucket cross-engine).
     "x74_length_histogram" -> ((s, d) =>
       TextOps.lengthHistogram(docs(s, d))),
+    // Bigram-LM perplexity proxy (CCNet-style): corpus-trained add-one
+    // model, per-doc avg NLL scored as an exact integer sum of fixed-point
+    // micro-nat weights (one ln per DISTINCT bigram, quantized at 1e-6).
+    "x79_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLmScore(docs(s, d))),
+    // Shingle novelty: fraction of a doc's distinct 3-gram shingles first
+    // seen in this doc — the dedup-aware sampling weight.
+    "x80_novelty" -> ((s, d) =>
+      TextOps.noveltyCensus(docs(s, d))),
     // Cross-source duplication matrix: distinct shared shingles per source
     // pair beside each side's shingle mass.
     "x78_source_overlap" -> ((s, d) =>
@@ -2173,6 +2182,49 @@ object SparkEntry {
         |JOIN sizes sa ON sa.source = shared.src_a
         |JOIN sizes sb ON sb.source = shared.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    "x79_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM t WHERE len(ws) >= 2),
+        |v AS (SELECT COUNT(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM t) u),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+        |        FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |         CAST(floor(ln((n12 + 1.0) / (n1 + v)) * 1000000.0 + 0.5) AS BIGINT) AS w
+        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v),
+        |sc AS (
+        |  SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(-SUM(w) AS BIGINT) AS nll_micro
+        |  FROM bi JOIN model ON bi.w1 = model.w1 AND bi.w2 = model.w2
+        |  GROUP BY bi.doc_id)
+        |SELECT doc_id, n_bigrams, nll_micro,
+        |       CAST(nll_micro AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0) AS avg_nll
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "x80_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM t),
+        |sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        |       FROM sh GROUP BY doc_id),
+        |nv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM
+        |        (SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY s) f
+        |       GROUP BY doc_id)
+        |SELECT pd.doc_id, pd.n_shingles,
+        |       COALESCE(nv.n_novel, 0) AS n_novel,
+        |       CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / CAST(pd.n_shingles AS DOUBLE) AS novelty
+        |FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id ORDER BY pd.doc_id""".stripMargin,
     "x77_spike_census" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c

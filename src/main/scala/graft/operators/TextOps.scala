@@ -409,4 +409,84 @@ object TextOps {
         countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_affected"))
       .orderBy(col("lang"))
   }
+
+  /**
+   * x79: bigram-LM perplexity proxy — the CCNet-style corpus-intrinsic
+   * quality signal (Wenzek et al. 2020, public method; the reference's
+   * quality filters are rule-based, this is the model-based sibling a real
+   * curation pipeline adds). An add-one-smoothed bigram language model is
+   * trained on the corpus itself and every document is scored by its
+   * average negative log-probability under that model: templated /
+   * boilerplate text is predictable (low NLL), lexical noise is not.
+   *
+   * Cross-engine determinism: the model stores each DISTINCT bigram's
+   * log-prob once, as a fixed-point micro-nat weight
+   * `floor(ln((c12+1)/(c1+V)) * 1e6 + 0.5)` — one `ln` per model row, where
+   * both engines' IEEE doubles agree far beyond the 1e-6 quantum — and
+   * documents are scored by an EXACT integer sum of those weights, so
+   * partition count and summation order cannot perturb the result. The
+   * average divides once at the end (`nll_micro / (n * 1e6)`), a single
+   * exactly-rounded IEEE operation.
+   *
+   * Scale shape: tokens are materialized once per row and bigrams emitted
+   * by a single expression pass; `c12` is a partial-aggregating groupBy
+   * (hot first-tokens are absorbed map-side — deliberately NOT a window
+   * over `w1`, which would hand every "the …" occurrence to one task);
+   * `c1` re-aggregates the already-distinct `c12` relation (model-sized
+   * input, not corpus-sized); the vocabulary size V is one broadcast
+   * scalar; scoring is an equi-join on the bigram key, AQE-skew-splittable.
+   * Training on the scoring corpus means no OOV path is needed; a held-out
+   * model would add one broadcast/backoff branch, same shapes.
+   */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), words(col("text")).as("ws"))
+    val bi = toks
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i+1)))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val model = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(log((col("n12") + lit(1.0)) / (col("n1") + col("v"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("w"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("w"))).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        (col("nll_micro").cast("double") / (col("n_bigrams").cast("double") * lit(1e6)))
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * x80: per-document shingle novelty — the fraction of a document's
+   * distinct word-3-gram shingles whose FIRST corpus occurrence (minimum
+   * doc_id) is this document. 1.0 = entirely new content, 0.0 = everything
+   * already seen earlier; the standard dedup-aware sampling weight (weight
+   * repeated boilerplate down without dropping the document outright).
+   *
+   * Plan shape: the novel-count side aggregates shingle→min(doc_id) first
+   * (partial agg absorbs boilerplate-shingle skew) and then counts firsts
+   * per doc, so the final join is doc_id-keyed on two doc-sized relations —
+   * no skewed shingle-keyed join-back, no window over the shingle key.
+   * Ratio from exact integer counts, one division at the end.
+   */
+  def noveltyCensus(documents: DataFrame): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      explode(DedupOps.shingles(col("text"))).as("s"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.TextOps
+
+/** Hand-computed fixtures for the corpus-intrinsic scoring operators:
+  * the bigram-LM perplexity proxy (x79) and shingle novelty (x80). */
+class TextScoringSpec extends SparkSpec {
+
+  test("bigramLmScore: add-one bigram NLL, fixed-point weights, hand-checked") {
+    // doc1 "a b a b": bigrams (a,b) x2, (b,a).  doc2 "a c": (a,c).
+    // V = |{a,b,c}| = 3; context counts c1: a=3, b=1.
+    //   w(a,b) = floor(ln((2+1)/(3+3))*1e6+0.5) = floor(ln(.5)*1e6+0.5)  = -693147
+    //   w(b,a) = floor(ln((1+1)/(1+3))*1e6+0.5) = floor(ln(.5)*1e6+0.5)  = -693147
+    //   w(a,c) = floor(ln((1+1)/(3+3))*1e6+0.5) = floor(ln(1/3)*1e6+0.5) = -1098612
+    // doc1: n=3, nll_micro = 3*693147 = 2079441, avg = 0.693147
+    // doc2: n=1, nll_micro = 1098612,            avg = 1.098612
+    val docs = docsOf(
+      (1L, "a b a b", "en", "s"),
+      (2L, "a c", "en", "s"))
+    val rows = TextOps.bigramLmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 2079441L, 2079441d / 3e6),
+      (2L, 1L, 1098612L, 1098612d / 1e6)), rows.mkString(","))
+  }
+
+  test("bigramLmScore: single-token and empty docs are excluded (no bigrams)") {
+    val docs = docsOf((1L, "only", "en", "s"), (2L, "x y", "en", "s"))
+    val rows = TextOps.bigramLmScore(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L), rows.mkString(","))
+  }
+
+  test("noveltyCensus: first-occurrence fractions, short-doc fallback shingle") {
+    // doc1 "a b c d" -> {"a b c","b c d"}: both first          -> 2/2 = 1.0
+    // doc2 "a b c"   -> {"a b c"}: seen in doc1                -> 0/1 = 0.0
+    // doc3 "b c d e" -> {"b c d","c d e"}: one old, one new    -> 1/2 = 0.5
+    // doc4 "x y"     -> whole-text shingle {"x y"}: new        -> 1/1 = 1.0
+    val docs = docsOf(
+      (1L, "a b c d", "en", "s"),
+      (2L, "a b c", "en", "s"),
+      (3L, "b c d e", "en", "s"),
+      (4L, "x y", "en", "s"))
+    val rows = TextOps.noveltyCensus(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 2L, 1.0), (2L, 1L, 0L, 0.0),
+      (3L, 2L, 1L, 0.5), (4L, 1L, 1L, 1.0)), rows.mkString(","))
+  }
+
+  test("noveltyCensus: repeated shingle within one doc counts once (distinct)") {
+    // "p q r p q r p q r" -> distinct shingles {"p q r","q r p","r p q"};
+    // all three first here -> 3/3, NOT 7 occurrence rows.
+    val docs = docsOf((1L, "p q r p q r p q r", "en", "s"))
+    val r = TextOps.noveltyCensus(docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((3L, 3L, 1.0)), r.toString)
+  }
+}
