@@ -629,6 +629,15 @@ object SparkEntry {
     // seen in this doc — the dedup-aware sampling weight.
     "x80_novelty" -> ((s, d) =>
       TextOps.noveltyCensus(docs(s, d))),
+    // Naive Bayes quality classifier: trained from the x45 rule conjunction
+    // as weak labels (two aggregations, no solver), applied as an exact
+    // integer LLR sum over fixed-point per-token weights.
+    "x81_nb_quality" -> ((s, d) =>
+      PrepOps.nbQualityScore(docs(s, d))),
+    // Source distribution drift: per-source KL from the corpus token
+    // distribution — the per-ingest-batch content-mix monitor.
+    "x82_source_drift" -> ((s, d) =>
+      CurationOps.sourceDriftKl(docs(s, d))),
     // Cross-source duplication matrix: distinct shared shingles per source
     // pair beside each side's shingle mass.
     "x78_source_overlap" -> ((s, d) =>
@@ -2225,6 +2234,66 @@ object SparkEntry {
         |       COALESCE(nv.n_novel, 0) AS n_novel,
         |       CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / CAST(pd.n_shingles AS DOUBLE) AS novelty
         |FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id ORDER BY pd.doc_id""".stripMargin,
+    "x81_nb_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w, strlen(text) AS c
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS u, c,
+        |    list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) AS dm
+        |  FROM d),
+        |lab AS (
+        |  SELECT doc_id, w,
+        |    ((n >= 30 AND n <= 1000) AND (3*n <= c - n + 1 AND c - n + 1 <= 12*n)
+        |      AND (5*u >= n) AND (5*dm <= n)) AS weak_good
+        |  FROM m),
+        |toks AS (SELECT doc_id, weak_good, unnest(w) AS tok FROM lab),
+        |vocab AS (
+        |  SELECT tok, CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+        |         CAST(SUM(CASE WHEN NOT weak_good THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(SUM(cb) AS BIGINT) AS nb,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |dcnt AS (
+        |  SELECT CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS dg,
+        |         CAST(SUM(CASE WHEN NOT weak_good THEN 1 ELSE 0 END) AS BIGINT) AS db
+        |  FROM lab),
+        |model AS (
+        |  SELECT tok, CAST(floor((ln((cg + 1.0) / (ng + v)) - ln((cb + 1.0) / (nb + v)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS wt
+        |  FROM vocab CROSS JOIN tot),
+        |prior AS (
+        |  SELECT CAST(floor((ln((dg + 1.0) / (dg + db + 2)) - ln((db + 1.0) / (dg + db + 2)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
+        |  FROM dcnt),
+        |sc AS (
+        |  SELECT doc_id, weak_good, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |         CAST(SUM(wt) AS BIGINT) AS tok_micro
+        |  FROM toks JOIN model ON toks.tok = model.tok GROUP BY doc_id, weak_good)
+        |SELECT doc_id, weak_good, n_toks,
+        |       (tok_micro + prior_micro) AS llr_micro,
+        |       (tok_micro + prior_micro) > 0 AS pred_good
+        |FROM sc CROSS JOIN prior ORDER BY doc_id""".stripMargin,
+    "x82_source_drift" ->
+      """WITH occ AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |cs AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+        |       FROM occ GROUP BY source, w),
+        |cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM cs GROUP BY w),
+        |ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM cs GROUP BY source),
+        |n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+        |terms AS (
+        |  SELECT cs.source, n_s,
+        |    CAST(c_sw AS HUGEINT) * CAST(floor(ln((c_sw * 1.0 * n) / (n_s * 1.0 * c_w))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS term
+        |  FROM cs JOIN cw ON cs.w = cw.w JOIN ns ON cs.source = ns.source CROSS JOIN n)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS vocab_terms,
+        |       CAST(SUM(term) AS BIGINT) AS kl_micro,
+        |       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+        |         / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) AS kl_nats
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "x77_spike_census" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c

@@ -237,6 +237,51 @@ object CurationOps {
   }
 
   /**
+   * x82: source distribution drift — KL divergence of each source's token
+   * distribution from the whole-corpus distribution,
+   * `D(P_s ‖ P) = Σ_w (c_sw/N_s) · ln((c_sw/N_s)/(c_w/N))`. The
+   * data-quality monitor a pipeline runs per ingest batch: a source whose
+   * KL jumps changed its content mix (new boilerplate, a scraper bug, a
+   * language shift) before any downstream metric notices. Only tokens the
+   * source actually emits contribute (c_sw = 0 terms are 0 by convention),
+   * so the sum is over the per-source vocabulary.
+   *
+   * Determinism: each (source, token) ratio is quantized once to a
+   * micro-nat weight; the per-source sum `Σ c_sw · wq` is EXACT integer
+   * arithmetic (decimal-accumulated so a 100 TB corpus cannot overflow a
+   * running long; the final value is asserted back into BIGINT range by
+   * the cast), divided once by `N_s · 1e6` at the end.
+   *
+   * Scale shape: per-source counts are one token-keyed partial-agg groupBy;
+   * corpus counts RE-AGGREGATE that relation (vocab-sized input, not
+   * corpus-sized); per-source totals are a #sources-row broadcast. No
+   * second corpus scan, no join against the raw occurrence table at all —
+   * the scoring happens on the (source × vocab) counts themselves.
+   */
+  def sourceDriftKl(documents: DataFrame): DataFrame = {
+    val occ = documents.select(col("source"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val cs = occ.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val cw = cs.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val ns = cs.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val n = cw.agg(sum(col("c_w")).as("n"))
+    cs.join(cw, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        (col("c_sw") * floor(
+          log((col("c_sw") * lit(1.0) * col("n")) / (col("n_s") * lit(1.0) * col("c_w")))
+            * lit(1e6) + lit(0.5)).cast("long")).cast("decimal(38,0)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("vocab_terms"),
+        sum(col("term")).cast("long").as("kl_micro"))
+      .select(col("source"), col("n_tokens"), col("vocab_terms"), col("kl_micro"),
+        (col("kl_micro").cast("double") / (col("n_tokens").cast("double") * lit(1e6)))
+          .as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  /**
    * Token-budget corpus mixing with name-derived demo weights
    * (weight_s = 1 + source-id%3, a deterministic stand-in for a mixture
    * config), computed inline on the per-source totals — no extra corpus

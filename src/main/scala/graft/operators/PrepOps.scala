@@ -135,6 +135,61 @@ object PrepOps {
       .select(documents.columns.map(col): _*)
 
   /**
+   * x81: Naive Bayes quality classifier — the GPT-3-style "train a quality
+   * model, score the whole corpus" step (Brown et al. 2020 used logistic
+   * regression over hashed features; multinomial NB is the
+   * counting-closed-form sibling, trainable in two aggregations with no
+   * iterative solver, so training IS a Spark job, not a driver loop).
+   * Weak labels come from the [[qualityFilter]] rule conjunction; the
+   * model is per-token add-one class likelihoods, applied as a
+   * log-likelihood-ratio score. Docs the rules never saw as a unit get a
+   * graded score — the classifier generalizes the rules it was taught.
+   *
+   * Determinism: like the x79 bigram LM, each DISTINCT token's LLR weight
+   * `ln((cg+1)/(Ng+V)) − ln((cb+1)/(Nb+V))` is quantized ONCE to a
+   * micro-nat integer; doc scores are exact integer sums plus an equally
+   * quantized class prior, so partitioning cannot flip a prediction.
+   *
+   * Scale shape: training = one token-keyed partial-agg groupBy (the
+   * class-conditional counts) + two single-row broadcast aggregates
+   * (totals, doc priors); scoring = one equi-join of token occurrences
+   * against the vocab-sized model (AQE-skew-splittable on stopword keys).
+   */
+  def nbQualityScore(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+    val labeled = ruleFlags(minWords, maxWords)(documents)
+      .select(col("doc_id"), col("text"),
+        (col("p_wc") && col("p_wlen") && col("p_ttr") && col("p_dom")).as("weak_good"))
+    val toks = labeled.select(col("doc_id"), col("weak_good"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(
+      sum(when(col("weak_good"), 1L).otherwise(0L)).as("cg"),
+      sum(when(!col("weak_good"), 1L).otherwise(0L)).as("cb"))
+    val tot = vocab.agg(
+      sum(col("cg")).as("ng"), sum(col("cb")).as("nb"), count(lit(1)).as("v"))
+    val prior = labeled.agg(
+      sum(when(col("weak_good"), 1L).otherwise(0L)).as("dg"),
+      sum(when(!col("weak_good"), 1L).otherwise(0L)).as("db"))
+      .select(floor(
+        (log((col("dg") + lit(1.0)) / (col("dg") + col("db") + lit(2)))
+          - log((col("db") + lit(1.0)) / (col("dg") + col("db") + lit(2)))) * lit(1e6)
+          + lit(0.5)).cast("long").as("prior_micro"))
+    val model = vocab.crossJoin(broadcast(tot))
+      .select(col("w"), floor(
+        (log((col("cg") + lit(1.0)) / (col("ng") + col("v")))
+          - log((col("cb") + lit(1.0)) / (col("nb") + col("v")))) * lit(1e6)
+          + lit(0.5)).cast("long").as("wt"))
+    toks.join(model, "w")
+      .groupBy(col("doc_id"), col("weak_good"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wt")).as("tok_micro"))
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("weak_good"), col("n_toks"),
+        (col("tok_micro") + col("prior_micro")).as("llr_micro"),
+        ((col("tok_micro") + col("prior_micro")) > 0).as("pred_good"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Quality-rule census per language: documents, survivors, per-rule
    * failure counts (non-exclusive — a doc failing two rules counts in
    * both), and the surviving token mass. The audit row that tells a
