@@ -638,6 +638,19 @@ object SparkEntry {
     // distribution — the per-ingest-batch content-mix monitor.
     "x82_source_drift" -> ((s, d) =>
       CurationOps.sourceDriftKl(docs(s, d))),
+    // DSIR-style importance weights: per-doc unigram log-ratio between a
+    // target source's model and the corpus model — selection by
+    // resemblance to a curated domain, not by rules.
+    "x83_dsir_weights" -> ((s, d) =>
+      CurationOps.dsirImportanceWeights(docs(s, d))),
+    // CCNet perplexity terciles applied corpus-wide: exact NTILE(3)
+    // semantics via the two-pass distributed rank (no global window).
+    "x84_ppl_buckets" -> ((s, d) =>
+      TextOps.perplexityBuckets(docs(s, d))),
+    // tf-idf top-3 keywords per document (quantized idf, exact integer
+    // scores, term-tie-broken rank).
+    "x85_tfidf_keywords" -> ((s, d) =>
+      SearchOps.tfidfKeywords(docs(s, d))),
     // Cross-source duplication matrix: distinct shared shingles per source
     // pair beside each side's shingle mass.
     "x78_source_overlap" -> ((s, d) =>
@@ -2294,6 +2307,77 @@ object SparkEntry {
         |       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
         |         / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) AS kl_nats
         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "x83_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (source = 'src0') AS is_target,
+        |         unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w, CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |         CAST(COUNT(*) AS BIGINT) AS cr
+        |  FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |model AS (
+        |  SELECT w, CAST(floor((ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS wt
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, is_target, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |       CAST(SUM(wt) AS BIGINT) AS logratio_micro,
+        |       CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE)
+        |         / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_logratio
+        |FROM toks JOIN model ON toks.w = model.w
+        |GROUP BY doc_id, is_target ORDER BY doc_id""".stripMargin,
+    "x84_ppl_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM t WHERE len(ws) >= 2),
+        |v AS (SELECT COUNT(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM t) u),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+        |        FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |         CAST(floor(ln((n12 + 1.0) / (n1 + v)) * 1000000.0 + 0.5) AS BIGINT) AS w
+        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v),
+        |sc AS (
+        |  SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         CAST(-SUM(w) AS BIGINT) AS nll_micro
+        |  FROM bi JOIN model ON bi.w1 = model.w1 AND bi.w2 = model.w2
+        |  GROUP BY bi.doc_id),
+        |rk AS (SELECT doc_id, n_bigrams, nll_micro,
+        |         CAST(NTILE(3) OVER (ORDER BY nll_micro, doc_id) AS BIGINT) AS bucket
+        |       FROM sc)
+        |SELECT d.doc_id,
+        |       COALESCE(rk.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(rk.nll_micro, 0) AS nll_micro,
+        |       COALESCE(rk.bucket, 0) AS bucket,
+        |       CASE rk.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |         WHEN 3 THEN 'tail' ELSE 'unscored' END AS label
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN rk ON d.doc_id = rk.doc_id ORDER BY d.doc_id""".stripMargin,
+    "x85_tfidf_keywords" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM occ GROUP BY doc_id, term),
+        |dfp AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, tf.term, tf.tf, df,
+        |         tf.tf * CAST(floor(ln((n_docs + 1.0) / (df + 1.0)) * 1000000.0 + 0.5)
+        |           AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfp ON tf.term = dfp.term CROSS JOIN nd),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score_micro DESC, term) AS BIGINT) AS rank FROM sc)
+        |SELECT doc_id, rank, term, tf, df, score_micro
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "x77_spike_census" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c

@@ -282,6 +282,50 @@ object CurationOps {
   }
 
   /**
+   * x83: DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling", public method) — score
+   * every document by how much more likely its tokens are under a TARGET
+   * domain's unigram model than under the whole-corpus model,
+   * `Σ_tok ln p_target(tok) − ln p_corpus(tok)` with add-one smoothing.
+   * The pipeline move: pick the web-scale documents that LOOK like the
+   * curated target domain (here: one source, the domain exemplar) and
+   * upsample them — selection by resemblance, not by rules. High weight =
+   * target-like, negative = corpus-generic.
+   *
+   * Determinism ([[PrepOps.nbQualityScore]]'s discipline): each DISTINCT
+   * token's log-ratio is quantized ONCE to a micro-nat integer; per-doc
+   * scores are exact integer sums, so partitioning cannot reorder a
+   * resampling ranking. The average divides once at the end.
+   *
+   * Scale shape: one token-keyed partial-agg groupBy builds both class
+   * counts in the same pass (the target indicator is a per-row flag, not a
+   * second scan); totals are a single-row broadcast; scoring is one
+   * equi-join of occurrences against the vocab-sized model.
+   */
+  def dsirImportanceWeights(documents: DataFrame, targetSource: String = "src0"): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      (col("source") === targetSource).as("is_target"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = vocab.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+    val model = vocab.crossJoin(broadcast(tot))
+      .select(col("w"), floor(
+        (log((col("ct") + lit(1.0)) / (col("nt") + col("v")))
+          - log((col("cr") + lit(1.0)) / (col("nr") + col("v")))) * lit(1e6)
+          + lit(0.5)).cast("long").as("wt"))
+    toks.join(model, "w")
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("wt")).as("logratio_micro"))
+      .select(col("doc_id"), col("is_target"), col("n_toks"), col("logratio_micro"),
+        (col("logratio_micro").cast("double") / (col("n_toks").cast("double") * lit(1e6)))
+          .as("avg_logratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Token-budget corpus mixing with name-derived demo weights
    * (weight_s = 1 + source-id%3, a deterministic stand-in for a mixture
    * config), computed inline on the per-source totals — no extra corpus

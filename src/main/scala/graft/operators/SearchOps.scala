@@ -158,4 +158,41 @@ object SearchOps {
           .as("rare_docs"))
       .orderBy(col("lang"))
   }
+
+  /**
+   * x85: tf-idf top-k keywords per document — the classic document
+   * representation (salient terms = high in-doc frequency, low corpus
+   * document frequency), used for dataset-search snippets, topic tagging,
+   * and as a cheap doc signature for clustering.
+   *
+   * Determinism: idf `ln((N+1)/(df_t+1))` is quantized ONCE per distinct
+   * term to a micro-nat integer, the score `tf · idf_q` is an exact
+   * integer product, and ranking breaks score ties by the term string —
+   * total order, so both engines pick identical keyword sets.
+   *
+   * Scale shape: term frequencies are one (doc, term)-keyed partial-agg
+   * groupBy; document frequencies RE-AGGREGATE that relation (one row per
+   * posting, never re-exploding the corpus); N is a single-row broadcast;
+   * the top-k window partitions by doc_id — hash-distributed, bounded by
+   * per-doc vocabulary, never a global sort.
+   */
+  def tfidfKeywords(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents.select(col("doc_id"), explode(ws).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfPerTerm, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * floor(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          * lit(1e6) + lit(0.5)).cast("long")).as("score_micro"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_micro").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score_micro"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

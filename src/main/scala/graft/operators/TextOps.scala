@@ -489,4 +489,58 @@ object TextOps {
           .as("novelty"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * x84: CCNet-style perplexity buckets APPLIED (Wenzek et al. 2020,
+   * public method) — label every document head/middle/tail by terciles of
+   * its [[bigramLmScore]] total NLL, the standard perplexity-stratified
+   * corpus split (train mostly on `head`, keep `tail` for diversity
+   * probes). Documents too short to score (< 2 tokens) keep bucket 0 /
+   * `unscored` rather than vanishing — an apply form labels the WHOLE
+   * corpus.
+   *
+   * Exact NTILE semantics WITHOUT a single-partition window: a bare
+   * `NTILE(3) OVER (ORDER BY nll)` plans as one task holding the entire
+   * corpus ordering (the a5 problem, SURVEY §2.3 x20). Instead the global
+   * position comes from [[WindowOps.runningTotal]]'s two-pass prefix-count
+   * — coarse NLL bins (`nll_micro DIV 2^20`, non-decreasing along the
+   * order, O(#bins) driver list) partition the ordering so every task
+   * ranks one bin — and the bucket is then NTILE's closed form over
+   * (rank, n): the first `n mod 3` buckets take `ceil(n/3)` rows. The
+   * DuckDB oracle runs the real NTILE; matching it bit-for-bit is the
+   * proof the distributed form IS the window.
+   */
+  def perplexityBuckets(documents: DataFrame): DataFrame = {
+    // Materialized once: the score relation is ~24 B/doc (three longs),
+    // and BOTH ranking passes (the per-bin partial counts and the final
+    // join) plus the corpus re-join read it — without this the whole
+    // bigram train-and-score pipeline would run three times. Same
+    // eager-tiny-intermediate precedent as the x42/x76 composites
+    // (runningTotal's partials collect makes construction eager anyway).
+    val scored = bigramLmScore(documents).drop("avg_nll").localCheckpoint()
+    val ranked = WindowOps.runningTotal(
+      scored,
+      expr("nll_micro DIV 1048576"),
+      Seq(col("nll_micro"), col("doc_id")),
+      lit(1L), "rank")
+    val n = scored.agg(count(lit(1)).as("n"))
+    // NTILE(3)'s closed form over the 1-based global rank: q = n DIV 3,
+    // rem = n % 3; the first rem buckets hold q+1 rows. All-integer (DIV),
+    // so no float rounding can move a tercile edge. rem = n when n < 3, so
+    // the q = 0 ELSE branch is unreachable (no division by zero).
+    val bucket = expr(
+      """CASE WHEN rank <= (n DIV 3 + 1) * (n % 3)
+        |     THEN (rank + n DIV 3) DIV (n DIV 3 + 1)
+        |     ELSE n % 3 + (rank - (n DIV 3 + 1) * (n % 3) + n DIV 3 - 1) DIV (n DIV 3)
+        |END""".stripMargin)
+    documents.select(col("doc_id"))
+      .join(ranked.crossJoin(broadcast(n)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        coalesce(bucket, lit(0L)).cast("long").as("bucket"),
+        coalesce(when(bucket === 1, "head").when(bucket === 2, "middle")
+          .when(bucket === 3, "tail"), lit("unscored")).as("label"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -50,6 +50,57 @@ class CorpusModelSpec extends SparkSpec {
       ("s2", 2L, 2L, 1139435L, 1139435d / 2e6)), rows.mkString(","))
   }
 
+  test("dsirImportanceWeights: target-vs-corpus unigram log-ratios hand-checked") {
+    // target = src0.  doc1 (src0) "a b"; doc2 (src9) "a c".
+    // vocab: a(ct1,cr2) b(ct1,cr1) c(ct0,cr1); nt=2 nr=4 V=3.
+    //   wt(a) = floor((ln(2/5)-ln(3/7))*1e6+.5) =  -68993
+    //   wt(b) = floor((ln(2/5)-ln(2/7))*1e6+.5) =  336472
+    //   wt(c) = floor((ln(1/5)-ln(2/7))*1e6+.5) = -356675
+    // doc1: -68993+336472 = 267479 (target-like, positive)
+    // doc2: -68993-356675 = -425668 (corpus-generic, negative)
+    val docs = docsOf(
+      (1L, "a b", "en", "src0"),
+      (2L, "a c", "en", "src9"))
+    val rows = CurationOps.dsirImportanceWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, true, 2L, 267479L, 267479d / 2e6),
+      (2L, false, 2L, -425668L, -425668d / 2e6)), rows.mkString(","))
+  }
+
+  test("perplexityBuckets: distributed rank reproduces NTILE(3) exactly; short docs unscored") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 7 scored docs (n % 3 = 1: first bucket takes the extra row) + one
+    // single-token doc that cannot be scored.
+    val docs = docsOf(
+      (1L, "a b a b", "en", "s"), (2L, "a c x", "en", "s"),
+      (3L, "c c c c", "en", "s"), (4L, "a b c a", "en", "s"),
+      (5L, "x y", "en", "s"), (6L, "b a b a b", "en", "s"),
+      (7L, "y x y", "en", "s"), (8L, "solo", "en", "s"))
+    val got = graft.operators.TextOps.perplexityBuckets(docs)
+    // Reference: the real single-window NTILE over the same scores (fine on
+    // a fixture; the operator exists so production never plans this window).
+    val ref = graft.operators.TextOps.bigramLmScore(docs)
+      .withColumn("bucket", ntile(3).over(
+        Window.orderBy(col("nll_micro"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    rows.foreach { case (id, bucket, label) =>
+      assert(bucket == ref.getOrElse(id, 0L), s"doc $id bucket")
+      val expLabel = bucket match {
+        case 1 => "head"; case 2 => "middle"; case 3 => "tail"; case _ => "unscored"
+      }
+      assert(label == expLabel, s"doc $id label")
+    }
+    assert(rows.map(_._1).toSeq == (1L to 8L), "labels the whole corpus in order")
+    assert(rows.count(_._2 == 1L) == 3 && rows.count(_._2 == 2L) == 2 &&
+      rows.count(_._2 == 3L) == 2 && rows.count(_._2 == 0L) == 1,
+      rows.mkString(","))
+  }
+
   test("sourceDriftKl: a source matching the corpus distribution has zero drift") {
     // Identical texts -> every per-token ratio is 1, ln=0, wq=floor(0.5)=0.
     val docs = docsOf(

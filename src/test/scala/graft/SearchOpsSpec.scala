@@ -102,4 +102,29 @@ class SearchOpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("tfidfKeywords: quantized idf scores and term tie-break, hand-checked") {
+    // N=2. df: apple 1, banana 2, cherry 1.
+    //   idfq(apple)=idfq(cherry)=floor(ln(3/2)*1e6+.5)=405465; idfq(banana)=0
+    // doc1 "apple banana apple": apple 2*405465=810930 > banana 0
+    // doc2 "banana cherry":      cherry 405465 > banana 0
+    val d = docsOf(
+      (1L, "apple banana apple", "en", "s"),
+      (2L, "banana cherry", "en", "s"))
+    val rows = SearchOps.tfidfKeywords(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "apple", 2L, 1L, 810930L),
+      (1L, 2L, "banana", 1L, 2L, 0L),
+      (2L, 1L, "cherry", 1L, 1L, 405465L),
+      (2L, 2L, "banana", 1L, 2L, 0L)), rows.mkString(","))
+  }
+
+  test("tfidfKeywords: k bounds the per-doc list; all-equal scores break by term") {
+    val d = docsOf((1L, "b a c e d", "en", "s"))
+    val rows = SearchOps.tfidfKeywords(d, k = 3).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")), rows.mkString(","))
+  }
 }
