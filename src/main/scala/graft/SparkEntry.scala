@@ -651,6 +651,18 @@ object SparkEntry {
     // scores, term-tie-broken rank).
     "x85_tfidf_keywords" -> ((s, d) =>
       SearchOps.tfidfKeywords(docs(s, d))),
+    // PMI collocations: top-20 adjacent pairs by quantized pointwise
+    // mutual information — phrase-mining / tokenizer merge candidates.
+    "x86_pmi_collocations" -> ((s, d) =>
+      TextOps.pmiCollocations(docs(s, d))),
+    // Novelty-weighted sampling: keep docs with probability = shingle
+    // novelty via the exact integer id-hash coin — soft dedup.
+    "x87_novelty_sample" -> ((s, d) =>
+      CurationOps.noveltyWeightedSample(docs(s, d))),
+    // Drift vs the REFERENCE snapshot (x58's derived v2): per-source KL
+    // against yesterday's distribution + the new-vocabulary alarm.
+    "x88_drift_vs_ref" -> ((s, d) =>
+      CurationOps.sourceDriftKlVsReference(docs(s, d), newSnapshot(docs(s, d)))),
     // Cross-source duplication matrix: distinct shared shingles per source
     // pair beside each side's shingle mass.
     "x78_source_overlap" -> ((s, d) =>
@@ -2378,6 +2390,76 @@ object SparkEntry {
         |         ORDER BY score_micro DESC, term) AS BIGINT) AS rank FROM sc)
         |SELECT doc_id, rank, term, tf, df, score_micro
         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "x86_pmi_collocations" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM (SELECT unnest(ws) AS w FROM t) u GROUP BY w),
+        |nu AS (SELECT CAST(SUM(n) AS BIGINT) AS n_uni FROM uni),
+        |bi AS (SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |              unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |       FROM t WHERE len(ws) >= 2),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+        |        FROM bi GROUP BY w1, w2),
+        |nb AS (SELECT CAST(SUM(n12) AS BIGINT) AS n_bi FROM c12)
+        |SELECT c12.w1, c12.w2, n12, u1.n AS n1, u2.n AS n2,
+        |       CAST(floor(ln((n12 * 1.0 * n_uni * n_uni)
+        |         / (n_bi * 1.0 * u1.n * u2.n)) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+        |FROM c12 JOIN uni u1 ON c12.w1 = u1.w JOIN uni u2 ON c12.w2 = u2.w
+        |CROSS JOIN nu CROSS JOIN nb
+        |WHERE n12 >= 5
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+    "x87_novelty_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM t),
+        |sh AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        |       FROM sh GROUP BY doc_id),
+        |nv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM
+        |        (SELECT s, MIN(doc_id) AS doc_id FROM sh GROUP BY s) f
+        |       GROUP BY doc_id),
+        |novdoc AS (SELECT pd.doc_id, pd.n_shingles, COALESCE(nv.n_novel, 0) AS n_novel
+        |           FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id),
+        |k AS (
+        |  SELECT d.lang, d.text,
+        |    (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS HUGEINT)
+        |       * n_shingles
+        |     < CAST(n_novel AS HUGEINT) * 1152921504606846976) AS keep
+        |  FROM documents d JOIN novdoc ON d.doc_id = novdoc.doc_id)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |       CAST(SUM(CASE WHEN keep THEN len(string_split(lower(text), ' ')) ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |       CAST(SUM(CASE WHEN keep THEN strlen(text) ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "x88_drift_vs_ref" -> (newSnapshotSql +
+      """,
+        |cur AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw FROM
+        |         (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |          FROM documents) o GROUP BY source, w),
+        |rf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_ref FROM
+        |        (SELECT unnest(string_split(lower(text), ' ')) AS w FROM newsnap) o
+        |       GROUP BY w),
+        |ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM cur GROUP BY source),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM
+        |       (SELECT w FROM cur UNION SELECT w FROM rf) u),
+        |nr AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref FROM rf),
+        |terms AS (
+        |  SELECT cur.source, n_s, c_ref,
+        |    CAST(c_sw AS HUGEINT) * CAST(floor(ln((c_sw * 1.0 * (n_ref + v))
+        |      / (n_s * 1.0 * (COALESCE(c_ref, 0) + 1))) * 1000000.0 + 0.5) AS BIGINT) AS term
+        |  FROM cur LEFT JOIN rf ON cur.w = rf.w JOIN ns ON cur.source = ns.source
+        |  CROSS JOIN v CROSS JOIN nr)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS vocab_terms,
+        |       CAST(SUM(CASE WHEN c_ref IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_terms,
+        |       CAST(SUM(term) AS BIGINT) AS kl_micro,
+        |       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+        |         / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) AS kl_nats
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin),
     "x77_spike_census" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c

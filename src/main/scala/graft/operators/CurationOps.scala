@@ -282,6 +282,92 @@ object CurationOps {
   }
 
   /**
+   * x87: novelty-weighted deterministic sampling census — keep each
+   * document with probability equal to its [[TextOps.noveltyCensus]] score
+   * (the fraction of its shingles first seen in it): pure boilerplate
+   * (novelty 0) never survives, fully novel docs always do, and partial
+   * duplicates are downweighted proportionally instead of hard-dropped —
+   * the soft alternative to dedup's binary keep/drop.
+   *
+   * The coin is the id-hash uniform the sampling family already uses
+   * (content-independent, reproducible, no RNG state): keep iff
+   * `u60 · n_shingles < n_novel · 2^60`, where u60 is the first 15 md5
+   * hex chars of the doc id — an EXACT integer cross-multiplication in
+   * decimal/HUGEINT (u60·n_shingles exceeds a long), so no float compare
+   * can flip a keep decision cross-engine.
+   *
+   * Scale shape: novelty's shingle→min-doc aggregation (partial-agg,
+   * skew-absorbing) plus one doc_id-keyed join of two doc-sized
+   * relations; the census is one conditional aggregation.
+   */
+  def noveltyWeightedSample(documents: DataFrame): DataFrame = {
+    val nov = TextOps.noveltyCensus(documents)
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"))
+    val u60 = graft.functions.GraftFunctions
+      .md5PrefixLong(col("doc_id").cast("string"), 15)
+    documents.join(nov, "doc_id")
+      .withColumn("keep",
+        u60.cast("decimal(38,0)") * col("n_shingles")
+          < col("n_novel").cast("decimal(38,0)") * lit("1152921504606846976").cast("decimal(38,0)"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), size(TextOps.words(col("text"))).cast("long"))
+          .otherwise(0L)).as("kept_tokens"),
+        sum(when(col("keep"), length(col("text")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /**
+   * x88: per-source KL drift against a REFERENCE corpus — [[sourceDriftKl]]
+   * with the comparison distribution supplied externally (yesterday's
+   * snapshot, the accepted corpus version) instead of the corpus itself:
+   * `D(P_s ‖ P_ref)` with add-one smoothing on the reference so tokens the
+   * reference never saw stay finite,
+   * `p_ref(w) = (c_ref_w + 1) / (N_ref + V)`, V = |vocab(current ∪ ref)|.
+   * This is the monitor a pipeline runs on every ingest batch AGAINST the
+   * last accepted snapshot — self-KL (x82) spots sources that deviate from
+   * today's mix; reference-KL spots today's mix deviating from yesterday.
+   * `novel_terms` counts tokens absent from the reference — the "new
+   * vocabulary" alarm.
+   *
+   * Same determinism discipline as x82 (once-quantized micro-nat weights,
+   * decimal-exact sums); scale shape: both sides reduce to vocab-sized
+   * count relations before the single token-keyed left join; totals are
+   * single-row broadcasts.
+   */
+  def sourceDriftKlVsReference(documents: DataFrame, reference: DataFrame): DataFrame = {
+    val cur = documents.select(col("source"),
+      explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+    val ref = reference.select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_ref"))
+    val ns = cur.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val v = cur.select(col("w")).union(ref.select(col("w"))).distinct()
+      .agg(count(lit(1)).as("v"))
+    val nref = ref.agg(sum(col("c_ref")).as("n_ref"))
+    cur.join(ref, Seq("w"), "left")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(v)).crossJoin(broadcast(nref))
+      .select(col("source"), col("n_s"), col("c_ref"),
+        (col("c_sw") * floor(
+          log((col("c_sw") * lit(1.0) * (col("n_ref") + col("v")))
+            / (col("n_s") * lit(1.0) * (coalesce(col("c_ref"), lit(0L)) + lit(1))))
+            * lit(1e6) + lit(0.5)).cast("long")).cast("decimal(38,0)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("vocab_terms"),
+        sum(when(col("c_ref").isNull, 1L).otherwise(0L)).as("novel_terms"),
+        sum(col("term")).cast("long").as("kl_micro"))
+      .select(col("source"), col("n_tokens"), col("vocab_terms"), col("novel_terms"),
+        col("kl_micro"),
+        (col("kl_micro").cast("double") / (col("n_tokens").cast("double") * lit(1e6)))
+          .as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  /**
    * x83: DSIR-style importance weighting (Xie et al. 2023, "Data Selection
    * for Language Models via Importance Resampling", public method) — score
    * every document by how much more likely its tokens are under a TARGET

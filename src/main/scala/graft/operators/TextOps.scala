@@ -491,6 +491,51 @@ object TextOps {
   }
 
   /**
+   * x86: PMI collocations — the top-k adjacent word pairs by pointwise
+   * mutual information, `ln(p(w1,w2) / (p(w1)·p(w2)))` with
+   * `p(w1,w2) = n12/N_bi` and `p(w) = n/N_uni`, over pairs seen at least
+   * `minCount` times. The classic phrase-mining step: collocations become
+   * tokenizer merge candidates / phrase-vocabulary entries ("new york"
+   * scores high because its parts rarely appear apart).
+   *
+   * Determinism: the PMI ratio is evaluated as ONE fixed-shape IEEE chain
+   * over exact integer counts (`(n12·1.0·N_u·N_u) / (N_b·1.0·n1·n2)` —
+   * N_u² may exceed a long at corpus scale, so the products stay in
+   * double, identically associated in both engines), quantized once to
+   * micro-nats; ordering tie-breaks through (w1, w2) — a total order, so
+   * both engines return the identical top-k.
+   *
+   * Scale shape: unigram and bigram counts are token-keyed partial-agg
+   * groupBys; the count joins are vocab-sized; minCount prunes the pair
+   * relation BEFORE the joins; the top-k is TakeOrderedAndProject, never
+   * a global sort.
+   */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val toks = documents.select(words(col("text")).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val nu = uni.agg(sum(col("n")).as("n_uni"))
+    val bi = toks
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws)-1), i -> named_struct(" +
+          "'w1', element_at(ws, i), 'w2', element_at(ws, i+1)))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val nb = c12.agg(sum(col("n12")).as("n_bi"))
+    c12.filter(col("n12") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n", "n1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("n", "n2"), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        floor(log((col("n12") * lit(1.0) * col("n_uni") * col("n_uni"))
+          / (col("n_bi") * lit(1.0) * col("n1") * col("n2"))) * lit(1e6) + lit(0.5))
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /**
    * x84: CCNet-style perplexity buckets APPLIED (Wenzek et al. 2020,
    * public method) — label every document head/middle/tail by terciles of
    * its [[bigramLmScore]] total NLL, the standard perplexity-stratified

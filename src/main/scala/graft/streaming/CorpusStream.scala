@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupOps, PrepOps}
+import graft.operators.{CurationOps, DedupOps, PrepOps}
 
 /**
  * Streaming corpus ingest with INCREMENTAL near-duplicate detection — the
@@ -95,6 +95,38 @@ object CorpusStream {
           PrepOps.redact(batch, patterns, replacement), minWords, maxWords),
         trainPct, valPct)
       .write.mode("append").partitionBy("split").parquet(outPath)
+    fs.mkdirs(markerDir)
+    fs.create(marker, true).close()
+  }
+
+  /**
+   * foreachBatch sink: the streaming content-mix monitor — each
+   * micro-batch's per-source KL drift against a FIXED reference
+   * distribution ([[CurationOps.sourceDriftKlVsReference]]; the reference
+   * is the last accepted corpus snapshot, loaded once and closed over),
+   * appended with the batch id to a drift log a dashboard tails. A source
+   * whose KL or novel-token count jumps mid-stream changed its content
+   * mix (scraper bug, language shift, new boilerplate) — caught at ingest
+   * time, not at the next full-corpus audit.
+   *
+   * Cross-batch-STATELESS by design, like [[prepIngestBatch]]: each
+   * batch is scored independently against the static reference, so replay
+   * determinism needs no state store; the marker guard makes re-runs
+   * no-ops. The per-batch cost is one batch-sized token count + a
+   * vocab-sized join — never proportional to the corpus.
+   */
+  def driftMonitorBatch(
+      reference: DataFrame,
+      driftLogPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val markerDir = new Path(s"$driftLogPath/_graft_batches")
+    val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(markerDir, batchId.toString)
+    if (fs.exists(marker)) return
+    CurationOps.sourceDriftKlVsReference(batch, reference)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(driftLogPath)
     fs.mkdirs(markerDir)
     fs.create(marker, true).close()
   }

@@ -101,6 +101,58 @@ class CorpusModelSpec extends SparkSpec {
       rows.mkString(","))
   }
 
+  test("noveltyWeightedSample: novelty-1 docs always kept, novelty-0 never") {
+    // doc1 fully novel (n_novel = n_shingles): keep iff u60 < 2^60 — always.
+    // doc2 repeats doc1's text exactly (n_novel = 0): keep iff u60 < 0 — never.
+    val docs = docsOf(
+      (1L, "a b c d", "en", "s"),
+      (2L, "a b c d", "en", "s"))
+    val r = CurationOps.noveltyWeightedSample(docs).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == (("en", 2L, 1L, 4L, 7L)), r.toString)
+  }
+
+  test("sourceDriftKlVsReference: smoothed reference KL + novel-term alarm, hand-checked") {
+    // current s1 "a a b c" (N_s=4); reference "a b b b" (c_ref: a=1 b=3,
+    // N_ref=4); V = |{a,b,c}| = 3.
+    //   a: ln((2*7)/(4*2)) -> wq  559616, term  1119232
+    //   b: ln((1*7)/(4*4)) -> wq -826679, term  -826679
+    //   c: novel, ln((1*7)/(4*1)) -> wq 559616
+    // kl_micro = 852169; novel_terms = 1.
+    val cur = docsOf((1L, "a a b c", "en", "s1"))
+    val ref = docsOf((9L, "a b b b", "en", "ref"))
+    val r = CurationOps.sourceDriftKlVsReference(cur, ref).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5)) == (("s1", 4L, 3L, 1L, 852169L, 852169d / 4e6)), r.toString)
+  }
+
+  test("driftMonitorBatch: per-batch KL vs the static reference; replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val ref = docsOf((9L, "a b b b", "en", "ref"))
+    val docs = docsOf(
+      (1L, "a a b c", "en", "s1"),
+      (2L, "b b a", "en", "s2"))
+    val tmp = java.nio.file.Files.createTempDirectory("drift_log").toString + "/log"
+    val sink = graft.streaming.CorpusStream.driftMonitorBatch(ref, tmp)(_, _)
+    // two micro-batches, one source each
+    sink(docs.filter(col("doc_id") === 1L), 0L)
+    sink(docs.filter(col("doc_id") === 2L), 1L)
+    def log() = spark.read.parquet(tmp)
+    // each logged batch equals the batch operator over that slice
+    (0L to 1L).foreach { b =>
+      val got = log().filter(col("batch_id") === b).drop("batch_id")
+        .collect().map(_.toString).sorted.toSeq
+      val exp = graft.operators.CurationOps
+        .sourceDriftKlVsReference(docs.filter(col("doc_id") === b + 1), ref)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == exp, s"batch $b")
+    }
+    // marker-guarded replay
+    val n = log().count()
+    sink(docs.filter(col("doc_id") === 1L), 0L)
+    assert(log().count() == n, "replayed batch must be a no-op")
+  }
+
   test("sourceDriftKl: a source matching the corpus distribution has zero drift") {
     // Identical texts -> every per-token ratio is 1, ln=0, wq=floor(0.5)=0.
     val docs = docsOf(

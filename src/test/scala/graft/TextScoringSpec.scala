@@ -47,6 +47,35 @@ class TextScoringSpec extends SparkSpec {
       (3L, 2L, 1L, 0.5), (4L, 1L, 1L, 1.0)), rows.mkString(","))
   }
 
+  test("pmiCollocations: quantized PMI, (w1,w2) tie-break, hand-checked") {
+    // tokens: new=3 york=3 a=1 b=1 (Nu=8); bigrams Nb=6:
+    //   (new,york)x2 (york,new) (a,new) (new,b) (b,york)
+    //   pmi(a,new)=pmi(new,b)=pmi(b,york) = ln(64/18) -> 1268511
+    //   pmi(new,york) = ln(2*64/54)       -> 863046
+    //   pmi(york,new) = ln(64/54)         -> 169899
+    val docs = docsOf(
+      (1L, "new york new york", "en", "s"),
+      (2L, "a new b york", "en", "s"))
+    val rows = TextOps.pmiCollocations(docs, minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      ("a", "new", 1L, 1L, 3L, 1268511L),
+      ("b", "york", 1L, 1L, 3L, 1268511L),
+      ("new", "b", 1L, 3L, 1L, 1268511L),
+      ("new", "york", 2L, 3L, 3L, 863046L),
+      ("york", "new", 1L, 3L, 3L, 169899L)), rows.mkString(","))
+  }
+
+  test("pmiCollocations: minCount prunes rare pairs, k caps the list") {
+    val docs = docsOf(
+      (1L, "new york new york", "en", "s"),
+      (2L, "a new b york", "en", "s"))
+    val rows = TextOps.pmiCollocations(docs, minCount = 2L, k = 1).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("new", "york")), rows.mkString(","))
+  }
+
   test("noveltyCensus: repeated shingle within one doc counts once (distinct)") {
     // "p q r p q r p q r" -> distinct shingles {"p q r","q r p","r p q"};
     // all three first here -> 3/3, NOT 7 occurrence rows.
