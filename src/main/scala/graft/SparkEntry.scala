@@ -638,6 +638,18 @@ object SparkEntry {
     // distribution — the per-ingest-batch content-mix monitor.
     "x82_source_drift" -> ((s, d) =>
       CurationOps.sourceDriftKl(docs(s, d))),
+    // Classifier-vs-rules confusion matrix with accuracy and Cohen's
+    // kappa — the x81 model's agreement census, exact-integer throughout.
+    "x89_nb_confusion" -> ((s, d) =>
+      PrepOps.nbConfusionCensus(docs(s, d))),
+    // Exact Mann-Whitney AUC of the x81 score (midrank ties) via the
+    // two-pass distributed prefix count — no per-row ranking.
+    "x90_nb_auc" -> ((s, d) =>
+      PrepOps.nbRankAuc(docs(s, d))),
+    // Score-decile calibration ramp: exact NTILE(10) via the shared
+    // distributed-rank machinery, positive rate per decile.
+    "x91_nb_calibration" -> ((s, d) =>
+      PrepOps.nbCalibrationDeciles(docs(s, d))),
     // DSIR-style importance weights: per-doc unigram log-ratio between a
     // target source's model and the corpus model — selection by
     // resemblance to a curated domain, not by rules.
@@ -2259,47 +2271,60 @@ object SparkEntry {
         |       COALESCE(nv.n_novel, 0) AS n_novel,
         |       CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) / CAST(pd.n_shingles AS DOUBLE) AS novelty
         |FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id ORDER BY pd.doc_id""".stripMargin,
-    "x81_nb_quality" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS w, strlen(text) AS c
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS u, c,
-        |    list_max(list_transform(list_distinct(w),
-        |      x -> len(list_filter(w, y -> y = x)))) AS dm
-        |  FROM d),
-        |lab AS (
-        |  SELECT doc_id, w,
-        |    ((n >= 30 AND n <= 1000) AND (3*n <= c - n + 1 AND c - n + 1 <= 12*n)
-        |      AND (5*u >= n) AND (5*dm <= n)) AS weak_good
-        |  FROM m),
-        |toks AS (SELECT doc_id, weak_good, unnest(w) AS tok FROM lab),
-        |vocab AS (
-        |  SELECT tok, CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS cg,
-        |         CAST(SUM(CASE WHEN NOT weak_good THEN 1 ELSE 0 END) AS BIGINT) AS cb
-        |  FROM toks GROUP BY tok),
-        |tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(SUM(cb) AS BIGINT) AS nb,
-        |               CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
-        |dcnt AS (
-        |  SELECT CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS dg,
-        |         CAST(SUM(CASE WHEN NOT weak_good THEN 1 ELSE 0 END) AS BIGINT) AS db
-        |  FROM lab),
-        |model AS (
-        |  SELECT tok, CAST(floor((ln((cg + 1.0) / (ng + v)) - ln((cb + 1.0) / (nb + v)))
-        |    * 1000000.0 + 0.5) AS BIGINT) AS wt
-        |  FROM vocab CROSS JOIN tot),
-        |prior AS (
-        |  SELECT CAST(floor((ln((dg + 1.0) / (dg + db + 2)) - ln((db + 1.0) / (dg + db + 2)))
-        |    * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
-        |  FROM dcnt),
-        |sc AS (
-        |  SELECT doc_id, weak_good, CAST(COUNT(*) AS BIGINT) AS n_toks,
-        |         CAST(SUM(wt) AS BIGINT) AS tok_micro
-        |  FROM toks JOIN model ON toks.tok = model.tok GROUP BY doc_id, weak_good)
-        |SELECT doc_id, weak_good, n_toks,
-        |       (tok_micro + prior_micro) AS llr_micro,
-        |       (tok_micro + prior_micro) > 0 AS pred_good
-        |FROM sc CROSS JOIN prior ORDER BY doc_id""".stripMargin,
+    "x81_nb_quality" -> (nbScoreSql +
+      """
+        |SELECT doc_id, weak_good, n_toks, llr_micro, pred_good
+        |FROM scored ORDER BY doc_id""".stripMargin),
+    "x89_nb_confusion" -> (nbScoreSql +
+      """,
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN weak_good AND pred_good THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT weak_good AND pred_good THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN weak_good AND NOT pred_good THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT weak_good AND NOT pred_good THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored),
+        |k AS (SELECT tp, fp, fn, tn,
+        |    CAST(CAST(tp + fp + fn + tn AS HUGEINT) * (tp + tn)
+        |      - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |         + CAST(fn + tn AS HUGEINT) * (fp + tn)) AS BIGINT) AS kappa_num,
+        |    CAST(CAST(tp + fp + fn + tn AS HUGEINT) * (tp + fp + fn + tn)
+        |      - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |         + CAST(fn + tn AS HUGEINT) * (fp + tn)) AS BIGINT) AS kappa_den
+        |  FROM c)
+        |SELECT tp, fp, fn, tn,
+        |       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) AS accuracy,
+        |       kappa_num, kappa_den,
+        |       CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE) AS kappa
+        |FROM k""".stripMargin),
+    "x90_nb_auc" -> (nbScoreSql +
+      """,
+        |bys AS (
+        |  SELECT llr_micro,
+        |         CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS np_s,
+        |         CAST(SUM(CASE WHEN NOT weak_good THEN 1 ELSE 0 END) AS BIGINT) AS nn_s
+        |  FROM scored GROUP BY llr_micro),
+        |cum AS (SELECT llr_micro, np_s, nn_s,
+        |          CAST(SUM(nn_s) OVER (ORDER BY llr_micro) AS BIGINT) AS nn_cum
+        |        FROM bys),
+        |agg AS (SELECT CAST(SUM(np_s) AS BIGINT) AS np, CAST(SUM(nn_s) AS BIGINT) AS nn,
+        |          CAST(SUM(CAST(np_s AS HUGEINT)
+        |            * (2 * (nn_cum - nn_s) + nn_s)) AS BIGINT) AS u2
+        |        FROM cum)
+        |SELECT np, nn, u2,
+        |       CAST(u2 AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+        |FROM agg""".stripMargin),
+    "x91_nb_calibration" -> (nbScoreSql +
+      """,
+        |rk AS (SELECT doc_id, weak_good, llr_micro,
+        |         CAST(NTILE(10) OVER (ORDER BY llr_micro, doc_id) AS BIGINT) AS decile
+        |       FROM scored)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS docs,
+        |       CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+        |       CAST(MIN(llr_micro) AS BIGINT) AS lo_micro,
+        |       CAST(MAX(llr_micro) AS BIGINT) AS hi_micro,
+        |       CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+        |FROM rk GROUP BY decile ORDER BY decile""".stripMargin),
     "x82_source_drift" ->
       """WITH occ AS (
         |  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
@@ -2533,6 +2558,53 @@ object SparkEntry {
         |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS row_xor
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
+
+  /** x81's NB train-and-score pipeline as a DuckDB CTE chain ending in
+    * `scored(doc_id, weak_good, n_toks, llr_micro, pred_good)` — shared by
+    * the x81 gate and the x89/x90/x91 evaluation queries so all four
+    * replay the IDENTICAL model. */
+  private val nbScoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w, strlen(text) AS c
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS u, c,
+      |    list_max(list_transform(list_distinct(w),
+      |      x -> len(list_filter(w, y -> y = x)))) AS dm
+      |  FROM d),
+      |lab AS (
+      |  SELECT doc_id, w,
+      |    ((n >= 30 AND n <= 1000) AND (3*n <= c - n + 1 AND c - n + 1 <= 12*n)
+      |      AND (5*u >= n) AND (5*dm <= n)) AS weak_good
+      |  FROM m),
+      |toks AS (SELECT doc_id, weak_good, unnest(w) AS tok FROM lab),
+      |vocab AS (
+      |  SELECT tok, CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+      |         CAST(SUM(CASE WHEN NOT weak_good THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(SUM(cb) AS BIGINT) AS nb,
+      |               CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+      |dcnt AS (
+      |  SELECT CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS dg,
+      |         CAST(SUM(CASE WHEN NOT weak_good THEN 1 ELSE 0 END) AS BIGINT) AS db
+      |  FROM lab),
+      |model AS (
+      |  SELECT tok, CAST(floor((ln((cg + 1.0) / (ng + v)) - ln((cb + 1.0) / (nb + v)))
+      |    * 1000000.0 + 0.5) AS BIGINT) AS wt
+      |  FROM vocab CROSS JOIN tot),
+      |prior AS (
+      |  SELECT CAST(floor((ln((dg + 1.0) / (dg + db + 2)) - ln((db + 1.0) / (dg + db + 2)))
+      |    * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
+      |  FROM dcnt),
+      |sc AS (
+      |  SELECT doc_id, weak_good, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |         CAST(SUM(wt) AS BIGINT) AS tok_micro
+      |  FROM toks JOIN model ON toks.tok = model.tok GROUP BY doc_id, weak_good),
+      |scored AS (
+      |  SELECT doc_id, weak_good, n_toks,
+      |         (tok_micro + prior_micro) AS llr_micro,
+      |         (tok_micro + prior_micro) > 0 AS pred_good
+      |  FROM sc CROSS JOIN prior)""".stripMargin
 
   /** x58/x61's v2-snapshot derivation as a DuckDB CTE — must mirror
     * [[newSnapshot]] exactly. */

@@ -190,6 +190,108 @@ object PrepOps {
   }
 
   /**
+   * x89: classifier-vs-rules confusion census — the evaluation step after
+   * training [[nbQualityScore]]: the 2×2 confusion matrix of its
+   * predictions against the weak rule labels, with accuracy and Cohen's
+   * kappa (chance-corrected agreement). This is training-set agreement —
+   * it measures how separable the rule concept is in token space, the
+   * standard first read on a bootstrapped quality model.
+   *
+   * Exactness: the matrix is four integer counts from one aggregation;
+   * kappa's numerator `n·(tp+tn) − [(tp+fp)(tp+fn) + (fn+tn)(fp+tn)]` and
+   * denominator `n² − [...]` are exact integer products (decimal-carried —
+   * n² overflows a long at corpus scale), each divided ONCE into a double.
+   * Everything downstream of the scored corpus is a single-row reduce.
+   */
+  def nbConfusionCensus(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+    val scored = nbQualityScore(documents, minWords, maxWords)
+    val d38 = "decimal(38,0)"
+    scored.agg(
+        sum(when(col("weak_good") && col("pred_good"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("weak_good") && col("pred_good"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("weak_good") && !col("pred_good"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("weak_good") && !col("pred_good"), 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double")).as("accuracy"),
+        ((col("tp") + col("fp") + col("fn") + col("tn")).cast(d38)
+          * (col("tp") + col("tn"))
+          - ((col("tp") + col("fp")).cast(d38) * (col("tp") + col("fn"))
+            + (col("fn") + col("tn")).cast(d38) * (col("fp") + col("tn"))))
+          .cast("long").as("kappa_num"),
+        ((col("tp") + col("fp") + col("fn") + col("tn")).cast(d38)
+          * (col("tp") + col("fp") + col("fn") + col("tn"))
+          - ((col("tp") + col("fp")).cast(d38) * (col("tp") + col("fn"))
+            + (col("fn") + col("tn")).cast(d38) * (col("fp") + col("tn"))))
+          .cast("long").as("kappa_den"))
+      .withColumn("kappa",
+        col("kappa_num").cast("double") / col("kappa_den").cast("double"))
+  }
+
+  /**
+   * x90: exact AUC of the [[nbQualityScore]] score against the weak
+   * labels, by the Mann–Whitney rank-sum identity with proper midrank tie
+   * handling: grouping docs by DISTINCT score s,
+   * `2·np·nn·AUC = Σ_s np_s · (2·nn_below(s) + nn_s)` — every pair of a
+   * positive above a negative counts 2, score-tied pairs count 1. The
+   * whole-corpus ranking metric, computed without ranking any row.
+   *
+   * Scale shape: the per-score relation is a score-keyed partial-agg
+   * groupBy (|distinct scores| ≤ corpus, usually far smaller); the
+   * prefix count `nn_below` is [[WindowOps.runningTotal]]'s two-pass form
+   * over that relation (coarse `llr DIV 2^20` bins — monotone for
+   * negative scores too), NOT a single-partition window; the result is a
+   * single-row reduce. `u2` is decimal-carried (it approaches n²/2) and
+   * asserted back into BIGINT range by the cast; AUC divides once.
+   */
+  def nbRankAuc(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+    val scored = nbQualityScore(documents, minWords, maxWords)
+      .select(col("llr_micro"), col("weak_good")).localCheckpoint()
+    val byScore = scored.groupBy(col("llr_micro")).agg(
+      sum(when(col("weak_good"), 1L).otherwise(0L)).as("np_s"),
+      sum(when(!col("weak_good"), 1L).otherwise(0L)).as("nn_s"))
+    val cum = WindowOps.runningTotal(
+      byScore, expr("llr_micro DIV 1048576"), Seq(col("llr_micro")),
+      col("nn_s"), "nn_cum")
+    cum.agg(
+        sum(col("np_s")).as("np"), sum(col("nn_s")).as("nn"),
+        sum((col("np_s") * (lit(2) * (col("nn_cum") - col("nn_s")) + col("nn_s")))
+          .cast("decimal(38,0)")).cast("long").as("u2"))
+      .select(col("np"), col("nn"), col("u2"),
+        (col("u2").cast("double")
+          / (lit(2.0) * col("np").cast("double") * col("nn").cast("double"))).as("auc"))
+  }
+
+  /**
+   * x91: score-decile calibration — [[nbQualityScore]]'s corpus split into
+   * exact NTILE(10) score deciles (the [[WindowOps.withGlobalNtile]]
+   * two-pass form, (llr, doc_id) total order — no single-partition
+   * window), with each decile's document count, positive count, exact
+   * score range, and positive rate. A well-separated classifier shows a
+   * monotone pos_rate ramp; a flat ramp means the LLR carries no signal.
+   * Positive rates are one division from exact integers per decile.
+   */
+  def nbCalibrationDeciles(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+    val scored = nbQualityScore(documents, minWords, maxWords)
+      .select(col("doc_id"), col("weak_good"), col("llr_micro")).localCheckpoint()
+    WindowOps.withGlobalNtile(
+        scored, expr("llr_micro DIV 1048576"),
+        Seq(col("llr_micro"), col("doc_id")), 10, "decile")
+      .groupBy(col("decile").cast("long").as("decile"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("weak_good"), 1L).otherwise(0L)).as("positives"),
+        min(col("llr_micro")).as("lo_micro"),
+        max(col("llr_micro")).as("hi_micro"))
+      .withColumn("pos_rate",
+        col("positives").cast("double") / col("docs").cast("double"))
+      .orderBy(col("decile"))
+  }
+
+  /**
    * Quality-rule census per language: documents, survivors, per-rule
    * failure counts (non-exclusive — a doc failing two rules counts in
    * both), and the surviving token mass. The audit row that tells a

@@ -563,29 +563,19 @@ object TextOps {
     // eager-tiny-intermediate precedent as the x42/x76 composites
     // (runningTotal's partials collect makes construction eager anyway).
     val scored = bigramLmScore(documents).drop("avg_nll").localCheckpoint()
-    val ranked = WindowOps.runningTotal(
+    val tiled = WindowOps.withGlobalNtile(
       scored,
       expr("nll_micro DIV 1048576"),
       Seq(col("nll_micro"), col("doc_id")),
-      lit(1L), "rank")
-    val n = scored.agg(count(lit(1)).as("n"))
-    // NTILE(3)'s closed form over the 1-based global rank: q = n DIV 3,
-    // rem = n % 3; the first rem buckets hold q+1 rows. All-integer (DIV),
-    // so no float rounding can move a tercile edge. rem = n when n < 3, so
-    // the q = 0 ELSE branch is unreachable (no division by zero).
-    val bucket = expr(
-      """CASE WHEN rank <= (n DIV 3 + 1) * (n % 3)
-        |     THEN (rank + n DIV 3) DIV (n DIV 3 + 1)
-        |     ELSE n % 3 + (rank - (n DIV 3 + 1) * (n % 3) + n DIV 3 - 1) DIV (n DIV 3)
-        |END""".stripMargin)
+      3, "bucket")
     documents.select(col("doc_id"))
-      .join(ranked.crossJoin(broadcast(n)), Seq("doc_id"), "left")
+      .join(tiled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
-        coalesce(bucket, lit(0L)).cast("long").as("bucket"),
-        coalesce(when(bucket === 1, "head").when(bucket === 2, "middle")
-          .when(bucket === 3, "tail"), lit("unscored")).as("label"))
+        coalesce(col("bucket"), lit(0L)).cast("long").as("bucket"),
+        coalesce(when(col("bucket") === 1, "head").when(col("bucket") === 2, "middle")
+          .when(col("bucket") === 3, "tail"), lit("unscored")).as("label"))
       .orderBy(col("doc_id"))
   }
 }

@@ -70,4 +70,39 @@ object WindowOps {
       .withColumn(resultName, sum(valueCol).over(w) + col("__offset"))
       .drop("__bucket", "__obucket", "__offset")
   }
+
+  /**
+   * Exact `NTILE(k) OVER (ORDER BY orderCols)` semantics WITHOUT the
+   * single-partition window that expression plans as: the global 1-based
+   * position comes from [[runningTotal]]'s two-pass prefix count (so
+   * `bucket` must be a non-decreasing function of the leading order
+   * column, e.g. a coarse `value DIV 2^20` bin — integral truncation is
+   * monotone for negatives too), and the tile is NTILE's closed form over
+   * (position, n): the first `n mod k` tiles take `ceil(n/k)` rows.
+   * All-integer (`DIV`), so no float rounding can move a tile edge;
+   * matching the real NTILE bit-for-bit in the oracle is the proof the
+   * distributed form IS the window.
+   *
+   * `orderCols` must be a TOTAL order (add a unique id tie-break) — equal
+   * keys would otherwise land in runningTotal-order-dependent tiles. The
+   * input is read three times (per-bucket partials, the ranked join, and
+   * the caller's downstream) — pass a materialized (checkpointed) frame.
+   */
+  def withGlobalNtile(
+      df: DataFrame,
+      bucket: Column,
+      orderCols: Seq[Column],
+      k: Int,
+      resultName: String): DataFrame = {
+    val ranked = runningTotal(df, bucket, orderCols, lit(1L), "__rank")
+    val n = df.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(resultName, expr(
+        s"""CASE WHEN __rank <= (__n DIV $k + 1) * (__n % $k)
+           |     THEN (__rank + __n DIV $k) DIV (__n DIV $k + 1)
+           |     ELSE __n % $k + (__rank - (__n DIV $k + 1) * (__n % $k) + __n DIV $k - 1)
+           |          DIV (__n DIV $k)
+           |END""".stripMargin))
+      .drop("__rank", "__n")
+  }
 }

@@ -101,6 +101,42 @@ class CorpusModelSpec extends SparkSpec {
       rows.mkString(","))
   }
 
+  // The x81 3-doc fixture has weak labels (T,F,F) and predictions (T,F,T):
+  // tp=1 fp=1 fn=0 tn=1 — one disagreement, doc3 (the rules failed it only
+  // for length; the classifier passes it). The evaluation trio below reads
+  // off that matrix.
+  private def nbFixture = docsOf(
+    (1L, "alpha bravo candy delta echos", "en", "s"),
+    (2L, "alpha alpha alpha alpha alpha", "en", "s"),
+    (3L, "bravo candy delta", "en", "s"))
+
+  test("nbConfusionCensus: matrix, accuracy, and Cohen's kappa hand-checked") {
+    // kappa_num = 3*(tp+tn) - [(tp+fp)(tp+fn) + (fn+tn)(fp+tn)] = 6-4 = 2
+    // kappa_den = 9 - 4 = 5 -> kappa = 0.4
+    val r = PrepOps.nbConfusionCensus(nbFixture, minWords = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1L, 1L, 0L, 1L)),
+      r.toString)
+    assert(r.getDouble(4) == 2d / 3d && r.getLong(5) == 2L && r.getLong(6) == 5L
+      && r.getDouble(7) == 0.4, r.toString)
+  }
+
+  test("nbRankAuc: the positive outscores both negatives -> AUC 1, u2 = 2*np*nn") {
+    // scores: doc1 +500890 (pos), doc3 +381627 (neg), doc2 -4586705 (neg)
+    val r = PrepOps.nbRankAuc(nbFixture, minWords = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      == ((1L, 2L, 4L, 1.0)), r.toString)
+  }
+
+  test("nbCalibrationDeciles: n=3 fills NTILE(10)'s first three tiles, ramp ends positive") {
+    val rows = PrepOps.nbCalibrationDeciles(nbFixture, minWords = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 0L, -4586705L, -4586705L, 0.0),
+      (2L, 1L, 0L, 381627L, 381627L, 0.0),
+      (3L, 1L, 1L, 500890L, 500890L, 1.0)), rows.mkString(","))
+  }
+
   test("noveltyWeightedSample: novelty-1 docs always kept, novelty-0 never") {
     // doc1 fully novel (n_novel = n_shingles): keep iff u60 < 2^60 — always.
     // doc2 repeats doc1's text exactly (n_novel = 0): keep iff u60 < 0 — never.
