@@ -59,9 +59,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        // A failed query must be VISIBLE: a swallowed exception records its
+        // time-to-throw as if it were a measurement (a 0.1 s "steady" that
+        // masked a missing function registration in a name-filtered run).
+        // The timing contract is unchanged — the error goes to stderr.
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"bench: $name rep $i FAILED: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       (name, times)

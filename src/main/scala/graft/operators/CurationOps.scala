@@ -301,6 +301,7 @@ object CurationOps {
    * relations; the census is one conditional aggregation.
    */
   def noveltyWeightedSample(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val nov = TextOps.noveltyCensus(documents)
       .select(col("doc_id"), col("n_shingles"), col("n_novel"))
     val u60 = graft.functions.GraftFunctions
