@@ -650,6 +650,19 @@ object SparkEntry {
     // distributed-rank machinery, positive rate per decile.
     "x91_nb_calibration" -> ((s, d) =>
       PrepOps.nbCalibrationDeciles(docs(s, d))),
+    // Brier score of the x81 probabilities (logistic of the integer LLR),
+    // per true class — the proper scoring rule over the same scored corpus.
+    "x93_nb_brier" -> ((s, d) =>
+      PrepOps.nbBrierScore(docs(s, d))),
+    // Blocked Levenshtein fuzzy-match census over document heads: pairs
+    // histogram by edit distance — the typo/OCR-noise detector shingle
+    // Jaccard can't express.
+    "x92_fuzzy_pairs" -> ((s, d) =>
+      DedupOps.fuzzyPairsCensus(docs(s, d))),
+    // Heaps-law vocabulary-growth curve at power-of-two doc-count
+    // checkpoints: first-occurrence aggregation, one scan, no re-counting.
+    "x94_vocab_growth" -> ((s, d) =>
+      TextOps.vocabGrowth(docs(s, d))),
     // DSIR-style importance weights: per-doc unigram log-ratio between a
     // target source's model and the corpus model — selection by
     // resemblance to a curated domain, not by rules.
@@ -2325,6 +2338,55 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE) AS pos_rate
         |FROM rk GROUP BY decile ORDER BY decile""".stripMargin),
+    "x93_nb_brier" -> (nbScoreSql +
+      """,
+        |se AS (
+        |  SELECT weak_good,
+        |    CAST(floor(
+        |      (1.0 / (1.0 + exp(-CAST(llr_micro AS DOUBLE) / 1000000.0))
+        |        - CASE WHEN weak_good THEN 1.0 ELSE 0.0 END)
+        |      * (1.0 / (1.0 + exp(-CAST(llr_micro AS DOUBLE) / 1000000.0))
+        |        - CASE WHEN weak_good THEN 1.0 ELSE 0.0 END)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS se_micro
+        |  FROM scored)
+        |SELECT weak_good, CAST(COUNT(*) AS BIGINT) AS docs,
+        |       CAST(SUM(se_micro) AS BIGINT) AS se_sum_micro,
+        |       CAST(CAST(SUM(se_micro) AS BIGINT) AS DOUBLE)
+        |         / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS brier
+        |FROM se GROUP BY weak_good ORDER BY weak_good""".stripMargin),
+    "x92_fuzzy_pairs" ->
+      """WITH heads AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(string_split(lower(text), ' '), 1, 8), ' ')
+        |           AS head,
+        |         array_to_string(list_slice(string_split(lower(text), ' '), 1, 2), ' ')
+        |           AS blk
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         levenshtein(a.head, b.head) AS dist
+        |  FROM heads a JOIN heads b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE abs(strlen(a.head) - strlen(b.head)) <= 8)
+        |SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS pairs,
+        |       CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS left_docs,
+        |       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS right_docs
+        |FROM pairs WHERE dist <= 8 GROUP BY dist ORDER BY dist""".stripMargin,
+    "x94_vocab_growth" ->
+      """WITH thr AS (SELECT CAST(1 << k AS BIGINT) AS t FROM range(4, 21) r(k)),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |fo AS (SELECT w, CAST(MIN(doc_id) AS BIGINT) AS fd FROM toks GROUP BY w),
+        |va AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS vocab
+        |       FROM fo JOIN thr ON fd < t GROUP BY t),
+        |dt AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+        |         AS n_toks FROM documents),
+        |ta AS (SELECT t, CAST(SUM(n_toks) AS BIGINT) AS tokens,
+        |              CAST(COUNT(*) AS BIGINT) AS docs
+        |       FROM dt JOIN thr ON doc_id < t GROUP BY t)
+        |SELECT ta.t, docs, tokens, vocab,
+        |       CAST(vocab AS DOUBLE) / CAST(tokens AS DOUBLE) AS ttr
+        |FROM ta JOIN va ON ta.t = va.t ORDER BY ta.t""".stripMargin,
     "x82_source_drift" ->
       """WITH occ AS (
         |  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),

@@ -925,4 +925,65 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /**
+   * x92: blocked edit-distance fuzzy-match census — the record-linkage
+   * detector the shingle family can't replace: Levenshtein distance counts
+   * character-level edits (typos, OCR noise, inflection), where shingle
+   * Jaccard needs whole tokens to agree. The classic use is fuzzy TITLE
+   * matching; here each document's "title" proxy is its head — the first
+   * `headTokens` tokens rejoined — and two documents fuzzy-match when their
+   * heads are within `maxDist` edits.
+   *
+   * All-pairs Levenshtein is O(n²·len²) — never. Standard blocking makes it
+   * an equi-join: candidates must share their first two tokens (the block
+   * key), so comparison work is sum of squares of BLOCK sizes, and the
+   * quadratic term is bounded by the corpus's head-bigram skew, not n.
+   * Documents with fewer than two tokens have a null block key and drop out
+   * of the join in both engines, by construction. Within a block the
+   * triangle-inequality prefilter `|len(a) − len(b)| ≤ maxDist` (a lower
+   * bound on edit distance, so semantics-neutral) runs before the O(len²)
+   * `levenshtein` call, which both Spark and DuckDB implement as the same
+   * unit-cost insert/delete/substitute DP — an integer, exactly comparable.
+   *
+   * Output is the pair-distance histogram: for each edit distance 0..maxDist
+   * the number of unordered fuzzy pairs, plus how many distinct documents
+   * appear in at least one pair at that distance — the audit view that sizes
+   * a fuzzy-dedup pass before anyone commits to applying it.
+   *
+   * 100 TB: the join shuffles head-sized rows (≤ `headTokens` tokens), never
+   * full text; hot blocks (stopword bigram heads) are the skew risk — AQE
+   * skew-join splits them, and a production run would cap block size the way
+   * [[minhashLshCapped]] caps band buckets (kept uncapped here because the
+   * census is the point: the histogram must count EVERY pair).
+   */
+  def fuzzyPairsCensus(
+      documents: DataFrame, headTokens: Int = 8, maxDist: Int = 8): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val heads = documents.select(
+      col("doc_id"),
+      concat_ws(" ", slice(ws, 1, headTokens)).as("head"),
+      concat_ws(" ", slice(ws, 1, 2)).as("blk"),
+      (size(ws) >= 2).as("ok"))
+      .filter(col("ok"))
+    val a = heads.select(col("blk"), col("doc_id").as("doc_a"), col("head").as("head_a"))
+    val b = heads.select(col("blk"), col("doc_id").as("doc_b"), col("head").as("head_b"))
+    // Two cost cuts, both semantics-neutral: (1) equal heads short-circuit
+    // to distance 0 (an O(len) comparison instead of the DP — in a
+    // duplication-heavy corpus MOST surviving pairs are exact head matches);
+    // (2) the threshold form of levenshtein runs the banded DP — O(len·k)
+    // cells, returning −1 past `maxDist` — instead of the full O(len²).
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(length(col("head_a")) - length(col("head_b"))) <= maxDist)
+      .withColumn("dist", when(col("head_a") === col("head_b"), lit(0))
+        .otherwise(levenshtein(col("head_a"), col("head_b"), maxDist)))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .groupBy(col("dist").cast("long").as("dist"))
+      .agg(
+        count(lit(1)).as("pairs"),
+        countDistinct(col("doc_a")).as("left_docs"),
+        countDistinct(col("doc_b")).as("right_docs"))
+      .orderBy(col("dist"))
+  }
 }

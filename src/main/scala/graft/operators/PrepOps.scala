@@ -292,9 +292,45 @@ object PrepOps {
   }
 
   /**
+   * x93: Brier score of [[nbQualityScore]] — the proper scoring rule that
+   * completes the eval family: confusion/kappa (x89) grade the DECISION,
+   * AUC (x90) grades the RANKING, the calibration ramp (x91) shows the
+   * shape, and the Brier score `mean((p − y)²)` grades the PROBABILITIES
+   * themselves — it is minimized only by the true conditional probability,
+   * so an over-confident classifier pays even when its ranking is perfect.
+   *
+   * The probability is the LLR's logistic transform
+   * `p = 1/(1 + exp(−llr))`, computed in double from the already-quantized
+   * integer `llr_micro` (so both engines exponentiate the SAME value), and
+   * each row's squared error is quantized to micro units BEFORE summing —
+   * the corpus total is an exact integer sum, order- and
+   * partitioning-invariant, divided once at the end. Reported overall and
+   * per true class (the decomposition that shows WHICH side the model is
+   * overconfident about).
+   *
+   * Scale shape: one per-row expression chain over the scored corpus, one
+   * partial-aggregable reduce to two rows. Nothing new shuffles beyond
+   * [[nbQualityScore]] itself.
+   */
+  def nbBrierScore(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+    val scored = nbQualityScore(documents, minWords, maxWords)
+    val p = lit(1.0) / (lit(1.0) + exp(-col("llr_micro").cast("double") / lit(1e6)))
+    val y = when(col("weak_good"), lit(1.0)).otherwise(lit(0.0))
+    val seMicro = floor((p - y) * (p - y) * lit(1e6) + lit(0.5)).cast("long")
+    scored
+      .select(col("weak_good"), seMicro.as("se_micro"))
+      .groupBy(col("weak_good"))
+      .agg(count(lit(1)).as("docs"), sum(col("se_micro")).as("se_sum_micro"))
+      .withColumn("brier",
+        col("se_sum_micro").cast("double") / (col("docs").cast("double") * lit(1e6)))
+      .orderBy(col("weak_good"))
+  }
+
+  /**
    * Quality-rule census per language: documents, survivors, per-rule
    * failure counts (non-exclusive — a doc failing two rules counts in
-   * both), and the surviving token mass. The audit row that tells a
+   * both), and the surviving token mass. The audit view that tells a
    * pipeline operator WHY the filter cut what it cut.
    */
   def qualityFilterCensus(

@@ -578,4 +578,45 @@ object TextOps {
           .when(col("bucket") === 3, "tail"), lit("unscored")).as("label"))
       .orderBy(col("doc_id"))
   }
+
+  /**
+   * x94: vocabulary-growth curve (Heaps' law audit) — distinct vocabulary
+   * and total token mass for each doc-count prefix of the corpus, at
+   * power-of-two checkpoints `doc_id < 2^k` for k in 4..20. Heaps' law
+   * predicts `vocab ≈ K·tokens^β` with β ≈ 0.5–0.7 on natural text; a curve
+   * that flattens early means the corpus is recycling templates (synthetic
+   * or boilerplate-heavy), one that stays near-linear means noise — THE
+   * one-glance diagnostic a data buyer runs before committing a crawl to
+   * training. The deterministic doc_id prefix order makes the curve
+   * reproducible (no sampling RNG).
+   *
+   * The naive form recomputes a distinct-count per checkpoint — 17 scans.
+   * Instead: a token enters the vocabulary at its FIRST document, so
+   * `vocab(t) = |{w : first_doc(w) < t}|` — one token-keyed min-aggregation
+   * (map-side partial on the token key), then each token/doc row joins the
+   * 17-row broadcast checkpoint table with a `<` theta-predicate (a
+   * broadcast nested-loop over a literal — constant per-row work, no
+   * shuffle) and one final 17-group count. Token mass reuses the same shape
+   * over per-doc counts. Everything is integer-exact; the type-token ratio
+   * divides once per checkpoint row.
+   */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val thresholds = (4 to 20).map(k => 1L << k).toDF("t")
+    val toks = documents.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val firstOcc = toks.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+    val vocabAt = firstOcc
+      .join(broadcast(thresholds), col("fd") < col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("vocab"))
+    val docToks = documents.select(
+      col("doc_id"), size(words(col("text"))).cast("long").as("n_toks"))
+    val tokensAt = docToks
+      .join(broadcast(thresholds), col("doc_id") < col("t"))
+      .groupBy(col("t")).agg(sum(col("n_toks")).as("tokens"), count(lit(1)).as("docs"))
+    tokensAt.join(vocabAt, Seq("t"))
+      .select(col("t"), col("docs"), col("tokens"), col("vocab"),
+        (col("vocab").cast("double") / col("tokens").cast("double")).as("ttr"))
+      .orderBy(col("t"))
+  }
 }

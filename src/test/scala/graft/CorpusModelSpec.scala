@@ -137,6 +137,18 @@ class CorpusModelSpec extends SparkSpec {
       (3L, 1L, 1L, 500890L, 500890L, 1.0)), rows.mkString(","))
   }
 
+  test("nbBrierScore: logistic of the integer LLR, per-class micro sums hand-checked") {
+    // p = 1/(1+exp(-llr_micro/1e6)); se_micro = floor((p-y)^2*1e6+0.5):
+    //   doc1 (good,  +500890): se = 142379
+    //   doc2 (bad, -4586705): se = 102
+    //   doc3 (bad,  +381627): se = 353151  -> bad sum 353253, brier .1766265
+    val rows = PrepOps.nbBrierScore(nbFixture, minWords = 2).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (false, 2L, 353253L, 0.1766265),
+      (true, 1L, 142379L, 0.142379)), rows.mkString(","))
+  }
+
   test("noveltyWeightedSample: novelty-1 docs always kept, novelty-0 never") {
     // doc1 fully novel (n_novel = n_shingles): keep iff u60 < 2^60 — always.
     // doc2 repeats doc1's text exactly (n_novel = 0): keep iff u60 < 0 — never.

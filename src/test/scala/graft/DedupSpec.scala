@@ -308,4 +308,33 @@ class DedupSpec extends SparkSpec {
     assert((cleaned -- before).isEmpty,
       s"unpersistShingles must drop the shared entry: ${cleaned -- before}")
   }
+
+  test("fuzzyPairsCensus: blocking on the head bigram, Levenshtein histogram hand-checked") {
+    // docs 1/2/3 share block "alpha bravo"; doc4's block differs (never
+    // compared despite a near-identical head); doc5 has <2 tokens (dropped).
+    //   (1,3) dist 0; (1,2) and (2,3) dist 1 ("delta"->"delte")
+    val docs = docsOf(
+      (1L, "alpha bravo candy delta", "en", "s"),
+      (2L, "alpha bravo candy delte", "en", "s"),
+      (3L, "alpha bravo candy delta", "en", "s"),
+      (4L, "zetas bravo candy delta", "en", "s"),
+      (5L, "single", "en", "s"))
+    val rows = DedupOps.fuzzyPairsCensus(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((0L, 1L, 1L, 1L), (1L, 2L, 2L, 2L)), rows.mkString(","))
+  }
+
+  test("fuzzyPairsCensus: length prefilter is semantics-neutral (bound, not a heuristic)") {
+    // heads differing by more than maxDist in LENGTH can't be within
+    // maxDist edits; a pair pruned by the prefilter must also fail the
+    // exact distance test. maxDist=2 with a 6-char insertion gap.
+    val docs = docsOf(
+      (1L, "alpha bravo tail", "en", "s"),
+      (2L, "alpha bravo tail plus xx", "en", "s"),
+      (3L, "alpha bravo tail plux xx", "en", "s"))
+    val rows = DedupOps.fuzzyPairsCensus(docs, maxDist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // only (2,3) survives: dist 1; both pairs with doc1 are 8 edits away
+    assert(rows.toSeq == Seq((1L, 1L)), rows.mkString(","))
+  }
 }

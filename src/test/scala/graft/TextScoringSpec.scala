@@ -83,4 +83,18 @@ class TextScoringSpec extends SparkSpec {
     val r = TextOps.noveltyCensus(docs).collect().head
     assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((3L, 3L, 1.0)), r.toString)
   }
+
+  test("vocabGrowth: first-occurrence prefix counts at power-of-two checkpoints") {
+    // doc0 {a,b}, doc10 {b,c}, doc20 {c,d,e}:
+    //   t=16  -> docs {0,10}: tokens 4, vocab {a,b,c} = 3
+    //   t>=32 -> all three:   tokens 7, vocab 5
+    val docs = docsOf(
+      (0L, "a b", "en", "s"), (10L, "b c", "en", "s"), (20L, "c d e", "en", "s"))
+    val rows = TextOps.vocabGrowth(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 17 && rows.head == ((16L, 2L, 4L, 3L)), rows.take(3).mkString(","))
+    assert(rows.tail.forall { case (_, d, tk, v) => d == 3L && tk == 7L && v == 5L },
+      rows.mkString(","))
+    assert(rows.map(_._1).toSeq == (4 to 20).map(k => 1L << k), "checkpoint grid")
+  }
 }
