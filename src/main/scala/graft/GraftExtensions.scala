@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContainsLong, BpeSegment, CdcChunks, CosineSimilarityF32, Md5PrefixLong}
+import graft.functions.{BloomContainsLong, BpeSegment, CdcChunks, CosineSimilarityF32, JaroWinkler, Md5PrefixLong}
 
 /**
  * SparkSessionExtensions entry point — the deployment route for the engine's
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_segment"),
       new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
       GraftExtensions.bpeSegmentBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      GraftExtensions.jaroWinklerBuilder))
   }
 }
 
@@ -49,6 +53,14 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"cosine_f32 expects exactly 2 arguments (array<float>, array<float>), got ${children.length}")
     CosineSimilarityF32(children(0), children(1))
+  }
+
+  /** `jaro_winkler(string, string)` — plain binary scalar. */
+  private[graft] val jaroWinklerBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"jaro_winkler expects exactly 2 arguments (string, string), got ${children.length}")
+    JaroWinkler(children(0), children(1))
   }
 
   /** `md5_prefix_long(bytes, k)` — k must be a foldable integer literal (it

@@ -663,6 +663,10 @@ object SparkEntry {
     // checkpoints: first-occurrence aggregation, one scan, no re-counting.
     "x94_vocab_growth" -> ((s, d) =>
       TextOps.vocabGrowth(docs(s, d))),
+    // Jaro-Winkler fuzzy census via the custom codegen expression —
+    // integer-micro histogram, same blocking as x92.
+    "x95_jaro_pairs" -> ((s, d) =>
+      DedupOps.jaroPairsCensus(docs(s, d))),
     // DSIR-style importance weights: per-doc unigram log-ratio between a
     // target source's model and the corpus model — selection by
     // resemblance to a curated domain, not by rules.
@@ -2372,6 +2376,25 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS left_docs,
         |       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS right_docs
         |FROM pairs WHERE dist <= 8 GROUP BY dist ORDER BY dist""".stripMargin,
+    "x95_jaro_pairs" ->
+      """WITH heads AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_slice(string_split(lower(text), ' '), 1, 8), ' ')
+        |           AS head,
+        |         array_to_string(list_slice(string_split(lower(text), ' '), 1, 2), ' ')
+        |           AS blk
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(floor(jaro_winkler_similarity(a.head, b.head) * 1000000.0 + 0.5)
+        |           AS BIGINT) AS sim_micro
+        |  FROM heads a JOIN heads b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT sim_micro, CAST(COUNT(*) AS BIGINT) AS pairs,
+        |       CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS left_docs,
+        |       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS right_docs
+        |FROM pairs WHERE sim_micro >= 900000
+        |GROUP BY sim_micro ORDER BY sim_micro""".stripMargin,
     "x94_vocab_growth" ->
       """WITH thr AS (SELECT CAST(1 << k AS BIGINT) AS t FROM range(4, 21) r(k)),
         |toks AS (

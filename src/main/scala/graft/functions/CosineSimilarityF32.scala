@@ -99,6 +99,8 @@ object GraftFunctions {
         "cdc_chunks", graft.GraftExtensions.cdcChunksBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
         "bpe_segment", graft.GraftExtensions.bpeSegmentBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "jaro_winkler", graft.GraftExtensions.jaroWinklerBuilder, "scala_udf")
     }
 
   /** Column helper for the md5-prefix hash — the one place the SQL name and

@@ -957,8 +957,12 @@ object DedupOps {
    * [[minhashLshCapped]] caps band buckets (kept uncapped here because the
    * census is the point: the histogram must count EVERY pair).
    */
-  def fuzzyPairsCensus(
-      documents: DataFrame, headTokens: Int = 8, maxDist: Int = 8): DataFrame = {
+  /** Shared blocking relation for the head-similarity detectors (x92/x95):
+    * each doc's head (first `headTokens` tokens rejoined) keyed by its head
+    * BIGRAM block; docs with fewer than two tokens drop out (null-equivalent
+    * block in both engines). Returned as the two join legs. */
+  private def blockedHeadPairs(
+      documents: DataFrame, headTokens: Int): (DataFrame, DataFrame) = {
     val ws = TextOps.words(col("text"))
     val heads = documents.select(
       col("doc_id"),
@@ -966,8 +970,13 @@ object DedupOps {
       concat_ws(" ", slice(ws, 1, 2)).as("blk"),
       (size(ws) >= 2).as("ok"))
       .filter(col("ok"))
-    val a = heads.select(col("blk"), col("doc_id").as("doc_a"), col("head").as("head_a"))
-    val b = heads.select(col("blk"), col("doc_id").as("doc_b"), col("head").as("head_b"))
+    (heads.select(col("blk"), col("doc_id").as("doc_a"), col("head").as("head_a")),
+      heads.select(col("blk"), col("doc_id").as("doc_b"), col("head").as("head_b")))
+  }
+
+  def fuzzyPairsCensus(
+      documents: DataFrame, headTokens: Int = 8, maxDist: Int = 8): DataFrame = {
+    val (a, b) = blockedHeadPairs(documents, headTokens)
     // Two cost cuts, both semantics-neutral: (1) equal heads short-circuit
     // to distance 0 (an O(len) comparison instead of the DP — in a
     // duplication-heavy corpus MOST surviving pairs are exact head matches);
@@ -985,5 +994,39 @@ object DedupOps {
         countDistinct(col("doc_a")).as("left_docs"),
         countDistinct(col("doc_b")).as("right_docs"))
       .orderBy(col("dist"))
+  }
+
+  /**
+   * x95: Jaro–Winkler fuzzy-match census — [[fuzzyPairsCensus]]'s
+   * transposition-tolerant, front-weighted sibling, scored by the
+   * [[graft.functions.JaroWinkler]] codegen expression (Spark has no
+   * built-in JW; this is the record-linkage scorer of choice for short
+   * name-like keys, and its per-pair cost is O(len·window) — CHEAPER than
+   * banded Levenshtein on near-equal-length heads). Same head-bigram
+   * blocking, same scale story.
+   *
+   * The similarity is quantized to integer micro units with the engine's
+   * floor(x·1e6 + 0.5) rule BEFORE filtering and grouping, so the histogram
+   * key is a BIGINT — no float groups cross the oracle boundary. Equal
+   * heads short-circuit to exactly 1e6 micro (JW of identical strings is
+   * 1.0 by definition), skipping the match loop for the duplication-heavy
+   * common case.
+   */
+  def jaroPairsCensus(
+      documents: DataFrame, headTokens: Int = 8, minSimMicro: Long = 900000L): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val (a, b) = blockedHeadPairs(documents, headTokens)
+    val jw = call_function("jaro_winkler", col("head_a"), col("head_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("sim_micro", when(col("head_a") === col("head_b"), lit(1000000L))
+        .otherwise(floor(jw * lit(1e6) + lit(0.5)).cast("long")))
+      .filter(col("sim_micro") >= minSimMicro)
+      .groupBy(col("sim_micro"))
+      .agg(
+        count(lit(1)).as("pairs"),
+        countDistinct(col("doc_a")).as("left_docs"),
+        countDistinct(col("doc_b")).as("right_docs"))
+      .orderBy(col("sim_micro"))
   }
 }
