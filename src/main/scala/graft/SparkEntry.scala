@@ -667,6 +667,14 @@ object SparkEntry {
     // integer-micro histogram, same blocking as x92.
     "x95_jaro_pairs" -> ((s, d) =>
       DedupOps.jaroPairsCensus(docs(s, d))),
+    // Expected calibration error: the x91 ramp folded to one number with an
+    // exact integer numerator (micro-space identity), MCE alongside.
+    "x96_nb_ece" -> ((s, d) =>
+      PrepOps.nbEceCensus(docs(s, d))),
+    // Zipf rank-frequency OLS slope over the top-1000 tokens: exact decimal
+    // moments of once-quantized logs, two divisions total.
+    "x97_zipf_slope" -> ((s, d) =>
+      SearchOps.zipfSlope(docs(s, d))),
     // DSIR-style importance weights: per-doc unigram log-ratio between a
     // target source's model and the corpus model — selection by
     // resemblance to a curated domain, not by rules.
@@ -2376,6 +2384,50 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS left_docs,
         |       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS right_docs
         |FROM pairs WHERE dist <= 8 GROUP BY dist ORDER BY dist""".stripMargin,
+    "x96_nb_ece" -> (nbScoreSql +
+      """,
+        |pm AS (SELECT doc_id, weak_good, llr_micro,
+        |         CAST(floor((1.0 / (1.0 + exp(-CAST(llr_micro AS DOUBLE) / 1000000.0)))
+        |           * 1000000.0 + 0.5) AS BIGINT) AS p_micro
+        |       FROM scored),
+        |rk AS (SELECT weak_good, p_micro,
+        |         CAST(NTILE(10) OVER (ORDER BY llr_micro, doc_id) AS BIGINT) AS decile
+        |       FROM pm),
+        |per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_b,
+        |          CAST(SUM(CASE WHEN weak_good THEN 1 ELSE 0 END) AS BIGINT) AS pos_b,
+        |          CAST(SUM(p_micro) AS BIGINT) AS sp_b
+        |        FROM rk GROUP BY decile),
+        |g AS (SELECT n_b, abs(pos_b * 1000000 - sp_b) AS gap_num FROM per)
+        |SELECT CAST(SUM(n_b) AS BIGINT) AS docs,
+        |       CAST(SUM(gap_num) AS BIGINT) AS ece_num_micro,
+        |       CAST(CAST(SUM(gap_num) AS BIGINT) AS DOUBLE)
+        |         / (CAST(SUM(n_b) AS DOUBLE) * 1000000.0) AS ece,
+        |       MAX(CAST(gap_num AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0)) AS mce
+        |FROM g""".stripMargin),
+    "x97_zipf_slope" ->
+      """WITH occ AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY w),
+        |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 1000),
+        |rk AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+        |       FROM top),
+        |pts AS (SELECT
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+        |  FROM rk),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_fit,
+        |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |      FROM pts)
+        |SELECT k_fit,
+        |  CAST(k_fit * sxy - sx * sy AS DOUBLE)
+        |    / CAST(k_fit * sxx - sx * sx AS DOUBLE) AS slope,
+        |  ((CAST(sy AS DOUBLE)
+        |      - (CAST(k_fit * sxy - sx * sy AS DOUBLE)
+        |         / CAST(k_fit * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(k_fit AS DOUBLE)) / 1000000.0 AS intercept
+        |FROM m""".stripMargin,
     "x95_jaro_pairs" ->
       """WITH heads AS (
         |  SELECT doc_id,

@@ -328,6 +328,51 @@ object PrepOps {
   }
 
   /**
+   * x96: expected calibration error (ECE) of [[nbQualityScore]] over exact
+   * score deciles — the one-number summary of the x91 ramp: how far the
+   * predicted probabilities sit from the observed positive rates,
+   * bin-weighted. MCE (the worst single bin) rides along.
+   *
+   * The usual ECE formula averages doubles twice (per-bin mean confidence,
+   * then the weighted sum). Both collapse into integer space: with each
+   * row's probability quantized once to `p_micro`, a bin's
+   * `n_b·|pos_rate − conf|` equals `|pos_b·1e6 − Σ p_micro| / 1e6`, so
+   * `ECE = Σ_b |pos_b·1e6 − sp_b| / (N·1e6)` — an exact integer numerator
+   * (order- and partitioning-invariant) and ONE division. MCE divides each
+   * bin's exact numerator by its own `n_b·1e6` and takes the max — max of
+   * identical doubles, no summation-order hazard.
+   *
+   * Scale shape: deciles come from the same two-pass closed-form rank as
+   * x91 (no single-partition window); everything after is a 10-row reduce.
+   */
+  def nbEceCensus(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+    val p = lit(1.0) / (lit(1.0) + exp(-col("llr_micro").cast("double") / lit(1e6)))
+    val scored = nbQualityScore(documents, minWords, maxWords)
+      .select(col("doc_id"), col("weak_good"), col("llr_micro"))
+      .withColumn("p_micro", floor(p * lit(1e6) + lit(0.5)).cast("long"))
+      .localCheckpoint()
+    val per = WindowOps.withGlobalNtile(
+        scored, expr("llr_micro DIV 1048576"),
+        Seq(col("llr_micro"), col("doc_id")), 10, "decile")
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_b"),
+        sum(when(col("weak_good"), 1L).otherwise(0L)).as("pos_b"),
+        sum(col("p_micro")).as("sp_b"))
+      .withColumn("gap_num", abs(col("pos_b") * lit(1000000L) - col("sp_b")))
+    per.agg(
+        sum(col("n_b")).as("docs"),
+        sum(col("gap_num")).as("ece_num_micro"),
+        max(col("gap_num").cast("double")
+          / (col("n_b").cast("double") * lit(1e6))).as("mce"))
+      .select(col("docs"), col("ece_num_micro"),
+        (col("ece_num_micro").cast("double")
+          / (col("docs").cast("double") * lit(1e6))).as("ece"),
+        col("mce"))
+  }
+
+  /**
    * Quality-rule census per language: documents, survivors, per-rule
    * failure counts (non-exclusive — a doc failing two rules counts in
    * both), and the surviving token mass. The audit view that tells a

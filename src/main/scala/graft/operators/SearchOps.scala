@@ -195,4 +195,62 @@ object SearchOps {
         col("score_micro"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /**
+   * x97: Zipf rank–frequency slope over the top-`k` tokens — the second
+   * corpus-shape diagnostic alongside [[TextOps.vocabGrowth]]'s Heaps
+   * curve: natural text shows `freq ∝ rank^s` with s ≈ −1 on a log–log
+   * plot; a much flatter slope means template recycling, a much steeper
+   * one a vocabulary collapse. Reported as the OLS fit of `ln(freq)` on
+   * `ln(rank)` with the exact sums carried as integers.
+   *
+   * Determinism: ranks come from a TOTAL order (count desc, token asc — a
+   * `TakeOrderedAndProject`, never a global sort), each `ln` is quantized
+   * ONCE to micro-nats, and the OLS moments `Σx, Σy, Σxy, Σx²` are exact
+   * decimal sums of integer products — the closed-form slope and intercept
+   * each divide once at the end. The k-row ranked relation is tiny by
+   * construction, so the single-partition `row_number` window over it is a
+   * k-row job tail, not a corpus-wide choke point; everything corpus-sized
+   * stays in the token-keyed partial-agg groupBy.
+   */
+  def zipfSlope(documents: DataFrame, k: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = documents.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(k)
+    val ranked = top.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+    val d38 = "decimal(38,0)"
+    val pts = ranked.select(
+      floor(log(col("r").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("x"),
+      floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("y"))
+    pts.agg(
+        count(lit(1)).as("k_fit"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x").cast(d38) * col("y"))).as("sxy"),
+        sum((col("x").cast(d38) * col("x"))).as("sxx"))
+      .select(col("k_fit"),
+        olsSlope(col("k_fit"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+          .as("slope"),
+        olsIntercept(col("k_fit"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+          .as("intercept"))
+  }
+
+  /** OLS slope from the exact decimal moments; micro scaling cancels in the
+    * ratio, so the result is in nats/nat directly. Doubles enter only here,
+    * one division. */
+  private def olsSlope(
+      n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column): Column =
+    ((n.cast("decimal(38,0)") * sxy - sx * sy).cast("double")
+      / (n.cast("decimal(38,0)") * sxx - sx * sx).cast("double"))
+
+  /** OLS intercept `(Σy − slope·Σx)/n`, entirely from the same moments;
+    * the 1e6 quantization divides back out at the end. */
+  private def olsIntercept(
+      n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column): Column =
+    ((sy.cast("double") - olsSlope(n, sx, sy, sxy, sxx) * sx.cast("double"))
+      / n.cast("double")) / lit(1e6)
 }
+

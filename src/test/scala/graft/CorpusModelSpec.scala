@@ -149,6 +149,15 @@ class CorpusModelSpec extends SparkSpec {
       (true, 1L, 142379L, 0.142379)), rows.mkString(","))
   }
 
+  test("nbEceCensus: micro-space identity, three singleton deciles hand-checked") {
+    // p_micro: doc1 622668, doc2 10084, doc3 594265; singleton bins so
+    // gap_num = p_micro (y=0) or 1e6-p_micro (y=1):
+    //   ece_num = 10084 + 594265 + (1e6-622668) = 981681; mce = 0.594265
+    val r = PrepOps.nbEceCensus(nbFixture, minWords = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      == ((3L, 981681L, 0.327227, 0.594265)), r.toString)
+  }
+
   test("noveltyWeightedSample: novelty-1 docs always kept, novelty-0 never") {
     // doc1 fully novel (n_novel = n_shingles): keep iff u60 < 2^60 — always.
     // doc2 repeats doc1's text exactly (n_novel = 0): keep iff u60 < 0 — never.

@@ -127,4 +127,23 @@ class SearchOpsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getString(2)))
     assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")), rows.mkString(","))
   }
+
+  test("zipfSlope: exact decimal moments of quantized logs, OLS hand-checked") {
+    // counts a=4,b=2,c=1 -> ranks 1,2,3; x_micro=[0,693147,1098612],
+    // y_micro=[1386294,693147,0] -> slope -1.233661944443767,
+    // intercept 1.429955297304873 (python replica, same op order)
+    val docs = docsOf((1L, "a a a a b b c", "en", "s"))
+    val r = SearchOps.zipfSlope(docs).collect().head
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2))
+      == ((3L, -1.233661944443767, 1.429955297304873)), r.toString)
+  }
+
+  test("zipfSlope: k caps the fit set deterministically across count ties") {
+    // six tokens tied at count 1: k=4 keeps the lexicographically first four
+    val docs = docsOf((1L, "f e d c b a", "en", "s"))
+    val r = SearchOps.zipfSlope(docs, k = 4).collect().head
+    assert(r.getLong(0) == 4L, r.toString)
+    // all y equal (ln 1 = 0) -> slope exactly 0, intercept exactly 0
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0, r.toString)
+  }
 }
