@@ -675,6 +675,10 @@ object SparkEntry {
     // moments of once-quantized logs, two divisions total.
     "x97_zipf_slope" -> ((s, d) =>
       SearchOps.zipfSlope(docs(s, d))),
+    // Per-source scorecard: volume, within-source exact-dup rate, quality
+    // keep rate, token mass — one source-keyed aggregation, no joins.
+    "x98_source_scorecard" -> ((s, d) =>
+      PrepOps.sourceScorecard(docs(s, d))),
     // DSIR-style importance weights: per-doc unigram log-ratio between a
     // target source's model and the corpus model — selection by
     // resemblance to a curated domain, not by rules.
@@ -2404,6 +2408,29 @@ object SparkEntry {
         |         / (CAST(SUM(n_b) AS DOUBLE) * 1000000.0) AS ece,
         |       MAX(CAST(gap_num AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0)) AS mce
         |FROM g""".stripMargin),
+    "x98_source_scorecard" ->
+      """WITH m AS (
+        |  SELECT source, text, string_split(lower(text), ' ') AS w, strlen(text) AS c
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, md5(lower(trim(text))) AS fp, CAST(len(w) AS BIGINT) AS n,
+        |    ((len(w) >= 30 AND len(w) <= 1000)
+        |      AND (3*len(w) <= c - len(w) + 1 AND c - len(w) + 1 <= 12*len(w))
+        |      AND (5*len(list_distinct(w)) >= len(w))
+        |      AND (5*list_max(list_transform(list_distinct(w),
+        |             x -> len(list_filter(w, y -> y = x)))) <= len(w))) AS ok
+        |  FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS dup_rate,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+        |  CAST(SUM(n) AS BIGINT) AS tokens,
+        |  CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_tokens
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "x97_zipf_slope" ->
       """WITH occ AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),

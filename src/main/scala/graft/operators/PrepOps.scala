@@ -373,6 +373,40 @@ object PrepOps {
   }
 
   /**
+   * x98: per-source scorecard — the triage table a pipeline operator reads
+   * FIRST when a new crawl lands: for each source, volume (docs, token
+   * mass), within-source exact duplication (docs minus distinct normalized
+   * fingerprints — the "is this feed recycling itself" number), and the
+   * quality-rule keep rate. One row per source; every rate divides exact
+   * integers once.
+   *
+   * Scale shape: per-doc flags and the md5 fingerprint are single-scan row
+   * expressions; the only shuffle is the source-keyed aggregation, with
+   * `count_distinct(fp)` resolved inside it (partial aggregation absorbs
+   * the per-source fan-in before the exchange). No joins.
+   */
+  def sourceScorecard(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame =
+    ruleFlags(minWords, maxWords)(documents)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        countDistinct(col("fp")).as("distinct_docs"),
+        sum(when(col("p_wc") && col("p_wlen") && col("p_ttr") && col("p_dom"), 1L)
+          .otherwise(0L)).as("kept"),
+        sum(col("n_toks").cast("long")).as("tokens"))
+      .select(col("source"), col("docs"),
+        (col("docs") - col("distinct_docs")).as("dup_docs"),
+        (col("docs") - col("distinct_docs")).cast("double")
+          ./(col("docs").cast("double")).as("dup_rate"),
+        col("kept"),
+        col("kept").cast("double")./(col("docs").cast("double")).as("keep_rate"),
+        col("tokens"),
+        col("tokens").cast("double")./(col("docs").cast("double")).as("mean_tokens"))
+      .orderBy(col("source"))
+
+  /**
    * Quality-rule census per language: documents, survivors, per-rule
    * failure counts (non-exclusive — a doc failing two rules counts in
    * both), and the surviving token mass. The audit view that tells a

@@ -196,4 +196,20 @@ class PrepOpsSpec extends SparkSpec {
     // alpha df=3; beta df=2 tf=3; gamma/delta df=1 tf=1 → tie broken by word asc
     assert(top.toSeq == Seq(("alpha", 3L, 3L), ("beta", 2L, 3L), ("delta", 1L, 1L)))
   }
+
+  test("sourceScorecard: per-source dup/keep/token census hand-checked") {
+    // src a: two copies of a rule-passing doc (dup_docs 1, both kept) plus a
+    // dom-rule failure; src b: one short dom-failing doc.
+    val docs = docsOf(
+      (1L, "alpha bravo candy delta echos", "en", "a"),
+      (2L, "alpha bravo candy delta echos", "en", "a"),
+      (3L, "alpha alpha alpha alpha alpha", "en", "a"),
+      (4L, "bravo candy delta", "en", "b"))
+    val rows = PrepOps.sourceScorecard(docs, minWords = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(6), r.getDouble(7)))
+    assert(rows.toSeq == Seq(
+      ("a", 3L, 1L, 2L, 15L, 5.0),
+      ("b", 1L, 0L, 0L, 3L, 3.0)), rows.mkString(","))
+  }
 }
