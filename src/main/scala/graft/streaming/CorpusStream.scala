@@ -130,4 +130,33 @@ object CorpusStream {
     fs.mkdirs(markerDir)
     fs.create(marker, true).close()
   }
+
+  /**
+   * foreachBatch scorecard monitor — [[graft.operators.PrepOps
+   * .sourceScorecard]] (x98) per micro-batch: each ingest batch appends its
+   * own per-source volume / dup-rate / keep-rate rows keyed by `batch_id`,
+   * so a feed whose duplication or quality-failure rate spikes is flagged
+   * on THIS batch, hours before the next full-corpus audit would see it.
+   *
+   * Cross-batch-STATELESS like [[driftMonitorBatch]] (per-batch rates need
+   * no history; trend reading happens downstream over the log), with the
+   * same marker guard making replays no-ops — the log stays append-exact
+   * under at-least-once delivery.
+   */
+  def scorecardBatch(
+      scorecardLogPath: String,
+      minWords: Int = 30,
+      maxWords: Int = 1000)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val markerDir = new Path(s"$scorecardLogPath/_graft_batches")
+    val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(markerDir, batchId.toString)
+    if (fs.exists(marker)) return
+    PrepOps.sourceScorecard(batch, minWords, maxWords)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(scorecardLogPath)
+    fs.mkdirs(markerDir)
+    fs.create(marker, true).close()
+  }
 }

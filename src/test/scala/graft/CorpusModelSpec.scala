@@ -210,6 +210,30 @@ class CorpusModelSpec extends SparkSpec {
     assert(log().count() == n, "replayed batch must be a no-op")
   }
 
+  test("scorecardBatch: per-batch x98 rows keyed by batch_id; replay is a no-op") {
+    import org.apache.spark.sql.functions._
+    val docs = docsOf(
+      (1L, "alpha bravo candy delta echos", "en", "a"),
+      (2L, "alpha bravo candy delta echos", "en", "a"),
+      (3L, "bravo candy delta", "en", "b"))
+    val tmp = java.nio.file.Files.createTempDirectory("scorecard_log").toString + "/log"
+    val sink = graft.streaming.CorpusStream.scorecardBatch(tmp, minWords = 2)(_, _)
+    sink(docs.filter(col("doc_id") <= 2L), 0L)
+    sink(docs.filter(col("doc_id") === 3L), 1L)
+    def log() = spark.read.parquet(tmp)
+    // batch 0: source a, two identical kept docs -> dup_docs 1, kept 2
+    val b0 = log().filter(col("batch_id") === 0L).collect().head
+    assert((b0.getString(0), b0.getLong(1), b0.getLong(2), b0.getLong(4))
+      == (("a", 2L, 1L, 2L)), b0.toString)
+    // batch 1: source b, one dom-failing doc
+    val b1 = log().filter(col("batch_id") === 1L).collect().head
+    assert((b1.getString(0), b1.getLong(1), b1.getLong(2), b1.getLong(4))
+      == (("b", 1L, 0L, 0L)), b1.toString)
+    val n = log().count()
+    sink(docs.filter(col("doc_id") <= 2L), 0L)
+    assert(log().count() == n, "replayed batch must be a no-op")
+  }
+
   test("sourceDriftKl: a source matching the corpus distribution has zero drift") {
     // Identical texts -> every per-token ratio is 1, ln=0, wq=floor(0.5)=0.
     val docs = docsOf(
