@@ -679,6 +679,10 @@ object SparkEntry {
     // keep rate, token mass — one source-keyed aggregation, no joins.
     "x98_source_scorecard" -> ((s, d) =>
       PrepOps.sourceScorecard(docs(s, d))),
+    // Per-doc unigram Shannon entropy: exact integer numerator over
+    // once-quantized logs, one division — the information-density signal.
+    "x99_token_entropy" -> ((s, d) =>
+      TextOps.tokenEntropy(docs(s, d))),
     // DSIR-style importance weights: per-doc unigram log-ratio between a
     // target source's model and the corpus model — selection by
     // resemblance to a curated domain, not by rules.
@@ -2408,6 +2412,22 @@ object SparkEntry {
         |         / (CAST(SUM(n_b) AS DOUBLE) * 1000000.0) AS ece,
         |       MAX(CAST(gap_num AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0)) AS mce
         |FROM g""".stripMargin),
+    "x99_token_entropy" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM occ GROUP BY doc_id, w),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+        |    CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sce_micro
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_toks, sce_micro,
+        |  n_toks * CAST(floor(ln(CAST(n_toks AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    - sce_micro AS ent_num,
+        |  CAST(n_toks * CAST(floor(ln(CAST(n_toks AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    - sce_micro AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1000000.0) AS entropy
+        |FROM per ORDER BY doc_id""".stripMargin,
     "x98_source_scorecard" ->
       """WITH m AS (
         |  SELECT source, text, string_split(lower(text), ' ') AS w, strlen(text) AS c

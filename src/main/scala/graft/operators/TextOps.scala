@@ -600,6 +600,44 @@ object TextOps {
    * over per-doc counts. Everything is integer-exact; the type-token ratio
    * divides once per checkpoint row.
    */
+  /**
+   * x99: per-document unigram Shannon entropy — the information-density
+   * quality signal the ratio rules can't see: type–token ratio treats "a a
+   * a b b b" and "a b a b a b" alike and repetitionStats looks at adjacent
+   * structure, but a LOW-entropy doc is dominated by few tokens regardless
+   * of arrangement (boilerplate, keyword stuffing), and entropy grades it
+   * on a calibrated nats scale. `H = ln n − (1/n)·Σ c_w·ln c_w` over the
+   * doc's token counts.
+   *
+   * Exactness: each ln is quantized ONCE per integer input (ln c for a
+   * count, ln n for the doc length), and the identity is carried as the
+   * exact integer numerator `ent_num = n·⌊ln n·1e6⌉ − Σ c·⌊ln c·1e6⌉` —
+   * partitioning-invariant — with entropy = ent_num/(n·1e6), ONE division.
+   * Singleton tokens contribute exactly 0 (⌊ln 1·1e6⌉ = 0), so the sum is
+   * over repeated tokens only.
+   *
+   * Scale shape: one explode → (doc_id, token)-keyed counting aggregation
+   * (map-side partials) → one doc-keyed reduce. Same two-shuffle shape as
+   * every per-doc token census here; nothing is corpus-global.
+   */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_toks"),
+        sum(col("c") * floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long")).as("sce_micro"))
+      .withColumn("ent_num",
+        col("n_toks") * floor(log(col("n_toks").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long") - col("sce_micro"))
+      .withColumn("entropy",
+        col("ent_num").cast("double") / (col("n_toks").cast("double") * lit(1e6)))
+      .orderBy(col("doc_id"))
+  }
+
   def vocabGrowth(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._

@@ -84,6 +84,22 @@ class TextScoringSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == ((3L, 3L, 1.0)), r.toString)
   }
 
+  test("tokenEntropy: exact integer numerator over quantized logs, hand-checked") {
+    // "a a a a b b c d": n=8, sce = 4*ln4µ + 2*ln2µ = 6931470,
+    // ent_num = 8*2079442 - 6931470 = 9704066 -> entropy 1.21300825
+    // uniform "p q r s": every count 1 -> sce 0, H = ln(4) quantized
+    val docs = docsOf(
+      (1L, "a a a a b b c d", "en", "s"),
+      (2L, "p q r s", "en", "s"),
+      (3L, "z z z z", "en", "s")) // degenerate: H exactly 0
+    val rows = TextOps.tokenEntropy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 8L, 6931470L, 9704066L, 1.21300825),
+      (2L, 4L, 0L, 4L * 1386294L, 1.386294),
+      (3L, 4L, 4L * 1386294L, 0L, 0.0)), rows.mkString(","))
+  }
+
   test("vocabGrowth: first-occurrence prefix counts at power-of-two checkpoints") {
     // doc0 {a,b}, doc10 {b,c}, doc20 {c,d,e}:
     //   t=16  -> docs {0,10}: tokens 4, vocab {a,b,c} = 3
