@@ -683,6 +683,10 @@ object SparkEntry {
     // once-quantized logs, one division — the information-density signal.
     "x99_token_entropy" -> ((s, d) =>
       TextOps.tokenEntropy(docs(s, d))),
+    // Per-class precision/recall/F1 + macro-F1 from the x89 confusion
+    // counts — each metric one division of exact integers.
+    "x100_nb_prf" -> ((s, d) =>
+      PrepOps.nbPrfCensus(docs(s, d))),
     // DSIR-style importance weights: per-doc unigram log-ratio between a
     // target source's model and the corpus model — selection by
     // resemblance to a curated domain, not by rules.
@@ -2412,6 +2416,24 @@ object SparkEntry {
         |         / (CAST(SUM(n_b) AS DOUBLE) * 1000000.0) AS ece,
         |       MAX(CAST(gap_num AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0)) AS mce
         |FROM g""".stripMargin),
+    "x100_nb_prf" -> (nbScoreSql +
+      """,
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN weak_good AND pred_good THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT weak_good AND pred_good THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN weak_good AND NOT pred_good THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT weak_good AND NOT pred_good THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM scored)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS p_good,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS r_good,
+        |  CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) AS f1_good,
+        |  CAST(tn AS DOUBLE) / CAST(tn + fn AS DOUBLE) AS p_bad,
+        |  CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) AS r_bad,
+        |  CAST(2*tn AS DOUBLE) / CAST(2*tn + fn + fp AS DOUBLE) AS f1_bad,
+        |  (CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+        |    + CAST(2*tn AS DOUBLE) / CAST(2*tn + fn + fp AS DOUBLE)) / 2.0 AS macro_f1
+        |FROM c""".stripMargin),
     "x99_token_entropy" ->
       """WITH occ AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),

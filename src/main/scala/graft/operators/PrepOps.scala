@@ -328,6 +328,36 @@ object PrepOps {
   }
 
   /**
+   * x100: per-class precision / recall / F1 + macro-F1 — the standard
+   * classification report from the same four confusion counts as x89
+   * (which reports accuracy/kappa). Each metric is ONE division of exact
+   * integers (`F1 = 2tp/(2tp+fp+fn)` — the harmonic mean without computing
+   * P and R first); macro-F1 averages the two class F1s in a fixed-order
+   * two-term expression, not an aggregation, so there is no summation-order
+   * hazard. Whole-corpus reduce to a single row.
+   */
+  def nbPrfCensus(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
+    val scored = nbQualityScore(documents, minWords, maxWords)
+    def d(c: Column): Column = c.cast("double")
+    val base = scored.agg(
+      sum(when(col("weak_good") && col("pred_good"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("weak_good") && col("pred_good"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("weak_good") && !col("pred_good"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("weak_good") && !col("pred_good"), 1L).otherwise(0L)).as("tn"))
+    val f1g = d(lit(2) * col("tp")) / d(lit(2) * col("tp") + col("fp") + col("fn"))
+    val f1b = d(lit(2) * col("tn")) / d(lit(2) * col("tn") + col("fn") + col("fp"))
+    base.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      (d(col("tp")) / d(col("tp") + col("fp"))).as("p_good"),
+      (d(col("tp")) / d(col("tp") + col("fn"))).as("r_good"),
+      f1g.as("f1_good"),
+      (d(col("tn")) / d(col("tn") + col("fn"))).as("p_bad"),
+      (d(col("tn")) / d(col("tn") + col("fp"))).as("r_bad"),
+      f1b.as("f1_bad"),
+      ((f1g + f1b) / lit(2.0)).as("macro_f1"))
+  }
+
+  /**
    * x96: expected calibration error (ECE) of [[nbQualityScore]] over exact
    * score deciles — the one-number summary of the x91 ramp: how far the
    * predicted probabilities sit from the observed positive rates,

@@ -137,6 +137,18 @@ class CorpusModelSpec extends SparkSpec {
       (3L, 1L, 1L, 500890L, 500890L, 1.0)), rows.mkString(","))
   }
 
+  test("nbPrfCensus: per-class P/R/F1 and macro-F1 from the confusion counts") {
+    // tp=1 fp=1 fn=0 tn=1 -> p_good .5, r_good 1, f1_good 2/3;
+    // p_bad 1, r_bad .5, f1_bad 2/3; macro 2/3
+    val r = PrepOps.nbPrfCensus(nbFixture, minWords = 2).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((1L, 1L, 0L, 1L)), r.toString)
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) == ((0.5, 1.0, 2d / 3d)),
+      r.toString)
+    assert((r.getDouble(7), r.getDouble(8), r.getDouble(9), r.getDouble(10))
+      == ((1.0, 0.5, 2d / 3d, 2d / 3d)), r.toString)
+  }
+
   test("nbBrierScore: logistic of the integer LLR, per-class micro sums hand-checked") {
     // p = 1/(1+exp(-llr_micro/1e6)); se_micro = floor((p-y)^2*1e6+0.5):
     //   doc1 (good,  +500890): se = 142379
