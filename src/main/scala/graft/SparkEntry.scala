@@ -687,6 +687,10 @@ object SparkEntry {
     // counts — each metric one division of exact integers.
     "x100_nb_prf" -> ((s, d) =>
       PrepOps.nbPrfCensus(docs(s, d))),
+    // Token burstiness top-k: variance-to-mean of per-doc counts (zeros
+    // included) from exact decimal moments — topical vs function words.
+    "x101_burstiness" -> ((s, d) =>
+      SearchOps.burstiness(docs(s, d))),
     // DSIR-style importance weights: per-doc unigram log-ratio between a
     // target source's model and the corpus model — selection by
     // resemblance to a curated domain, not by rules.
@@ -2416,6 +2420,24 @@ object SparkEntry {
         |         / (CAST(SUM(n_b) AS DOUBLE) * 1000000.0) AS ece,
         |       MAX(CAST(gap_num AS DOUBLE) / (CAST(n_b AS DOUBLE) * 1000000.0)) AS mce
         |FROM g""".stripMargin),
+    "x101_burstiness" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |st AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+        |         CAST(SUM(c) AS BIGINT) AS s1,
+        |         SUM(CAST(c AS HUGEINT) * c) AS s2
+        |       FROM cnt GROUP BY w)
+        |SELECT w, df, s1, CAST(s2 AS BIGINT) AS s2,
+        |  CAST(floor(
+        |    (CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |      / CAST(n * CAST(s1 AS HUGEINT) AS DOUBLE)) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS vmr_micro
+        |FROM st CROSS JOIN n
+        |ORDER BY vmr_micro DESC, w LIMIT 20""".stripMargin,
     "x100_nb_prf" -> (nbScoreSql +
       """,
         |c AS (SELECT

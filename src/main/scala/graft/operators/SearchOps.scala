@@ -238,6 +238,50 @@ object SearchOps {
           .as("intercept"))
   }
 
+  /**
+   * x101: token burstiness census — the top-`k` tokens by variance-to-mean
+   * ratio of their per-document counts (zeros included), the Church–Gale
+   * signal separating TOPICAL tokens (bursty: absent from most docs, heavy
+   * where present) from function words (evenly spread, VMR ≈ 1 under the
+   * Poisson null). A curation pipeline reads this census to pick topic
+   * carriers for mixing audits and to spot template artifacts (a boilerplate
+   * token is EXTREMELY bursty).
+   *
+   * With zeros included the moments need only per-occurrence sums:
+   * `VMR = (N·Σc² − (Σc)²)/(N·Σc)` over the N corpus docs — Σc and Σc² are
+   * exact integer aggregates of the (doc, token) counts (decimal-carried;
+   * Σc² approaches (corpus tokens)² on degenerate corpora), N is a
+   * single-row broadcast, and the ratio is ONE division, quantized to
+   * micros for a deterministic (vmr desc, token) TakeOrdered top-k.
+   *
+   * Scale shape: the (doc,token) count and the token-keyed moment reduce
+   * are the same two partial-agg shuffles as [[TextOps.tokenEntropy]]; the
+   * top-k is a k-row `TakeOrderedAndProject`, never a global sort.
+   */
+  def burstiness(documents: DataFrame, k: Int = 20): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perDoc = documents
+      .select(col("doc_id"), explode(ws).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    perDoc.groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("c")).as("s1"),
+        sum((col("c").cast(d38) * col("c"))).as("s2"))
+      .crossJoin(broadcast(n))
+      .withColumn("vmr_micro", floor(
+        ((col("n").cast(d38) * col("s2") - col("s1").cast(d38) * col("s1"))
+          .cast("double")
+          / (col("n").cast(d38) * col("s1")).cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long"))
+      .orderBy(col("vmr_micro").desc, col("w"))
+      .limit(k)
+      .select(col("w"), col("df"), col("s1"),
+        col("s2").cast("long").as("s2"), col("vmr_micro"))
+  }
+
   /** OLS slope from the exact decimal moments; micro scaling cancels in the
     * ratio, so the result is in nats/nat directly. Doubles enter only here,
     * one division. */

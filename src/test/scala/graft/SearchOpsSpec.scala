@@ -138,6 +138,19 @@ class SearchOpsSpec extends SparkSpec {
       == ((3L, -1.233661944443767, 1.429955297304873)), r.toString)
   }
 
+  test("burstiness: VMR with zeros included, hand-checked; ties break by token") {
+    // d1 "a a a a", d2 "b", d3 "b" (N=3):
+    //   a: s1=4 s2=16 -> (3*16-16)/(3*4) = 8/3 -> 2666667 micro (bursty)
+    //   b: s1=2 s2=2  -> (6-4)/6 = 1/3   ->  333333 micro (spread out)
+    val docs = docsOf(
+      (1L, "a a a a", "en", "s"), (2L, "b", "en", "s"), (3L, "b", "en", "s"))
+    val rows = SearchOps.burstiness(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      ("a", 1L, 4L, 16L, 2666667L),
+      ("b", 2L, 2L, 2L, 333333L)), rows.mkString(","))
+  }
+
   test("zipfSlope: k caps the fit set deterministically across count ties") {
     // six tokens tied at count 1: k=4 keeps the lexicographically first four
     val docs = docsOf((1L, "f e d c b a", "en", "s"))
