@@ -64,19 +64,25 @@ object Bench {
         // A failed query must be VISIBLE: a swallowed exception records its
         // time-to-throw as if it were a measurement (a 0.1 s "steady" that
         // masked a missing function registration in a name-filtered run).
-        // The timing contract is unchanged — the error goes to stderr.
-        try { fn(spark, sfDir).count() }
+        // A failed rep records the -1 sentinel — its time-to-throw must not
+        // leak into the cold/steady aggregates either — and the error goes
+        // to stderr.
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"bench: $name rep $i FAILED: $e")
+          -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
       (name, times)
     }
+    // -1 sentinel reps are excluded everywhere: a query whose every warm rep
+    // failed reports steady = -1 (visibly broken), and failed queries never
+    // deflate the totals.
     def cold(t: Seq[Double]) = t.head
-    def steady(t: Seq[Double]) = t.tail.min
-    val steadyTotal = results.map(t => steady(t._2)).sum
-    val coldTotal = results.map(t => cold(t._2)).sum
+    def steady(t: Seq[Double]) = { val ok = t.tail.filter(_ >= 0); if (ok.nonEmpty) ok.min else -1.0 }
+    val steadyTotal = results.map(t => steady(t._2)).filter(_ >= 0).sum
+    val coldTotal = results.map(t => cold(t._2)).filter(_ >= 0).sum
+    val nFailed = results.count(_._2.exists(_ < 0))
     val notes = "steady=min of warm reps (regression gauge), cold=first run " +
       "(includes per-query codegen compile); full per-rep series in the " +
       "detail file; slow-JIT queries (x2) need 4+ warm reps to reach their " +
@@ -161,6 +167,16 @@ object Bench {
     // prefix-free capture channel; the line stays compact (steady map
     // only) so it fits any reasonable tail window.
     System.err.println(line)
+    // FIFTH-strike fix: even the steady-map-only line outgrew the driver's
+    // captured tail at 121 queries (BENCH_r07 again started mid-JSON). The
+    // LAST thing on both streams is therefore a totals-only line (~100
+    // bytes) that survives any tail window; the per-query map lives one
+    // line up and in the detail file.
+    val totals = s"""{"metric":"total_steady","value":$steadyTotal,""" +
+      s""""unit":"sec","total_cold":$coldTotal,"n":${results.size},""" +
+      s""""n_failed":$nFailed,"sf":"$sfDir"}"""
+    println(totals)
+    System.err.println(totals)
     spark.stop()
   }
 }

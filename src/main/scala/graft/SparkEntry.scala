@@ -566,9 +566,11 @@ object SparkEntry {
     "x56_bm25_topk" -> ((s, d) =>
       SearchOps.bm25TopK(docs(s, d), Bm25Terms, 10)),
     // SemDeDup-style semantic dedup APPLIED over the embedding corpus:
-    // exact cell-bucketed pairs -> transitive components -> keep min
-    // vec_id; gated via a per-label survivor census (the all-pairs oracle
-    // is centroid-independent, same guarantee as x4/x39).
+    // capped connectivity-preserving pairs (exact-duplicate collapse +
+    // clique<=cap ∪ star>cap per paired cell) -> transitive components ->
+    // keep min vec_id; gated via a per-label survivor census (the all-pairs
+    // oracle is centroid-independent: the capped generator provably closes
+    // into the same components — see semanticDedupPairs).
     "x57_semdedup_corpus" -> ((s, d) =>
       SimilarityOps.semanticDedupCorpus(emb(s, d), 0.4, 100)
         .groupBy(col("label"))

@@ -257,23 +257,37 @@ object DedupOps {
    * bounded store rewrite, run at maintenance cadence (the read-side
    * anti-join cost grows with the tombstone table, not the store, so
    * compaction frequency trades write amplification against read
-   * overhead). The rewrite goes through a sibling directory + rename so a
-   * crash mid-compaction leaves either the old store or the new one,
-   * never a half-written mix being read.
+   * overhead). The rewrite goes through a sibling directory, then the old
+   * store is renamed ASIDE before the new one renames into place — the
+   * live path always points at a complete store except for the instant
+   * between the two renames, and a crash in that instant is repaired by
+   * the retry's recovery step (restore from `_old` if the live path is
+   * missing), so no crash point loses both copies. The tombstone table is
+   * cleared LAST: replaying the anti-join over an already-compacted store
+   * is a harmless no-op, whereas clearing early could resurrect rows.
    */
   def compactLshStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    Seq("shingles", "bands").foreach { rel =>
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$rel")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${rel}_old")
+      // recovery from a crash between the two renames of a prior attempt
+      if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
+    }
     if (!fs.exists(tomb)) return
     Seq("shingles", "bands").foreach { rel =>
-      val cur = s"$path/$rel"
-      val next = s"$path/${rel}_compact"
-      spark.read.parquet(cur)
+      val cur = new org.apache.hadoop.fs.Path(s"$path/$rel")
+      val old = new org.apache.hadoop.fs.Path(s"$path/${rel}_old")
+      val next = new org.apache.hadoop.fs.Path(s"$path/${rel}_compact")
+      spark.read.parquet(cur.toString)
         .join(spark.read.parquet(s"$path/tombstones"), Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(next)
-      fs.delete(new org.apache.hadoop.fs.Path(cur), true)
-      fs.rename(new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(cur))
+        .write.mode("overwrite").parquet(next.toString)
+      if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed attempt
+      fs.rename(cur, old)
+      fs.rename(next, cur)
+      fs.delete(old, true)
     }
     fs.delete(tomb, true)
   }

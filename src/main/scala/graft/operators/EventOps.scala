@@ -101,13 +101,23 @@ object EventOps {
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("c"))
+    val decQ = org.apache.spark.sql.types.DecimalType(38, 0)
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-        sum(col("c") * col("c")).as("qq"))
-    val dev = col("n") * col("c") - col("s")
+        sum(col("c").cast(decQ) * col("c").cast(decQ)).as("qq"))
+    // The cross-multiplied variance test runs in DECIMAL(38,0): its products
+    // wrap silently in long arithmetic past ~3e9 per-type daily volume
+    // (non-ANSI overflow flips spike flags with no error). The decimal form
+    // is exact to ~1e12 daily events per type — far past any real corpus —
+    // and costs nothing: the relation is one joined row per (type, day).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nD = col("n").cast(dec)
+    val sD = col("s").cast(dec)
+    val qqD = col("qq").cast(dec)
+    val dev = nD * col("c").cast(dec) - sD // cast BEFORE multiplying
     daily.join(broadcast(stats), Seq("event_type"))
       .withColumn("spike",
-        dev > 0 && dev * dev >= lit(k.toLong * k) * (col("n") * col("qq") - col("s") * col("s")))
+        dev > 0 && dev * dev >= lit(k.toLong * k).cast(dec) * (nD * qqD - sD * sD))
       .groupBy(col("event_type"))
       .agg(
         max(col("n")).as("days"),

@@ -44,11 +44,18 @@ object MultimodalOps {
     hist
   }
 
-  /** Featurize one asset: parsed kinds decode first (pixel bytes feed the
-    * histogram), opaque kinds featurize their raw bytes. */
+  /** Featurize one asset by byte-sniffing alone (no declared kind in
+    * scope). Sniffing can false-positive — a text payload may legitimately
+    * start with "P6" — so a payload that LOOKS like PPM but fails the
+    * decoder's validation falls back to featurizing its raw bytes, exactly
+    * as [[extractFeatures]] dispatches for a non-image kind. Only
+    * [[extractFeatures]], which has the declared kind, treats a malformed
+    * payload of a declared image as the loud error it should be. */
   def decode(payload: Array[Byte]): Array[Float] =
-    if (isPpm(payload)) byteHistogram(decodePpm(payload).pixels)
-    else byteHistogram(payload)
+    if (isPpm(payload)) {
+      try byteHistogram(decodePpm(payload).pixels)
+      catch { case _: IllegalArgumentException => byteHistogram(payload) }
+    } else byteHistogram(payload)
 
   /** A decoded raster: dimensions + interleaved RGB bytes (3·w·h). */
   final case class Raster(width: Int, height: Int, pixels: Array[Byte])

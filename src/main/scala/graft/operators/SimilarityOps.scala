@@ -89,22 +89,7 @@ object SimilarityOps {
     val assigned = assignToCentroidsWithSim(embeddings, cents)
       .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
       .localCheckpoint()
-    // Per-cell worst assignment angle α̂; slack absorbs f32 cosine error and
-    // the ≤5e-7 shift of the round-to-6-places threshold test. Everything
-    // stays a (tiny) distributed plan — no driver-side aggregate.
-    def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c.cast("double")))
-    val slack = 1e-3
-    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
-    val radii = assigned.groupBy(col("cid"))
-      .agg(acos(clamp(min(col("csim")))).as("alpha"))
-    val ca = cents.join(radii, Seq("cid"))
-      .select(col("cid").as("cid_a"), col("cvec").as("cvec_a"), col("alpha").as("alpha_a"))
-    val cb = cents.join(radii, Seq("cid"))
-      .select(col("cid").as("cid_b"), col("cvec").as("cvec_b"), col("alpha").as("alpha_b"))
-    val cellPairs = ca.crossJoin(broadcast(cb))
-      .filter(acos(clamp(cos(col("cvec_a"), col("cvec_b"))))
-        <= lit(thetaT + slack) + col("alpha_a") + col("alpha_b"))
-      .select(col("cid_a"), col("cid_b"))
+    val cellPairs = cellPairTable(assigned, cents, threshold)
     val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("cid").as("cid_a"))
     val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
@@ -117,25 +102,188 @@ object SimilarityOps {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Cell-pair pruning table `(cid_a, cid_b)` — BOTH orientations — from the
+    * per-cell worst assignment angle α̂; slack absorbs f32 cosine error and
+    * the ≤5e-7 shift of the round-to-6-places threshold test. Everything
+    * stays a (tiny) distributed plan — no driver-side aggregate. The
+    * spherical-triangle exactness guarantee is documented on
+    * [[embeddingNearDup]]; the self pair (i, i) always qualifies (its
+    * centroid angle is 0). Shared by the exact audit join and the capped
+    * [[semanticDedupPairs]] generator so the two can never diverge on which
+    * cell pairs are candidates. */
+  private def cellPairTable(assigned: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
+    def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c.cast("double")))
+    val slack = 1e-3
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val radii = assigned.groupBy(col("cid"))
+      .agg(acos(clamp(min(col("csim")))).as("alpha"))
+    val ca = cents.join(radii, Seq("cid"))
+      .select(col("cid").as("cid_a"), col("cvec").as("cvec_a"), col("alpha").as("alpha_a"))
+    val cb = cents.join(radii, Seq("cid"))
+      .select(col("cid").as("cid_b"), col("cvec").as("cvec_b"), col("alpha").as("alpha_b"))
+    ca.crossJoin(broadcast(cb))
+      .filter(acos(clamp(cos(col("cvec_a"), col("cvec_b"))))
+        <= lit(thetaT + slack) + col("alpha_a") + col("alpha_b"))
+      .select(col("cid_a"), col("cid_b"))
+  }
+
+  /** Production cap on a paired-cell candidate bucket (sum of the two
+    * cells' rep counts): a bucket at the cap expands at most cap²/2
+    * verification pairs in one task — bounded work regardless of how the
+    * corpus clusters. Sized so the cap never engages at balanced-cell
+    * operating points (cells ≈ √n for the k ≈ √n centroid regime this
+    * targets) and only collapses genuinely degenerate cell masses. */
+  val DefaultMaxCellPairSize: Int = 2048
+
+  /**
+   * Connectivity-preserving near-dup pair generation for the APPLIED
+   * semantic-dedup path ([[semanticDedupCorpus]]) — the embedding-space twin
+   * of [[DedupOps.minhashLsh]]'s capped candidate generator. The audit form
+   * ([[embeddingNearDup]]) emits every qualifying pair; this one emits a
+   * SUBSET with provably equal transitive closure on duplicated corpora,
+   * in two bounded stages:
+   *
+   *  1. **Exact-duplicate collapse.** Bit-identical vectors are grouped
+   *     (one shuffle keyed on the vector value) and only each group's
+   *     minimum vec_id enters the cell machinery; members attach to their
+   *     representative by a verified star edge. Because cosine depends only
+   *     on the vector value, any brute edge (u, v) maps to the rep edge
+   *     (rep_u, rep_v) with the SAME similarity, and u—rep_u always
+   *     verifies (self-similarity 1; a zero vector has NaN similarity to
+   *     everything, so it is isolated under both forms) — so connected
+   *     components over the emitted pairs EQUAL the brute-force components,
+   *     not just approximate them. A corpus where every doc is replicated
+   *     d× does d²× less pair work: the quadratic stage runs on distinct
+   *     vectors only. This is the common shape of a 100 TB crawl corpus
+   *     (mirrors/boilerplate are byte-identical embeddings).
+   *  2. **Clique ≤ cap ∪ representative-star > cap** per paired-cell
+   *     bucket over the surviving reps — the same bounded-task guarantee as
+   *     `DedupOps.candidatePairs` (`DedupOps.scala:176`): a cell pair whose
+   *     combined size exceeds `maxCellPairSize` contributes one verified
+   *     pair per member against the bucket's minimum vec_id instead of a
+   *     quadratic clique. Star pairs still pass exact verification, so no
+   *     false positive can enter; a star that fails verification while some
+   *     non-rep pair would have passed is the star path's recall trade-off,
+   *     quantified by [[semanticCapCensus]] (the x41 analogue). Bucket
+   *     sizes come from a k-row aggregate joined to the (broadcast)
+   *     cell-pair table — unlike LSH's window over high-cardinality band
+   *     keys, cells are O(k) so no corpus-wide window is needed.
+   *
+   * Output: (vec_a, vec_b, sim) with vec_a < vec_b, unordered (the
+   * component consumer is order-insensitive; the audit form sorts).
+   */
+  def semanticDedupPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      cents: DataFrame,
+      maxCellPairSize: Int = DefaultMaxCellPairSize): DataFrame =
+    semanticDedupPairsImpl(embeddings, threshold, cents, maxCellPairSize,
+      materialize = true)
+
+  /** `materialize = false` skips the two localCheckpoints so PlanQualitySpec
+    * can assert the FULL logical shape (checkpoints truncate the visible
+    * plan); production always materializes — the collapse and the
+    * assignment each feed multiple consumers. */
+  private[graft] def semanticDedupPairsImpl(
+      embeddings: DataFrame,
+      threshold: Double,
+      cents: DataFrame,
+      maxCellPairSize: Int,
+      materialize: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    // stage 1: collapse bit-identical vectors; one materialization feeds
+    // the rep relation AND the duplicate star edges
+    val wEmb = Window.partitionBy(col("embedding"))
+    val withRep = mat(embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("grp", min(col("vec_id")).over(wEmb)))
+    val dupStars = withRep.filter(col("vec_id") =!= col("grp"))
+      .select(col("grp").as("vec_a"), col("vec_id").as("vec_b"),
+        round6f(cos(col("embedding"), col("embedding"))).as("sim"))
+      .filter(col("sim") >= threshold)
+    val reps = withRep.filter(col("vec_id") === col("grp"))
+      .select(col("vec_id"), col("embedding"))
+    if (cents.isEmpty)
+      return embeddingNearDupBrute(reps, threshold).unionByName(dupStars)
+    // stage 2: capped cell machinery over reps only
+    val assigned = mat(assignToCentroidsWithSim(reps, cents)
+      .select(col("vec_id"), col("embedding"), col("cid"), col("csim")))
+    val csize = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+    val sized = cellPairTable(assigned, cents, threshold)
+      .join(csize.select(col("cid").as("cid_a"), col("csz").as("sz_a")), Seq("cid_a"))
+      .join(csize.select(col("cid").as("cid_b"), col("csz").as("sz_b")), Seq("cid_b"))
+      .withColumn("bsz", when(col("cid_a") === col("cid_b"), col("sz_a"))
+        .otherwise(col("sz_a") + col("sz_b")))
+    // clique path (bucket ≤ cap): the exact join, restricted to small cell
+    // pairs; both orientations are present so each unordered pair is
+    // emitted exactly once by the vec_a < vec_b filter
+    val small = sized.filter(col("bsz") <= maxCellPairSize)
+      .select(col("cid_a"), col("cid_b"))
+    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("cid").as("cid_a"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("cid").as("cid_b"))
+    val cliquePairs = a.join(broadcast(small), Seq("cid_a"))
+      .join(b, Seq("cid_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round6f(cos(col("emb_a"), col("emb_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+    // star path (bucket > cap): one candidate per member against the
+    // bucket's minimum vec_id — canonical orientation only, ids first,
+    // embeddings joined back once per surviving candidate
+    val big = sized.filter(col("bsz") > maxCellPairSize && col("cid_a") <= col("cid_b"))
+      .select(col("cid_a"), col("cid_b"))
+    val bigCells = big
+      .select(struct(col("cid_a"), col("cid_b")).as("pkey"),
+        explode(array(col("cid_a"), col("cid_b"))).as("cid"))
+      .distinct()
+    val wBucket = Window.partitionBy(col("pkey"))
+    val starIds = assigned.join(broadcast(bigCells), Seq("cid"))
+      .withColumn("brep", min(col("vec_id")).over(wBucket))
+      .filter(col("vec_id") =!= col("brep"))
+      .select(col("brep").as("vec_a"), col("vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val starPairs = starIds
+      .join(assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round6f(cos(col("emb_a"), col("emb_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+    // a rep pair inside one big bucket's cell can also surface from that
+    // cell's own small (i, i) pair — dedup before attaching the collapse
+    // stars (which are disjoint by construction: members never re-enter
+    // the rep machinery)
+    cliquePairs.unionByName(starPairs).dropDuplicates("vec_a", "vec_b")
+      .unionByName(dupStars)
+  }
+
   /**
    * SemDeDup-style semantic deduplication, APPLIED — the embedding-space
    * twin of [[DedupOps.dedupCorpus]] (Abbas et al. 2023, "SemDeDup":
    * cluster embeddings, drop all but one member of each semantic-duplicate
-   * group). Pairs come from the exact cell-bucketed near-dup join
-   * ([[embeddingNearDup]] — never all-pairs), are closed into transitive
-   * clusters by [[DedupOps.connectedComponents]], and each cluster keeps
-   * its minimum vec_id; every other member is anti-joined away. Returns
-   * the surviving `embeddings` rows with all their columns.
+   * group). Pairs come from the capped connectivity-preserving generator
+   * ([[semanticDedupPairs]] — exact-duplicate collapse, then clique≤cap ∪
+   * star>cap per paired cell; never all-pairs, never uncapped), are closed
+   * into transitive clusters by [[DedupOps.connectedComponents]], and each
+   * cluster keeps its minimum vec_id; every other member is anti-joined
+   * away. Returns the surviving `embeddings` rows with all their columns.
    *
-   * Scale shape: inherits the near-dup join's per-cell bounds and the
-   * component loop's counter-only driver state; the loser set is at most
-   * one row per clustered vector and the anti-join shuffles on vec_id.
+   * Scale shape: candidate work is quadratic only in DISTINCT vectors per
+   * cell pair and hard-capped at maxCellPairSize²/2 per bucket — a corpus
+   * where every doc is replicated d× (the duplication-skew worst case a
+   * semantic dedup exists for) does d²× less pair work than the audit
+   * join, with provably identical survivors for exact replicas (see
+   * [[semanticDedupPairs]]). The component loop keeps counter-only driver
+   * state; the loser set is at most one row per clustered vector and the
+   * anti-join shuffles on vec_id.
    */
   def semanticDedupCorpus(
       embeddings: DataFrame,
       threshold: Double = 0.4,
-      centroidMod: Int = 40): DataFrame = {
-    val pairs = embeddingNearDup(embeddings, threshold, centroidMod)
+      centroidMod: Int = 40,
+      maxCellPairSize: Int = DefaultMaxCellPairSize): DataFrame = {
+    val pairs = semanticDedupPairs(embeddings, threshold,
+        centroids(embeddings, centroidMod), maxCellPairSize)
       .select(col("vec_a"), col("vec_b"))
     // adaptive strategy switch (see connectedComponentsAdaptive): semantic
     // pair graphs are tiny relative to their corpus; the distributed loop
@@ -144,6 +292,80 @@ object SimilarityOps {
     val losers = comp.filter(col("component") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
     embeddings.join(losers, Seq("vec_id"), "left_anti")
+  }
+
+  /**
+   * Star-gap census for the capped semantic-dedup generator — the
+   * embedding-space analogue of [[DedupOps.lshRecallCensus]] (x41): runs
+   * BOTH the exact audit join and the capped [[semanticDedupPairs]], closes
+   * both into components, and reports how the survivor sets differ,
+   * alongside how much of the corpus engaged each bounding stage. One row:
+   *
+   *  - n_vecs / n_groups — corpus size and distinct-vector groups (the
+   *    exact-collapse ratio; n_vecs − n_groups rows never reach the
+   *    quadratic stage);
+   *  - n_buckets / n_capped / max_bucket — canonical qualifying cell pairs,
+   *    how many exceeded the cap (star path engaged), largest bucket;
+   *  - survivors_exact / survivors_capped / n_disagree — survivor counts
+   *    under each generator and the size of their symmetric difference
+   *    (0 whenever no bucket capped, by the collapse-exactness proof; for
+   *    capped buckets it measures the star path's recall trade-off).
+   *
+   * This is a diagnostic (it deliberately pays for the exact join too) —
+   * run it on a bounded slice at scale, like the LSH census.
+   */
+  def semanticCapCensus(
+      embeddings: DataFrame,
+      threshold: Double = 0.4,
+      centroidMod: Int = 40,
+      maxCellPairSize: Int = DefaultMaxCellPairSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids(embeddings, centroidMod)
+    def survivors(pairs: DataFrame): DataFrame = {
+      val comp = DedupOps.connectedComponentsAdaptive(
+        pairs.select(col("vec_a"), col("vec_b")), "vec_a", "vec_b")
+      val losers = comp.filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id").as("vec_id"))
+      embeddings.select(col("vec_id")).join(losers, Seq("vec_id"), "left_anti")
+    }
+    val exactSurv = survivors(embeddingNearDupWith(embeddings, threshold, cents))
+      .withColumn("ex", lit(true))
+    val cappedSurv = survivors(
+        semanticDedupPairs(embeddings, threshold, cents, maxCellPairSize))
+      .withColumn("cp", lit(true))
+    val surv = exactSurv.join(cappedSurv, Seq("vec_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("ex"), 1L)), lit(0L)).as("survivors_exact"),
+        coalesce(sum(when(col("cp"), 1L)), lit(0L)).as("survivors_capped"),
+        coalesce(sum(when(col("ex").isNull || col("cp").isNull, 1L)), lit(0L))
+          .as("n_disagree"))
+    // bucket stats over the same rep assignment the capped generator uses
+    val wEmb = Window.partitionBy(col("embedding"))
+    val withRep = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("grp", min(col("vec_id")).over(wEmb))
+    val nVecs = withRep.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("vec_id") === col("grp"), 1L)).as("n_groups"))
+    val reps = withRep.filter(col("vec_id") === col("grp"))
+      .select(col("vec_id"), col("embedding"))
+    val assigned = assignToCentroidsWithSim(reps, cents)
+      .select(col("vec_id"), col("cid"), col("csim"), col("embedding"))
+      .localCheckpoint()
+    val csize = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+    val buckets = cellPairTable(assigned, cents, threshold)
+      .filter(col("cid_a") <= col("cid_b"))
+      .join(csize.select(col("cid").as("cid_a"), col("csz").as("sz_a")), Seq("cid_a"))
+      .join(csize.select(col("cid").as("cid_b"), col("csz").as("sz_b")), Seq("cid_b"))
+      .withColumn("bsz", when(col("cid_a") === col("cid_b"), col("sz_a"))
+        .otherwise(col("sz_a") + col("sz_b")))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("bsz") > maxCellPairSize, 1L)), lit(0L)).as("n_capped"),
+        coalesce(max(col("bsz")), lit(0L)).as("max_bucket"))
+    nVecs.crossJoin(broadcast(buckets)).crossJoin(broadcast(surv))
+      .select(col("n_vecs"), col("n_groups"), col("n_buckets"), col("n_capped"),
+        col("max_bucket"), col("survivors_exact"), col("survivors_capped"),
+        col("n_disagree"))
   }
 
   /**
@@ -470,20 +692,28 @@ object SimilarityOps {
     ids.select(col("vec_id")).write.mode("append").parquet(s"${path}_tombstones")
 
   /** Physically drop tombstoned vectors (per-cell rewrite through a
-    * sibling directory + rename — crash-safe like the LSH compactor; the
+    * sibling directory; the old index renames ASIDE before the compacted
+    * one renames into place, so no crash point loses both copies — same
+    * recovery protocol as [[DedupOps.compactLshStore]]; the
     * partitionBy(cid) layout is preserved so probing stays partition
-    * pruning) and clear the tombstone table. */
+    * pruning) and clear the tombstone table last. */
   def compactIvfIndex(spark: SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val tomb = new org.apache.hadoop.fs.Path(s"${path}_tombstones")
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    // recovery from a crash between the two renames of a prior attempt
+    if (!fs.exists(cur) && fs.exists(old)) fs.rename(old, cur)
     if (!fs.exists(tomb)) return
-    val next = s"${path}_compact"
+    val next = new org.apache.hadoop.fs.Path(s"${path}_compact")
     spark.read.parquet(path)
       .join(spark.read.parquet(s"${path}_tombstones"), Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").partitionBy("cid").parquet(next)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(next), new org.apache.hadoop.fs.Path(path))
+      .write.mode("overwrite").partitionBy("cid").parquet(next.toString)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed attempt
+    fs.rename(cur, old)
+    fs.rename(next, cur)
+    fs.delete(old, true)
     fs.delete(tomb, true)
   }
 

@@ -126,6 +126,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("capped semantic-dedup pairs: collapse window feeds the candidate join; " +
+      "no corpus-level cartesian, no uncapped cell-pair join") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.read(spark, d, "embeddings")
+    val p = SimilarityOps.semanticDedupPairsImpl(emb, 0.4,
+        emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        SimilarityOps.DefaultMaxCellPairSize, materialize = false)
+      .queryExecution.executedPlan.toString
+    // stage 1: the exact-duplicate collapse is a window keyed on the vector
+    // value — duplicates never reach the quadratic stage
+    assert(p.contains("windowspecdefinition(embedding"), p.take(3000))
+    // stage 2: candidate generation is equi-joins on cell ids (small path)
+    // and the bucket-rep star (big path) — never a corpus cartesian
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(3000))
+    // both cap branches are present in the plan (union of clique ∪ star ∪
+    // collapse stars) — a refactor that drops the cap would collapse the
+    // union arms
+    assert(p.contains("Union"), p.take(3000))
+  }
+
   test("metadata queries over the asset store never read the binary payload column") {
     import graft.operators.MultimodalOps
     val docs = Tables.read(spark, d, "documents")
