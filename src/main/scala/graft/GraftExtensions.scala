@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContainsLong, BpeSegment, CdcChunks, CosineSimilarityF32, JaroWinkler, Md5PrefixLong}
+import graft.functions.{BloomContainsLong, BpeSegment, BpeSegmentFile, CdcChunks, CosineSimilarityF32, JaroWinkler, Md5PrefixLong}
 
 /**
  * SparkSessionExtensions entry point — the deployment route for the engine's
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_segment"),
       new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
       GraftExtensions.bpeSegmentBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_segment_file"),
+      new ExpressionInfo(classOf[BpeSegmentFile].getName, "bpe_segment_file"),
+      GraftExtensions.bpeSegmentFileBuilder))
     ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
@@ -123,6 +127,23 @@ object GraftExtensions {
         BpeSegment(children(0), s.toString)
       case other => throw new IllegalArgumentException(
         s"bpe_segment: the merge table must be a string literal, got $other")
+    }
+  }
+
+  /** `bpe_segment_file(array<string>, path)` — the artifact-file transport
+    * for trainer-scale merge tables; the path must be a string literal
+    * (it names a versioned artifact, it is not a per-row value). */
+  private[graft] val bpeSegmentFileBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"bpe_segment_file expects exactly 2 arguments (array<string>, string literal), got ${children.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    children(1) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        BpeSegmentFile(children(0), s.toString)
+      case other => throw new IllegalArgumentException(
+        s"bpe_segment_file: the artifact path must be a string literal, got $other")
     }
   }
 }

@@ -512,6 +512,21 @@ object SparkEntry {
     // checksum over the whole mapping.
     "x72_bpe_numericalize" -> ((s, d) =>
       BpeOps.numericalizeCensus(docs(s, d))),
+    // Trainer-SCALE tokenization: the 8192-merge table (real tokenizers
+    // carry 32k-100k merges; 40 proves the algorithm, this proves the
+    // vocabulary size) applied through the artifact-FILE transport — the
+    // plan carries only a path, each executor loads the table once. The
+    // oracle replays the identical 8k table as a map literal through the
+    // same recursive CTE as x68/x71/x72.
+    "x103_bpe_trainer_scale" -> ((s, d) => {
+      GraftFunctions.register(s)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          BpeOps.tokenCountFile(BpeOps.bigMergesPath).as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("subword_tokens"))
+        .orderBy(col("lang"))
+    }),
     // Split-leakage audit: train-split contamination against the held-out
     // test split — splitAssign composed with the generalized two-table
     // decontamination (the eval-leak check a real pipeline runs per append).
@@ -877,14 +892,15 @@ object SparkEntry {
   /** x68/x71: the BPE merge table as a DuckDB MAP literal — interpolated
     * from the SAME checked-in resource the engine expression loads, so the
     * two sides replay one artifact. */
-  private def bpeMapLiteral: String = {
-    val ms = BpeOps.defaultMerges
+  private def bpeMapLiteralFor(ms: Seq[(String, String)]): String = {
     val keys = ms.map { case (a, b) =>
       "'" + (a + " " + b).replace("'", "''") + "'"
     }.mkString(", ")
     val vals = ms.indices.map(_ + 1).mkString(", ")
     s"MAP([$keys], [$vals])"
   }
+
+  private def bpeMapLiteral: String = bpeMapLiteralFor(BpeOps.defaultMerges)
 
   /** The greedy BPE application as a recursive CTE: per distinct word of
     * `source`, repeatedly merge the LEFTMOST occurrence of the
@@ -893,8 +909,8 @@ object SparkEntry {
     * symbols (lengths strictly decrease per step). Mirrors
     * graft.functions.BpeSegment exactly. Body only — the caller supplies
     * the `WITH RECURSIVE` intro so it can compose with other CTEs. */
-  private def bpeCteBody(source: String): String =
-    s"""mt AS (SELECT $bpeMapLiteral AS mm),
+  private def bpeCteBody(source: String, mapLiteral: String = bpeMapLiteral): String =
+    s"""mt AS (SELECT $mapLiteral AS mm),
        |wds AS (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word FROM $source),
        |bpe(word, syms) AS (
        |  SELECT word, string_split(word, '') FROM wds
@@ -1944,6 +1960,18 @@ object SparkEntry {
     // x48's census over SUBWORD units: the fixpoint segmentation (arg_min
     // on symbol count — lengths strictly decrease) unnested per word
     // occurrence.
+    // the x68 replay under the 8192-merge table: fixpoint segmentation per
+    // distinct word, subword totals per language
+    "x103_bpe_trainer_scale" -> ("WITH RECURSIVE\n" +
+      bpeCteBody("documents", bpeMapLiteralFor(BpeOps.bigMerges)) +
+      """,
+        |ntok AS (SELECT word, MIN(len(syms)) AS n_tok FROM bpe GROUP BY word),
+        |t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+        |      FROM documents)
+        |SELECT t.lang, COUNT(DISTINCT t.doc_id) AS docs,
+        |  CAST(SUM(n.n_tok) AS BIGINT) AS subword_tokens
+        |FROM t JOIN ntok n ON t.word = n.word
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin),
     "x71_bpe_vocab" -> (bpeCte +
       """,
         |seg AS (SELECT word, arg_min(syms, len(syms)) AS syms FROM bpe GROUP BY word),

@@ -77,9 +77,97 @@ case class BpeSegment(child: Expression, mergesEncoded: String)
   override def prettyName: String = "bpe_segment"
 }
 
+/**
+ * [[BpeSegment]] with the merge table as a FILE ARTIFACT instead of a plan
+ * literal — `bpe_segment_file(array<string> words, path)`. A trainer-scale
+ * table (8k–100k merges, 100 KB–1 MB encoded) as a literal bloats every
+ * plan that carries it: it is copied per plan instance on the driver,
+ * serialized into every stage's task binary, and dumped whole into every
+ * explain string. Here the plan carries only the PATH; each executor JVM
+ * resolves it once through the Hadoop filesystem API (so local paths work
+ * on local[*] and shared-storage paths — HDFS/S3 — work on a cluster,
+ * exactly how a production pipeline ships its versioned tokenizer
+ * artifact) and caches the decoded hash table process-wide, keyed by path.
+ * The artifact is immutable-by-convention (version by path, like the
+ * checked-in resource), which is what makes the process-wide cache sound.
+ *
+ * Segmentation semantics and codegen are IDENTICAL to [[BpeSegment]] —
+ * both call the same compute(); equality under both transports is
+ * spec-locked in BpeSpec.
+ */
+case class BpeSegmentFile(child: Expression, path: String)
+    extends UnaryExpression {
+
+  @transient private lazy val table: java.util.HashMap[String, Integer] =
+    BpeSegment.tableForPath(path)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_segment_file expects array<string> input, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    BpeSegment.compute(v.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pathRef = ctx.addReferenceObj("bpePath", path, "java.lang.String")
+    val tableVar = ctx.addMutableState("java.util.HashMap", "graftBpeFileTable")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($tableVar == null) {
+         |  $tableVar = graft.functions.BpeSegment.tableForPath($pathRef);
+         |}
+         |${ev.value} = graft.functions.BpeSegment.compute($c, $tableVar);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_segment_file"
+}
+
 object BpeSegment {
   /** Sentinel rank for "pair not in table" (matches the oracle literal). */
   val NoRank: Int = Int.MaxValue
+
+  /** Process-wide merge-table cache for the artifact-file transport: one
+    * filesystem read + decode per (executor JVM, path), shared by every
+    * task and every query that names the same artifact. */
+  private val fileTables =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
+
+  def tableForPath(path: String): java.util.HashMap[String, Integer] =
+    fileTables.computeIfAbsent(path, p => buildTable(readArtifact(p).stripLineEnd))
+
+  /** Read an encoded merge table through the Hadoop FS API (resolves
+    * local, HDFS, S3A … by URI scheme — same mechanism the parquet scans
+    * use, so anywhere data can live, the tokenizer artifact can too). */
+  private def readArtifact(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Write an encoded merge table artifact (the trainer's output side of
+    * [[tableForPath]]). */
+  def writeArtifact(merges: Seq[(String, String)], path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write((encode(merges) + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** One line per merge, `left + " " + right`, rank = 1-based line number.
     * Symbols cannot contain ' ' (they are fragments of space-split words);

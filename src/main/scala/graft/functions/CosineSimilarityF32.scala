@@ -100,6 +100,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "bpe_segment", graft.GraftExtensions.bpeSegmentBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
+        "bpe_segment_file", graft.GraftExtensions.bpeSegmentFileBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
         "jaro_winkler", graft.GraftExtensions.jaroWinklerBuilder, "scala_udf")
     }
 

@@ -136,6 +136,71 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("property: incremental trainer equals the naive recount loop") {
+    // the naive reference: recount EVERY pair each round (the pre-round-8
+    // trainer) — the incremental trainer must reproduce it exactly,
+    // including tie-breaks and early stop
+    def naive(hist: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+      def split(w: String): Vector[String] = w.map(_.toString).toVector
+      var vocab = hist.map { case (w, c) => (split(w), c) }
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var continue = true
+      while (continue && merges.length < nMerges) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((syms, c) <- vocab; j <- 0 until syms.length - 1)
+          counts.updateWith((syms(j), syms(j + 1)))(p => Some(p.getOrElse(0L) + c))
+        if (counts.isEmpty) continue = false
+        else {
+          val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+          if (cnt < 2) continue = false
+          else {
+            merges += pair
+            vocab = vocab.map { case (syms, c) =>
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                  out += pair._1 + pair._2; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.result(), c)
+            }
+          }
+        }
+      }
+      merges.toSeq
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcd"
+      val hist = (1 to 60).map { _ =>
+        val w = (1 to (2 + rnd.nextInt(8)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        (w, (1 + rnd.nextInt(20)).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq.sorted
+      assert(BpeOps.trainMergesFromHistogram(hist, 50) == naive(hist, 50),
+        s"seed=$seed: incremental trainer diverged from the naive recount")
+    }
+  }
+
+  test("trainer-scale table: 8k merges load, file transport equals literal transport") {
+    graft.functions.GraftFunctions.register(spark)
+    assert(BpeOps.bigMerges.length == 8192)
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val viaFile = docs.select(col("doc_id"),
+        BpeOps.segmentFile(TextOps.words(col("text")), BpeOps.bigMergesPath).as("toks"))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val viaLit = docs.select(col("doc_id"),
+        BpeOps.segment(TextOps.words(col("text")), BpeOps.bigMerges).as("toks"))
+      .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(viaFile.toSeq == viaLit.toSeq,
+      "artifact-file transport must segment identically to the plan literal")
+    // subword counts are at least the word counts (every word >= 1 unit)
+    val totWords = docs.select(sum(size(TextOps.words(col("text"))))).collect().head.getLong(0)
+    val totSub = viaFile.map(_._2.length.toLong).sum
+    assert(totSub >= totWords)
+  }
+
   test("checked-in merge table loads and x68 packing census is consistent") {
     graft.functions.GraftFunctions.register(spark)
     val merges = BpeOps.defaultMerges
