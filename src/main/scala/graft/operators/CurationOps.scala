@@ -274,7 +274,7 @@ object CurationOps {
             * lit(1e6) + lit(0.5)).cast("long")).cast("decimal(38,0)").as("term"))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("vocab_terms"),
-        sum(col("term")).cast("long").as("kl_micro"))
+        CheckedCast.toLongChecked(sum(col("term")), "kl_micro").as("kl_micro"))
       .select(col("source"), col("n_tokens"), col("vocab_terms"), col("kl_micro"),
         (col("kl_micro").cast("double") / (col("n_tokens").cast("double") * lit(1e6)))
           .as("kl_nats"))
@@ -360,7 +360,7 @@ object CurationOps {
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"), count(lit(1)).as("vocab_terms"),
         sum(when(col("c_ref").isNull, 1L).otherwise(0L)).as("novel_terms"),
-        sum(col("term")).cast("long").as("kl_micro"))
+        CheckedCast.toLongChecked(sum(col("term")), "kl_micro").as("kl_micro"))
       .select(col("source"), col("n_tokens"), col("vocab_terms"), col("novel_terms"),
         col("kl_micro"),
         (col("kl_micro").cast("double") / (col("n_tokens").cast("double") * lit(1e6)))

@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 
+/** Decimal→BIGINT narrowing that FAILS LOUDLY on overflow: Spark's default
+  * non-ANSI cast yields NULL silently past ±2^63, which would surface as a
+  * null metric with no diagnostic. Null input (empty-corpus aggregate)
+  * stays null — only a non-null value that doesn't fit raises. Shared by
+  * the exact-integer metric carriers (kappa, AUC, KL). */
+private[operators] object CheckedCast {
+  def toLongChecked(c: Column, what: String): Column =
+    when(c.isNotNull && c.cast("long").isNull,
+      raise_error(concat(lit(s"$what overflows BIGINT: "), c.cast("string"))).cast("long"))
+      .otherwise(c.cast("long"))
+}
+
 /**
  * Training-data PREPARATION operators — the last-mile transforms between a
  * curated corpus and a training run: sensitive-term redaction, multi-rule
@@ -215,16 +227,18 @@ object PrepOps {
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
         ((col("tp") + col("tn")).cast("double")
           / (col("tp") + col("fp") + col("fn") + col("tn")).cast("double")).as("accuracy"),
-        ((col("tp") + col("fp") + col("fn") + col("tn")).cast(d38)
-          * (col("tp") + col("tn"))
-          - ((col("tp") + col("fp")).cast(d38) * (col("tp") + col("fn"))
-            + (col("fn") + col("tn")).cast(d38) * (col("fp") + col("tn"))))
-          .cast("long").as("kappa_num"),
-        ((col("tp") + col("fp") + col("fn") + col("tn")).cast(d38)
-          * (col("tp") + col("fp") + col("fn") + col("tn"))
-          - ((col("tp") + col("fp")).cast(d38) * (col("tp") + col("fn"))
-            + (col("fn") + col("tn")).cast(d38) * (col("fp") + col("tn"))))
-          .cast("long").as("kappa_den"))
+        CheckedCast.toLongChecked(
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast(d38)
+            * (col("tp") + col("tn"))
+            - ((col("tp") + col("fp")).cast(d38) * (col("tp") + col("fn"))
+              + (col("fn") + col("tn")).cast(d38) * (col("fp") + col("tn"))),
+          "kappa_num").as("kappa_num"),
+        CheckedCast.toLongChecked(
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast(d38)
+            * (col("tp") + col("fp") + col("fn") + col("tn"))
+            - ((col("tp") + col("fp")).cast(d38) * (col("tp") + col("fn"))
+              + (col("fn") + col("tn")).cast(d38) * (col("fp") + col("tn"))),
+          "kappa_den").as("kappa_den"))
       .withColumn("kappa",
         col("kappa_num").cast("double") / col("kappa_den").cast("double"))
   }
@@ -243,7 +257,9 @@ object PrepOps {
    * over that relation (coarse `llr DIV 2^20` bins — monotone for
    * negative scores too), NOT a single-partition window; the result is a
    * single-row reduce. `u2` is decimal-carried (it approaches n²/2) and
-   * asserted back into BIGINT range by the cast; AUC divides once.
+   * narrowed back to BIGINT through [[CheckedCast.toLongChecked]] — a
+   * value past 2^63 (n beyond ~6e9 scored docs) raises instead of
+   * silently nulling the AUC; AUC divides once.
    */
   def nbRankAuc(
       documents: DataFrame, minWords: Int = 30, maxWords: Int = 1000): DataFrame = {
@@ -257,8 +273,9 @@ object PrepOps {
       col("nn_s"), "nn_cum")
     cum.agg(
         sum(col("np_s")).as("np"), sum(col("nn_s")).as("nn"),
-        sum((col("np_s") * (lit(2) * (col("nn_cum") - col("nn_s")) + col("nn_s")))
-          .cast("decimal(38,0)")).cast("long").as("u2"))
+        CheckedCast.toLongChecked(
+          sum((col("np_s") * (lit(2) * (col("nn_cum") - col("nn_s")) + col("nn_s")))
+            .cast("decimal(38,0)")), "u2").as("u2"))
       .select(col("np"), col("nn"), col("u2"),
         (col("u2").cast("double")
           / (lit(2.0) * col("np").cast("double") * col("nn").cast("double"))).as("auc"))
