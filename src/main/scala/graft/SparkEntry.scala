@@ -512,6 +512,28 @@ object SparkEntry {
     // checksum over the whole mapping.
     "x72_bpe_numericalize" -> ((s, d) =>
       BpeOps.numericalizeCensus(docs(s, d))),
+    // The STREAMING scorecard monitor, driver-gated (the x40 pattern:
+    // foreachBatch semantics exercised by direct batch calls): the corpus
+    // replayed as a deterministic 3-batch micro-batch sequence through
+    // CorpusStream.scorecardBatch — including a DUPLICATE delivery of
+    // batch 1, which the marker guard must make a no-op (at-least-once →
+    // append-exact) — then the log read back. Gated on the exact-integer
+    // columns per (batch_id, source); the oracle computes each batch's
+    // scorecard directly from the same doc_id % 3 slices.
+    "x102_scorecard_stream" -> ((s, d) => {
+      val all = docs(s, d)
+      val log = java.nio.file.Files.createTempDirectory("graft_x102")
+        .toString + "/scorecard"
+      val sink = streaming.CorpusStream.scorecardBatch(log) _
+      def b(i: Int) = all.filter(col("doc_id") % 3 === i)
+      sink(b(0), 0L); sink(b(1), 1L)
+      sink(b(1), 1L) // replayed delivery: the marker guard makes it a no-op
+      sink(b(2), 2L)
+      s.read.parquet(log)
+        .select(col("batch_id"), col("source"), col("docs"), col("dup_docs"),
+          col("kept"), col("tokens"))
+        .orderBy(col("batch_id"), col("source"))
+    }),
     // Trainer-SCALE tokenization: the 8192-merge table (real tokenizers
     // carry 32k-100k merges; 40 proves the algorithm, this proves the
     // vocabulary size) applied through the artifact-FILE transport — the
@@ -1960,6 +1982,28 @@ object SparkEntry {
     // x48's census over SUBWORD units: the fixpoint segmentation (arg_min
     // on symbol count — lengths strictly decrease) unnested per word
     // occurrence.
+    // per-batch scorecards computed directly from the doc_id % 3 slices —
+    // a correct replay (guarded against the duplicate delivery) appends
+    // exactly one row set per batch
+    "x102_scorecard_stream" ->
+      """WITH m AS (
+        |  SELECT doc_id % 3 AS batch_id, source, text,
+        |    string_split(lower(text), ' ') AS w, strlen(text) AS c
+        |  FROM documents),
+        |f AS (
+        |  SELECT batch_id, source, md5(lower(trim(text))) AS fp,
+        |    CAST(len(w) AS BIGINT) AS n,
+        |    ((len(w) >= 30 AND len(w) <= 1000)
+        |      AND (3*len(w) <= c - len(w) + 1 AND c - len(w) + 1 <= 12*len(w))
+        |      AND (5*len(list_distinct(w)) >= len(w))
+        |      AND (5*list_max(list_transform(list_distinct(w),
+        |             x -> len(list_filter(w, y -> y = x)))) <= len(w))) AS ok
+        |  FROM m)
+        |SELECT batch_id, source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+        |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(SUM(n) AS BIGINT) AS tokens
+        |FROM f GROUP BY batch_id, source ORDER BY batch_id, source""".stripMargin,
     // the x68 replay under the 8192-merge table: fixpoint segmentation per
     // distinct word, subword totals per language
     "x103_bpe_trainer_scale" -> ("WITH RECURSIVE\n" +
