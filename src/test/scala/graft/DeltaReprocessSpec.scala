@@ -135,6 +135,35 @@ class DeltaReprocessSpec extends SparkSpec {
     assert(rows(s"$base/incr/bands") == rows(s"$base/full/bands"))
   }
 
+  test("compaction crash windows: a crash between the two renames is repaired " +
+      "on retry; no crash point loses both store copies") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    DedupOps.buildLshStore(v1Docs, s"$base/s")
+    DedupOps.retireLshStore(v1Docs.filter(col("doc_id") === 5L).select("doc_id"), s"$base/s")
+    val want = spark.read.parquet(s"$base/s/bands")
+      .join(spark.read.parquet(s"$base/s/tombstones"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band_key")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // simulate the crash instant of a prior attempt: live dir renamed
+    // aside, compacted sibling written, process died before promote
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    Seq("shingles", "bands").foreach { rel =>
+      fs.rename(p(s"$base/s/$rel"), p(s"$base/s/${rel}_old"))
+    }
+    assert(!fs.exists(p(s"$base/s/bands")), "crash window: live path absent")
+    assert(fs.exists(p(s"$base/s/bands_old")), "crash window: old copy survives")
+    // the retry must first restore from _old, then compact normally
+    DedupOps.compactLshStore(spark, s"$base/s")
+    val got = spark.read.parquet(s"$base/s/bands")
+      .select(col("doc_id"), col("band_key")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, "recovered compaction must equal the uncrashed result")
+    assert(!fs.exists(p(s"$base/s/bands_old")) && !fs.exists(p(s"$base/s/tombstones")))
+  }
+
   test("snapshot delta drives IVF append: queries equal a same-centroid rebuild") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
