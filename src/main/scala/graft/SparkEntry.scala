@@ -380,6 +380,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("lang"))),
+    // Best-of-cluster survivor policy: same clusters as x38, but each
+    // keeps its longest member (ties → min id) — the census differs from
+    // x38 exactly where a cluster's longest copy is not its oldest.
+    "x104_dedup_best" -> ((s, d) =>
+      DedupOps.dedupCorpusBest(docs(s, d), 0.8, Int.MaxValue)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang"))),
+    // Embedding-space decontamination: every 97th vector plays the held-out
+    // benchmark; corpus vectors within rounded-cosine 0.4 of any of them
+    // are flagged. One exact-integer row (counts + id checksum).
+    "x105_semantic_decontam" -> ((s, d) =>
+      SimilarityOps.semanticDecontaminate(
+        emb(s, d).filter(col("vec_id") % 97 =!= 0),
+        emb(s, d).filter(col("vec_id") % 97 === 0), 0.4)),
     // Feature-hashing embedding: the model-free text→vector bridge. Gated
     // by an exact-integer per-bucket census OVER THE DENSE VECTORS
     // (posexplode of the built embeddings, zeros dropped) — the sums pin
@@ -873,6 +889,25 @@ object SparkEntry {
   private val dedupCorpusOracleSql: String = componentsWalkCte +
     """
       |, losers AS (SELECT u AS doc_id FROM walk GROUP BY u HAVING MIN(lbl) <> u)
+      |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** x104: the walk's components re-ranked by member length — the cluster
+    * keeps its longest doc (ties → min id); everyone else is a loser. */
+  private val dedupBestOracleSql: String = componentsWalkCte +
+    """
+      |, comp AS (SELECT u AS doc_id, MIN(lbl) AS comp FROM walk GROUP BY u),
+      |scored AS (
+      |  SELECT c.comp, c.doc_id, len(string_split(lower(d.text), ' ')) AS nw
+      |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+      |keep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      PARTITION BY comp ORDER BY nw DESC, doc_id ASC) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |losers AS (
+      |  SELECT doc_id FROM comp WHERE doc_id NOT IN (SELECT doc_id FROM keep))
       |SELECT lang, COUNT(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       |GROUP BY lang ORDER BY lang""".stripMargin
@@ -1758,6 +1793,21 @@ object SparkEntry {
     "x36_components_star" -> componentsOracleSql,
     "x34_dedup_components" -> componentsOracleSql,
     "x38_dedup_corpus" -> dedupCorpusOracleSql,
+    "x104_dedup_best" -> dedupBestOracleSql,
+    "x105_semantic_decontam" ->
+      """WITH ev AS (
+        |  SELECT embedding AS ev_emb FROM embeddings WHERE vec_id % 97 = 0),
+        |hits AS (
+        |  SELECT c.vec_id,
+        |    max(CASE WHEN round(list_cosine_similarity(c.embedding, e.ev_emb), 6) >= 0.4
+        |      THEN 1 ELSE 0 END) AS hit
+        |  FROM embeddings c CROSS JOIN ev e
+        |  WHERE c.vec_id % 97 <> 0
+        |  GROUP BY c.vec_id)
+        |SELECT CAST(SUM(hit) AS BIGINT) AS contaminated,
+        |  CAST(SUM(1 - hit) AS BIGINT) AS clean,
+        |  CAST(SUM(vec_id * hit) AS BIGINT) AS id_checksum
+        |FROM hits""".stripMargin,
     // Cleaned corpus from span dedup: the oracle rebuilds every document
     // from its surviving spans + tail exactly as TextOps.spanDedupApply
     // does, then sums token/char counts of the reassembled text.

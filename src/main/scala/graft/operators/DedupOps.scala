@@ -891,6 +891,40 @@ object DedupOps {
     documents.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /**
+   * Cleaned corpus with QUALITY-AWARE survivor selection: like
+   * [[dedupCorpus]] but each near-dup cluster keeps its LONGEST member
+   * (word count, ties → min doc_id) instead of the minimum id — the
+   * practical policy when near-duplicates are partial mirrors of one page
+   * and the longest copy is the most complete version. (The reference has
+   * no dedup at all — this extends the §2.4 family; survivor policy per
+   * the dedup discussion in Lee et al., "Deduplicating Training Data
+   * Makes Language Models Better", public paper.)
+   *
+   * Scale shape: identical to [[dedupCorpus]] until the survivor pick —
+   * capped LSH candidates, adaptive components — then the per-cluster
+   * argmax is a window PARTITIONED BY component (cluster-sized frames,
+   * never a corpus-wide sort; cluster size is already bounded by the
+   * detector's bucket cap upstream). Only clustered docs enter the
+   * window: the un-clustered majority of the corpus never shuffles.
+   */
+  def dedupCorpusBest(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val comp = connectedComponentsAdaptive(minhashLsh(documents, threshold, maxBucketSize))
+    val scored = comp.join(
+      documents.select(col("doc_id"),
+        size(TextOps.words(col("text"))).as("nw_sel")),
+      Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("nw_sel").desc, col("doc_id").asc)
+    val losers = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") =!= 1)
+      .select(col("doc_id"))
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** First 8 md5 hex chars of a word as a 32-bit unsigned value. */
   private def word32(w: Column): Column =
     graft.functions.GraftFunctions.md5PrefixLong(w, 8)

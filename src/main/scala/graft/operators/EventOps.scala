@@ -23,8 +23,12 @@ object EventOps {
     val gapUs = gapMinutes * 60_000_000L
     val flagged = events.select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("new_s",
+        // cast: no-op on TIMESTAMP, and accepts TIMESTAMP_NTZ sources
+        // (pyarrow-written parquet) deterministically under the UTC
+        // session tz — unix_micros alone rejects NTZ
         when(lag(col("ts"), 1).over(w).isNull ||
-             unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
+             unix_micros(col("ts").cast("timestamp"))
+               - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")) > gapUs, 1)
           .otherwise(0))
     val sessions = flagged
       .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))

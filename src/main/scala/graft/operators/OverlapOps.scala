@@ -129,9 +129,11 @@ object OverlapOps {
     val bUs = bucketMinutes * 60_000_000L
     def banded(s: String, e: String) =
       f.select(col("s").as(s"s$s"), col("e").as(s"e$s"),
+        // cast: no-op on TIMESTAMP, accepts TIMESTAMP_NTZ sources under
+        // the UTC session tz — unix_micros alone rejects NTZ
         explode(sequence(
-          expr(s"unix_micros(s) div $bUs"),
-          expr(s"unix_micros(e) div $bUs"))).as("bucket"))
+          expr(s"unix_micros(cast(s as timestamp)) div $bUs"),
+          expr(s"unix_micros(cast(e as timestamp)) div $bUs"))).as("bucket"))
     val t1 = banded("1", "1")
     val t2 = banded("2", "2")
     t1.join(t2, Seq("bucket"))

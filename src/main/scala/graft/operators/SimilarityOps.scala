@@ -399,6 +399,41 @@ object SimilarityOps {
       .drop("embedding")
   }
 
+  /**
+   * Semantic decontamination census: flag every corpus vector within
+   * rounded cosine `tau` of ANY held-out eval/benchmark vector — the
+   * embedding-space analogue of the x21/x49/x65 shingle decontamination,
+   * catching paraphrase-level benchmark leakage that exact text matching
+   * misses (the contamination analyses in public LLM reports motivate
+   * exactly this check). Output is one row of exact integers: flagged and
+   * clean counts plus an id checksum, so the gate pins WHICH vectors were
+   * flagged, not just how many.
+   *
+   * Scale shape: the eval side is small by contract (benchmarks are
+   * thousands of rows; the corpus is the big side) and is BROADCAST — the
+   * corpus streams once through a broadcast nested-loop join, k partner
+   * rows per corpus row materialize inside one task, and map-side partial
+   * aggregation collapses them back to one (vec_id, any_hit) row before
+   * the only shuffle (narrow: 16 bytes × corpus rows). At 100 TB this is
+   * scan-dominated, exactly like the Bloom decontamination path. A huge
+   * eval set would instead go through the [[embeddingNearDupWith]] cell
+   * pruning; this operator deliberately takes the broadcast contract.
+   */
+  def semanticDecontaminate(
+      corpus: DataFrame, evalSet: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val ev = broadcast(evalSet.select(col("embedding").as("ev_emb")))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(ev)
+      .groupBy(col("vec_id"))
+      .agg(max(when(round6f(cos(col("embedding"), col("ev_emb"))) >= tau, 1L)
+        .otherwise(0L)).as("hit"))
+      .agg(
+        sum(col("hit")).as("contaminated"),
+        sum(lit(1L) - col("hit")).as("clean"),
+        sum(col("vec_id") * col("hit")).as("id_checksum"))
+  }
+
   /** Reconstruct f32 vectors from int8 codes + scale (double math, one
     * float rounding at the end — bit-identical across engines). */
   def dequantized(q: Column, scale: Column): Column =

@@ -286,6 +286,26 @@ class DedupSpec extends SparkSpec {
     assert(d3.getString(1) == other && d3.getString(3) == "s1", d3.toString)
   }
 
+  test("dedupCorpusBest keeps each cluster's LONGEST member; ties fall back to min id") {
+    // doc 2 = base with two words appended: still ~0.98 Jaccard to 1 and 4,
+    // but 102 words vs their 100 — the longest-copy policy must keep 2
+    // where the min-id policy keeps 1.
+    val longerNearDup = base + " extra0 extra1"
+    val d = docsOf(
+      (1L, base, "en", "s0"),
+      (2L, longerNearDup, "en", "s0"),
+      (3L, other, "en", "s1"),
+      (4L, base, "en", "s2"))
+    val best = DedupOps.dedupCorpusBest(d, 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(best == Seq(2L, 3L), best.mkString(","))
+    val minId = DedupOps.dedupCorpus(d, 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(minId == Seq(1L, 3L), minId.mkString(","))
+    // equal-length cluster {1,2,4} (the shared fixture): tie-break = min id,
+    // so both policies agree
+    val tie = DedupOps.dedupCorpusBest(corpus, 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(tie == Seq(1L, 3L), tie.mkString(","))
+  }
+
   test("curation funnel: LSH and exact near-dup stages agree; one shared cache entry, no accretion") {
     import graft.operators.CurationOps
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")

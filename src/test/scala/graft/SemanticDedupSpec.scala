@@ -116,4 +116,28 @@ class SemanticDedupSpec extends SparkSpec {
       .collect().head
     assert(forced.getAs[Long]("n_capped") > 0L, "cap=2 must cap some bucket")
   }
+
+  test("semanticDecontaminate census equals a driver-side brute force over the fixture") {
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val evalSet = emb.filter(col("vec_id") % 97 === 0)
+    val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+    val got = SimilarityOps.semanticDecontaminate(corpus, evalSet, 0.4).collect().head
+    def round6(f: Float): Double =
+      (math.round(f.toDouble * 1e6) / 1e6).toFloat.toDouble
+    val evs = evalSet.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(evs.nonEmpty, "fixture must yield a non-empty eval slice")
+    val flags = corpus.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      (r.getLong(0), evs.exists(e =>
+        round6(graft.functions.CosineSimilarityF32.compute(e, v)) >= 0.4))
+    }
+    assert(got.getAs[Long]("contaminated") === flags.count(_._2).toLong)
+    assert(got.getAs[Long]("clean") === flags.count(!_._2).toLong)
+    assert(got.getAs[Long]("id_checksum") ===
+      flags.filter(_._2).map(_._1).sum)
+    // the operator must flag SOMETHING on this fixture, or the gate row
+    // would silently degrade to a row-count check of an empty set
+    assert(got.getAs[Long]("contaminated") > 0L, "fixture has near-dup clusters")
+  }
 }
