@@ -100,7 +100,8 @@ class PlanQualitySpec extends SparkSpec {
     // new-old candidate join are key equi-joins — none may degrade to a
     // single-partition window or a cartesian product (the corpus would
     // collapse onto one task at 100 TB).
-    Seq("x37_span_apply_corpus", "x38_dedup_corpus", "x40_lsh_incremental")
+    Seq("x37_span_apply_corpus", "x38_dedup_corpus", "x40_lsh_incremental",
+        "x104_dedup_best") // x104's survivor window must partition by component
       .foreach { q =>
         val df = SparkEntry.queries(q)(spark, d)
         df.collect() // finalize the adaptive plan before inspecting
@@ -110,6 +111,15 @@ class PlanQualitySpec extends SparkSpec {
         windows(p).foreach(w => assert(w.partitionSpec.nonEmpty,
           s"$q has a single-partition WindowExec:\n$w"))
       }
+  }
+
+  test("semantic decontamination streams the corpus once against a broadcast eval side") {
+    // the eval side is small by contract: the corpus-eval pairing must be a
+    // broadcast nested-loop (scan-shaped at 100 TB), never a cartesian
+    // product or a shuffled join of the corpus against the eval rows
+    val p = plan("x105_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("decontamination broadcasts the benchmark shingles; corpus side streams once") {
