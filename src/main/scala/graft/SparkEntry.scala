@@ -528,6 +528,12 @@ object SparkEntry {
     // checksum over the whole mapping.
     "x72_bpe_numericalize" -> ((s, d) =>
       BpeOps.numericalizeCensus(docs(s, d))),
+    // Tokenizer-coverage audit: the x72 vocabulary capped at 24 ids (the
+    // fixture's full subword vocab is 40, so the cap genuinely bites) —
+    // occurrences ranked below the cap become UNK; the census pins both
+    // the UNK token mass and the docs that stop being round-trippable.
+    "x107_unk_coverage" -> ((s, d) =>
+      BpeOps.unkCoverageCensus(docs(s, d))),
     // The STREAMING scorecard monitor, driver-gated (the x40 pattern:
     // foreachBatch semantics exercised by direct batch calls): the corpus
     // replayed as a deterministic 3-batch micro-batch sequence through
@@ -548,6 +554,25 @@ object SparkEntry {
       s.read.parquet(log)
         .select(col("batch_id"), col("source"), col("docs"), col("dup_docs"),
           col("kept"), col("tokens"))
+        .orderBy(col("batch_id"), col("source"))
+    }),
+    // The second monitoring twin gated end-to-end (x88's drift vs a static
+    // reference, per micro-batch): same replayed-delivery sequence as x102
+    // — the marker guard must keep the log append-exact, and each batch's
+    // KL is computed against the reference with the BATCH's vocabulary
+    // union (cross-batch stateless).
+    "x106_drift_stream" -> ((s, d) => {
+      val all = docs(s, d)
+      val log = java.nio.file.Files.createTempDirectory("graft_x106")
+        .toString + "/drift"
+      val sink = streaming.CorpusStream.driftMonitorBatch(newSnapshot(all), log) _
+      def b(i: Int) = all.filter(col("doc_id") % 3 === i)
+      sink(b(0), 0L); sink(b(1), 1L)
+      sink(b(1), 1L) // replayed delivery: the marker guard makes it a no-op
+      sink(b(2), 2L)
+      s.read.parquet(log)
+        .select(col("batch_id"), col("source"), col("n_tokens"),
+          col("vocab_terms"), col("novel_terms"), col("kl_micro"), col("kl_nats"))
         .orderBy(col("batch_id"), col("source"))
     }),
     // Trainer-SCALE tokenization: the 8192-merge table (real tokenizers
@@ -2029,6 +2054,25 @@ object SparkEntry {
         |  CAST(SUM(v.id) AS BIGINT) AS id_sum
         |FROM e JOIN vocab v ON e.tok = v.tok
         |GROUP BY e.lang ORDER BY e.lang""".stripMargin),
+    // the x72 vocabulary ranking with a 24-id cap: everything ranked
+    // below the cap is UNK; census per lang
+    "x107_unk_coverage" -> (bpeCte +
+      """,
+        |seg AS (SELECT word, arg_min(syms, len(syms)) AS syms FROM bpe GROUP BY word),
+        |e AS (
+        |  SELECT d.doc_id, d.lang, unnest(s.syms) AS tok
+        |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents) d
+        |  JOIN seg s ON d.word = s.word),
+        |vocab AS (
+        |  SELECT tok, row_number() OVER (
+        |    ORDER BY COUNT(DISTINCT doc_id) DESC, COUNT(*) DESC, tok ASC) AS id
+        |  FROM e GROUP BY tok)
+        |SELECT e.lang, COUNT(DISTINCT e.doc_id) AS docs, COUNT(*) AS tokens,
+        |  CAST(SUM(CASE WHEN v.id > 24 THEN 1 ELSE 0 END) AS BIGINT) AS unk_tokens,
+        |  COUNT(DISTINCT CASE WHEN v.id > 24 THEN e.doc_id END) AS docs_with_unk
+        |FROM e JOIN vocab v ON e.tok = v.tok
+        |GROUP BY e.lang ORDER BY e.lang""".stripMargin),
     // x48's census over SUBWORD units: the fixpoint segmentation (arg_min
     // on symbol count — lengths strictly decrease) unnested per word
     // occurrence.
@@ -2837,6 +2881,42 @@ object SparkEntry {
         |       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
         |         / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) AS kl_nats
         |FROM terms GROUP BY source ORDER BY source""".stripMargin),
+    // x88 replayed PER BATCH (batch = doc_id % 3): every per-source stat,
+    // the corpus vocab union v, and therefore the KL smoothing change per
+    // batch — exactly what the cross-batch-stateless monitor computes.
+    "x106_drift_stream" -> (newSnapshotSql +
+      """,
+        |cur AS (SELECT batch_id, source, w, CAST(COUNT(*) AS BIGINT) AS c_sw FROM
+        |         (SELECT doc_id % 3 AS batch_id, source,
+        |            unnest(string_split(lower(text), ' ')) AS w
+        |          FROM documents) o GROUP BY batch_id, source, w),
+        |rf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_ref FROM
+        |        (SELECT unnest(string_split(lower(text), ' ')) AS w FROM newsnap) o
+        |       GROUP BY w),
+        |ns AS (SELECT batch_id, source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+        |       FROM cur GROUP BY batch_id, source),
+        |vv AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS v FROM
+        |        (SELECT batch_id, w FROM cur
+        |         UNION
+        |         SELECT b.batch_id, rf.w
+        |         FROM (SELECT DISTINCT batch_id FROM cur) b CROSS JOIN rf) u
+        |       GROUP BY batch_id),
+        |nr AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref FROM rf),
+        |terms AS (
+        |  SELECT cur.batch_id, cur.source, n_s, c_ref,
+        |    CAST(c_sw AS HUGEINT) * CAST(floor(ln((c_sw * 1.0 * (n_ref + v))
+        |      / (n_s * 1.0 * (COALESCE(c_ref, 0) + 1))) * 1000000.0 + 0.5) AS BIGINT) AS term
+        |  FROM cur LEFT JOIN rf ON cur.w = rf.w
+        |  JOIN ns ON cur.batch_id = ns.batch_id AND cur.source = ns.source
+        |  JOIN vv ON cur.batch_id = vv.batch_id
+        |  CROSS JOIN nr)
+        |SELECT batch_id, source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS vocab_terms,
+        |       CAST(SUM(CASE WHEN c_ref IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS novel_terms,
+        |       CAST(SUM(term) AS BIGINT) AS kl_micro,
+        |       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+        |         / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) AS kl_nats
+        |FROM terms GROUP BY batch_id, source ORDER BY batch_id, source""".stripMargin),
     "x77_spike_census" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c

@@ -201,6 +201,28 @@ class BpeSpec extends SparkSpec {
     assert(totSub >= totWords)
   }
 
+  test("unkCoverageCensus: mass conservation, cap monotonicity, full-vocab cap => zero UNKs") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    def census(cap: Int) =
+      BpeOps.unkCoverageCensus(docs, BpeOps.defaultMerges, cap).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val capped = census(24)
+    assert(capped.nonEmpty)
+    capped.foreach { case (lang, d, toks, unk, dunk) =>
+      assert(unk <= toks, s"$lang: UNK mass above token mass")
+      assert(dunk <= d, s"$lang: more UNK docs than docs")
+    }
+    assert(capped.map(_._4).sum > 0, "cap 24 under a 40-token vocab must flag UNKs")
+    // a larger cap can only shrink the UNK mass, per language
+    val wider = census(32).map(r => r._1 -> r._4).toMap
+    capped.foreach { case (lang, _, _, unk, _) => assert(wider(lang) <= unk, lang) }
+    // a cap at/above the whole vocabulary flags nothing
+    val full = census(100000)
+    assert(full.forall(r => r._4 == 0L && r._5 == 0L),
+      "cap >= vocab size must leave every doc round-trippable")
+  }
+
   test("checked-in merge table loads and x68 packing census is consistent") {
     graft.functions.GraftFunctions.register(spark)
     val merges = BpeOps.defaultMerges
