@@ -261,6 +261,11 @@ object SparkEntry {
     // deterministic doc_id % 97 == 0 "benchmark" subset, per language.
     "x21_decontaminate" -> ((s, d) =>
       CurationOps.decontaminate(docs(s, d), 97, 5)),
+    // The overlap-FRACTION rule (contamination normalized by doc size):
+    // ≥10% of a doc's shingles in the benchmark → contaminated; severity
+    // carried as integer permille so the gate stays division-free.
+    "x108_decontam_frac" -> ((s, d) =>
+      CurationOps.decontaminateFrac(docs(s, d), 97, 100L)),
     // The production funnel END-TO-END in its large-benchmark (Bloom)
     // configuration: curation corpus -> Bloom decontamination -> CDC chunk
     // dedup, gated via the same per-lang census shape as x55. The oracle
@@ -1539,6 +1544,31 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(CASE WHEN shared >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
         |       CAST(MAX(shared) AS BIGINT) AS max_overlap
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    // x21's CTEs with the doc's own shingle count carried through; the
+    // contamination test and severity are integer-exact (cross-multiply,
+    // floor division)
+    "x108_decontam_frac" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |shl AS (
+        |  SELECT doc_id, lang, list_distinct(CASE WHEN len(w) >= 3
+        |    THEN list_transform(range(1, len(w)-1), i -> array_to_string(list_slice(w, i, i+2), ' '))
+        |    ELSE [array_to_string(w, ' ')] END) AS sh
+        |  FROM d),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM shl WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(sh) AS s FROM shl WHERE doc_id % 97 != 0),
+        |ov AS (
+        |  SELECT doc_id, COUNT(*) AS shared
+        |  FROM corpus JOIN bench USING (s) GROUP BY doc_id),
+        |per AS (
+        |  SELECT p.doc_id, p.lang, COALESCE(ov.shared, 0) AS shared, p.n_sh
+        |  FROM (SELECT doc_id, lang, len(sh) AS n_sh FROM shl WHERE doc_id % 97 != 0) p
+        |  LEFT JOIN ov ON p.doc_id = ov.doc_id)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN shared * 1000 >= 100 * n_sh THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_contaminated,
+        |       CAST(MAX((shared * 1000) // n_sh) AS BIGINT) AS max_permille
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
     "x20_running_total_dist" ->
       """SELECT l_orderkey, l_linenumber,

@@ -587,6 +587,35 @@ object CurationOps {
       .orderBy(col("lang"))
 
   /**
+   * FRACTIONAL decontamination census — the overlap-FRACTION rule public
+   * LLM contamination analyses apply: a fixed shared-shingle bar treats a
+   * 50-shingle quote inside a book and inside a tweet identically, while
+   * the fraction normalizes by the document's own shingle count. A corpus
+   * doc is contaminated when `shared·1000 ≥ fracPermille·n_shingles` —
+   * integer cross-multiplication, no division, exact across engines; the
+   * per-doc severity is reported as integer permille (floor division,
+   * portable). Same scale shape as [[decontaminateAgainst]]: broadcast
+   * benchmark shingles, one overlap aggregate, one census — the per-doc
+   * shingle count rides the same projection that already computes the
+   * shingle array.
+   */
+  def decontaminateFrac(
+      documents: DataFrame,
+      benchMod: Int = 97,
+      fracPermille: Long = 200L): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    withBenchOverlap(documents.filter(!isBench), documents.filter(isBench))
+      .withColumn("n_sh", size(DedupOps.shingles(col("text"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("shared") * lit(1000L) >= lit(fracPermille) * col("n_sh"), 1L)
+          .otherwise(0L)).as("n_contaminated"),
+        max(expr("(shared * 1000) div n_sh")).as("max_permille"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * APPLY decontamination and return the cleaned corpus: every corpus row
    * sharing ≥ `minShared` distinct shingles with the benchmark is dropped,
    * survivors pass through with ALL their columns. The output a training

@@ -158,4 +158,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(corpus.count(_ >= 3).toLong == nContaminated, s"$lang contaminated count")
     assert(corpus.max.toLong == maxOverlap, s"$lang max overlap")
   }
+
+  test("decontaminateFrac: the SAME absolute quote flags a tweet but not a book") {
+    // benchmark doc 0 contributes the quote's shingles; doc 1 is a short
+    // doc that is mostly quote (high fraction), doc 2 buries the identical
+    // quote in a long document (low fraction). An absolute-count rule
+    // (x21's) cannot separate them — the fractional rule exists for this.
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (0 until 200).map(i => s"fill$i").mkString(" ")
+    val d = docsOf(
+      (0L, quote, "en", "bench"), // benchMod 3: only doc 0 is benchmark
+      (4L, s"$quote tiny tail", "en", "s"),
+      (5L, s"$filler $quote", "en", "s"))
+    val got = CurationOps.decontaminateFrac(d, benchMod = 3, fracPermille = 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (lang, nDocs, nCont, maxPm) = got.head
+    assert(lang == "en" && nDocs == 2L, got.mkString(","))
+    assert(nCont == 1L, s"only the mostly-quote doc crosses 30%: ${got.mkString(",")}")
+    assert(maxPm >= 300L && maxPm <= 1000L, s"severity in permille: $maxPm")
+    // the absolute rule at the same shingle count flags BOTH (the quote
+    // contributes the same ~6 shared shingles to each)
+    val abs = CurationOps.decontaminateAgainst(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0), 3)
+      .collect().map(r => (r.getString(0), r.getLong(2))).head
+    assert(abs._2 == 2L, s"absolute rule flags both: $abs")
+  }
 }
