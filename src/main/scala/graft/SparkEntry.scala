@@ -512,6 +512,10 @@ object SparkEntry {
     // plain global-window form — bit-identical by WindowOps' guarantee.
     "x47_seq_pack" -> ((s, d) =>
       PrepOps.seqPackCensus(docs(s, d), 2048L)),
+    // Concat-and-cut layout economics: the same 2048-token grid, documents
+    // SPLIT at window boundaries — per-lang count of split docs.
+    "x109_chunk_pack" -> ((s, d) =>
+      PrepOps.chunkPackCensus(docs(s, d), 2048L)),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2044,6 +2048,18 @@ object SparkEntry {
         |SELECT ((cum - toks) // 2048)::BIGINT AS pack_id, COUNT(*) AS docs,
         |  CAST(SUM(toks) AS BIGINT) AS tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x47's prefix sum; a doc crosses a cut when its exclusive start and
+    // inclusive end land in different windows
+    "x109_chunk_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, toks, SUM(toks) OVER (ORDER BY doc_id) AS cum FROM t)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN ((cum - toks) // 2048) != ((cum - 1) // 2048)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "x48_vocab_topk" ->
       """WITH e AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word

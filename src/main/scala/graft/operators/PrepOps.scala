@@ -591,6 +591,44 @@ object PrepOps {
       .orderBy(col("pack_id"))
 
   /**
+   * Concat-and-cut packing census — the GPT-style pretraining layout
+   * [[seqPack]] deliberately avoids: the corpus token stream (doc_id
+   * order) is cut into fixed `seqLen` context windows, documents
+   * crossing a cut boundary are SPLIT across sequences. The census
+   * reports, per language, how many documents that layout splits
+   * (`crossing_docs`) — the attention-mask/document-boundary economics a
+   * context-length choice is judged by (a doc fully inside one window
+   * trains with clean causal attention; a split doc leaks context across
+   * sequence resets unless masked).
+   *
+   * Scale shape: the global token offsets come from the same two-pass
+   * distributed prefix sum as [[seqPack]] (no single-partition window);
+   * the boundary test per doc is two integer divisions on its exclusive
+   * start and inclusive end offsets. One aggregation, exact integers.
+   */
+  def chunkPackCensus(
+      documents: DataFrame, seqLen: Long = 2048L,
+      bucketWidth: Long = 4096L): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive: $seqLen")
+    val toks = documents.select(col("doc_id"), col("lang"), size(ws).as("toks"))
+    WindowOps.runningTotal(
+        toks,
+        bucket = (col("doc_id") / bucketWidth).cast("long"),
+        orderCols = Seq(col("doc_id")),
+        valueCol = col("toks"),
+        resultName = "cum")
+      .select(col("lang"), col("toks").cast("long").as("toks"),
+        (col("cum") - col("toks")).as("s0"), (col("cum") - 1L).as("e0"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("toks")).as("tokens"),
+        sum(when(expr(s"(s0 DIV ${seqLen}L) != (e0 DIV ${seqLen}L)"), 1L)
+          .otherwise(0L)).as("crossing_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * Split-leakage audit: the per-language contamination census of the TRAIN
    * split against the held-out TEST split — [[splitAssign]] composed with
    * [[CurationOps.decontaminateAgainst]]. A train doc is leaked when it

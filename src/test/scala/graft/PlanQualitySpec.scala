@@ -123,9 +123,11 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("decontamination broadcasts the benchmark shingles; corpus side streams once") {
-    val p = plan("x21_decontaminate")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    assert(!p.contains("CartesianProduct"), "corpus must never self-join")
+    Seq("x21_decontaminate", "x108_decontam_frac").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$q: corpus must never self-join")
+    }
   }
 
   test("bucketed embedding near-dup has no corpus-level cartesian product") {

@@ -212,4 +212,30 @@ class PrepOpsSpec extends SparkSpec {
       ("a", 3L, 1L, 2L, 15L, 5.0),
       ("b", 1L, 0L, 0L, 3L, 3.0)), rows.mkString(","))
   }
+
+  test("chunkPackCensus equals a driver-side concat-and-cut replay") {
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val seqLen = 512L
+    val got = PrepOps.chunkPackCensus(docs, seqLen).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // brute force: one pass over the doc_id-ordered token stream
+    val toks = docs.select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("t"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    var cum = 0L
+    val agg = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    toks.foreach { case (lang, t) =>
+      val crosses = if (cum / seqLen != (cum + t - 1) / seqLen) 1L else 0L
+      val (d0, t0, c0) = agg.getOrElse(lang, (0L, 0L, 0L))
+      agg(lang) = (d0 + 1, t0 + t, c0 + crosses)
+      cum += t
+    }
+    val want = agg.toSeq.map { case (l, (d, t, c)) => (l, d, t, c) }.sortBy(_._1)
+    assert(got == want, s"got=$got want=$want")
+    // sanity: a doc can cross at most once per seqLen tokens it owns, and
+    // total crossings are bounded by the number of cut boundaries
+    val totalTokens = want.map(_._3).sum
+    assert(want.map(_._4).sum <= totalTokens / seqLen + 1)
+  }
 }
