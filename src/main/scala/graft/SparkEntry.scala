@@ -516,6 +516,10 @@ object SparkEntry {
     // SPLIT at window boundaries — per-lang count of split docs.
     "x109_chunk_pack" -> ((s, d) =>
       PrepOps.chunkPackCensus(docs(s, d), 2048L)),
+    // Hard per-source token caps in deterministic (md5, id) prefix order —
+    // the exact-enforcement sibling of the rate-based x23/x26 mixes.
+    "x110_source_cap" -> ((s, d) =>
+      PrepOps.sourceCapCensus(docs(s, d), 1000L)),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2060,6 +2064,22 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN ((cum - toks) // 2048) != ((cum - 1) // 2048)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // the same (md5, doc_id)-ordered per-source prefix sum; kept = docs
+    // whose inclusive running total stays within the cap
+    "x110_source_cap" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, toks,
+        |    SUM(toks) OVER (PARTITION BY source ORDER BY hk, doc_id) AS cum
+        |  FROM t)
+        |SELECT source, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN cum <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(SUM(CASE WHEN cum <= 1000 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "x48_vocab_topk" ->
       """WITH e AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word

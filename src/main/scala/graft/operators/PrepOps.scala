@@ -496,6 +496,42 @@ object PrepOps {
         .otherwise("test"))
   }
 
+  /**
+   * Hard per-source token cap — "this crawl contributes at most
+   * `capTokens` tokens", the mixture guardrail of public corpus recipes.
+   * [[graft.operators.CurationOps.tokenBudgetMix]] is its RATE-based
+   * sibling: rates hit a budget in expectation, the cap enforces it
+   * exactly. Docs are taken per source in deterministic (md5, doc_id)
+   * order until the running token total would pass the cap; the prefix
+   * rule makes membership reproducible on any cluster and stable when
+   * later-hashing docs append.
+   *
+   * Scale shape: one window PARTITIONED BY SOURCE (sources
+   * hash-distribute — never a single-partition window) computing the
+   * inclusive prefix sum, then one census aggregation. No joins. A
+   * single pathological source whose doc count exceeds one task's memory
+   * would need the x20-style two-pass rank instead; source cardinality
+   * times per-source mass makes that regime unlikely before the corpus
+   * itself is resharded.
+   */
+  def sourceCapCensus(documents: DataFrame, capTokens: Long = 1000L): DataFrame = {
+    require(capTokens > 0, s"source token cap must be positive: $capTokens")
+    GraftFunctions.register(documents.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val t = documents.select(col("doc_id"), col("source"),
+      size(ws).cast("long").as("toks"),
+      GraftFunctions.md5PrefixLong(col("doc_id").cast("string"), 8).as("hk"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    t.withColumn("cum", sum(col("toks")).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(col("cum") <= capTokens, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("cum") <= capTokens, col("toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Split census: per (split, lang) document and token counts. */
   def splitCensus(documents: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
     splitAssign(documents, trainPct, valPct)

@@ -213,6 +213,30 @@ class PrepOpsSpec extends SparkSpec {
       ("b", 1L, 0L, 0L, 3L, 3.0)), rows.mkString(","))
   }
 
+  test("sourceCapCensus: prefix rule exact, cap respected, census consistent") {
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val cap = 300L
+    val got = PrepOps.sourceCapCensus(docs, cap).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, d, tot, kd, kt) =>
+      assert(kd <= d && kt <= tot, src)
+      assert(kt <= cap, s"$src kept $kt tokens over the $cap cap")
+    }
+    assert(got.exists(r => r._4 < r._2), "the cap must cut something at 300")
+    // brute-force one source: kept = the (md5, id)-ordered prefix within cap
+    val (src, _, _, kd, kt) = got.maxBy(_._2)
+    graft.functions.GraftFunctions.register(spark)
+    val ordered = docs.filter(col("source") === src)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("t"),
+        graft.functions.GraftFunctions.md5PrefixLong(
+          col("doc_id").cast("string"), 8).as("hk"))
+      .orderBy(col("hk"), col("doc_id")).collect().map(r => r.getLong(1))
+    var cum = 0L; var nd = 0L; var nt = 0L
+    ordered.foreach { t => cum += t; if (cum <= cap) { nd += 1; nt += t } }
+    assert((nd, nt) == (kd, kt), s"$src: prefix replay ($nd,$nt) vs census ($kd,$kt)")
+  }
+
   test("chunkPackCensus equals a driver-side concat-and-cut replay") {
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
     val seqLen = 512L
