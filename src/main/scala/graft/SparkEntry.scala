@@ -520,6 +520,10 @@ object SparkEntry {
     // the exact-enforcement sibling of the rate-based x23/x26 mixes.
     "x110_source_cap" -> ((s, d) =>
       PrepOps.sourceCapCensus(docs(s, d), 1000L)),
+    // Retrieval-corpus chunk layout: 64-token windows every 48 tokens
+    // (16-token overlap) — chunk count/mass/short-tail from closed forms.
+    "x111_rag_chunks" -> ((s, d) =>
+      PrepOps.ragChunkCensus(docs(s, d), 64, 48)),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2080,6 +2084,21 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN cum <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
         |  CAST(SUM(CASE WHEN cum <= 1000 THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    // the same closed forms: chunks k, mass (k-1)*W + tail, short tail
+    "x111_rag_chunks" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n, CASE WHEN n <= 64 THEN 1
+        |    ELSE (n - 64 + 48 - 1) // 48 + 1 END AS k FROM t),
+        |m AS (
+        |  SELECT lang, n, k, (k-1)*64 + (n - (k-1)*48) AS mass,
+        |    CASE WHEN n - (k-1)*48 < 64 THEN 1 ELSE 0 END AS short FROM c)
+        |SELECT lang, COUNT(*) AS docs, CAST(SUM(k) AS BIGINT) AS chunks,
+        |  CAST(SUM(mass) AS BIGINT) AS chunk_tokens,
+        |  CAST(SUM(short) AS BIGINT) AS short_chunks
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "x48_vocab_topk" ->
       """WITH e AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word

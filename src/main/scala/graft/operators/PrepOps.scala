@@ -497,6 +497,43 @@ object PrepOps {
   }
 
   /**
+   * Overlapping-window chunk census — the retrieval-corpus (RAG) prep
+   * layout: each document is cut into `window`-token chunks every
+   * `stride` tokens (stride < window ⇒ consecutive chunks overlap by
+   * window − stride tokens, so a fact near a cut boundary is whole in at
+   * least one chunk). Chunk starts are 0, stride, 2·stride, …; the last
+   * chunk may run short. Census per language: docs, chunks, the total
+   * chunk token mass (overlap counted — the index-size number), and
+   * short chunks (< window tokens).
+   *
+   * Scale shape: pure per-row CLOSED FORMS — every chunk before the last
+   * is exactly `window` tokens, so chunk count, total mass, and the
+   * short-tail flag are three integer expressions per document; one scan,
+   * one aggregation, no explode, no joins, no windows. (The APPLY form a
+   * retrieval indexer consumes would explode chunk starts — rows ∝
+   * tokens/stride, linear; the census deliberately skips that.)
+   */
+  def ragChunkCensus(
+      documents: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window: window=$window stride=$stride")
+    documents
+      .select(col("lang"), size(ws).cast("long").as("n"))
+      .withColumn("k", when(col("n") <= window, 1L)
+        .otherwise(expr(s"(n - ${window}L + ${stride}L - 1L) DIV ${stride}L") + 1L))
+      .select(col("lang"), col("n"), col("k"),
+        ((col("k") - 1L) * window + (col("n") - (col("k") - 1L) * stride)).as("mass"),
+        (col("n") - (col("k") - 1L) * stride < window).as("short"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("k")).as("chunks"),
+        sum(col("mass")).as("chunk_tokens"),
+        sum(when(col("short"), 1L).otherwise(0L)).as("short_chunks"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * Hard per-source token cap — "this crawl contributes at most
    * `capTokens` tokens", the mixture guardrail of public corpus recipes.
    * [[graft.operators.CurationOps.tokenBudgetMix]] is its RATE-based

@@ -213,6 +213,31 @@ class PrepOpsSpec extends SparkSpec {
       ("b", 1L, 0L, 0L, 3L, 3.0)), rows.mkString(","))
   }
 
+  test("ragChunkCensus closed forms equal a per-doc sliding-window enumeration") {
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val (win, stride) = (16, 12)
+    val got = PrepOps.ragChunkCensus(docs, win, stride).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val lens = docs.select(col("lang"), size(split(lower(col("text")), " ")))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Long)]
+    lens.foreach { case (lang, n) =>
+      // literal enumeration: starts at 0, stride, ... while the previous
+      // chunk did not already reach the end
+      val starts = if (n <= win) Seq(0)
+        else 0 to (n - win + stride - 1) / stride * stride by stride
+      val clens = starts.map(s0 => math.min(win, n - s0))
+      val (d, c, m, sh) = agg.getOrElse(lang, (0L, 0L, 0L, 0L))
+      agg(lang) = (d + 1, c + clens.length, m + clens.map(_.toLong).sum,
+        sh + clens.count(_ < win))
+    }
+    val want = agg.toSeq.map { case (l, (d, c, m, sh)) => (l, d, c, m, sh) }.sortBy(_._1)
+    assert(got == want, s"got=$got want=$want")
+    // overlap sanity: consecutive chunks share win - stride tokens, so the
+    // mass always meets or exceeds the raw token mass for multi-chunk docs
+    assert(got.map(_._4).sum >= lens.map(_._2.toLong).sum)
+  }
+
   test("sourceCapCensus: prefix rule exact, cap respected, census consistent") {
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
     val cap = 300L
