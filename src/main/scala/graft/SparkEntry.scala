@@ -524,6 +524,15 @@ object SparkEntry {
     // (16-token overlap) — chunk count/mass/short-tail from closed forms.
     "x111_rag_chunks" -> ((s, d) =>
       PrepOps.ragChunkCensus(docs(s, d), 64, 48)),
+    // Boilerplate (template-text) census: spans in >= 3 DISTINCT docs are
+    // flagged corpus-wide — the remove-EVERY-occurrence rule, vs x32/x35's
+    // keep-one dedup rule.
+    "x112_boilerplate" -> ((s, d) =>
+      TextOps.boilerplateCensus(docs(s, d), 8, 3)),
+    // Boilerplate removal APPLIED: docs reassembled from unflagged spans
+    // plus the tail — per-lang cleaned-corpus census (x37's tail shape).
+    "x113_boilerplate_apply" -> ((s, d) =>
+      TextOps.boilerplateApply(docs(s, d), 8, 3)),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2099,6 +2108,54 @@ object SparkEntry {
         |  CAST(SUM(mass) AS BIGINT) AS chunk_tokens,
         |  CAST(SUM(short) AS BIGINT) AS short_chunks
         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+    // the same span construction as x32/x37; the flag is corpus-wide df >= 3
+    "x112_boilerplate" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT lang, doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(range(1, len(w)//8 + 1),
+        |      i -> array_to_string(list_slice(w, (i-1)*8+1, (i-1)*8+8), ' '))
+        |    ELSE [] END) AS span
+        |  FROM d),
+        |bp AS (
+        |  SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT sp.lang, COUNT(*) AS spans,
+        |  CAST(SUM(CASE WHEN bp.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bp_occurrences,
+        |  CAST(SUM(CASE WHEN bp.span IS NOT NULL THEN 8 ELSE 0 END) AS BIGINT)
+        |    AS bp_tokens,
+        |  CAST(COUNT(DISTINCT CASE WHEN bp.span IS NOT NULL THEN sp.doc_id END)
+        |    AS BIGINT) AS docs_touched
+        |FROM sp LEFT JOIN bp ON sp.span = bp.span
+        |GROUP BY sp.lang ORDER BY sp.lang""".stripMargin,
+    "x113_boilerplate_apply" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(range(1, len(w)//8 + 1),
+        |      i -> struct_pack(pos := i,
+        |        span := array_to_string(list_slice(w, (i-1)*8+1, (i-1)*8+8), ' ')))
+        |    ELSE [] END) AS u
+        |  FROM d),
+        |occ AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM sp),
+        |bp AS (
+        |  SELECT span FROM occ GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS kept_text
+        |  FROM occ WHERE span NOT IN (SELECT span FROM bp) GROUP BY doc_id),
+        |cleaned AS (
+        |  SELECT d.lang, COALESCE(array_to_string(list_filter(
+        |    [COALESCE(kept.kept_text, ''),
+        |     COALESCE(array_to_string(
+        |       list_slice(d.w, (len(d.w)//8)*8+1, len(d.w)), ' '), '')],
+        |    s -> s <> ''), ' '), '') AS text
+        |  FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id)
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS kept_chars
+        |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
     "x48_vocab_topk" ->
       """WITH e AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word

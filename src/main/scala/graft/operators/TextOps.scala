@@ -410,6 +410,91 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Corpus-wide span document frequency → the boilerplate flag relation:
+    * spans appearing in at least `minDf` DISTINCT documents. One
+    * span-keyed partial-agg groupBy; shared by census and apply so both
+    * see the identical flag set. */
+  private def boilerplateSpans(occ: DataFrame, minDf: Int): DataFrame =
+    occ.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("span"))
+
+  /**
+   * x112: boilerplate span census — the rule that is NOT span dedup:
+   * a span whose corpus-wide document frequency reaches `minDf` is
+   * template text (site chrome, license headers, navigation), and a
+   * boilerplate filter removes EVERY occurrence, including the first —
+   * where [[spanDedupCensus]] (the C4 dedup rule) always keeps one winner.
+   * Per language: span volume, boilerplate occurrences, token mass they
+   * carry, and documents touched.
+   *
+   * Scale shape: document frequency is one span-keyed partial-agg groupBy
+   * (no window — a hot template span is absorbed map-side); the flag
+   * relation (spans with df ≥ minDf — the template set, far smaller than
+   * the occurrence relation) joins back to occurrences on the SAME span
+   * key the aggregation just hash-distributed on, so the join reuses that
+   * distribution and AQE can broadcast the flag side when it is small.
+   * `docs_touched` needs a distinct-doc count over flagged occurrences —
+   * expressible only after the join, which is why the census is not a
+   * single aggregation.
+   */
+  def boilerplateCensus(documents: DataFrame, width: Int = 8, minDf: Int = 3): DataFrame = {
+    val occ = documents.select(col("lang"), col("doc_id"),
+      explode(spanArray(width)).as("span"))
+    val flagged = boilerplateSpans(occ, minDf).withColumn("bp", lit(true))
+    occ.join(flagged, Seq("span"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("spans"),
+        sum(when(col("bp"), 1L).otherwise(0L)).as("bp_occurrences"),
+        (sum(when(col("bp"), 1L).otherwise(0L)) * width).as("bp_tokens"),
+        countDistinct(when(col("bp"), col("doc_id"))).as("docs_touched"))
+      .orderBy(col("lang"))
+  }
+
+  /**
+   * x113: APPLY boilerplate removal — drop every occurrence of every
+   * flagged span ([[boilerplateCensus]]'s rule) and reassemble each
+   * document from its surviving spans plus the fixed tail (tokens after
+   * the last full window), reporting the per-language cleaned-corpus
+   * census. The survivor rule is the complement of [[spanDedupApply]]'s:
+   * there the first occurrence wins, here no occurrence does.
+   *
+   * Scale shape: the flag set comes from the same span-keyed groupBy;
+   * survivors are one anti-join of occurrences against it (same span key
+   * distribution); reassembly is one groupBy(doc_id) over the doc's OWN
+   * surviving spans — bounded by document length, never corpus-wide —
+   * joined back to the corpus on doc_id. No windows anywhere.
+   */
+  def boilerplateApply(documents: DataFrame, width: Int = 8, minDf: Int = 3): DataFrame = {
+    val ws = words(col("text"))
+    val nSpans = (size(ws) / lit(width)).cast("int")
+    val base = documents.select(
+      col("doc_id"), col("lang"),
+      spanArray(width).as("spans"),
+      concat_ws(" ", slice(ws, nSpans * width + 1, size(ws))).as("tail_text"))
+    val occ = base.select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+    val flagged = boilerplateSpans(occ, minDf)
+    val kept = occ
+      .join(flagged, Seq("span"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s("span"))).as("kept_text"))
+    base.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("lang"),
+        concat_ws(" ", array_remove(
+          array(coalesce(col("kept_text"), lit("")), col("tail_text")), ""))
+          .as("text"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"),
+        sum(length(col("text")).cast("long")).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /**
    * x79: bigram-LM perplexity proxy — the CCNet-style corpus-intrinsic
    * quality signal (Wenzek et al. 2020, public method; the reference's

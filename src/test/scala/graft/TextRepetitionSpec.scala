@@ -140,4 +140,34 @@ class TextRepetitionSpec extends SparkSpec {
       s"doc2 must keep exactly its unshared chunks, got: ${cleaned(2L)}")
     assert(cleaned(2L).length < shifted.length / 2, "most of doc2 is boilerplate cut")
   }
+
+  test("boilerplateCensus: df >= minDf flags EVERY occurrence, first included") {
+    // width 2, minDf 3: "p q" appears in docs 1,2,3 (df 3 → flagged);
+    // "r s" in docs 1,2 (df 2 → not); doc3 repeats "p q" twice but its df
+    // contribution is 1 (distinct docs, not occurrences)
+    val docs = docsOf(
+      (1L, "p q r s", "en", "s"),
+      (2L, "p q r s", "de", "s"),
+      (3L, "p q p q", "en", "s"))
+    val rows = TextOps.boilerplateCensus(docs, 2, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      ("de", 2L, 1L, 2L, 1L),   // doc2: its "p q" flagged (dedup would keep it!)
+      ("en", 4L, 3L, 6L, 2L)),  // doc1's copy + BOTH doc3 copies
+      rows.mkString(","))
+  }
+
+  test("boilerplateApply: flagged spans vanish everywhere; tails survive") {
+    val docs = docsOf(
+      (1L, "p q r s", "en", "s"),
+      (2L, "p q r s t", "de", "s"),   // "t" is tail beyond the span grid
+      (3L, "p q p q", "en", "s"),
+      (4L, "z", "en", "s"))           // shorter than width → pure tail
+    val rows = TextOps.boilerplateApply(docs, 2, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // de: doc2 → "r s t" (3 tokens, 5 chars)
+    // en: doc1 → "r s" (2 tok); doc3 → "" (split('',' ') counts 1 token,
+    //     the x37-oracle-parity convention); doc4 → "z" (1 tok)
+    assert(rows == Seq(("de", 1L, 3L, 5L), ("en", 3L, 4L, 4L)), rows.mkString(","))
+  }
 }
