@@ -533,6 +533,10 @@ object SparkEntry {
     // plus the tail — per-lang cleaned-corpus census (x37's tail shape).
     "x113_boilerplate_apply" -> ((s, d) =>
       TextOps.boilerplateApply(docs(s, d), 8, 3)),
+    // Filter-funnel attribution: first-kill per rule in pipeline order +
+    // what each rule alone catches — the rule-order/retention decision view.
+    "x114_filter_funnel" -> ((s, d) =>
+      PrepOps.filterFunnel(docs(s, d), 30)),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2129,6 +2133,33 @@ object SparkEntry {
         |    AS BIGINT) AS docs_touched
         |FROM sp LEFT JOIN bp ON sp.span = bp.span
         |GROUP BY sp.lang ORDER BY sp.lang""".stripMargin,
+    // same rule predicates as the Spark flags; kf_* partition docs with kept
+    "x114_filter_funnel" ->
+      """WITH d AS (
+        |  SELECT string_split(lower(text), ' ') AS w, strlen(text) AS c
+        |  FROM documents),
+        |m AS (
+        |  SELECT len(w) AS n, len(list_distinct(w)) AS u, c,
+        |    list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) AS dm
+        |  FROM d),
+        |f AS (
+        |  SELECT (n >= 30) AS p_wc,
+        |    (3*n <= c - n + 1 AND c - n + 1 <= 5*n) AS p_wlen,
+        |    (2*u >= n) AS p_ttr,
+        |    (10*dm <= n) AS p_dom
+        |  FROM m)
+        |SELECT COUNT(*) AS docs,
+        |  CAST(SUM(CASE WHEN NOT p_wc THEN 1 ELSE 0 END) AS BIGINT) AS kf_wc,
+        |  CAST(SUM(CASE WHEN p_wc AND NOT p_wlen THEN 1 ELSE 0 END) AS BIGINT) AS kf_wlen,
+        |  CAST(SUM(CASE WHEN p_wc AND p_wlen AND NOT p_ttr THEN 1 ELSE 0 END) AS BIGINT) AS kf_ttr,
+        |  CAST(SUM(CASE WHEN p_wc AND p_wlen AND p_ttr AND NOT p_dom THEN 1 ELSE 0 END) AS BIGINT) AS kf_dom,
+        |  CAST(SUM(CASE WHEN NOT p_wc AND p_wlen AND p_ttr AND p_dom THEN 1 ELSE 0 END) AS BIGINT) AS only_wc,
+        |  CAST(SUM(CASE WHEN p_wc AND NOT p_wlen AND p_ttr AND p_dom THEN 1 ELSE 0 END) AS BIGINT) AS only_wlen,
+        |  CAST(SUM(CASE WHEN p_wc AND p_wlen AND NOT p_ttr AND p_dom THEN 1 ELSE 0 END) AS BIGINT) AS only_ttr,
+        |  CAST(SUM(CASE WHEN p_wc AND p_wlen AND p_ttr AND NOT p_dom THEN 1 ELSE 0 END) AS BIGINT) AS only_dom,
+        |  CAST(SUM(CASE WHEN p_wc AND p_wlen AND p_ttr AND p_dom THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM f""".stripMargin,
     "x113_boilerplate_apply" ->
       """WITH d AS (
         |  SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents),

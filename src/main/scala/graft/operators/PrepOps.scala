@@ -475,6 +475,50 @@ object PrepOps {
           col("n_toks").cast("long")).otherwise(0L)).as("kept_tokens"))
       .orderBy(col("lang"))
 
+  /**
+   * x114: filter-funnel attribution — the census [[qualityFilterCensus]]
+   * deliberately does not give: with the rules applied in the PIPELINE'S
+   * fixed order (word count → word length → type-token ratio → dominance),
+   * which rule actually removes each document (`kf_*` = fails this rule,
+   * passed every earlier one), and what each rule removes that NO other
+   * rule would catch (`only_*` = fails this rule alone — the marginal cost
+   * of keeping it). `kf_*` sums + `kept` partition the corpus exactly;
+   * `only_* ≤ kf_*` gaps measure rule overlap. This is the view that
+   * decides rule ORDER (cheap rules that first-kill the most go first) and
+   * rule RETENTION (an `only_* = 0` rule is subsumed).
+   *
+   * Thresholds are this operator's own (integer cross-multiplied, like
+   * [[ruleFlags]]): the x45 constants are tuned to pass most of this
+   * corpus, which makes every later stage's attribution zero — a funnel
+   * needs rules that each bite. Single scan, one aggregation row, exact
+   * integer counts; the flags are per-row codegen'd expressions.
+   */
+  def filterFunnel(documents: DataFrame, minWords: Int = 30): DataFrame = {
+    val w = ws
+    val n = size(w)
+    val u = size(array_distinct(w))
+    val c = length(col("text"))
+    val dm = array_max(transform(array_distinct(w),
+      x => size(filter(w, y => y === x))))
+    val flagged = documents
+      .withColumn("p_wc", n >= minWords)
+      .withColumn("p_wlen", lit(3) * n <= c - n + 1 && c - n + 1 <= lit(5) * n)
+      .withColumn("p_ttr", lit(2) * u >= n)
+      .withColumn("p_dom", lit(10) * dm <= n)
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    flagged.agg(
+      count(lit(1)).as("docs"),
+      cnt(!col("p_wc")).as("kf_wc"),
+      cnt(col("p_wc") && !col("p_wlen")).as("kf_wlen"),
+      cnt(col("p_wc") && col("p_wlen") && !col("p_ttr")).as("kf_ttr"),
+      cnt(col("p_wc") && col("p_wlen") && col("p_ttr") && !col("p_dom")).as("kf_dom"),
+      cnt(!col("p_wc") && col("p_wlen") && col("p_ttr") && col("p_dom")).as("only_wc"),
+      cnt(col("p_wc") && !col("p_wlen") && col("p_ttr") && col("p_dom")).as("only_wlen"),
+      cnt(col("p_wc") && col("p_wlen") && !col("p_ttr") && col("p_dom")).as("only_ttr"),
+      cnt(col("p_wc") && col("p_wlen") && col("p_ttr") && !col("p_dom")).as("only_dom"),
+      cnt(col("p_wc") && col("p_wlen") && col("p_ttr") && col("p_dom")).as("kept"))
+  }
+
   // ----------------------------------------------------------------- split
 
   /**

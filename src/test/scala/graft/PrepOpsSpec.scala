@@ -287,4 +287,25 @@ class PrepOpsSpec extends SparkSpec {
     val totalTokens = want.map(_._3).sum
     assert(want.map(_._4).sum <= totalTokens / seqLen + 1)
   }
+
+  test("filterFunnel: first-kill partitions the corpus; only_* shows overlap") {
+    // A: 10 distinct 4-char tokens → fails ONLY wc (short)
+    // B: "wxyz" * 40 → u=1, dm=40: first-killed by ttr (order!), also fails
+    //    dom → contributes to kf_ttr but neither only_ttr nor only_dom
+    // C: 20 distinct 4-char tokens twice each (40 tok) → passes everything
+    // D: 20 distinct 1-char tokens twice each → chars-per-word 1 < 3 →
+    //    fails ONLY wlen
+    val a = (1 to 10).map(i => f"a$i%03d").mkString(" ")
+    val b = Seq.fill(40)("wxyz").mkString(" ")
+    val c = (1 to 20).flatMap(i => Seq(f"c$i%03d", f"c$i%03d")).mkString(" ")
+    val dChars = ('a' to 't').map(_.toString)
+    val d = dChars.flatMap(x => Seq(x, x)).mkString(" ")
+    val docs = docsOf((1L, a, "en", "s"), (2L, b, "en", "s"),
+      (3L, c, "en", "s"), (4L, d, "en", "s"))
+    val r = PrepOps.filterFunnel(docs, 30).collect().head
+    val got = (0 to 9).map(r.getLong)
+    assert(got == Seq(4L, 1L, 1L, 1L, 0L, 1L, 1L, 0L, 0L, 1L), got.mkString(","))
+    // the invariant the operator exists for: first-kills + kept == docs
+    assert(got(1) + got(2) + got(3) + got(4) + got(9) == got(0))
+  }
 }
