@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomContainsLong, BpeSegment, BpeSegmentFile, CdcChunks, CosineSimilarityF32, JaroWinkler, Md5PrefixLong}
+import graft.functions.{BloomContainsLong, BpeSegment, BpeSegmentFile, CdcChunks, CosineSimilarityF32, DotProductF32, JaroWinkler, Md5PrefixLong}
 
 /**
  * SparkSessionExtensions entry point — the deployment route for the engine's
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineSimilarityF32].getName, "cosine_f32"),
       GraftExtensions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
+      GraftExtensions.dotBuilder))
     ext.injectFunction((
       FunctionIdentifier("md5_prefix_long"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
@@ -57,6 +61,14 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"cosine_f32 expects exactly 2 arguments (array<float>, array<float>), got ${children.length}")
     CosineSimilarityF32(children(0), children(1))
+  }
+
+  /** `dot_f32(array<float>, array<float>)` — plain binary scalar. */
+  private[graft] val dotBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"dot_f32 expects exactly 2 arguments (array<float>, array<float>), got ${children.length}")
+    DotProductF32(children(0), children(1))
   }
 
   /** `jaro_winkler(string, string)` — plain binary scalar. */

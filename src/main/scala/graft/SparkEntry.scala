@@ -537,6 +537,10 @@ object SparkEntry {
     // what each rule alone catches — the rule-order/retention decision view.
     "x114_filter_funnel" -> ((s, d) =>
       PrepOps.filterFunnel(docs(s, d), 30)),
+    // Embedding-store QA pre-flight: dims, zero/non-finite vectors, and the
+    // nano-quantized squared-norm envelope via the codegen'd dot_f32.
+    "x115_embedding_sanity" -> ((s, d) =>
+      SimilarityOps.embeddingSanityCensus(emb(s, d))),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2133,6 +2137,28 @@ object SparkEntry {
         |    AS BIGINT) AS docs_touched
         |FROM sp LEFT JOIN bp ON sp.span = bp.span
         |GROUP BY sp.lang ORDER BY sp.lang""".stripMargin,
+    // list_dot_product is f32-sequential like dot_f32 (bit-exact, verified)
+    "x115_embedding_sanity" ->
+      """WITH m AS (
+        |  SELECT len(embedding) AS dim,
+        |    COALESCE(list_aggregate(list_transform(embedding,
+        |      x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END), 'max'), 0) = 1 AS bad,
+        |    COALESCE(list_aggregate(list_transform(embedding,
+        |      x -> CASE WHEN x = 0 THEN 0 ELSE 1 END), 'max'), 0) = 0 AS z,
+        |    list_dot_product(embedding, embedding) AS n2f
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT dim, bad, z, CASE WHEN NOT bad THEN
+        |    CAST(floor(CAST(n2f AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) END AS n2
+        |  FROM m)
+        |SELECT COUNT(*) AS n_vecs,
+        |  CAST(MIN(dim) AS BIGINT) AS dim_min, CAST(MAX(dim) AS BIGINT) AS dim_max,
+        |  CAST(SUM(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS zero_vecs,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS nonfinite_vecs,
+        |  MIN(n2) AS min_norm2_nano, MAX(n2) AS max_norm2_nano,
+        |  CAST(SUM(CASE WHEN n2 < 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS sub_unit,
+        |  CAST(SUM(CASE WHEN n2 > 1000000000 THEN 1 ELSE 0 END) AS BIGINT) AS super_unit
+        |FROM q""".stripMargin,
     // same rule predicates as the Spark flags; kf_* partition docs with kept
     "x114_filter_funnel" ->
       """WITH d AS (

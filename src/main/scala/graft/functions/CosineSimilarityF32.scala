@@ -74,6 +74,62 @@ object CosineSimilarityF32 {
   }
 }
 
+/**
+ * Float32 dot product over two `array<float>` columns — the norm/projection
+ * primitive [[CosineSimilarityF32]] composes internally, exposed for
+ * operators that need the raw inner product (embedding-norm QA:
+ * `dot_f32(v, v)` is the squared L2 norm). Same sequential f32 accumulation
+ * as DuckDB's `list_dot_product(FLOAT[], FLOAT[])`, so oracle-gated queries
+ * agree bit-exactly; same loud dimension-mismatch failure.
+ */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f32 expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = FloatType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProductF32.compute(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProductF32.compute(" +
+        s"$a.toFloatArray(), $b.toFloatArray());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_f32"
+}
+
+object DotProductF32 {
+  /** Sequential f32 accumulation, shared by interpreted and generated code. */
+  def compute(x: Array[Float], y: Array[Float]): Float = {
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"dot_f32: dimension mismatch ${x.length} vs ${y.length}")
+    var dot = 0f
+    var i = 0
+    while (i < x.length) {
+      dot += x(i) * y(i)
+      i += 1
+    }
+    dot
+  }
+}
+
 /** Session-level registration of graft SQL functions (imperative twin of
   * [[graft.GraftExtensions]] for sessions created without the extension).
   * Operators call it defensively on entry; the first call per session
@@ -91,6 +147,8 @@ object GraftFunctions {
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction(
         "cosine_f32", graft.GraftExtensions.cosineBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "dot_f32", graft.GraftExtensions.dotBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
         "md5_prefix_long", graft.GraftExtensions.md5PrefixBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(

@@ -799,6 +799,47 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /**
+   * x115: embedding sanity census — the QA gate every ANN/semantic-dedup
+   * consumer of the `embeddings` table assumes and nothing previously
+   * checked: dimension consistency, all-zero vectors (cosine = NaN
+   * downstream), non-finite components (one NaN poisons a whole IVF cell's
+   * centroid), and the squared-L2-norm envelope. Norms come from the
+   * codegen'd `dot_f32(v, v)` — the same sequential-f32 arithmetic as the
+   * oracle's `list_dot_product` (bit-exact, like its cosine sibling) —
+   * quantized once to nano resolution, where unit-normalized f32 vectors
+   * are NON-degenerate (they straddle 1e9 by a few hundred nanos; micro
+   * resolution would collapse them all to 1.0). Non-finite vectors are
+   * excluded from the norm envelope (a NaN min/max says nothing), counted
+   * instead.
+   *
+   * Scale shape: one scan, per-row codegen'd expressions, one aggregation
+   * row — the cheapest possible pre-flight before an IVF build.
+   */
+  def embeddingSanityCensus(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val v = col("embedding")
+    val bad = exists(v, x => isnan(x) ||
+      x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity))
+    val zeroVec = forall(v, x => x === lit(0f))
+    val n2nano = floor(
+      call_function("dot_f32", v, v).cast("double") * lit(1e9) + lit(0.5))
+      .cast("long")
+    embeddings
+      .select(size(v).cast("long").as("dim"), bad.as("bad"), zeroVec.as("z"),
+        when(!bad, n2nano).as("n2"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        sum(when(col("z"), 1L).otherwise(0L)).as("zero_vecs"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("nonfinite_vecs"),
+        min(col("n2")).as("min_norm2_nano"),
+        max(col("n2")).as("max_norm2_nano"),
+        sum(when(col("n2") < 1000000000L, 1L).otherwise(0L)).as("sub_unit"),
+        sum(when(col("n2") > 1000000000L, 1L).otherwise(0L)).as("super_unit"))
+  }
+
   /** E4: multimodal join — text corpus ⋈ embedding store on id, grouped counts. */
   def multimodalJoin(documents: DataFrame, embeddings: DataFrame): DataFrame =
     documents.join(embeddings, col("doc_id") === col("vec_id"))

@@ -75,4 +75,37 @@ class CosineSimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("cosine_f32"))
   }
+
+  test("dot_f32: f32-sequential accumulation, self-dot is the squared norm") {
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+      var acc = 0f
+      a.foreach(x => acc += x * x)
+      assert(graft.functions.DotProductF32.compute(a, a) == acc)
+    }
+  }
+
+  test("embeddingSanityCensus: dirty vectors counted, excluded from the envelope") {
+    import spark.implicits._
+    // unit vector / sub-unit / super-unit / zero / NaN / Inf — the NaN and
+    // Inf rows must be counted but NOT poison the norm min/max
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.5f, 0.5f, 0f)),
+      (3L, Array(1f, 1f, 1f)),
+      (4L, Array(0f, 0f, 0f)),
+      (5L, Array(Float.NaN, 1f, 0f)),
+      (6L, Array(Float.PositiveInfinity, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.operators.SimilarityOps.embeddingSanityCensus(df).collect().head
+    assert(r.getLong(0) == 6L)                       // n_vecs
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 3L))) // dims
+    assert(r.getLong(3) == 1L, "zero_vecs")
+    assert(r.getLong(4) == 2L, "nonfinite_vecs")
+    assert(r.getLong(5) == 0L, "min norm2 = the zero vector")
+    assert(r.getLong(6) == 3000000000L, "max norm2 = 3.0")
+    assert(r.getLong(7) == 2L, "sub-unit: 0.5 and the zero vector")
+    assert(r.getLong(8) == 1L, "super-unit: 3.0")
+  }
 }
