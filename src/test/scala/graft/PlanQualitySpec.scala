@@ -224,6 +224,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p70.contains("Join") && !p70.contains("CartesianProduct"), p70.take(1500))
   }
 
+  test("round-8 tranche keeps its scale shapes: boilerplate joins stay " +
+      "key-distributed, funnel and sanity census are join-free single scans") {
+    // x112/x113: the df aggregation and the flag (anti-)join share the span
+    // key — no cartesian, no single-partition window anywhere
+    Seq("x112_boilerplate", "x113_boilerplate_apply").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      assert(!p.toString.contains("CartesianProduct"),
+        s"$q: cartesian product\n${p.toString.take(1500)}")
+      windows(p).foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q has a single-partition WindowExec:\n$w"))
+    }
+    // x114/x115: one scan, one aggregation — a join or window appearing in
+    // either is a scale-shape regression (both are per-row expression work)
+    Seq("x114_filter_funnel", "x115_embedding_sanity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q grew a join/window:\n${p.take(1500)}")
+    }
+  }
+
   test("bucketed tables sort-merge-join without any exchange") {
     val docs = Tables.read(spark, d, "documents")
     val emb = Tables.read(spark, d, "embeddings").select(col("vec_id"), col("label"))
