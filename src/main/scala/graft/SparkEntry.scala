@@ -541,6 +541,14 @@ object SparkEntry {
     // nano-quantized squared-norm envelope via the codegen'd dot_f32.
     "x115_embedding_sanity" -> ((s, d) =>
       SimilarityOps.embeddingSanityCensus(emb(s, d))),
+    // Schema-on-read extraction census over the props JSON column: declared
+    // schema, PERMISSIVE nulls, per-type feed-quality + value envelope.
+    "x116_props_extract" -> ((s, d) =>
+      EventOps.propsExtractCensus(Tables.read(s, d, "events"))),
+    // Winsorized robust stats of the value metric (p1/p99 nearest-rank on
+    // the value-GROUPED relation, micro-quantized exact sums).
+    "x117_winsorize" -> ((s, d) =>
+      EventOps.winsorCensus(Tables.read(s, d, "events"), 1, 99)),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2137,6 +2145,39 @@ object SparkEntry {
         |    AS BIGINT) AS docs_touched
         |FROM sp LEFT JOIN bp ON sp.span = bp.span
         |GROUP BY sp.lang ORDER BY sp.lang""".stripMargin,
+    // from_json PERMISSIVE nulls == json_valid guard + TRY_CAST
+    "x116_props_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, CASE WHEN json_valid(props)
+        |    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(COUNT(k) AS BIGINT) AS k_present,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k,
+        |  CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // nearest-rank thresholds on the value-grouped relation, exact long sums
+    "x117_winsorize" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |g AS (SELECT event_type, v, COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+        |c AS (SELECT event_type, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM g),
+        |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |th AS (SELECT c.event_type,
+        |    MIN(CASE WHEN cum >= (1*n + 99) // 100 THEN v END) AS lo,
+        |    MIN(CASE WHEN cum >= (99*n + 99) // 100 THEN v END) AS hi
+        |  FROM c JOIN t USING (event_type) GROUP BY c.event_type)
+        |SELECT g.event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+        |  ANY_VALUE(lo) AS lo_micro, ANY_VALUE(hi) AS hi_micro,
+        |  CAST(SUM(cnt * v) AS BIGINT) AS raw_sum_micro,
+        |  CAST(SUM(cnt * greatest(least(v, hi), lo)) AS BIGINT) AS winsor_sum_micro,
+        |  CAST(SUM(CASE WHEN v < lo THEN cnt ELSE 0 END) AS BIGINT) AS clipped_low,
+        |  CAST(SUM(CASE WHEN v > hi THEN cnt ELSE 0 END) AS BIGINT) AS clipped_high
+        |FROM g JOIN th ON g.event_type = th.event_type
+        |GROUP BY g.event_type ORDER BY g.event_type""".stripMargin,
     // list_dot_product is f32-sequential like dot_f32 (bit-exact, verified)
     "x115_embedding_sanity" ->
       """WITH m AS (

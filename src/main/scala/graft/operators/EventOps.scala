@@ -130,6 +130,82 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /**
+   * x116: typed extraction census over the semi-structured `props` JSON
+   * column — the schema-on-read step an event pipeline runs before it
+   * trusts a feed: declare the expected shape (`k BIGINT`), extract with
+   * `from_json` (malformed documents, missing keys, and type mismatches
+   * all surface as NULL — PERMISSIVE mode, never a job failure), and
+   * census per event type: rows, extractable rows, and the value envelope.
+   * `n - k_present` is the malformed/missing count — the feed-quality
+   * number.
+   *
+   * Scale shape: one scan, per-row JSON parse (codegen'd JsonToStructs
+   * with the tiny fixed schema), one map-side-partial aggregation. No
+   * driver-side schema inference pass — the schema is DECLARED, which at
+   * 100 TB is the difference between one scan and two.
+   */
+  def propsExtractCensus(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("k_present"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /**
+   * x117: winsorized robust statistics of the `value` metric per event
+   * type — the outlier-clipped sum/envelope a metrics pipeline reports so
+   * one fat-finger event can't move a dashboard. Values are micro-quantized
+   * ONCE (`floor(v·1e6 + 0.5)` — exact long sums thereafter, summation
+   * order can't perturb a digit); the p-low/p-high thresholds are
+   * nearest-rank percentiles computed on the (type, value)-GROUPED
+   * relation: per-type cumulative counts via a window over distinct
+   * values, threshold = first value whose cumulative count reaches
+   * `ceil(p·n/100)`, then the winsorized sum is `Σ cnt·clamp(v, lo, hi)`
+   * over the same grouped relation — the corpus streams ONCE and is never
+   * per-row ranked (the x90 score-grouping argument: the window runs over
+   * value cardinality, which for real metrics — prices, latencies —
+   * saturates far below row count; a truly continuous unbounded metric
+   * would coarsen the quantization, same shape).
+   */
+  def winsorCensus(events: DataFrame, pLow: Int = 1, pHigh: Int = 99): DataFrame = {
+    require(0 < pLow && pLow < pHigh && pHigh < 100, "need 0 < pLow < pHigh < 100")
+    val v = floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+    val grouped = events.select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grouped.withColumn("cum", sum(col("cnt")).over(wCum))
+    val totals = grouped.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    // nearest-rank: ceil(p*n/100) in integers = (p*n + 99) div 100 — keep
+    // the division INTEGRAL (Spark's `/` on longs is double division, which
+    // would shift the rank by up to one whole position)
+    val ranked = cum.join(broadcast(totals), "event_type")
+    def thresholdAt(p: Int) = min(when(
+      col("cum") >= floor((lit(p.toLong) * col("n") + lit(99L)) / lit(100.0)).cast("long"),
+      col("v")))
+    val th = ranked.groupBy(col("event_type"))
+      .agg(thresholdAt(pLow).as("lo"), thresholdAt(pHigh).as("hi"))
+    grouped.join(broadcast(th), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        first(col("lo")).as("lo_micro"),
+        first(col("hi")).as("hi_micro"),
+        sum(col("cnt") * col("v")).as("raw_sum_micro"),
+        sum(col("cnt") * greatest(least(col("v"), col("hi")), col("lo")))
+          .as("winsor_sum_micro"),
+        sum(when(col("v") < col("lo"), col("cnt")).otherwise(0L)).as("clipped_low"),
+        sum(when(col("v") > col("hi"), col("cnt")).otherwise(0L)).as("clipped_high"))
+      .orderBy(col("event_type"))
+  }
+
   def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
     val active = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -76,4 +76,39 @@ class FunnelSearchSpec extends SparkSpec {
       assert(rows((s, "(all)")) === ((g.values.map(_._1).sum, g.values.map(_._2).sum)))
     }
   }
+
+  test("propsExtractCensus: malformed, missing-key, wrong-type, and null " +
+      "props all surface as NULL — never a job failure") {
+    val ev = Seq(
+      (1L, "click", """{"k": 5}"""),
+      (2L, "click", """{"k": 7}"""),
+      (3L, "click", """not json at all"""),    // malformed
+      (4L, "click", """{"other": 1}"""),       // missing key
+      (5L, "view", """{"k": "oops"}"""),       // wrong type
+      (6L, "view", null.asInstanceOf[String])) // null props
+      .toDF("event_id", "event_type", "props")
+    val r = EventOps.propsExtractCensus(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("click", 4L, 2L), ("view", 2L, 0L)), r.mkString(","))
+    val click = EventOps.propsExtractCensus(ev)
+      .filter(col("event_type") === "click").collect().head
+    assert((click.getLong(3), click.getLong(4), click.getLong(5)) == ((12L, 5L, 7L)))
+  }
+
+  test("winsorCensus: nearest-rank thresholds clip exactly one tail value") {
+    // click: values 1..100 → p1 rank ceil(100/100)=1 → lo=1_000_000;
+    // p99 rank 99 → hi=99_000_000; only v=100 clips high, nothing clips low
+    // (v=1 == lo). view: constant value → lo=hi, nothing clips.
+    val ev = ((1 to 100).map(i => (i.toLong, "click", i.toDouble)) ++
+      (1 to 10).map(i => (200L + i, "view", 2.5)))
+      .toDF("event_id", "event_type", "value")
+    val r = EventOps.winsorCensus(ev, 1, 99).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7))).toSeq
+    val rawClick = (1 to 100).map(_.toLong * 1000000L).sum
+    assert(r == Seq(
+      ("click", 100L, 1000000L, 99000000L, rawClick, rawClick - 1000000L, 0L, 1L),
+      ("view", 10L, 2500000L, 2500000L, 25000000L, 25000000L, 0L, 0L)),
+      r.mkString(","))
+  }
 }
