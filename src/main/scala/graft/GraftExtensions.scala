@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeSegmentFile].getName, "bpe_segment_file"),
       GraftExtensions.bpeSegmentFileBuilder))
     ext.injectFunction((
+      FunctionIdentifier("graft_top_k_rows"),
+      new ExpressionInfo(classOf[graft.plans.TopKRows].getName, "graft_top_k_rows"),
+      GraftExtensions.topKRowsBuilder))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       GraftExtensions.jaroWinklerBuilder))
@@ -69,6 +73,30 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"dot_f32 expects exactly 2 arguments (array<float>, array<float>), got ${children.length}")
     DotProductF32(children(0), children(1))
+  }
+
+  /** `graft_top_k_rows(rowStruct, sortStruct, k, dirs)` — the bounded-heap
+    * top-k aggregate; k and the per-key direction string ('A'scending /
+    * 'D'escending, Spark null-ordering defaults) must be literals (they
+    * parameterize the aggregate instance, they are not per-row values). */
+  private[graft] val topKRowsBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 4)
+      throw new IllegalArgumentException(
+        s"graft_top_k_rows expects (struct, struct, int literal, string literal), got ${children.length} args")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    (children(2), children(3)) match {
+      case (Literal(k: Int, IntegerType), Literal(d: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        val dirs = d.toString.map {
+          case 'A' => (true, true)   // asc, nulls first (Spark asc default)
+          case 'D' => (false, false) // desc, nulls last (Spark desc default)
+          case c => throw new IllegalArgumentException(
+            s"graft_top_k_rows: direction must be 'A' or 'D', got '$c'")
+        }
+        graft.plans.TopKRows(children(0), children(1), k, dirs)
+      case other => throw new IllegalArgumentException(
+        s"graft_top_k_rows: k and directions must be literals, got $other")
+    }
   }
 
   /** `jaro_winkler(string, string)` — plain binary scalar. */

@@ -549,6 +549,16 @@ object SparkEntry {
     // the value-GROUPED relation, micro-quantized exact sums).
     "x117_winsorize" -> ((s, d) =>
       EventOps.winsorCensus(Tables.read(s, d, "events"), 1, 99)),
+    // The bounded-heap top-k operator (graft_top_k_rows aggregate): per-lang
+    // top-3 longest docs — the wide-group regime where the heap beats the
+    // sort-based window 8x (TopKPerGroupBenchSpec; rewrite rule measured
+    // default-off for the many-tiny-groups shape).
+    "x118_topk_per_group" -> ((s, d) =>
+      graft.plans.TopKPerGroup.topKPerGroup(
+        docs(s, d).select(col("lang"), col("doc_id"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_toks")),
+        Seq("lang"), Seq(("n_toks", false), ("doc_id", true)), 3)
+        .orderBy(col("lang"), col("rn"))),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2145,6 +2155,18 @@ object SparkEntry {
         |    AS BIGINT) AS docs_touched
         |FROM sp LEFT JOIN bp ON sp.span = bp.span
         |GROUP BY sp.lang ORDER BY sp.lang""".stripMargin,
+    // the heap aggregate vs the reference window form — identical rows/ranks
+    "x118_topk_per_group" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_toks, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_toks DESC, doc_id ASC) AS INT) AS rn
+        |  FROM t)
+        |SELECT lang, doc_id, n_toks, rn FROM r WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
     // from_json PERMISSIVE nulls == json_valid guard + TRY_CAST
     "x116_props_extract" ->
       """WITH e AS (

@@ -161,6 +161,14 @@ object GraftFunctions {
         "bpe_segment_file", graft.GraftExtensions.bpeSegmentFileBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
         "jaro_winkler", graft.GraftExtensions.jaroWinklerBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "graft_top_k_rows", graft.GraftExtensions.topKRowsBuilder, "scala_udf")
+      // the engine's optimizer rule rides the same registration path: any
+      // session an operator touches gets the top-k-per-group rewrite
+      val opts = spark.experimental.extraOptimizations
+      if (!opts.contains(graft.plans.TopKPerGroupRewrite))
+        spark.experimental.extraOptimizations =
+          opts :+ graft.plans.TopKPerGroupRewrite
     }
 
   /** Column helper for the md5-prefix hash — the one place the SQL name and

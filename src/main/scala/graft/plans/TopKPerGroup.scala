@@ -1,0 +1,275 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/**
+ * Bounded top-k rows per group as a mergeable aggregate — the physical
+ * engine of [[TopKPerGroupRewrite]].
+ *
+ * For each input row the aggregate evaluates `sortExpr` (a struct of the
+ * window's ORDER BY keys) and `rowExpr` (a struct of every carried column)
+ * and maintains a size-`k` max-heap under the window's sort order: a row
+ * enters only while fewer than k are held or when it sorts strictly before
+ * the current k-th. `eval` returns the held rows sorted ascending — exactly
+ * the rows `row_number() <= k` would keep, in rank order.
+ *
+ * Why this beats the window it replaces at 100 TB:
+ *  - WindowExec sorts EVERY row of every group (O(n log n) per group,
+ *    spilling at scale) to emit ranks the filter immediately discards past
+ *    k; the heap holds k rows per group, O(n log k), no sort, no spill.
+ *  - As a proper aggregate it PARTIAL-aggregates map-side: each input
+ *    partition ships at most k rows per group into the shuffle instead of
+ *    all of them — the shuffle shrinks from the corpus to
+ *    `k · groups · partitions`, the same argument as map-side combine.
+ *
+ * Determinism contract: identical to `row_number()`'s — ranks are stable
+ * only under a total sort order. The engine's own queries always tie-break
+ * (CI-locked convention); the rewrite preserves whatever tie behavior the
+ * order defines, because comparison uses the window's exact SortOrder
+ * directions and null ordering ([[InterpretedOrdering]]).
+ *
+ * Buffered rows are copied through an [[UnsafeProjection]] (self-contained
+ * bytes — the input row's backing buffer is reused by the scanner, the
+ * collect_list copy discipline). Serialization is length-prefixed UnsafeRow
+ * bytes, heap order (merge re-heapifies; order need not survive the wire).
+ */
+case class TopKRows(
+    rowExpr: Expression,
+    sortExpr: Expression,
+    k: Int,
+    directions: Seq[(Boolean, Boolean)], // (ascending, nullsFirst) per key
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(InternalRow, InternalRow)]] {
+
+  private def rowType = rowExpr.dataType.asInstanceOf[StructType]
+  private def sortType = sortExpr.dataType.asInstanceOf[StructType]
+
+  @transient private lazy val rowProj = UnsafeProjection.create(rowType)
+  @transient private lazy val sortProj = UnsafeProjection.create(sortType)
+
+  /** Ascending comparison under the window's sort spec. */
+  @transient private lazy val asc: Ordering[InternalRow] = {
+    val orders = sortType.fields.zipWithIndex.zip(directions).map {
+      case ((f, i), (isAsc, nullsFirst)) =>
+        val dir = if (isAsc) Ascending else Descending
+        val no =
+          if (nullsFirst) NullsFirst
+          else NullsLast
+        SortOrder(BoundReference(i, f.dataType, f.nullable), dir, no, Seq.empty)
+    }
+    new InterpretedOrdering(orders.toIndexedSeq)
+  }
+
+  // max-heap: head is the WORST (last-ranked) held row
+  private def heapOrdering: Ordering[(InternalRow, InternalRow)] =
+    Ordering.by[(InternalRow, InternalRow), InternalRow](_._1)(asc)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(InternalRow, InternalRow)] =
+    mutable.PriorityQueue.empty(heapOrdering)
+
+  override def update(
+      buf: mutable.PriorityQueue[(InternalRow, InternalRow)],
+      input: InternalRow): mutable.PriorityQueue[(InternalRow, InternalRow)] = {
+    val sk = sortProj(sortExpr.eval(input).asInstanceOf[InternalRow])
+    if (buf.size < k) {
+      buf.enqueue((sk.copy(), rowProj(rowExpr.eval(input).asInstanceOf[InternalRow]).copy()))
+    } else if (asc.compare(sk, buf.head._1) < 0) {
+      buf.dequeue()
+      buf.enqueue((sk.copy(), rowProj(rowExpr.eval(input).asInstanceOf[InternalRow]).copy()))
+    }
+    buf
+  }
+
+  override def merge(
+      a: mutable.PriorityQueue[(InternalRow, InternalRow)],
+      b: mutable.PriorityQueue[(InternalRow, InternalRow)]): mutable.PriorityQueue[(InternalRow, InternalRow)] = {
+    b.foreach { e =>
+      if (a.size < k) a.enqueue(e)
+      else if (asc.compare(e._1, a.head._1) < 0) { a.dequeue(); a.enqueue(e) }
+    }
+    a
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(InternalRow, InternalRow)]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.toIndexedSeq.sortBy(_._1)(asc).map(_._2).toArray[Any])
+
+  override def serialize(buf: mutable.PriorityQueue[(InternalRow, InternalRow)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (sk, row) =>
+      val sb = sk.asInstanceOf[UnsafeRow].getBytes
+      val rb = row.asInstanceOf[UnsafeRow].getBytes
+      out.writeInt(sb.length); out.write(sb)
+      out.writeInt(rb.length); out.write(rb)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(InternalRow, InternalRow)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    (0 until n).foreach { _ =>
+      val sb = new Array[Byte](in.readInt()); in.readFully(sb)
+      val sk = new UnsafeRow(sortType.length); sk.pointTo(sb, sb.length)
+      val rb = new Array[Byte](in.readInt()); in.readFully(rb)
+      val row = new UnsafeRow(rowType.length); row.pointTo(rb, rb.length)
+      buf.enqueue((sk, row))
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(rowType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(rowExpr, sortExpr)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(rowExpr = newChildren(0), sortExpr = newChildren(1))
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "graft_top_k_rows"
+}
+
+/**
+ * Optimizer rule (the engine's one `Rule[LogicalPlan]` — SURVEY §4.3's
+ * custom-operator ladder rung (c)): rewrite the ubiquitous top-k-per-group
+ * idiom
+ * {{{
+ *   Filter(row_number <= k,
+ *     Window([row_number() over (partition by P order by O)], P, O, child))
+ * }}}
+ * into a bounded-heap aggregate + positional explode that reconstructs the
+ * surviving rows AND their rank, byte-identical to the window form under a
+ * total sort order (see [[TopKRows]] for why this wins at scale: no
+ * per-group sort, k-bounded map-side partials, a shuffle that carries
+ * `k · groups` instead of the corpus).
+ *
+ * The rewrite fires only on the exact shape it preserves:
+ *  - the Window computes EXACTLY ONE expression, a plain `row_number()`
+ *    (rank/dense_rank admit ties past k — different semantics);
+ *  - the partition spec is non-empty (a global top-k already plans as the
+ *    bounded [[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]]);
+ *  - the filter is `rn <= lit` / `rn < lit` / `rn = 1` with the literal an
+ *    Int, referencing the window column and nothing else.
+ * Registered through `spark.experimental.extraOptimizations` (runs after
+ * the main optimizer batches, where the Filter-over-Window shape is
+ * stable), installed by [[graft.functions.GraftFunctions.register]].
+ */
+object TopKPerGroupRewrite extends Rule[LogicalPlan] {
+
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(Literal(1, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  /**
+   * DEFAULT OFF — a measured decision, not a hedge (TopKPerGroupBenchSpec,
+   * local[4], 2 reps): the rewrite is ~8× FASTER on wide groups (4 groups ×
+   * 20 M rows, k=3: 0.98 s vs 7.83 s — the per-partition sort Spark 4's own
+   * WindowGroupLimit still pays dominates there) but ~2× slower on many
+   * tiny groups (400 k groups × 5 rows, k=1: heap/object overhead with no
+   * sort to save — and that is the engine's own dedup-winner shape, which
+   * stock WindowGroupLimit already shuffle-prunes well). Cardinality isn't
+   * visible to the rule, so the default protects the common engine shape;
+   * wide-group pipelines opt in via the conf, or call
+   * [[TopKPerGroup.topKPerGroup]] to get the heap plan explicitly.
+   */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.topk.rewrite", "false").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          part, order, rawChild, _))
+        if part.nonEmpty && order.nonEmpty &&
+          limitOf(cond, alias.toAttribute).exists(_ >= 1) =>
+      val k = limitOf(cond, alias.toAttribute).get
+      // Spark's own InferWindowGroupLimit has usually run by now and placed
+      // a WindowGroupLimit (sort + per-group prune) under the Window. The
+      // heap aggregate subsumes it WITHOUT sorting — strip it, or its Sort
+      // would survive below us and pay the O(n log n) the rewrite removes.
+      val child = rawChild match {
+        case wgl: WindowGroupLimit => wgl.child
+        case other => other
+      }
+      val rowStruct = CreateStruct(child.output)
+      val sortStruct = CreateStruct(order.map(_.child))
+      val agg = TopKRows(rowStruct, sortStruct, k,
+        order.map(so => (so.direction == Ascending, so.nullOrdering == NullsFirst)))
+      val arrAlias = Alias(
+        AggregateExpression(agg, Complete, isDistinct = false), "__graft_topk")()
+      val aggNode = Aggregate(part, Seq(arrAlias), child, None)
+      val posAttr = AttributeReference("__graft_pos", IntegerType, nullable = false)()
+      val colAttr = AttributeReference("__graft_row", rowStruct.dataType, nullable = false)()
+      val gen = Generate(PosExplode(arrAlias.toAttribute),
+        unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
+        generatorOutput = Seq(posAttr, colAttr), aggNode)
+      // reconstruct the Filter's exact output: child columns from the row
+      // struct, the rank from the explode position — PINNED to the original
+      // exprIds so everything above the rewrite still resolves
+      val restored = child.output.zipWithIndex.map { case (a, i) =>
+        Alias(GetStructField(colAttr, i, Some(a.name)), a.name)(exprId = a.exprId)
+      }
+      val rank = Alias(Add(posAttr, Literal(1, IntegerType)), alias.name)(exprId = alias.exprId)
+      Project(restored :+ rank, gen)
+  }
+}
+
+/**
+ * The explicit operator form of the heap top-k — for callers who KNOW their
+ * group shape is wide (see [[TopKPerGroupRewrite]]'s measured default):
+ * `topKPerGroup(df, Seq("lang"), Seq(("n_toks", false), ("doc_id", true)), 3)`
+ * keeps each group's first k rows under the given (column, ascending) total
+ * order and appends their 1-based rank. Built from public API only: the
+ * registered `graft_top_k_rows` aggregate + `posexplode` — so the plan is
+ * final-agg ← exchange ← partial-agg ← scan, never a sort.
+ *
+ * Null ordering follows Spark's sort defaults (asc → nulls first,
+ * desc → nulls last), matching what the equivalent `row_number()` window
+ * over `asc`/`desc` columns would do.
+ */
+object TopKPerGroup {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{call_function, col, lit, posexplode, struct}
+
+  def topKPerGroup(
+      df: DataFrame,
+      partition: Seq[String],
+      order: Seq[(String, Boolean)],
+      k: Int,
+      rankName: String = "rn"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(partition.nonEmpty && order.nonEmpty, "need partition and order columns")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val dirs = order.map { case (_, asc) => if (asc) 'A' else 'D' }.mkString
+    val rowStruct = struct(df.columns.map(col).toIndexedSeq: _*)
+    val sortStruct = struct(order.map { case (n, _) => col(n) }: _*)
+    val arr: Column = call_function("graft_top_k_rows",
+      rowStruct, sortStruct, lit(k), lit(dirs))
+    df.groupBy(partition.map(col): _*)
+      .agg(arr.as("__graft_topk"))
+      .select(posexplode(col("__graft_topk")).as(Seq("__graft_pos", "__graft_row")))
+      .select((df.columns.map(n => col(s"__graft_row.$n")) :+
+        (col("__graft_pos") + lit(1)).as(rankName)).toIndexedSeq: _*)
+  }
+}
