@@ -559,6 +559,32 @@ object SparkEntry {
           size(split(lower(col("text")), " ")).cast("long").as("n_toks")),
         Seq("lang"), Seq(("n_toks", false), ("doc_id", true)), 3)
         .orderBy(col("lang"), col("rn"))),
+    // Tokenizer FERTILITY census: subwords-per-word per language under the
+    // checked-in merge table — the standard multilingual tokenizer-quality
+    // metric (high fertility = longer sequences, worse effective context
+    // for that language); the ratio is exact BIGINT floor division at
+    // micro resolution, never a double divide.
+    "x119_bpe_fertility" -> ((s, d) =>
+      BpeOps.fertilityCensus(docs(s, d))),
+    // STREAMING IVF ingest twin: the embedding corpus replayed as 3
+    // micro-batches — including a DUPLICATE delivery of batch 1 the marker
+    // guard must no-op — appended to a persisted index under a fixed
+    // quantizer bootstrap. The top-k query against the STREAMED store is
+    // gated on x5's exact oracle: the append contract makes streamed ==
+    // batch-built == inline, row-identical, not approximately.
+    "x120_ivf_stream" -> ((s, d) => {
+      val e = emb(s, d)
+      val path = java.nio.file.Files.createTempDirectory("graft_x120")
+        .toString + "/ivf"
+      SimilarityOps.writeIvfCentroids(e, path, 40)
+      val sink = streaming.CorpusStream.ivfIngestBatch(path) _
+      def b(i: Int) = e.filter(col("vec_id") % 3 === i)
+      sink(b(0), 0L); sink(b(1), 1L)
+      sink(b(1), 1L) // replayed delivery: the marker guard makes it a no-op
+      sink(b(2), 2L)
+      val qvec = e.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+      SimilarityOps.queryIvfIndexLive(s, path, qvec, 0L, 10, 12)
+    }),
     // x47 under SUBWORD (BPE) budgets: the packing census with tokens
     // counted by the checked-in merge table instead of whitespace — the
     // trainer-faithful budget unit. The oracle replays the SAME table via
@@ -2167,6 +2193,36 @@ object SparkEntry {
         |  FROM t)
         |SELECT lang, doc_id, n_toks, rn FROM r WHERE rn <= 3
         |ORDER BY lang, rn""".stripMargin,
+    // the same fixpoint segmentation; fertility as pure BIGINT floor div
+    "x119_bpe_fertility" -> (bpeCte +
+      """,
+        |ntok AS (SELECT word, MIN(len(syms)) AS n_tok FROM bpe GROUP BY word),
+        |d AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+        |      FROM documents)
+        |SELECT d.lang, COUNT(DISTINCT d.doc_id) AS docs, COUNT(*) AS words,
+        |  CAST(SUM(n.n_tok) AS BIGINT) AS subword_tokens,
+        |  CAST((CAST(SUM(n.n_tok) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT)
+        |    AS fertility_micro
+        |FROM d JOIN ntok n ON d.word = n.word
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+    // x5's oracle verbatim: the streamed store must equal the inline path
+    "x120_ivf_stream" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |asg AS (
+        |  SELECT vec_id, embedding, cid FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT cid FROM cents, q
+        |  ORDER BY list_cosine_similarity(qvec, cvec) DESC, cid ASC LIMIT 12)
+        |SELECT a.vec_id, round(list_cosine_similarity(q.qvec, a.embedding), 6) AS sim
+        |FROM asg a JOIN probes p ON a.cid = p.cid, q
+        |WHERE a.vec_id != 0
+        |ORDER BY sim DESC, a.vec_id ASC LIMIT 10""".stripMargin,
     // from_json PERMISSIVE nulls == json_valid guard + TRY_CAST
     "x116_props_extract" ->
       """WITH e AS (

@@ -339,4 +339,36 @@ object BpeOps {
       .orderBy(col("df").desc, col("tf").desc, col("tok").asc)
       .limit(k)
   }
+
+  /**
+   * FERTILITY census — subword tokens per word, per language: THE standard
+   * tokenizer-quality metric for multilingual corpora (a tokenizer trained
+   * on English-heavy data segments other languages into more pieces; high
+   * fertility means longer sequences, worse effective context, higher
+   * training cost for the same text). Reports per language the exact word
+   * and subword-token sums plus their ratio as a micro-quantized integer —
+   * `fertility_micro = (subword_tokens * 1e6) div words`, pure BIGINT
+   * floor division, bit-identical across engines (never a double divide).
+   *
+   * Scale shape: one scan, two per-row codegen'd expressions (word count +
+   * segment count), one hash aggregation with map-side partials — no
+   * explode, no shuffle of the token stream; the cheapest of the BPE
+   * censuses.
+   */
+  def fertilityCensus(
+      documents: DataFrame,
+      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("w"),
+        size(segment(TextOps.words(col("text")), merges)).cast("long").as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("w")).as("words"),
+        sum(col("t")).as("subword_tokens"))
+      .withColumn("fertility_micro",
+        expr("subword_tokens * CAST(1000000 AS BIGINT) div words"))
+      .orderBy(col("lang"))
+  }
 }

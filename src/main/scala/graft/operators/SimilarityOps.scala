@@ -653,6 +653,18 @@ object SimilarityOps {
       centroidMod: Int = 40): Unit =
     buildIvfIndexWith(embeddings, path, centroids(embeddings, centroidMod))
 
+  /** Persist ONLY the centroid table — the quantizer bootstrap for
+    * streaming ingest ([[graft.streaming.CorpusStream.ivfIngestBatch]]):
+    * fix the quantizer first, then every micro-batch appends under it via
+    * [[appendIvfIndex]], so the streamed store is row-identical to a batch
+    * [[buildIvfIndexWith]] over the union (the append contract). */
+  def writeIvfCentroids(
+      embeddings: DataFrame,
+      path: String,
+      centroidMod: Int = 40): Unit =
+    centroids(embeddings, centroidMod)
+      .write.mode("overwrite").parquet(s"${path}_centroids")
+
   /** [[buildIvfIndex]] with a caller-supplied centroid table (cid, cvec) —
     * e.g. one trained by [[trainCentroids]]. */
   def buildIvfIndexWith(

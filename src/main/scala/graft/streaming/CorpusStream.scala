@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CurationOps, DedupOps, PrepOps}
+import graft.operators.{CurationOps, DedupOps, PrepOps, SimilarityOps}
 
 /**
  * Streaming corpus ingest with INCREMENTAL near-duplicate detection — the
@@ -156,6 +156,32 @@ object CorpusStream {
     PrepOps.sourceScorecard(batch, minWords, maxWords)
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(scorecardLogPath)
+    fs.mkdirs(markerDir)
+    fs.create(marker, true).close()
+  }
+
+  /**
+   * foreachBatch sink: STREAMING IVF ingest — embeddings arriving batch by
+   * batch append to a persisted IVF index under a FIXED quantizer
+   * (bootstrap the centroid table once with
+   * [[SimilarityOps.writeIvfCentroids]] or [[SimilarityOps.trainCentroids]]
+   * before starting the stream). Each batch costs one assignment pass
+   * against the tiny centroid table (broadcast NL join) plus a
+   * partitioned parquet append — cost ∝ batch, never ∝ index — and the
+   * append contract ([[SimilarityOps.appendIvfIndex]], pinned by
+   * SimilarityIndexSpec) makes the streamed store row-identical to a
+   * batch build over the union of micro-batches: queries against it are
+   * exact, not approximations of the batch path. Same marker-guarded
+   * replay contract as [[dedupIngestBatch]] — a replayed batch is a
+   * no-op, so at-least-once delivery never double-inserts a vector.
+   */
+  def ivfIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val markerDir = new Path(s"$indexPath/_graft_batches")
+    val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(markerDir, batchId.toString)
+    if (fs.exists(marker)) return
+    SimilarityOps.appendIvfIndex(batch, indexPath)
     fs.mkdirs(markerDir)
     fs.create(marker, true).close()
   }

@@ -242,4 +242,24 @@ class BpeSpec extends SparkSpec {
       .agg(sum(col("tokens"))).collect().head.getLong(0)
     assert(packed == bpeToks)
   }
+
+  test("fertilityCensus: sums tie to tokenCount, ratio is exact floor division") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val rows = BpeOps.fertilityCensus(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byLang = docs.groupBy(col("lang")).agg(
+        count(lit(1)).as("docs"),
+        sum(size(split(lower(col("text")), " ")).cast("long")).as("w"),
+        sum(BpeOps.tokenCount()).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (lang, d, w, t, fm) =>
+      val (ed, ew, et) = byLang(lang)
+      assert(d == ed && w == ew && t == et, s"$lang: sums diverge from tokenCount")
+      assert(fm == t * 1000000L / w, s"$lang: fertility is not the exact floor ratio")
+      // every word is at least one subword, so fertility >= 1.0 on real text
+      assert(fm >= 1000000L, s"$lang: fertility below 1.0")
+    }
+  }
 }

@@ -60,6 +60,33 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(viaInc == inline, "appended index must reproduce the inline result")
   }
 
+  test("ivfIngestBatch: streamed store equals batch build; replayed batch is a no-op") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    val (st, full) = (base + "/st", base + "/full")
+    SimilarityOps.writeIvfCentroids(emb, st, 40)
+    val sink = graft.streaming.CorpusStream.ivfIngestBatch(st) _
+    def b(i: Int) = emb.filter(col("vec_id") % 3 === i)
+    sink(b(0), 0L); sink(b(1), 1L)
+    sink(b(1), 1L) // replayed delivery must not double-insert
+    sink(b(2), 2L)
+    SimilarityOps.buildIvfIndex(emb, full, centroidMod = 40)
+    val read = (p: String) => spark.read.parquet(p)
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong)).toSeq
+    val streamed = read(st)
+    assert(streamed.size == streamed.toSet.size, "replay double-inserted vectors")
+    assert(streamed.toSet == read(full).toSet, "streamed store must equal batch build")
+    // queries against the streamed store match the inline ANN over the union
+    val qvec = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val viaStream = SimilarityOps.queryIvfIndexLive(spark, st, qvec, 0L, 10, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = SimilarityOps.annIvf(emb, 0L, 10, 40, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaStream == inline, "streamed index must reproduce the inline result")
+  }
+
   test("IVF recall census: probing every cell gives recall exactly 1.0; fewer probes never more") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
