@@ -566,6 +566,23 @@ object SparkEntry {
     // micro resolution, never a double divide.
     "x119_bpe_fertility" -> ((s, d) =>
       BpeOps.fertilityCensus(docs(s, d))),
+    // WITHIN-doc duplicate-window removal (the Gopher/C4 intra-doc rule):
+    // array_distinct is order-preserving, so the whole apply runs shuffle-
+    // free inside the scan projection; gated per-lang on the cleaned corpus.
+    // Width 2 so the rule genuinely bites on this corpus (250 within-doc
+    // duplicate windows at sf0.01; width 8 never repeats within a doc).
+    "x121_intradoc_dedup" -> ((s, d) =>
+      TextOps.intraDocSpanDedup(docs(s, d), 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("kept_tokens"),
+          sum(length(col("text")).cast("long")).as("kept_chars"))
+        .orderBy(col("lang"))),
+    // Trailing 7-day per-user activity (a time-RANGE window frame — the
+    // engagement-velocity/rate-limit primitive): exact integer census per
+    // event type.
+    "x122_trailing_window" -> ((s, d) =>
+      EventOps.trailingWindowCensus(Tables.read(s, d, "events"), 7)),
     // STREAMING IVF ingest twin: the embedding corpus replayed as 3
     // micro-batches — including a DUPLICATE delivery of batch 1 the marker
     // guard must no-op — appended to a persisted index under a fixed
@@ -2193,6 +2210,53 @@ object SparkEntry {
         |  FROM t)
         |SELECT lang, doc_id, n_toks, rn FROM r WHERE rn <= 3
         |ORDER BY lang, rn""".stripMargin,
+    // keep-first per (doc, span) via the window form; reassembly must
+    // equal Spark's order-preserving array_distinct exactly
+    "x121_intradoc_dedup" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT lang, doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(range(1, len(w)//2 + 1),
+        |      i -> struct_pack(pos := i,
+        |        span := array_to_string(list_slice(w, (i-1)*2+1, (i-1)*2+2), ' ')))
+        |    ELSE [] END) AS u
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, u.pos AS pos, u.span AS span FROM sp
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, u.span ORDER BY u.pos) = 1),
+        |kt AS (
+        |  SELECT doc_id, array_to_string(list(span ORDER BY pos), ' ') AS kept
+        |  FROM k GROUP BY doc_id),
+        |t AS (
+        |  SELECT lang, doc_id,
+        |    -- start > end (len % 2 = 0) makes list_slice NULL, not []
+        |    coalesce(array_to_string(
+        |      list_slice(w, (len(w)//2)*2 + 1, len(w)), ' '), '') AS tail
+        |  FROM d),
+        |f AS (
+        |  SELECT t.lang,
+        |    CASE WHEN coalesce(kt.kept, '') = '' THEN t.tail
+        |         WHEN t.tail = '' THEN kt.kept
+        |         ELSE kt.kept || ' ' || t.tail END AS text
+        |  FROM t LEFT JOIN kt USING (doc_id))
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS kept_chars
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    // a value-RANGE frame counts ts ties symmetrically in both engines
+    "x122_trailing_window" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(ts) AS tus FROM events),
+        |t AS (
+        |  SELECT event_type, COUNT(*) OVER (
+        |    PARTITION BY user_id ORDER BY tus
+        |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS trail
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(trail) AS BIGINT) AS trail_sum,
+        |  CAST(MAX(trail) AS BIGINT) AS trail_max
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the same fixpoint segmentation; fertility as pure BIGINT floor div
     "x119_bpe_fertility" -> (bpeCte +
       """,

@@ -218,4 +218,36 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("users"))
       .orderBy(col("cohort_day"), col("offset"))
   }
+
+  /**
+   * Trailing-window activity census — per event, how many events the SAME
+   * user produced in the trailing `windowDays` (a time-RANGE frame, the
+   * rate-limiting / engagement-velocity primitive; every other window in
+   * this engine is a ROWS frame, so this also exercises Spark's range-
+   * frame path). The frame is value-based, so ties on ts are counted
+   * symmetrically — deterministic regardless of shuffle order. The census
+   * aggregates exact integers per event type: events, the summed trailing
+   * counts, and the busiest trailing window seen.
+   *
+   * Scale shape: one shuffle on user_id (the window partition key — high
+   * cardinality, naturally balanced), then one hash aggregation with
+   * map-side partials. The range frame advances two pointers over each
+   * user's sorted events — O(events per user), never quadratic.
+   * `unix_micros` after an explicit `cast("timestamp")` (no-op on TZ
+   * timestamps; NTZ parquet would otherwise be rejected).
+   */
+  def trailingWindowCensus(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val us = windowDays.toLong * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus")).rangeBetween(-us, 0L)
+    events
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("trail", count(lit(1)).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("trail")).as("trail_sum"),
+        max(col("trail")).as("trail_max"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -359,6 +359,31 @@ object TextOps {
    * the doc's length, never corpus-wide) joined back to the corpus —
    * both keys hash-distribute.
    */
+  /**
+   * WITHIN-document duplicate-window removal — the Gopher/C4 intra-doc
+   * cleaning rule ([[spanDedupApply]] removes a span's repeats across the
+   * CORPUS; this removes a span's repeats inside its OWN document, the
+   * rule that strips nav menus and footer text repeated through one page).
+   * Every `width`-token window after the first occurrence IN THE SAME DOC
+   * is dropped; surviving windows reassemble in position order, the
+   * sub-window tail is kept verbatim.
+   *
+   * Scale shape: ZERO shuffles — `array_distinct` preserves first-
+   * occurrence order (hash-set backed, O(spans) per row), so the whole
+   * rule runs inside the scan projection, embarrassingly parallel at any
+   * corpus size. Contrast every other dedup in this file, which needs at
+   * least one key shuffle because its duplicate scope is corpus-wide.
+   */
+  def intraDocSpanDedup(documents: DataFrame, width: Int = 8): DataFrame = {
+    val ws = words(col("text"))
+    val nSpans = (size(ws) / lit(width)).cast("int")
+    documents.select(col("doc_id"), col("lang"),
+      concat_ws(" ", array_remove(array(
+        concat_ws(" ", array_distinct(spanArray(width))),
+        concat_ws(" ", slice(ws, nSpans * lit(width) + 1, size(ws)))), ""))
+        .as("text"))
+  }
+
   def spanDedupApply(documents: DataFrame, width: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ws = words(col("text"))

@@ -111,4 +111,27 @@ class FunnelSearchSpec extends SparkSpec {
       ("view", 10L, 2500000L, 2500000L, 25000000L, 25000000L, 0L, 0L)),
       r.mkString(","))
   }
+
+  test("trailingWindowCensus: 7-day range frame — boundary inclusive, ties symmetric") {
+    import spark.implicits._
+    // user 1: 01-01, 01-04, 01-05(view), 01-09 ×2 (tie). Trailing 7d
+    // counts ALL the user's events: 1, 2, 3, then 4 for EACH tied 01-09
+    // row (value-based frame counts ties symmetrically; 01-01 is 8 days
+    // out). user 2: 01-01 → 1; 01-08 → 2 (exactly 7 days = inclusive).
+    val ev = Seq(
+      (1L, 1L, "click", "2024-01-01 00:00:00"),
+      (2L, 1L, "click", "2024-01-04 00:00:00"),
+      (3L, 1L, "view", "2024-01-05 00:00:00"),
+      (4L, 1L, "click", "2024-01-09 00:00:00"),
+      (5L, 1L, "click", "2024-01-09 00:00:00"),
+      (6L, 2L, "click", "2024-01-01 00:00:00"),
+      (7L, 2L, "click", "2024-01-08 00:00:00"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = EventOps.trailingWindowCensus(ev, 7).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(
+      ("click", 6L, 1L + 2L + 4L + 4L + 1L + 2L, 4L),
+      ("view", 1L, 3L, 3L)), r.mkString(","))
+  }
 }

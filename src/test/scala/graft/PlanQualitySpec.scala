@@ -244,6 +244,26 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("Join") && !p.contains("Window"),
         s"$q grew a join/window:\n${p.take(1500)}")
     }
+    // x119/x121: per-row expression work + one census aggregation — the
+    // intra-doc dedup's whole point is ZERO extra shuffles (array_distinct
+    // inside the scan projection); fertility likewise never explodes
+    Seq("x119_bpe_fertility", "x121_intradoc_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q grew a join/window:\n${p.take(1500)}")
+      val nEx = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+        .collect { case e: Exchange => e }.size
+      assert(nEx <= 1, s"$q: expected only the census aggregation exchange, got $nEx")
+    }
+    // x122: exactly the window shuffle on user_id + the census aggregation;
+    // the range frame must partition by user_id, never single-partition
+    locally {
+      val df = SparkEntry.queries("x122_trailing_window")(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      windows(p).foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"x122 has a single-partition WindowExec:\n$w"))
+    }
   }
 
   test("bucketed tables sort-merge-join without any exchange") {

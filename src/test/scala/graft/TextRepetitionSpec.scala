@@ -56,6 +56,58 @@ class TextRepetitionSpec extends SparkSpec {
       1L -> "p q r s", 2L -> "x y t", 3L -> "z", 4L -> ""), out.toString)
   }
 
+  test("intraDocSpanDedup: within-doc repeats cut, cross-doc repeats kept, order preserved") {
+    // Unlike spanDedupApply, the duplicate scope is ONE document: doc2's
+    // "p q" is untouched (first in ITS doc) even though doc1 used it; doc3
+    // loses only its second "p q", keeps order + tail; doc4 keeps its
+    // single surviving copy (intra-doc dedup can never empty a doc with
+    // >= 1 full window).
+    val docs = docsOf(
+      (1L, "p q r s", "en", "s"),
+      (2L, "p q x y t", "de", "s"),
+      (3L, "p q a b p q c", "en", "s"),
+      (4L, "p q p q", "en", "s"))
+    val out = TextOps.intraDocSpanDedup(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out == Map(
+      1L -> "p q r s", 2L -> "p q x y t", 3L -> "p q a b c", 4L -> "p q"),
+      out.toString)
+  }
+
+  test("intraDocSpanDedup: equals the keep-first window form on the real corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.01", "documents")
+    val fast = TextOps.intraDocSpanDedup(docs, 2)
+      .select(col("doc_id"), col("text"))
+    // reference: posexplode + keep-first-per-(doc,span) window + reassembly
+    val ws = split(lower(col("text")), " ")
+    val nSpans = (size(ws) / lit(2)).cast("int")
+    val base = docs.select(col("doc_id"),
+      when(size(ws) >= 2, transform(sequence(lit(1), nSpans), i =>
+        concat_ws(" ", slice(ws, (i - lit(1)) * lit(2) + 1, lit(2)))))
+        .otherwise(array().cast("array<string>")).as("spans"),
+      concat_ws(" ", slice(ws, nSpans * lit(2) + 1, size(ws))).as("tail"))
+    val kept = base
+      .select(col("doc_id"), col("tail"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("span")).orderBy(col("pos"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("tail"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("span")))),
+        s => s("span"))).as("kept"))
+    val slow = base.select(col("doc_id"), col("tail"))
+      .join(kept.select(col("doc_id"), col("kept")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), concat_ws(" ", array_remove(
+        array(coalesce(col("kept"), lit("")), col("tail")), "")).as("text"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "array_distinct form must equal the window form row-for-row")
+    // and the rule really bites on this corpus at width 2
+    val before = docs.select(sum(size(split(lower(col("text")), " ")))).collect().head.getLong(0)
+    val after = fast.select(sum(size(split(col("text"), " ")))).collect().head.getLong(0)
+    assert(after < before, "expected real within-doc removals at width 2")
+  }
+
   test("spanDedupApply: uppercase text lands in the lowercased span domain") {
     val docs = docsOf((1L, "A B c d", "en", "s"), (2L, "a b E", "en", "s"))
     val out = TextOps.spanDedupApply(docs, 2).collect()
