@@ -583,6 +583,41 @@ object SparkEntry {
     // event type.
     "x122_trailing_window" -> ((s, d) =>
       EventOps.trailingWindowCensus(Tables.read(s, d, "events"), 7)),
+    // Robust outlier census: median/MAD per event type (breakdown-point-0.5
+    // robust twin of x77's z-score spike test), all order statistics
+    // nearest-rank over value-GROUPED relations, the flag pure long
+    // arithmetic.
+    "x123_mad_outliers" -> ((s, d) =>
+      EventOps.madOutlierCensus(Tables.read(s, d, "events"), 3)),
+    // Hard-negative mining: per query vector, top-5 most-similar vectors of
+    // a DIFFERENT label — corpus streams once against the broadcast query
+    // batch, per-query top-k via the x118 bounded-heap operator (few wide
+    // groups: its winning regime).
+    "x124_hard_negatives" -> ((s, d) =>
+      SimilarityOps.hardNegatives(emb(s, d))),
+    // Cluster-balanced sampling weights: soft dedup — every near-dup
+    // cluster contributes ~unit sampling mass (w = floor(1e6/size) exact
+    // fixed point), singletons weight 1.0; per-lang census.
+    "x125_cluster_balance" -> ((s, d) =>
+      DedupOps.clusterBalanceCensus(docs(s, d), 0.8, Int.MaxValue)),
+    // Runtime Bloom-filter join: lineitem prefiltered row-locally by a
+    // sketch of the urgent-order key set before the shuffle join —
+    // row-identical to the plain join (no false negatives; false positives
+    // die in the exact join), gated on the plain-join oracle.
+    "x126_bloom_join" -> ((s, d) => {
+      val urgent = Tables.read(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      SkewOps.bloomFilteredJoin(
+        Tables.read(s, d, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+        .groupBy(trunc(col("o_orderdate").cast("timestamp").cast("date"), "month")
+          .as("month"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+        .orderBy(col("month"))
+    }),
     // STREAMING IVF ingest twin: the embedding corpus replayed as 3
     // micro-batches — including a DUPLICATE delivery of batch 1 the marker
     // guard must no-op — appended to a persisted index under a fixed
@@ -2257,6 +2292,74 @@ object SparkEntry {
         |  CAST(SUM(trail) AS BIGINT) AS trail_sum,
         |  CAST(MAX(trail) AS BIGINT) AS trail_max
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the same grouped nearest-rank machinery as x117, applied twice
+    // (median of values, then median of |v - med|)
+    "x123_mad_outliers" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |g AS (SELECT event_type, v, COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |c AS (SELECT event_type, v, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum FROM g),
+        |m AS (SELECT c.event_type,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+        |  FROM c JOIN t USING (event_type) GROUP BY c.event_type),
+        |dg AS (SELECT g.event_type, abs(v - med) AS d, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |  FROM g JOIN m USING (event_type) GROUP BY g.event_type, abs(v - med)),
+        |dc AS (SELECT event_type, d, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cum FROM dg),
+        |mad AS (SELECT dc.event_type,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad
+        |  FROM dc JOIN t USING (event_type) GROUP BY dc.event_type)
+        |SELECT dg.event_type, CAST(SUM(cnt) AS BIGINT) AS n,
+        |  CAST(MIN(med) AS BIGINT) AS med_micro,
+        |  CAST(MIN(mad.mad) AS BIGINT) AS mad_micro,
+        |  CAST(SUM(CASE WHEN d > 3 * mad.mad THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS outliers,
+        |  CAST(MAX(d) AS BIGINT) AS max_dev_micro
+        |FROM dg JOIN m USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY dg.event_type ORDER BY dg.event_type""".stripMargin,
+    // per-query different-label ranking over the full corpus
+    "x124_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qvec, label AS qlab
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 5000),
+        |s AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    round(list_cosine_similarity(q.qvec, c.embedding), 6) AS sim
+        |  FROM q JOIN embeddings c
+        |    ON c.label <> q.qlab AND c.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INT) AS rn FROM s)
+        |SELECT q_id, vec_id, sim, rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+    // the x34 walk's component sizes inverted into fixed-point weights;
+    // un-walked docs are singletons at weight 1.0
+    "x125_cluster_balance" -> (componentsWalkCte +
+      """
+        |, comp AS (SELECT u AS doc_id, MIN(lbl) AS comp FROM walk GROUP BY u),
+        |sz AS (SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp),
+        |d AS (
+        |  SELECT doc.lang, c.comp, coalesce(s.csize, 1) AS csize
+        |  FROM documents doc
+        |  LEFT JOIN comp c ON doc.doc_id = c.doc_id
+        |  LEFT JOIN sz s ON c.comp = s.comp)
+        |SELECT lang, COUNT(*) AS docs,
+        |  CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+        |  CAST(COUNT(DISTINCT comp) AS BIGINT) AS clusters,
+        |  CAST(SUM(1000000 // csize) AS BIGINT) AS weight_mass_micro,
+        |  CAST(MIN(1000000 // csize) AS BIGINT) AS min_weight_micro
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin),
+    // the PLAIN join: the Bloom prefilter must be output-invisible
+    "x126_bloom_join" ->
+      """SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n, SUM(l.l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same fixpoint segmentation; fertility as pure BIGINT floor div
     "x119_bpe_fertility" -> (bpeCte +
       """,

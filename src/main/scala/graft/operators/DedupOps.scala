@@ -925,6 +925,45 @@ object DedupOps {
     documents.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /**
+   * x125: cluster-balanced sampling weights — instead of DELETING
+   * near-duplicates ([[dedupCorpus]]), give every document the weight
+   * `1/|its duplicate cluster|` so each cluster contributes ~unit total
+   * mass to a sampled epoch regardless of how many mirrors it has (the
+   * soft-dedup policy for corpora where duplication frequency is itself
+   * signal — a page mirrored 1000× is probably important, but not 1000×
+   * important). Weights are micro fixed-point (`⌊1e6/size⌋` — exact
+   * integers, so the census hashes identically across engines); singleton
+   * documents carry weight 1.0 (1e6).
+   *
+   * Scale shape: the component labels cover only CLUSTERED docs (one row
+   * per near-dup member — tiny next to the corpus); cluster sizes are one
+   * aggregation over that relation, and the corpus picks its weight up
+   * through one left join on doc_id (the un-clustered majority joins
+   * against nothing and defaults). Nothing new shuffles at corpus scale
+   * beyond the detector itself.
+   */
+  def clusterBalanceCensus(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val comp = connectedComponentsAdaptive(minhashLsh(documents, threshold, maxBucketSize))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    val labelled = comp.join(sizes, Seq("component"))
+    val weighted = documents.select(col("doc_id"), col("lang"))
+      .join(labelled, Seq("doc_id"), "left_outer")
+      .select(col("lang"), col("component"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      // exact while csize < 2^52 — the winsorCensus floor-division idiom
+      .withColumn("w", floor(lit(1000000.0) / col("csize")).cast("long"))
+    weighted.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("dup_docs"),
+        countDistinct(col("component")).as("clusters"),
+        sum(col("w")).as("weight_mass_micro"),
+        min(col("w")).as("min_weight_micro"))
+      .orderBy(col("lang"))
+  }
+
   /** First 8 md5 hex chars of a word as a 32-bit unsigned value. */
   private def word32(w: Column): Column =
     graft.functions.GraftFunctions.md5PrefixLong(w, 8)

@@ -206,6 +206,57 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /**
+   * x123: median-absolute-deviation outlier census per event type — the
+   * robust sibling of [[spikeCensus]]'s z-score (a mean/stddev test is
+   * itself dragged by the outliers it hunts; median/MAD is breakdown-point
+   * 0.5, the standard robust detector for metric feeds). Values are
+   * micro-quantized once; both the median and the MAD are nearest-rank
+   * order statistics over GROUPED relations (the x117 shape — the corpus
+   * is never per-row ranked): median over the (type, value) groups, MAD
+   * over the (type, |value − median|) regroup of those same group counts.
+   * A point is an outlier iff `|v − med| > k·MAD` — pure long arithmetic,
+   * so partitioning can never flip a flag.
+   *
+   * Scale shape: one scan + one (type, value) hash aggregation, then all
+   * further work runs over value-cardinality rows (two windows over
+   * distinct values, one regroup, broadcast-sized threshold joins). Same
+   * saturation argument as [[winsorCensus]].
+   */
+  def madOutlierCensus(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, "outlier threshold multiple must be positive")
+    val v = floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+    val grouped = events.select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+    val totals = grouped.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    // nearest-rank median = value at rank floor((n+1)/2); integral division
+    // (Spark's `/` on longs is double division — see winsorCensus)
+    def medianOf(g: DataFrame, valueCol: String): DataFrame = {
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.withColumn("cum", sum(col("cnt")).over(wCum))
+        .join(broadcast(totals), "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= floor((col("n") + lit(1L)) / lit(2.0)).cast("long"),
+          col(valueCol))).as("med"))
+    }
+    val med = medianOf(grouped, "v")
+    val devs = grouped.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("v") - col("med")).as("d"), col("cnt"))
+      .groupBy(col("event_type"), col("d")).agg(sum(col("cnt")).as("cnt"))
+    val mad = medianOf(devs, "d").withColumnRenamed("med", "mad")
+    devs.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("cnt")).as("n"),
+        first(col("med")).as("med_micro"),
+        first(col("mad")).as("mad_micro"),
+        sum(when(col("d") > lit(k.toLong) * col("mad"), col("cnt")).otherwise(0L))
+          .as("outliers"),
+        max(col("d")).as("max_dev_micro"))
+      .orderBy(col("event_type"))
+  }
+
   def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
     val active = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

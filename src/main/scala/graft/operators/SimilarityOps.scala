@@ -43,6 +43,43 @@ object SimilarityOps {
   }
 
   /**
+   * x124: hard-negative mining for contrastive training — for each query
+   * vector, the top-k most-similar corpus vectors with a DIFFERENT label
+   * (high-similarity different-class examples are what a contrastive /
+   * retriever loss needs; easy negatives teach nothing). The query batch is
+   * a deterministic fixed-size slice (`vec_id % queryMod, capped below
+   * `queryCap`), so scaling the corpus scales the work LINEARLY: each
+   * corpus row streams once against the broadcast query batch.
+   *
+   * Scale shape: one broadcast nested-loop of corpus × O(queryCap/queryMod)
+   * queries with the codegen'd cosine, then per-query top-k via
+   * [[graft.plans.TopKPerGroup.topKPerGroup]] — few groups × many rows is
+   * exactly the wide-group regime where the bounded-heap aggregate beats a
+   * window sort 8× (TopKPerGroupBenchSpec). At 100 TB you'd source the
+   * candidates from the IVF index ([[queryIvfIndex]]) per query instead of
+   * the full scan; the scan form is the exact baseline the ANN path is
+   * measured against, same contract as [[topkCosine]] vs [[annIvf]].
+   */
+  def hardNegatives(
+      embeddings: DataFrame,
+      queryMod: Int = 50,
+      queryCap: Long = 5000L,
+      k: Int = 5): DataFrame = {
+    require(queryMod > 0 && k >= 1, "need positive queryMod and k >= 1")
+    val q = embeddings
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < queryCap)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        col("label").as("qlab"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlab") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round6f(cos(col("qvec"), col("embedding"))).as("sim"))
+    graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq("q_id"), Seq(("sim", false), ("vec_id", true)), k)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: all pairs with rounded similarity
    * ≥ threshold — the exact result of [[embeddingNearDupBrute]], computed
    * through a centroid-bucketed candidate join instead of an all-pairs

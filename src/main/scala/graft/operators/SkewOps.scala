@@ -44,6 +44,52 @@ object SkewOps {
       .drop("__salt")
   }
 
+  /**
+   * x126: runtime-filter join — inner equi-join where the fact side is
+   * prefiltered ROW-LOCALLY by a Bloom sketch of the dimension side's key
+   * set before anything shuffles. The classic 100 TB shape: the dimension
+   * is too big to broadcast as a relation (so the join must shuffle) but
+   * its KEY SET fits a sketch, and the join is selective — most fact rows
+   * match nothing. Without the sketch every fact row pays the shuffle and
+   * dies in the join; with it the non-matching majority dies at the scan,
+   * and only `matches + fpp · fact` rows reach the exchange. (Spark's own
+   * `runtimeFilter.bloomFilter` plans the same rewrite when statistics
+   * justify it; this is the explicit operator form with caller-controlled
+   * sizing, usable where stats are absent or the filter side is an
+   * intermediate the optimizer can't cost.)
+   *
+   * Exactness: a Bloom sketch has no false negatives, so the prefilter only
+   * drops rows the join would drop anyway; false positives die in the exact
+   * join. Row-identical to the plain join at ANY fpp (property-tested like
+   * the decontamination twin, CurationOps.withBenchOverlapBloom).
+   *
+   * The sketch is built executor-side (`DataFrameStatFunctions.bloomFilter`
+   * merges via treeAggregate; the driver holds one merged sketch), sized by
+   * `expectedItems` or a counting pass, capped at
+   * [[CurationOps.MaxSketchItems]] so it stays plan-shippable — past the
+   * cap the effective fpp rises, selectivity degrades gracefully,
+   * correctness never moves.
+   */
+  def bloomFilteredJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      fpp: Double = 0.03,
+      expectedItems: Option[Long] = None): DataFrame = {
+    import graft.functions.{BloomContainsLong, GraftFunctions}
+    GraftFunctions.register(fact.sparkSession)
+    // count() not countDistinct for sizing: duplicates only oversize the
+    // sketch (fpp drops below nominal) and skip a distinct shuffle
+    val expected = math.min(CurationOps.MaxSketchItems,
+      math.max(expectedItems.getOrElse(dim.count()), 1L))
+    val bloomBytes = BloomContainsLong.serialize(
+      dim.stat.bloomFilter(dimKey, expected, fpp))
+    fact
+      .filter(GraftFunctions.bloomContainsLong(col(factKey), bloomBytes))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Top-n heaviest key frequencies — the diagnostic run before deciding to salt. */
   def keySkewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame =
     df.groupBy(key.as("key"))

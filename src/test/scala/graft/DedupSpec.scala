@@ -286,6 +286,15 @@ class DedupSpec extends SparkSpec {
     assert(d3.getString(1) == other && d3.getString(3) == "s1", d3.toString)
   }
 
+  test("clusterBalanceCensus: a cluster contributes ~unit mass; singletons weight 1.0") {
+    // docs 1,2,4 cluster (size 3, w=⌊1e6/3⌋=333333); doc 3 singleton (w=1e6)
+    val r = DedupOps.clusterBalanceCensus(corpus, 0.5).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(("en", 4L, 3L, 1L, 3L * 333333L + 1000000L, 333333L)),
+      r.mkString(","))
+  }
+
   test("dedupCorpusBest keeps each cluster's LONGEST member; ties fall back to min id") {
     // doc 2 = base with two words appended: still ~0.98 Jaccard to 1 and 4,
     // but 102 words vs their 100 — the longest-copy policy must keep 2

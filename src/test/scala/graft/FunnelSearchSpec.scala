@@ -112,6 +112,21 @@ class FunnelSearchSpec extends SparkSpec {
       r.mkString(","))
   }
 
+  test("madOutlierCensus: median/MAD by hand — one fat-finger outlier flagged") {
+    // click: 1..9 plus 1000. n=10 → median rank 5 → med=5. |v−5| multiset
+    // {0,1,1,2,2,3,3,4,4,995} → MAD rank 5 → 2. Outlier iff d > 3·2=6:
+    // only the 995. view: constant → MAD 0, nothing flagged.
+    val ev = ((1 to 9).map(i => (i.toLong, "click", i.toDouble)) :+
+      (10L, "click", 1000.0)) ++ (1 to 4).map(i => (100L + i, "view", 2.5))
+    val r = EventOps.madOutlierCensus(ev.toDF("event_id", "event_type", "value"), 3)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(
+      ("click", 10L, 5000000L, 2000000L, 1L, 995000000L),
+      ("view", 4L, 2500000L, 0L, 0L, 0L)), r.mkString(","))
+  }
+
   test("trailingWindowCensus: 7-day range frame — boundary inclusive, ties symmetric") {
     import spark.implicits._
     // user 1: 01-01, 01-04, 01-05(view), 01-09 ×2 (tie). Trailing 7d

@@ -174,4 +174,31 @@ class SimilarityIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full == exact, "full-probe IVF must equal exhaustive top-k")
   }
+
+  test("hardNegatives: equals the window-ranked brute force; labels always differ") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = SimilarityOps.hardNegatives(emb, queryMod = 50, queryCap = 5000L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // brute force through a plain window over the same scored relation
+    val q = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"), col("label").as("qlab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val brute = emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlab") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (round(call_function("cosine_f32", col("qvec"), col("embedding")).cast("double")
+          * lit(1e6)) / lit(1e6)).cast("float").cast("double").as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .orderBy(col("q_id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == brute, s"heap top-k diverged from window brute force")
+    // every negative's label differs from its query's label
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (qid, vid, _, _) =>
+      assert(labels(qid) != labels(vid), s"query $qid got same-label negative $vid")
+    }
+  }
 }

@@ -20,6 +20,35 @@ class SkewOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("bloom-filtered join is row-identical to the plain join at any fpp") {
+    import spark.implicits._
+    val fact = (1L to 3000L).map(i => (i % 500L, i)).toDF("fk", "v")
+    val dim = (0L until 500L).filter(_ % 7 == 0).map(k => (k, s"d$k")).toDF("dk", "name")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select(col("fk"), col("v"), col("name")).collect().map(_.toString).sorted
+    // fpp 0.5: a deliberately terrible sketch — false positives must still
+    // die in the exact join, leaving the result bit-identical
+    for (fpp <- Seq(0.5, 0.03)) {
+      val got = SkewOps.bloomFilteredJoin(fact, dim, "fk", "dk", fpp)
+        .select(col("fk"), col("v"), col("name")).collect().map(_.toString).sorted
+      assert(got.toSeq == plain.toSeq, s"fpp=$fpp")
+    }
+  }
+
+  test("bloom prefilter sits at the fact scan, below the join exchange") {
+    import spark.implicits._
+    // file-backed fact: a LocalRelation would let ConvertToLocalRelation
+    // evaluate the probe at optimization time and hide it from the plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomjoin").toString
+    (1L to 1000L).map(i => (i % 100L, i)).toDF("fk", "v")
+      .write.mode("overwrite").parquet(dir + "/fact")
+    val fact = spark.read.parquet(dir + "/fact")
+    val dim = (0L until 100L by 9L).map(k => (k, k * 2)).toDF("dk", "w")
+    val p = SkewOps.bloomFilteredJoin(fact, dim, "fk", "dk")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_contains_long"), p.take(1500))
+  }
+
   test("skew profile surfaces the hot key first") {
     import spark.implicits._
     val fact = (1 to 1000).map(i => (if (i % 5 == 0) i.toLong % 3 else 42L, i))

@@ -12,6 +12,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // plan-shape assertions read explain strings; the 100-char default
+      // truncates PushedFilters lists mid-entry once a scan carries a few
+      // predicates, making string assertions depend on filter ORDER
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
