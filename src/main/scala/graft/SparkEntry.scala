@@ -618,6 +618,49 @@ object SparkEntry {
           sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
         .orderBy(col("month"))
     }),
+    // STREAMING sessionize, driver-gated: the events relation replayed as 3
+    // mod-split micro-batches through the real flatMapGroupsWithState query
+    // (MemoryStream + event-time-timeout flush), aggregated to the x11
+    // census and gated against x11's ORACLE — stream must equal batch
+    // row-for-row.
+    "x127_session_stream" -> ((s, d) =>
+      streaming.EventStream.sessionCensusReplay(
+        Tables.read(s, d, "events"), 30, 3)),
+    // Epoch-budget waterfill: equal token shares per source under a
+    // max-epochs cap, capped surplus redistributed — closed form over the
+    // O(#sources) control relation, corpus touched once.
+    "x128_epoch_waterfill" -> ((s, d) =>
+      CurationOps.epochWaterfill(docs(s, d), 50000L, 2000L)),
+    // One-doc-per-sequence padding economics (the SFT layout): per-lang
+    // padded-token waste at seqLen 128 — the counterpart of x109's
+    // split-doc census on the same grid family.
+    "x129_pad_waste" -> ((s, d) =>
+      PrepOps.padWasteCensus(docs(s, d), 128L)),
+    // TPC-H Q5 shape (local-supplier volume): 6-relation star join with the
+    // customer-nation = supplier-nation correlation, region filter, one-year
+    // date band — the classic join-order/broadcast-chain exercise; revenue
+    // in exact cents.
+    "x130_local_supplier" -> ((s, d) => {
+      val orders = Tables.read(s, d, "orders")
+        .filter(col("o_orderdate").cast("timestamp") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate").cast("timestamp") < to_timestamp(lit("1997-01-01")))
+      Tables.read(s, d, "lineitem")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.read(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Tables.read(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.read(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.read(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
     // STREAMING IVF ingest twin: the embedding corpus replayed as 3
     // micro-batches — including a DUPLICATE delivery of batch 1 the marker
     // guard must no-op — appended to a persisted index under a fixed
@@ -1033,6 +1076,22 @@ object SparkEntry {
       |  SELECT DISTINCT u, u FROM edges
       |  UNION
       |  SELECT e.v, w.lbl FROM walk w JOIN edges e ON w.u = e.u WHERE w.lbl < e.v)""".stripMargin
+
+  /** x11's gap-sessionization census — shared verbatim by the batch gate
+    * (x11) and the streaming-replay gate (x127): stream must equal batch. */
+  private val sessionizeOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, SUM(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e),
+      |g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS sessions, MAX(n) AS max_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
   private val componentsOracleSql: String = componentsWalkCte +
     """
@@ -1705,19 +1764,73 @@ object SparkEntry {
     "r8_status_counts" -> s"""$cte
       |SELECT pipeline_status, COUNT(*) AS n FROM pipeline_runs
       |GROUP BY pipeline_status ORDER BY pipeline_status""".stripMargin,
-    "x11_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, SUM(new_s) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM e),
-        |g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
-        |SELECT user_id, COUNT(*) AS sessions, MAX(n) AS max_events
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x11_sessionize" -> sessionizeOracleSql,
+    // stream == batch: the replayed streaming sessionizer is gated against
+    // the BATCH operator's oracle verbatim
+    "x127_session_stream" -> sessionizeOracleSql,
+    // the same prefix-AND waterfill closed form over the per-source relation
+    "x128_epoch_waterfill" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |c AS (
+        |  SELECT source, n_docs, tokens, (2000 * tokens) // 1000 AS cap,
+        |    row_number() OVER w AS idx,
+        |    CAST(SUM((2000 * tokens) // 1000) OVER (
+        |      ORDER BY (2000 * tokens) // 1000, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cap,
+        |    COUNT(*) OVER () AS nsrc
+        |  FROM per WINDOW w AS (ORDER BY (2000 * tokens) // 1000, source)),
+        |f AS (
+        |  SELECT *, CASE WHEN 50000 - (cum_cap - cap)
+        |      >= cap * (nsrc - idx + 1) THEN 1 ELSE 0 END AS fl
+        |  FROM c),
+        |p AS (
+        |  SELECT *, CAST(MIN(fl) OVER (ORDER BY cap, source
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS capped FROM f),
+        |agg AS (
+        |  SELECT CAST(SUM(CASE WHEN capped = 1 THEN cap ELSE 0 END) AS BIGINT)
+        |      AS cap_mass,
+        |    CAST(SUM(1 - capped) AS BIGINT) AS n_open FROM p),
+        |r AS (
+        |  SELECT p.*, CASE WHEN n_open > 0
+        |      THEN (50000 - cap_mass) // n_open ELSE 0 END AS lam
+        |  FROM p, agg)
+        |SELECT source, n_docs, tokens, CAST(cap AS BIGINT) AS capacity, capped,
+        |  CAST(CASE WHEN capped = 1 THEN cap
+        |       ELSE least(cap, lam) END AS BIGINT) AS alloc_tokens,
+        |  CAST((1000 * (CASE WHEN capped = 1 THEN cap ELSE least(cap, lam) END))
+        |    // tokens AS BIGINT) AS epochs_milli
+        |FROM r ORDER BY source""".stripMargin,
+    // ceil via integer arithmetic; util one integral division at the end
+    "x129_pad_waste" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |s AS (SELECT lang, toks, (toks + 127) // 128 AS seqs FROM t),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+        |    CAST(SUM(seqs) AS BIGINT) AS seqs FROM s GROUP BY lang)
+        |SELECT lang, docs, tokens, seqs,
+        |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
+        |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
+        |FROM g ORDER BY lang""".stripMargin,
+    // TPC-H Q5 shape; revenue floored to exact cents per row
+    "x130_local_supplier" ->
+      """SELECT n_name, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
     "x13_approx_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS hll_within_5pct

@@ -458,6 +458,77 @@ object CurationOps {
         else pow(col("tokens_total").cast("double"), lit(alpha)), 0)))
 
   /**
+   * x128: epoch-budget WATERFILL — the mixing planner's other half. Where
+   * [[tokenBudgetMix]] answers "what keep-rate per source hits the budget",
+   * this answers the repetition question a trainer actually schedules:
+   * "give every source an equal share of the token budget, but never
+   * repeat a source more than `maxEpochsMilli/1000` epochs — and
+   * redistribute what the capped sources can't absorb to the rest". The
+   * classic capped fair allocation (waterfilling), in closed form:
+   *
+   * Sort sources by capacity `cap_s = ⌊maxEpochsMilli·tokens_s/1000⌋`
+   * ascending. The capped set is a PREFIX of that order (smaller capacity
+   * caps first under equal shares); source i is capped iff the budget left
+   * after filling all smaller capacities still covers `cap_i` for every
+   * source from i up — the prefix-AND of the per-row test
+   * `(B − C_{i−1}) ≥ cap_i · rem_i`, evaluated in DECIMAL(38,0) (the
+   * engine's overflow rule: at 100 TB `cap·rem` exceeds long). Uncapped
+   * sources split the remainder evenly: `λ = (B − C_K) div |uncapped|`.
+   * All divisions integral; `epochs_milli = (1000·alloc) div tokens` —
+   * cross-engine exact, no double ever compared.
+   *
+   * Scale shape: the corpus is touched ONCE (the per-source aggregate with
+   * map-side partials); everything after runs on the O(#sources) control
+   * relation — the single-partition window over it is bounded by source
+   * cardinality, not corpus size (same argument as the x59 heavy-hitter
+   * table). Generalizing to temperature weights swaps `rem_i` for a
+   * remaining-weight prefix sum — same shape.
+   */
+  def epochWaterfill(
+      documents: DataFrame,
+      budgetTokens: Long,
+      maxEpochsMilli: Long = 2000L): DataFrame = {
+    require(budgetTokens > 0 && maxEpochsMilli > 0,
+      "budget and epoch cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+      .withColumn("cap", expr(s"(${maxEpochsMilli}L * tokens) DIV 1000L"))
+    val w = Window.orderBy(col("cap"), col("source"))
+    val wPrefix = w.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = per
+      .withColumn("idx", row_number().over(w))
+      .withColumn("cum_cap", sum(col("cap")).over(wPrefix))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("nsrc"))))
+      // equal shares: remaining claimants from this source up
+      .withColumn("rem", col("nsrc") - col("idx") + 1L)
+      .withColumn("f",
+        (lit(budgetTokens).cast(dec) - (col("cum_cap") - col("cap")).cast(dec))
+          >= col("cap").cast(dec) * col("rem").cast(dec))
+      // the capped set is the maximal all-true prefix: a running AND
+      .withColumn("capped", min(when(col("f"), 1L).otherwise(0L)).over(wPrefix))
+    val closed = flagged.agg(
+      sum(when(col("capped") === 1L, col("cap")).otherwise(0L)).as("cap_mass"),
+      sum(lit(1L) - col("capped")).as("n_open"))
+    flagged.crossJoin(broadcast(closed))
+      .withColumn("lambda",
+        when(col("n_open") > 0L,
+          expr("(" + budgetTokens + "L - cap_mass) DIV n_open")).otherwise(lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1L, col("cap"))
+          .otherwise(least(col("cap"), col("lambda"))))
+      .select(
+        col("source"), col("n_docs"), col("tokens"),
+        col("cap").as("capacity"), col("capped"),
+        col("alloc_tokens"),
+        expr("(1000L * alloc_tokens) DIV tokens").as("epochs_milli"))
+      .orderBy(col("source"))
+  }
+
+  /**
    * Token-budget corpus mixing: sample every source down so the corpus hits
    * a global token budget split by the supplied (source, weight) table — the
    * "data mixture" step of a training-data pipeline, with the mixture config

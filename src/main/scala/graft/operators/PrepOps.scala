@@ -695,6 +695,32 @@ object PrepOps {
   }
 
   /**
+   * x129: padding-waste census of the ONE-DOC-PER-SEQUENCE layout (the
+   * SFT/instruction-tuning shape, where examples must not share a context
+   * window): each document occupies `ceil(toks/seqLen)` sequences padded
+   * to `seqLen`, and the census reports per language what that padding
+   * costs — the number every team weighs against [[chunkPackCensus]]'s
+   * split-doc count when choosing a layout. Closed form per document
+   * (no ordering, no windows): one scan, one aggregation, exact integers
+   * throughout (`util_permille` is one integral division at the end).
+   */
+  def padWasteCensus(documents: DataFrame, seqLen: Long = 128L): DataFrame = {
+    require(seqLen > 0, s"sequence length must be positive: $seqLen")
+    documents
+      .select(col("lang"), size(ws).cast("long").as("toks"))
+      .withColumn("seqs", expr(s"(toks + ${seqLen - 1}L) DIV ${seqLen}L"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("toks")).as("tokens"),
+        sum(col("seqs")).as("seqs"),
+        (sum(col("seqs")) * lit(seqLen) - sum(col("toks"))).as("pad_tokens"))
+      .withColumn("util_permille",
+        expr(s"(1000L * tokens) DIV (seqs * ${seqLen}L)"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * Packing census: per-pack document and token counts. Every pack except
    * possibly the first of a run holds ≥ budget − maxDocTokens + 1 and
    * ≤ budget + maxDocTokens − 1 tokens (a document is never split), so the

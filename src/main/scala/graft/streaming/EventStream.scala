@@ -39,6 +39,74 @@ case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp, n_eve
  */
 object EventStream {
 
+  /**
+   * x127: the driver-gated REPLAY harness for [[sessionize]] — the events
+   * relation replayed as `nBatches` TIME-CONTIGUOUS micro-batches (the
+   * (ts, event_id)-sorted log cut into equal slices, exactly how a real
+   * ingest delivers a day's events after the previous day's), fed through
+   * a real MemoryStream + flatMapGroupsWithState query, flushed with one
+   * far-future sentinel event (the watermark passes every open session's
+   * `last + gap`, firing the event-time timeouts), then aggregated to
+   * exactly the x11 batch census (user_id, sessions, max_events) — gated
+   * against x11's ORACLE, so the streaming path must reproduce the batch
+   * operator row-for-row, not approximately.
+   *
+   * Batches must be time-contiguous because the state fold is ORDER-
+   * SENSITIVE across batches: an already-closed session cannot be
+   * retroactively split by an earlier-timestamped event arriving later
+   * (the documented streaming caveat — within a batch any order is fine,
+   * the fold sorts; across batches time must advance). Slice boundaries
+   * landing mid-session are exactly the continuity case the gate exists
+   * to prove. The watermark delay is still sized past the corpus span so
+   * a tie straddling a slice boundary is never LATE.
+   *
+   * The driver-side collect is the replay harness's bounded gate-scale
+   * concession (same pattern as the x102/x106 batch-call twins): a
+   * production stream reads a real source; what this gate proves is the
+   * STATE MACHINE — batch-boundary session splits, out-of-order fold,
+   * timeout flush — not the transport.
+   */
+  def sessionCensusReplay(
+      events: org.apache.spark.sql.DataFrame,
+      gapMinutes: Int = 30,
+      nBatches: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = events
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+      .as[SessionEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "replay needs at least one event")
+    val maxMs = evs.last.ts.getTime
+    // sentinel 100 days out vs a 40-day watermark delay: watermark lands
+    // 60 days past the last real event — far beyond any last + gap
+    val sentinel = SessionEvent(-1L,
+      new java.sql.Timestamp(maxMs + 100L * 86400_000L), -1L)
+    val mem = MemoryStream[SessionEvent]
+    val sink = "graft_sess_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionize(mem.toDS(), gapMinutes, watermark = "40 days")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val per = (evs.length + nBatches - 1) / nBatches
+      evs.grouped(math.max(per, 1)).foreach { slice =>
+        mem.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    // memory-sink contents survive stop(); the sentinel's own session is
+    // still open (nothing flushed it) so filtering it is belt-and-braces
+    spark.table(sink).filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("sessions"), max(col("n_events")).as("max_events"))
+      .orderBy(col("user_id"))
+  }
+
   def sessionize(
       events: Dataset[SessionEvent],
       gapMinutes: Int = 30,

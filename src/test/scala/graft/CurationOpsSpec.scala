@@ -11,6 +11,27 @@ class CurationOpsSpec extends SparkSpec {
   private lazy val docs =
     graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
 
+  test("epochWaterfill by hand: small source caps, surplus splits evenly among the rest") {
+    // tokens 10/100/1000 → caps 20/200/2000 at 2 epochs. Budget 300:
+    // a caps (300 ≥ 20·3); b does not (280 < 200·2) → λ = 280÷2 = 140.
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val d = docsOf(
+      (1L, words(10), "en", "a"),
+      (2L, words(100), "en", "b"),
+      (3L, words(500), "en", "c"), (4L, words(500), "en", "c"))
+    val r = CurationOps.epochWaterfill(d, 300L, 2000L).collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5), x.getLong(6))).toSeq
+    assert(r == Seq(
+      ("a", 10L, 20L, 1L, 20L, 2000L),
+      ("b", 100L, 200L, 0L, 140L, 1400L),
+      ("c", 1000L, 2000L, 0L, 140L, 140L)), r.mkString(","))
+    // a budget past total capacity caps everyone at max epochs
+    val all = CurationOps.epochWaterfill(d, 10000L, 2000L).collect()
+    assert(all.forall(_.getLong(4) == 1L))
+    assert(all.forall(x => x.getLong(6) == 2000L))
+  }
+
   test("token-budget mix: rates bounded, kept counts consistent, budget respected") {
     val rows = CurationOps.tokenBudgetMix(docs, 2000L).collect()
     assert(rows.nonEmpty)

@@ -60,6 +60,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCensusReplay equals the batch census on a boundary-splitting fixture") {
+    import spark.implicits._
+    // 7 events, 3 slices of ⌈7/3⌉=3 → a session straddles each boundary
+    val ev = Seq(
+      (1L, "2024-01-15 10:00:00", 1L), (1L, "2024-01-15 10:10:00", 2L),
+      (2L, "2024-01-15 10:15:00", 3L), (1L, "2024-01-15 10:20:00", 4L),
+      (2L, "2024-01-15 12:00:00", 5L), (1L, "2024-01-15 12:00:00", 6L),
+      (1L, "2024-01-15 12:10:00", 7L))
+      .toDF("user_id", "s", "event_id")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("event_id"))
+    val streamed = EventStream.sessionCensusReplay(ev, 30, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.EventOps.sessionize(ev, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed == Seq((1L, 2L, 3L), (2L, 2L, 1L)))
+  }
+
   test("out-of-order events WITHIN a micro-batch sessionize correctly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

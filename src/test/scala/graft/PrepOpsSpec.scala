@@ -95,6 +95,18 @@ class PrepOpsSpec extends SparkSpec {
     first.foreach { case (id, sp) => assert(s1(id) == sp) }
   }
 
+  test("padWasteCensus: ceil-division sequences, exact pad accounting") {
+    // seqLen 4: 3 toks → 1 seq pad 1; 4 → 1 seq pad 0; 9 → 3 seqs pad 3
+    val d = prepDocs(
+      (1L, "en", "a b c"), (2L, "en", "a b c d"),
+      (3L, "en", "a b c d e f g h i"))
+    val r = graft.operators.PrepOps.padWasteCensus(d, 4L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    // tokens 16, seqs 5, pad 4, util = 16000/20 = 800
+    assert(r == Seq(("en", 3L, 16L, 5L, 4L, 800L)), r.mkString(","))
+  }
+
   test("seqPack preserves totals, packs contiguously, and bounds pack size") {
     val d = prepDocs((0L until 300L).map(i =>
       (i, "en", (0 to (i % 37).toInt).map(j => s"t$j").mkString(" "))): _*)
