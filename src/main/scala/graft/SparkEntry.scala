@@ -661,6 +661,16 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Two-stage retrieval: BM25 shortlist (kRetrieve=20) re-ranked by
+    // embedding cosine against vec 0 — the RAG retrieve-then-rerank shape;
+    // only the shortlist is ever densely scored.
+    "x131_retrieve_rerank" -> ((s, d) =>
+      SearchOps.retrieveRerank(docs(s, d), emb(s, d), Bm25Terms, 20, 5, 0L)),
+    // TextRank keywords: 10 power-iteration rounds over the adjacent-word
+    // co-occurrence graph, micro fixed-point ranks with per-edge floors —
+    // the engine's iterative-graph family beyond connected components.
+    "x132_textrank" -> ((s, d) =>
+      SearchOps.textRankKeywords(docs(s, d), 10, 20)),
     // STREAMING IVF ingest twin: the embedding corpus replayed as 3
     // micro-batches — including a DUPLICATE delivery of batch 1 the marker
     // guard must no-op — appended to a persisted index under a fixed
@@ -1816,6 +1826,17 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // stage 1 is x56's oracle at k=20 nested verbatim; stage 2 re-ranks it
+    "x131_retrieve_rerank" ->
+      (s"""WITH stage1 AS (
+          |${bm25OracleSql(Bm25Terms, 20, 1.2, 0.75)}
+          |),
+          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+          |SELECT s.doc_id, round(list_cosine_similarity(q.qvec, e.embedding), 6) AS sim
+          |FROM stage1 s JOIN embeddings e ON e.vec_id = s.doc_id, q
+          |ORDER BY sim DESC, s.doc_id LIMIT 5""".stripMargin),
+    // the same integral power iteration, rounds unrolled as chained CTEs
+    "x132_textrank" -> textRankOracleSql(10, 20),
     // TPC-H Q5 shape; revenue floored to exact cents per row
     "x130_local_supplier" ->
       """SELECT n_name, COUNT(*) AS n,
@@ -3650,6 +3671,36 @@ object SparkEntry {
   /** x56's oracle: the SAME fixed-order IEEE double chain as
     * [[SearchOps.bm25TopK]], constants interpolated from the identical
     * Scala expressions so both engines parse the identical literals. */
+  /** x132's oracle: the SAME integral power iteration as
+    * `SearchOps.textRankKeywords`, its rounds UNROLLED as chained CTEs
+    * (recursive CTEs cannot aggregate in the recursive term); per-edge
+    * floors in HUGEINT mirror the engine's DECIMAL(38,0) products. */
+  private def textRankOracleSql(iters: Int, k: Int): String = {
+    val base =
+      """WITH d AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |a0 AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(u := w[i], v := w[i+1]))) AS p
+        |  FROM d),
+        |adj AS (SELECT p.u AS u, p.v AS v FROM a0 WHERE p.u <> p.v),
+        |edges AS (
+        |  SELECT u, v, COUNT(*)::BIGINT AS w FROM (
+        |    SELECT u, v FROM adj UNION ALL SELECT v, u FROM adj) GROUP BY u, v),
+        |ow AS (SELECT u, CAST(SUM(w) AS BIGINT) AS tw FROM edges GROUP BY u),
+        |ew AS (SELECT e.u, e.v, e.w, o.tw FROM edges e JOIN ow o ON e.u = o.u),
+        |pr0 AS (SELECT DISTINCT u AS word, CAST(1000000 AS BIGINT) AS r FROM edges)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.v AS word, CAST(150000 + SUM(
+         |      (85::HUGEINT * p.r * e.w) // (100::HUGEINT * e.tw)) AS BIGINT) AS r
+         |  FROM ew e JOIN pr${i - 1} p ON e.u = p.word GROUP BY e.v)""".stripMargin
+    }
+    base + ",\n" + rounds.mkString(",\n") +
+      s"\nSELECT word, r AS rank_micro FROM pr$iters ORDER BY rank_micro DESC, word LIMIT $k"
+  }
+
   private def bm25OracleSql(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(w, x -> x = '$t'))::BIGINT AS tf$i"

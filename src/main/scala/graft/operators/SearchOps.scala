@@ -47,6 +47,96 @@ object SearchOps {
    * Docs matching no term are excluded (integer tf-sum guard, not a float
    * compare). Ties break toward the smaller doc_id.
    */
+  /**
+   * x131: two-stage retrieval — lexical BM25 candidates re-ranked by
+   * embedding cosine against a query vector (the standard
+   * retrieve-then-rerank RAG shape: the cheap sparse scorer casts a wide
+   * net over the corpus, the dense scorer orders the shortlist). Stage 1
+   * is [[bm25TopK]] (two scans + a k-row TakeOrdered, no shuffle); stage 2
+   * touches ONLY the `kRetrieve` shortlist rows — an id-keyed join against
+   * the embedding store (at scale: a point-lookup-friendly join against
+   * the IVF store's id partitioning) and a `kFinal`-row sort. The corpus
+   * is never scored densely — that is the entire economics of the
+   * two-stage design.
+   *
+   * Documents and embeddings correlate by id (`doc_id = vec_id`, the
+   * fixture's contract). Cosine goes through the codegen'd f32 expression
+   * + round6f like every other gated similarity.
+   */
+  def retrieveRerank(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String],
+      kRetrieve: Int = 20,
+      kFinal: Int = 5,
+      queryVecId: Long = 0L): DataFrame = {
+    require(kFinal <= kRetrieve, "the re-ranked cut cannot exceed the shortlist")
+    val shortlist = bm25TopK(documents, terms, kRetrieve).select(col("doc_id"))
+    val qvec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qvec"))
+    shortlist
+      .join(embeddings, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"),
+        SimilarityOps.round6f(SimilarityOps.cos(col("qvec"), col("embedding"))).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+      .limit(kFinal)
+  }
+
+  /**
+   * x132: TextRank keyword extraction — PageRank power iteration over the
+   * word co-occurrence graph (Mihalcea & Tarau, "TextRank: Bringing Order
+   * into Texts", public paper; damping 0.85 per Brin & Page). Nodes are
+   * corpus words, edges are ADJACENT-word co-occurrences (window 2,
+   * symmetric, self-loops dropped) weighted by count; each iteration
+   * scores `r'(v) = 0.15 + 0.85·Σ_u r(u)·w(u,v)/W(u)` with `W(u)` the
+   * node's total outgoing weight.
+   *
+   * Determinism: ranks are MICRO fixed-point longs (start 1e6); each
+   * edge's contribution is the integral `⌊85·r·w / (100·W)⌋` — products in
+   * DECIMAL(38,0) (the x77 overflow rule: at web-corpus mass `r·w`
+   * overflows a long), the per-edge floor applied BEFORE the sum, so
+   * summation order cannot move a digit and both engines replay the exact
+   * same integer sequence. The oracle unrolls the same `iters` rounds as
+   * chained CTEs.
+   *
+   * Scale shape: the graph is VOCABULARY-sized, not corpus-sized — the one
+   * corpus pass builds (u, v, w) with map-side partial counts; each of the
+   * `iters` rounds is one vocab-keyed join + one aggregation, checkpointed
+   * so the plan stays flat (the [[DedupOps.connectedComponentsStar]] loop
+   * discipline). Word ranks converge in ~10 rounds; `iters` is a fixed
+   * constant, not data-dependent.
+   */
+  def textRankKeywords(documents: DataFrame, iters: Int = 10, k: Int = 20): DataFrame = {
+    require(iters >= 1 && k >= 1, "need at least one iteration and k >= 1")
+    val adj = documents.select(ws.as("w")).filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS u, w[i+1] AS v))")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .filter(col("u") =!= col("v"))
+    val edges = adj
+      .unionAll(adj.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("tw"))
+    // (u, v, w, tw) reused every round — materialize once, plan stays flat
+    val ew = edges.join(outW, "u").localCheckpoint()
+    var r = ew.select(col("u").as("word")).distinct()
+      .withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      r = ew.join(r, ew("u") === r("word"))
+        .select(col("v"), expr(
+          // per-edge floor BEFORE the sum: order-independent exact integers
+          "CAST((CAST(85 AS DECIMAL(38,0)) * r * w) DIV " +
+            "(CAST(100 AS DECIMAL(38,0)) * tw) AS BIGINT)").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("in"))
+        .select(col("v").as("word"), (lit(150000L) + col("in")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("word"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word").asc)
+      .limit(k)
+  }
+
   def bm25TopK(
       documents: DataFrame,
       terms: Seq[String],

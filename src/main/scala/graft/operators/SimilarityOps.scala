@@ -24,11 +24,11 @@ import graft.functions.CosineSimilarityF32
  */
 object SimilarityOps {
 
-  private def cos(a: Column, b: Column): Column =
+  private[operators] def cos(a: Column, b: Column): Column =
     call_function("cosine_f32", a, b)
 
   /** DuckDB-parity rounding: round in float32 space, promote to double. */
-  private def round6f(sim: Column): Column =
+  private[operators] def round6f(sim: Column): Column =
     (round(sim.cast("double") * lit(1e6)) / lit(1e6)).cast("float").cast("double")
 
   /** E2: exact top-k cosine neighbours of `queryVecId` (excluded from results). */

@@ -266,6 +266,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("round-8 third tranche keeps its scale shapes: heap top-k for hard " +
+      "negatives, bloom prefilter at the fact scan, broadcast dims in the star join") {
+    // x124: per-query top-k must run through the bounded-heap aggregate
+    // (wide-group regime), never a corpus-wide window sort
+    locally {
+      val p = plan("x124_hard_negatives")
+      assert(p.contains("ObjectHashAggregate"), s"x124 lost the heap aggregate:\n${p.take(1200)}")
+      assert(!p.contains("WindowExec"), s"x124 regressed to a window sort:\n${p.take(1200)}")
+    }
+    // x123: both nearest-rank windows partition by event_type
+    locally {
+      val df = SparkEntry.queries("x123_mad_outliers")(spark, d)
+      df.collect()
+      windows(df.queryExecution.executedPlan).foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"x123 single-partition WindowExec:\n$w"))
+    }
+    // x126: the sketch probe must sit in a Filter, visible in the gate plan
+    assert(plan("x126_bloom_join").contains("bloom_contains_long"),
+      "x126 lost the bloom prefilter")
+    // x130: the tiny dims broadcast; the star join must never cartesian
+    locally {
+      val p = plan("x130_local_supplier")
+      assert(p.contains("BroadcastHashJoin"), s"x130 lost its broadcasts:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"x130 grew a cartesian:\n${p.take(1200)}")
+    }
+    // x131: the re-ranked cut is a TakeOrdered, not a global sort
+    assert(plan("x131_retrieve_rerank").contains("TakeOrderedAndProject"),
+      "x131 lost the top-k plan")
+  }
+
   test("bucketed tables sort-merge-join without any exchange") {
     val docs = Tables.read(spark, d, "documents")
     val emb = Tables.read(spark, d, "embeddings").select(col("vec_id"), col("label"))

@@ -30,6 +30,39 @@ class SearchOpsSpec extends SparkSpec {
     assert(!ids.contains(4L))
   }
 
+  test("textRank: path graph by hand — hub outranks leaves, symmetric leaves tie") {
+    // "a b c": edges a↔b, b↔c. W(a)=W(c)=1, W(b)=2. Round 1:
+    // r(a)=r(c)=150000+⌊85e6/200⌋=575000; r(b)=150000+2·850000=1850000.
+    val d = docs3((1L, "en", "a b c"))
+    val r = SearchOps.textRankKeywords(d, iters = 1, k = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("b", 1850000L), ("a", 575000L), ("c", 575000L)), r.mkString(","))
+    // more rounds keep the hub on top and the symmetric leaves exactly tied
+    val r10 = SearchOps.textRankKeywords(d, iters = 10, k = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r10.head._1 == "b" && r10(1)._2 == r10(2)._2, r10.mkString(","))
+    // a 2-word doc is the exact fixpoint: r stays 1e6 forever
+    val fix = SearchOps.textRankKeywords(docs3((1L, "en", "x y")), iters = 7, k = 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(fix == Seq(1000000L, 1000000L), fix.mkString(","))
+  }
+
+  test("retrieveRerank: results come from the BM25 shortlist, ordered by cosine") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val terms = Seq("spark", "dup", "vector", "the")
+    val shortlist = SearchOps.bm25TopK(docs, terms, 20).collect()
+      .map(_.getLong(0)).toSet
+    val got = SearchOps.retrieveRerank(docs, emb, terms, 20, 5, 0L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == 5)
+    assert(got.forall { case (id, _) => shortlist.contains(id) },
+      "re-ranked ids must come from the shortlist")
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      "cosine order must be descending")
+  }
+
   test("bm25 tf saturation: repeating a term gains sublinearly") {
     val d = docs3(
       (1L, "en", "alpha beta gamma delta"),
