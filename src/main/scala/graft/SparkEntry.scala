@@ -661,6 +661,16 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // CUSUM drift detection per event type: the sequential recurrence the
+    // point-wise detectors can't express, folded with the aggregate HOF
+    // over calendar-bounded per-type day arrays — exact longs throughout.
+    "x133_cusum_drift" -> ((s, d) =>
+      EventOps.cusumCensus(Tables.read(s, d, "events"), 2, 8)),
+    // Market-basket lift over user event baskets: pair support via a
+    // within-user self-join (constant pairs per user), lift in micro fixed
+    // point — one integral division per pair row.
+    "x134_event_lift" -> ((s, d) =>
+      EventOps.eventLiftCensus(Tables.read(s, d, "events"))),
     // Two-stage retrieval: BM25 shortlist (kRetrieve=20) re-ranked by
     // embedding cosine against vec 0 — the RAG retrieve-then-rerank shape;
     // only the shortlist is ever densely scored.
@@ -1826,6 +1836,57 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // the identical scaled-integer recurrence stepped by a recursive CTE
+    "x133_cusum_drift" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n, CAST(SUM(c) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1),
+        |seq AS (
+        |  SELECT event_type, day, c, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx
+        |  FROM daily),
+        |rec AS (
+        |  SELECT event_type, CAST(0 AS BIGINT) AS idx, CAST(0 AS BIGINT) AS t,
+        |    CAST(0 AS BIGINT) AS alarms, CAST(0 AS BIGINT) AS maxt,
+        |    CAST(NULL AS DATE) AS firstd
+        |  FROM st
+        |  UNION ALL
+        |  SELECT r.event_type, q.idx,
+        |    greatest(0, r.t + s.n * q.c - s.s - s.n * 2),
+        |    r.alarms + CASE WHEN greatest(0, r.t + s.n * q.c - s.s - s.n * 2)
+        |        >= s.n * 8 THEN 1 ELSE 0 END,
+        |    greatest(r.maxt, greatest(0, r.t + s.n * q.c - s.s - s.n * 2)),
+        |    CASE WHEN r.firstd IS NULL
+        |        AND greatest(0, r.t + s.n * q.c - s.s - s.n * 2) >= s.n * 8
+        |      THEN q.day ELSE r.firstd END
+        |  FROM rec r
+        |  JOIN seq q ON q.event_type = r.event_type AND q.idx = r.idx + 1
+        |  JOIN st s ON s.event_type = r.event_type)
+        |SELECT r.event_type, s.n AS days, r.alarms, r.maxt AS max_stat,
+        |  r.firstd AS first_alarm_day
+        |FROM rec r JOIN st s ON s.event_type = r.event_type
+        |WHERE r.idx = s.n ORDER BY r.event_type""".stripMargin,
+    // distinct user baskets -> within-user pairs -> integral lift
+    "x134_event_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |u AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS users FROM ut),
+        |supp AS (SELECT event_type, COUNT(*)::BIGINT AS supp FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    COUNT(*)::BIGINT AS supp_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, supp_ab,
+        |  CAST((1000000 * u.users * supp_ab) // (sa.supp * sb.supp) AS BIGINT)
+        |    AS lift_micro
+        |FROM pairs
+        |JOIN supp sa ON sa.event_type = type_a
+        |JOIN supp sb ON sb.event_type = type_b, u
+        |ORDER BY type_a, type_b""".stripMargin,
     // stage 1 is x56's oracle at k=20 nested verbatim; stage 2 re-ranks it
     "x131_retrieve_rerank" ->
       (s"""WITH stage1 AS (

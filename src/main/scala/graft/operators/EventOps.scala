@@ -257,6 +257,84 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /**
+   * x133: CUSUM change detection over each event type's daily counts — the
+   * SEQUENTIAL anomaly test the point-wise detectors (x77 z-spike, x123
+   * MAD) can't express: a sustained small drift that never trips a
+   * single-day threshold accumulates in the CUSUM statistic
+   * `T_t = max(0, T_{t−1} + (c_t − μ − slack))` and alarms when it crosses
+   * `h`. Everything is scaled by `n` (#days) so the recurrence runs in
+   * EXACT LONGS: `T_t = max(0, T_{t−1} + n·c_t − S − n·slack)`, alarm iff
+   * `T_t ≥ n·h` — no double ever enters, so both engines replay the same
+   * integer sequence.
+   *
+   * A running recurrence with a clamp is not a window/prefix-sum shape, so
+   * each type's (day, count) series — bounded by the CALENDAR, not the
+   * corpus (a decade is ~3.7k rows) — is folded with the `aggregate`
+   * higher-order function over its sorted array: per-row codegen'd, no
+   * driver loop, types fold in parallel. The oracle replays the identical
+   * recurrence as a recursive CTE stepping on the day index.
+   */
+  def cusumCensus(events: DataFrame, slack: Int = 2, h: Int = 8): DataFrame = {
+    require(slack >= 0 && h > 0, "need slack >= 0 and h > 0")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val step = s"greatest(0L, acc.t + n * x.c - s - n * ${slack}L)"
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sort_array(collect_list(struct(col("day"), col("c")))).as("xs"))
+      .select(col("event_type"), col("n"),
+        expr(s"""aggregate(xs,
+          named_struct('t', 0L, 'alarms', 0L, 'maxt', 0L,
+                       'first', CAST(NULL AS DATE)),
+          (acc, x) -> named_struct(
+            't', $step,
+            'alarms', acc.alarms + CASE WHEN $step >= n * ${h}L THEN 1L ELSE 0L END,
+            'maxt', greatest(acc.maxt, $step),
+            'first', CASE WHEN acc.first IS NULL AND $step >= n * ${h}L
+                          THEN x.day ELSE acc.first END))""").as("st"))
+      .select(col("event_type"), col("n").as("days"),
+        col("st.alarms").as("alarms"), col("st.maxt").as("max_stat"),
+        col("st.first").as("first_alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
+   * x134: event-type association census (market-basket lift over user
+   * baskets): for every unordered type pair, how many users did BOTH, and
+   * the lift `P(a∧b)/(P(a)·P(b))` in micro fixed point —
+   * `⌊1e6·U·supp_ab/(supp_a·supp_b)⌋`, one integral division over exact
+   * longs. Lift > 1 means the behaviors attract, < 1 they repel — the
+   * co-engagement signal a recommendation/funnel analysis starts from.
+   *
+   * Scale shape: the corpus reduces to distinct (user, type) — at most
+   * `#types` rows per user — and the pair relation is a self-join WITHIN
+   * the user key (≤ C(#types,2) pairs per user, a constant), so pair
+   * generation is linear in users, never quadratic in events. Supports
+   * broadcast back over the pair census (O(#types) and O(#types²) rows).
+   */
+  def eventLiftCensus(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    // single-row broadcast, not an eager count(): the whole census stays lazy
+    val users = ut.agg(countDistinct(col("user_id")).as("users"))
+    val supp = ut.groupBy(col("event_type")).agg(count(lit(1)).as("supp"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+    pairs
+      .join(broadcast(supp.select(col("event_type").as("type_a"), col("supp").as("supp_a"))), "type_a")
+      .join(broadcast(supp.select(col("event_type").as("type_b"), col("supp").as("supp_b"))), "type_b")
+      .crossJoin(broadcast(users))
+      .select(col("type_a"), col("type_b"), col("supp_ab"),
+        expr("(1000000L * users * supp_ab) DIV (supp_a * supp_b)")
+          .as("lift_micro"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
     val active = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -127,6 +127,32 @@ class FunnelSearchSpec extends SparkSpec {
       ("view", 4L, 2500000L, 0L, 0L, 0L)), r.mkString(","))
   }
 
+  test("cusumCensus: scaled-integer recurrence by hand — drift alarms, clamp resets") {
+    import spark.implicits._
+    // one type, daily counts 1,9,9,1 → n=4, S=20, slack=1, h=2 (n·h=8):
+    // T = 0, 12(alarm, first=01-02), 24(alarm), 4 → alarms 2, max 24
+    val rows = Seq(("2024-01-01", 1), ("2024-01-02", 9), ("2024-01-03", 9),
+      ("2024-01-04", 1)).flatMap { case (d, k) =>
+      (1 to k).map(i => (s"$d 00:0$i:00", "click"))
+    }
+    val ev = rows.toDF("s", "event_type")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"))
+    val r = EventOps.cusumCensus(ev, slack = 1, h = 2).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDate(4).toString) == (("click", 4L, 2L, 24L, "2024-01-02")), r.toString)
+  }
+
+  test("eventLiftCensus: hand-checked lift; pair generation bounded per user") {
+    import spark.implicits._
+    // users: 1:{A,B} 2:{A} 3:{B} 4:{A,B} → U=4, supp 3/3, AB=2,
+    // lift = ⌊1e6·4·2/9⌋ = 888888
+    val ev = Seq((1L, "A"), (1L, "B"), (1L, "A"), (2L, "A"), (3L, "B"),
+      (4L, "A"), (4L, "B")).toDF("user_id", "event_type")
+    val r = EventOps.eventLiftCensus(ev).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(("A", "B", 2L, 888888L)), r.mkString(","))
+  }
+
   test("trailingWindowCensus: 7-day range frame — boundary inclusive, ties symmetric") {
     import spark.implicits._
     // user 1: 01-01, 01-04, 01-05(view), 01-09 ×2 (tie). Trailing 7d
