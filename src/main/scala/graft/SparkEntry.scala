@@ -661,6 +661,17 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // KMV distinct sketch: deterministic order-statistics estimator, gated
+    // EXACTLY (no tolerance band — the HLL contrast); the __all row is
+    // computed by sketch MERGE, not a second corpus pass.
+    "x135_kmv_sketch" -> ((s, d) =>
+      EventOps.kmvDistinctCensus(Tables.read(s, d, "events"), 64)),
+    // Point-in-interval lookup: events attributed to the completed ledger
+    // runs containing their timestamp — hour-bucket banding, exact
+    // containment on co-bucketed candidates only.
+    "x136_interval_lookup" -> ((s, d) =>
+      OverlapOps.intervalLookupCensus(
+        Tables.pipelineRuns(s, d), Tables.read(s, d, "events"))),
     // CUSUM drift detection per event type: the sequential recurrence the
     // point-wise detectors can't express, folded with the aggregate HOF
     // over calendar-bounded per-type day arrays — exact longs throughout.
@@ -1836,6 +1847,44 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // same order statistics, same integral estimator, exact-gated
+    "x135_kmv_sketch" ->
+      """WITH ut AS (SELECT DISTINCT event_type AS scope, user_id FROM events),
+        |h AS (SELECT scope, user_id,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM ut),
+        |km AS (SELECT scope, h FROM (
+        |    SELECT scope, h,
+        |      row_number() OVER (PARTITION BY scope ORDER BY h, user_id) AS rn
+        |    FROM h) WHERE rn <= 64),
+        |pt AS (SELECT scope, COUNT(*)::BIGINT AS sketch_size, MAX(h) AS kth
+        |  FROM km GROUP BY 1),
+        |ex AS (SELECT scope, COUNT(DISTINCT user_id)::BIGINT AS exact_users
+        |  FROM ut GROUP BY 1),
+        |mg AS (SELECT COUNT(*)::BIGINT AS sketch_size, MAX(h) AS kth FROM (
+        |    SELECT DISTINCT h FROM km ORDER BY h LIMIT 64)),
+        |ga AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS exact_users FROM events),
+        |allrows AS (
+        |  SELECT p.scope, e.exact_users, p.sketch_size, p.kth
+        |  FROM pt p JOIN ex e USING (scope)
+        |  UNION ALL
+        |  SELECT '__all', ga.exact_users, mg.sketch_size, mg.kth FROM mg, ga)
+        |SELECT scope, exact_users, sketch_size,
+        |  CAST(CASE WHEN sketch_size < 64 THEN sketch_size
+        |       ELSE ((63::HUGEINT * 1152921504606846976) // kth) END AS BIGINT)
+        |    AS est_users
+        |FROM allrows ORDER BY scope""".stripMargin,
+    // brute range join (DuckDB IEJoin); the banded engine must agree
+    "x136_interval_lookup" -> s"""$cte
+      |, r AS (
+      |  SELECT record_id, pipeline_name,
+      |    query_window_start_ts AS sts, query_window_end_ts AS ets
+      |  FROM pipeline_runs WHERE pipeline_status = 'completed')
+      |SELECT pipeline_name, COUNT(*) AS matched_pairs,
+      |  COUNT(DISTINCT e.event_id) AS events_hit,
+      |  COUNT(DISTINCT r.record_id) AS runs_hit
+      |FROM r JOIN events e ON e.ts >= r.sts AND e.ts < r.ets
+      |GROUP BY pipeline_name ORDER BY pipeline_name""".stripMargin,
     // the identical scaled-integer recurrence stepped by a recursive CTE
     "x133_cusum_drift" ->
       """WITH RECURSIVE daily AS (

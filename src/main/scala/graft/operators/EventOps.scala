@@ -335,6 +335,64 @@ object EventOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /**
+   * x135: KMV (k-minimum-values) distinct sketch census — the
+   * DETERMINISTIC approximate-distinct: where HLL++ (x13) carries an
+   * engine-specific register layout (its raw estimate can only be
+   * tolerance-gated), KMV is pure order statistics over md5 hashes, so
+   * the estimate `⌊(k−1)·2⁶⁰ / h₍ₖ₎⌋` (Bar-Yossef et al.'s KMV estimator;
+   * hashes uniform in [0, 2⁶⁰) from the 15-hex-char md5 prefix) is the
+   * SAME integer in any engine — the gate checks it exactly, no tolerance
+   * band. A scope whose sketch never fills (distinct < k) reports its
+   * exact count.
+   *
+   * The `__all` row is computed by SKETCH MERGE — the k smallest distinct
+   * hashes of the per-type k-min sets, not a second corpus pass — which
+   * is the whole point of KMV at 100 TB: per-partition/per-source sketches
+   * (k longs each) union into a global cardinality without touching the
+   * data again. Merge-then-estimate equals estimate-of-union by the
+   * order-statistics identity (the k smallest of a union are among each
+   * part's k smallest), which the gate enforces structurally.
+   *
+   * Scale shape: one distinct on (type, user), per-type k-min via the
+   * bounded-heap aggregate (O(k) state per group, no per-group sort), and
+   * O(#types·k) rows of merge work. The exact countDistinct rides the
+   * same shuffle for the gate's comparison column.
+   */
+  def kmvDistinctCensus(events: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(events.sparkSession)
+    // integral DIV, not decimal `/`: decimal division rounds at the result
+    // scale, which can round UP past the floor the estimator defines
+    val estimate = expr(
+      s"""CASE WHEN sketch_size < $k THEN sketch_size
+         |ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) *
+         |  CAST(${1L << 60} AS DECIMAL(38,0)))
+         |  DIV CAST(kth AS DECIMAL(38,0)) AS BIGINT) END""".stripMargin)
+    val ut = events.select(col("event_type").as("scope"), col("user_id")).distinct()
+    val hashed = ut.select(col("scope"), col("user_id"),
+      GraftFunctions.md5PrefixLong(col("user_id").cast("string"), 15).as("h"))
+    val kmin = graft.plans.TopKPerGroup.topKPerGroup(
+      hashed, Seq("scope"), Seq(("h", true), ("user_id", true)), k)
+    val perType = kmin.groupBy(col("scope"))
+      .agg(count(lit(1)).as("sketch_size"), max(col("h")).as("kth"))
+      .join(ut.groupBy(col("scope"))
+        .agg(countDistinct(col("user_id")).as("exact_users")), "scope")
+    // global row by MERGE: k smallest distinct hashes across the sketches
+    val merged = kmin.select(col("h")).distinct()
+      .orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("sketch_size"), max(col("h")).as("kth"))
+      .crossJoin(broadcast(
+        events.agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("__all").as("scope"), col("sketch_size"), col("kth"),
+        col("exact_users"))
+    perType.unionByName(merged)
+      .select(col("scope"), col("exact_users"), col("sketch_size"),
+        estimate.as("est_users"))
+      .orderBy(col("scope"))
+  }
+
   def retentionCohorts(events: DataFrame, maxOffsetDays: Int = 30): DataFrame = {
     val active = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -145,4 +145,48 @@ object OverlapOps {
         col("e2").as("overlaps_with_end_ts"))
       .distinct()
   }
+
+  /**
+   * x136: point-in-interval LOOKUP join — each event attributed to the
+   * COMPLETED ledger runs whose window contains its timestamp (`sts ≤ ts
+   * < ets`, the half-open convention): "which pipeline runs was this
+   * event inside" — the enrichment join between the reference's interval
+   * domain and the event stream, generalizing the x16 self-join bander to
+   * two relations of different shapes (interval side × point side).
+   *
+   * Scale shape: the interval side explodes into its covered hour buckets
+   * (windows are minutes-to-hours — a handful of buckets each, never
+   * unbounded); the point side computes its single bucket; the join is an
+   * equi-join on the bucket, so candidate pairs are confined to
+   * co-bucketed (run, event) combinations and the exact containment test
+   * runs on candidates only. Each (run, event) pair meets in EXACTLY one
+   * bucket (the event's), so no post-join dedup is needed. Matched-pair
+   * volume grows with run density × event density per bucket — the
+   * declared output semantics of any interval join (10× both sides ⇒
+   * ~100× containments, which the census then reduces).
+   */
+  def intervalLookupCensus(
+      ledger: DataFrame,
+      events: DataFrame,
+      bucketMinutes: Int = 60): DataFrame = {
+    require(bucketMinutes > 0, "bucket width must be positive")
+    val bUs = bucketMinutes * 60_000_000L
+    val runs = ledger.filter(col("pipeline_status") === "completed")
+      .select(col("record_id"), col("pipeline_name"),
+        col("query_window_start_ts").cast("timestamp").as("sts"),
+        col("query_window_end_ts").cast("timestamp").as("ets"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"unix_micros(sts) div $bUs"), expr(s"unix_micros(ets) div $bUs"))))
+    val pts = events
+      .select(col("event_id"), col("ts").cast("timestamp").as("pts"))
+      .withColumn("bucket", expr(s"unix_micros(pts) div $bUs"))
+    runs.join(pts, Seq("bucket"))
+      .filter(col("pts") >= col("sts") && col("pts") < col("ets"))
+      .groupBy(col("pipeline_name"))
+      .agg(
+        count(lit(1)).as("matched_pairs"),
+        countDistinct(col("event_id")).as("events_hit"),
+        countDistinct(col("record_id")).as("runs_hit"))
+      .orderBy(col("pipeline_name"))
+  }
 }

@@ -153,6 +153,23 @@ class FunnelSearchSpec extends SparkSpec {
     assert(r == Seq(("A", "B", 2L, 888888L)), r.mkString(","))
   }
 
+  test("kmvDistinctCensus: unsaturated scope reports exact; merge row equals " +
+      "the direct sketch; saturated estimate lands near truth") {
+    import spark.implicits._
+    val ev = ((1 to 200).map(u => (u.toLong, "A")) ++
+      (1 to 50).map(u => (u.toLong, "B"))).toDF("user_id", "event_type")
+    val r = EventOps.kmvDistinctCensus(ev, 64).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // B never fills its sketch: estimate IS the exact count
+    assert(r("B") == ((50L, 50L, 50L)), r("B").toString)
+    // A saturates: deterministic estimate within 30% of 200
+    val (exA, szA, estA) = r("A")
+    assert(exA == 200L && szA == 64L && math.abs(estA - 200.0) / 200.0 < 0.3,
+      r("A").toString)
+    // users(B) ⊂ users(A): the merged __all must equal A's own sketch row
+    assert(r("__all") == ((200L, 64L, estA)), r("__all").toString)
+  }
+
   test("trailingWindowCensus: 7-day range frame — boundary inclusive, ties symmetric") {
     import spark.implicits._
     // user 1: 01-01, 01-04, 01-05(view), 01-09 ×2 (tie). Trailing 7d

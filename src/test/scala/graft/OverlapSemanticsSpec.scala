@@ -88,4 +88,27 @@ class OverlapSemanticsSpec extends SparkSpec {
     assert(naive.nonEmpty) // sanity: the fixture actually produces overlaps
     assert(naive.toSeq == banded.toSeq)
   }
+
+  test("intervalLookupCensus: banded containment equals the brute range join") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val ledger = graft.sources.Tables.pipelineRuns(spark, d)
+    val events = graft.sources.Tables.read(spark, d, "events")
+    val banded = OverlapOps.intervalLookupCensus(ledger, events)
+      .collect().map(_.toString).toSeq
+    val brute = ledger.filter(col("pipeline_status") === "completed")
+      .select(col("record_id"), col("pipeline_name"),
+        col("query_window_start_ts").cast("timestamp").as("sts"),
+        col("query_window_end_ts").cast("timestamp").as("ets"))
+      .join(events.select(col("event_id"), col("ts").cast("timestamp").as("pts")),
+        col("pts") >= col("sts") && col("pts") < col("ets"))
+      .groupBy(col("pipeline_name"))
+      .agg(count(lit(1)).as("matched_pairs"),
+        countDistinct(col("event_id")).as("events_hit"),
+        countDistinct(col("record_id")).as("runs_hit"))
+      .orderBy(col("pipeline_name"))
+      .collect().map(_.toString).toSeq
+    assert(banded.nonEmpty && banded == brute,
+      s"banded=$banded\nbrute=$brute")
+  }
 }
