@@ -661,6 +661,15 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Within-session funnel: x63's first-touch semantics on the
+    // (user, session) key — conversion measured at session granularity.
+    "x137_session_funnel" -> ((s, d) =>
+      EventOps.sessionFunnelCensus(Tables.read(s, d, "events"),
+        Seq("view", "click", "purchase"))),
+    // First-order Markov transitions within sessions: counts + integral
+    // row-normalized probabilities per (cur, next) pair.
+    "x138_transitions" -> ((s, d) =>
+      EventOps.sessionTransitionCensus(Tables.read(s, d, "events"))),
     // KMV distinct sketch: deterministic order-statistics estimator, gated
     // EXACTLY (no tolerance band — the HLL contrast); the __all row is
     // computed by sketch MERGE, not a second corpus pass.
@@ -1847,6 +1856,57 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // x11's session CTEs widened to (user, sid); then x63's stage chain
+    "x137_session_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus, SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |r1 AS (
+        |  SELECT user_id, sid, MIN(tus) AS t FROM s
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT s.user_id, s.sid,
+        |    MIN(CASE WHEN s.tus > r1.t THEN s.tus END) AS t
+        |  FROM s JOIN r1 USING (user_id, sid) WHERE s.event_type = 'click'
+        |  GROUP BY 1, 2 HAVING MIN(CASE WHEN s.tus > r1.t THEN s.tus END) IS NOT NULL),
+        |r3 AS (
+        |  SELECT s.user_id, s.sid,
+        |    MIN(CASE WHEN s.tus > r2.t THEN s.tus END) AS t
+        |  FROM s JOIN r2 USING (user_id, sid) WHERE s.event_type = 'purchase'
+        |  GROUP BY 1, 2 HAVING MIN(CASE WHEN s.tus > r2.t THEN s.tus END) IS NOT NULL)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS event_type, COUNT(*) AS sessions FROM r1
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', COUNT(*) FROM r2
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', COUNT(*) FROM r3
+        |ORDER BY stage""".stripMargin,
+    // consecutive in-session pairs via lead(); integral row normalization
+    "x138_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus, SUM(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |p AS (
+        |  SELECT event_type AS cur, lead(event_type) OVER (
+        |    PARTITION BY user_id, sid ORDER BY tus, event_id) AS nxt
+        |  FROM s),
+        |g AS (SELECT cur, nxt, COUNT(*)::BIGINT AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot FROM g GROUP BY 1)
+        |SELECT g.cur, g.nxt, g.n,
+        |  CAST((1000000 * g.n) // t.tot AS BIGINT) AS p_micro
+        |FROM g JOIN t USING (cur) ORDER BY g.cur, g.nxt""".stripMargin,
     // same order statistics, same integral estimator, exact-gated
     "x135_kmv_sketch" ->
       """WITH ut AS (SELECT DISTINCT event_type AS scope, user_id FROM events),

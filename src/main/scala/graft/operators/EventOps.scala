@@ -40,6 +40,96 @@ object EventOps {
   }
 
   /**
+   * Per-event session assignment — [[sessionize]]'s internals exposed as a
+   * PRIMITIVE: every event labeled with its (user, session) id, all input
+   * columns preserved. The composition point for within-session analyses
+   * (x137 within-session funnel, x138 transition census): downstream
+   * operators group on (user_id, sid) instead of re-deriving gap logic.
+   * Same two stacked user-partitioned windows as the census form; the
+   * session id is the running count of gap breaks in (ts, event_id) order.
+   */
+  def sessionAssign(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60_000_000L
+    events
+      .withColumn("__new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("__new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_s")
+  }
+
+  /**
+   * x137: WITHIN-SESSION funnel — how many sessions contain `stages(0)`,
+   * then `stages(1)` strictly after it in the SAME session, … — the
+   * conversion question [[funnelCensus]] (x63) answers across a user's
+   * whole history, re-asked at session granularity (the standard product
+   * metric: a view that converts a week later is retention, not funnel).
+   * First-touch anchors per session, strictly-after ordering — x63's
+   * semantics verbatim, with the join/aggregation key widened from
+   * `user_id` to `(user_id, sid)`.
+   *
+   * Scale shape: [[sessionAssign]]'s user-keyed windows, then per stage
+   * one filter + one (user, sid)-keyed join against the previous stage's
+   * one-row-per-session anchors + one min aggregation — the x63 shape on
+   * a finer key, everything hash-distributed, no per-session collection.
+   */
+  def sessionFunnelCensus(events: DataFrame, stages: Seq[String],
+      gapMinutes: Int = 30): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val assigned = sessionAssign(events, gapMinutes)
+      .select(col("user_id"), col("sid"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val reached = stages.tail.scanLeft(
+      assigned.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id"), col("sid")).agg(min(col("tus")).as("t"))) {
+      (prev, stage) =>
+        assigned.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("sid"), col("t").as("pt")),
+            Seq("user_id", "sid"))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(when(col("tus") > col("pt"), col("tus"))).as("t"))
+          .filter(col("t").isNotNull)
+    }
+    reached.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("sessions"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("sessions"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
+  /**
+   * x138: session transition census — the first-order Markov chain of user
+   * journeys: for every ordered pair of consecutive events WITHIN a
+   * session, the transition count and the row-normalized probability
+   * `P(next | cur)` in micro fixed point (one integral division against
+   * the per-source-state total). The "where do users go from here" table
+   * that drives journey analysis and next-event models.
+   *
+   * Scale shape: one lead() window per (user, session) — the same
+   * user-keyed shuffle sessionization already paid — then a (cur, next)
+   * hash aggregation and an O(#types) broadcast of per-state totals.
+   */
+  def sessionTransitionCensus(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("tus"), col("event_id"))
+    val pairs = sessionAssign(events, gapMinutes)
+      .select(col("user_id"), col("sid"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("(1000000L * n) DIV tot").as("p_micro"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  /**
    * Ordered conversion funnel: how many users performed `stages(0)`, then
    * `stages(1)` STRICTLY AFTER their first `stages(0)`, then `stages(2)`
    * strictly after that, … — the classic product-analytics funnel, each

@@ -153,6 +153,46 @@ class FunnelSearchSpec extends SparkSpec {
     assert(r == Seq(("A", "B", 2L, 888888L)), r.mkString(","))
   }
 
+  test("sessionFunnelCensus: conversion counted only within a session — " +
+      "the cross-session contrast with x63") {
+    import spark.implicits._
+    // user 1: view 10:00, click 10:05 | (45-min gap) purchase 11:00.
+    // Within-session: view 1, click 1, purchase 0 (it landed in session 2).
+    // The user-level funnel (x63) WOULD count the purchase — the contrast.
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-15 10:00:00"),
+      (2L, 1L, "click", "2024-01-15 10:05:00"),
+      (3L, 1L, "purchase", "2024-01-15 11:00:00"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val stages = Seq("view", "click", "purchase")
+    val inSession = EventOps.sessionFunnelCensus(ev, stages, 30).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(inSession == Seq((1, 1L), (2, 1L), (3, 0L)), inSession.mkString(","))
+    val userLevel = EventOps.funnelCensus(ev, stages).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(userLevel == Seq((1, 1L), (2, 1L), (3, 1L)), userLevel.mkString(","))
+  }
+
+  test("sessionTransitionCensus: in-session pairs only; probabilities row-normalize") {
+    import spark.implicits._
+    // user 1 session 1: A→B, B→A; session 2 (gap): B alone (no pair).
+    // user 2: A→B. Totals: A→B 2, B→A 1 → P(B|A)=1e6, P(A|B)=1e6.
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-15 10:00:00"),
+      (2L, 1L, "B", "2024-01-15 10:05:00"),
+      (3L, 1L, "A", "2024-01-15 10:10:00"),
+      (4L, 1L, "B", "2024-01-15 12:00:00"),
+      (5L, 2L, "A", "2024-01-15 10:00:00"),
+      (6L, 2L, "B", "2024-01-15 10:01:00"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = EventOps.sessionTransitionCensus(ev, 30).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(("A", "B", 2L, 1000000L), ("B", "A", 1L, 1000000L)),
+      r.mkString(","))
+  }
+
   test("kmvDistinctCensus: unsaturated scope reports exact; merge row equals " +
       "the direct sketch; saturated estimate lands near truth") {
     import spark.implicits._
