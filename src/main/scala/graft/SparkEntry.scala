@@ -661,6 +661,42 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Per-label embedding centroid drift: micro-quantized exact-integer
+    // dim sums; squared centroid distance with one integral division per
+    // dimension — no float mean ever computed.
+    "x139_centroid_drift" -> ((s, d) =>
+      SimilarityOps.labelCentroidDrift(emb(s, d))),
+    // Shipping-lag SLA percentiles per order month: the nearest-rank
+    // machinery (x117) applied to a JOIN-derived metric — orders and
+    // lineitem meet on the order key, lags group by value per month.
+    "x140_ship_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.read(s, d, "orders").select(col("o_orderkey"),
+        trunc(col("o_orderdate").cast("timestamp").cast("date"), "month").as("month"),
+        col("o_orderdate").cast("timestamp").cast("date").as("odate"))
+      val lags = Tables.read(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").cast("date").as("sdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("month"), datediff(col("sdate"), col("odate")).cast("long").as("lag"))
+      val g = lags.groupBy(col("month"), col("lag")).agg(count(lit(1)).as("cnt"))
+      val totals = g.groupBy(col("month")).agg(sum(col("cnt")).as("n"))
+      val wCum = Window.partitionBy(col("month")).orderBy(col("lag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      def rankAt(p: Int) = min(when(
+        col("cum") >= floor((lit(p.toLong) * col("n") + lit(99L)) / lit(100.0)).cast("long"),
+        col("lag")))
+      g.withColumn("cum", sum(col("cnt")).over(wCum))
+        .join(broadcast(totals), "month")
+        .groupBy(col("month"))
+        .agg(max(col("n")).as("n"), rankAt(50).as("p50_days"),
+          rankAt(90).as("p90_days"), max(col("lag")).as("max_days"))
+        .orderBy(col("month"))
+    }),
+    // Sparse tf-idf retrieval: the query document's whole term vector
+    // probes the inverted index; df-capped posting lists; exact integer
+    // weights.
+    "x141_sparse_topk" -> ((s, d) =>
+      SearchOps.sparseTopK(docs(s, d), 0L, 10, 780)),
     // Within-session funnel: x63's first-touch semantics on the
     // (user, session) key — conversion measured at session granularity.
     "x137_session_funnel" -> ((s, d) =>
@@ -1856,6 +1892,68 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // grouping key is internal, so DuckDB's 1-based positions are fine;
+    // the per-dim integral division mirrors the engine's DECIMAL DIV
+    "x139_centroid_drift" ->
+      """WITH q0 AS (
+        |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> struct_pack(pos := i, x := embedding[i]))) AS u
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT label, u.pos AS pos,
+        |    CAST(floor(CAST(u.x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM q0),
+        |lab AS (
+        |  SELECT label, pos, CAST(SUM(q) AS BIGINT) AS s, COUNT(*)::BIGINT AS n
+        |  FROM q GROUP BY 1, 2),
+        |gtot AS (
+        |  SELECT pos, CAST(SUM(s) AS BIGINT) AS g, CAST(SUM(n) AS BIGINT) AS big_n
+        |  FROM lab GROUP BY 1),
+        |d AS (
+        |  SELECT label, n,
+        |    CAST(((big_n::HUGEINT * s - n::HUGEINT * g)
+        |      * (big_n::HUGEINT * s - n::HUGEINT * g))
+        |      // (n::HUGEINT * big_n * n::HUGEINT * big_n) AS BIGINT) AS d2
+        |  FROM lab JOIN gtot USING (pos))
+        |SELECT label, MAX(n) AS n, CAST(SUM(d2) AS BIGINT) AS dist2_micro2
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
+    // the x117 nearest-rank machinery over a join-derived metric
+    "x140_ship_lag" ->
+      """WITH j AS (
+        |  SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        |    CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT month, lag, COUNT(*) AS cnt FROM j GROUP BY 1, 2),
+        |t AS (SELECT month, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |c AS (SELECT month, lag, cnt,
+        |    SUM(cnt) OVER (PARTITION BY month ORDER BY lag) AS cum FROM g),
+        |th AS (SELECT c.month,
+        |    MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN lag END) AS p50_days,
+        |    MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN lag END) AS p90_days,
+        |    MAX(lag) AS max_days
+        |  FROM c JOIN t USING (month) GROUP BY c.month)
+        |SELECT th.month, t.n, th.p50_days, th.p90_days,
+        |  CAST(th.max_days AS BIGINT) AS max_days
+        |FROM th JOIN t USING (month) ORDER BY month""".stripMargin,
+    // inverted-index probe with the relative df cap and integral idf
+    "x141_sparse_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        |dft AS (
+        |  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |keep AS (
+        |  SELECT term, df FROM dft, nd WHERE df * 1000 <= 780 * n_docs),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ((1000 * nd.n_docs) // k.df) AS w
+        |  FROM tf JOIN keep k USING (term), nd),
+        |qv AS (SELECT term, w AS wq FROM w WHERE doc_id = 0)
+        |SELECT w.doc_id, CAST(SUM(w.w * qv.wq) AS BIGINT) AS score
+        |FROM w JOIN qv USING (term) WHERE w.doc_id <> 0
+        |GROUP BY w.doc_id ORDER BY score DESC, w.doc_id LIMIT 10""".stripMargin,
     // x11's session CTEs widened to (user, sid); then x63's stage chain
     "x137_session_funnel" ->
       """WITH e AS (

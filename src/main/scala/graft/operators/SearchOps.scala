@@ -84,6 +84,51 @@ object SearchOps {
   }
 
   /**
+   * x141: sparse tf-idf retrieval through an INVERTED-INDEX join — the
+   * lexical twin of [[SimilarityOps.topkCosine]]: score(q, d) =
+   * Σ_{t ∈ q∩d} w_q(t)·w_d(t) with `w = tf · idf_milli` and the RATIONAL
+   * idf `⌊1000·N/df⌋` (integral division — exact in any engine, the same
+   * determinism argument as [[bm25TopK]]'s odds-ratio idf). Unlike BM25's
+   * fixed term list, the QUERY IS A DOCUMENT: its whole term vector joins
+   * the posting lists, which is the e-commerce/more-like-this shape.
+   *
+   * Scale shape: the (doc, term, tf) relation joins the (small, broadcast)
+   * query vector on the term key — the inverted-index probe — so only
+   * documents sharing a query term are ever scored. Terms present in more
+   * than `maxDfPermille`‰ of the corpus are dropped from BOTH sides first
+   * (stopword-class terms contribute near-zero idf weight but quadratic
+   * posting-list mass — the classic posting-list bound, RELATIVE so the
+   * same cut scales with the corpus; the cut is part of the operator's
+   * declared semantics, not an approximation of this query). Score sums
+   * are exact longs (tf·idf_milli products bounded by tf²·idf² · shared
+   * terms).
+   */
+  def sparseTopK(
+      documents: DataFrame,
+      queryDocId: Long = 0L,
+      k: Int = 10,
+      maxDfPermille: Int = 780): DataFrame = {
+    require(maxDfPermille > 0 && maxDfPermille <= 1000, "permille cap in (0, 1000]")
+    val tf = documents.select(col("doc_id"), explode(ws).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 1000L <= lit(maxDfPermille.toLong) * col("n_docs"))
+    val weighted = tf.join(dfT, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("(1000L * n_docs) DIV df")).as("w"))
+    val qv = weighted.filter(col("doc_id") === queryDocId)
+      .select(col("term"), col("w").as("wq"))
+    weighted.filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(qv), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("wq")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /**
    * x132: TextRank keyword extraction — PageRank power iteration over the
    * word co-occurrence graph (Mihalcea & Tarau, "TextRank: Bringing Order
    * into Texts", public paper; damping 0.85 per Brin & Page). Nodes are

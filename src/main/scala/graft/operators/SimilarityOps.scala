@@ -80,6 +80,46 @@ object SimilarityOps {
   }
 
   /**
+   * x139: per-label centroid drift census — how far each label's embedding
+   * centroid sits from the global centroid, the class-conditional
+   * embedding-health monitor (a label whose centroid collapses toward the
+   * global mean has lost its cluster; one that runs away is drifting).
+   *
+   * Exact-integer determinism for a MEAN of floats: each dimension is
+   * micro-quantized once (`⌊x·1e6+0.5⌋`, identical IEEE double from the
+   * f32 in both engines), so per-label per-dim SUMS are exact longs and
+   * order-free. The squared centroid distance avoids dividing those sums:
+   * with `S_ld` the label's dim sum, `G_d` the global, `n_l`/`N` counts,
+   *   dist²_d = ((N·S_ld − n_l·G_d)² ) div (n_l·N)²   [micro² units]
+   * — products in DECIMAL(38,0) (they overflow longs by design), one
+   * integral division per dimension, then a 64-term exact sum. Both
+   * engines replay the identical integer sequence; no sqrt, no mean.
+   *
+   * Scale shape: one posexplode scan (corpus × dims rows — the standard
+   * dense-vector aggregation layout), one (label, dim) hash aggregation
+   * with map-side partials, then everything runs on #labels·dims rows.
+   */
+  def labelCentroidDrift(embeddings: DataFrame): DataFrame = {
+    val lab = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val glob = lab.groupBy(col("pos"))
+      .agg(sum(col("s")).as("g"), sum(col("n")).as("big_n"))
+    lab.join(broadcast(glob), "pos")
+      .select(col("label"), col("n"), expr(
+        """CAST((CAST(big_n AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * g)
+          |  * (CAST(big_n AS DECIMAL(38,0)) * s - CAST(n AS DECIMAL(38,0)) * g)
+          |  DIV (CAST(n AS DECIMAL(38,0)) * big_n
+          |    * CAST(n AS DECIMAL(38,0)) * big_n) AS BIGINT)""".stripMargin).as("d2"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n"), sum(col("d2")).as("dist2_micro2"))
+      .orderBy(col("label"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: all pairs with rounded similarity
    * ≥ threshold — the exact result of [[embeddingNearDupBrute]], computed
    * through a centroid-bucketed candidate join instead of an all-pairs

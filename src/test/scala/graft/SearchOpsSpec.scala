@@ -63,6 +63,19 @@ class SearchOpsSpec extends SparkSpec {
       "cosine order must be descending")
   }
 
+  test("sparseTopK: hand-checked inverted-index scoring; no-overlap docs excluded") {
+    // df: a→2, b→1, c→1 over 3 docs → idf_milli a=1500, b=3000, c=3000.
+    // query (doc 0) w: a=1500, b=3000. doc 1 ("a a"): w_a=3000 →
+    // score 3000·1500 = 4.5e6. doc 2 shares nothing → absent.
+    val d = docs3((0L, "en", "a b"), (1L, "en", "a a"), (2L, "en", "c"))
+    val r = SearchOps.sparseTopK(d, 0L, 10, 1000).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((1L, 4500000L)), r.mkString(","))
+    // a permille cap below a's df (2/3 ≈ 667‰) prunes the shared term:
+    // nothing scores
+    assert(SearchOps.sparseTopK(d, 0L, 10, 600).collect().isEmpty)
+  }
+
   test("bm25 tf saturation: repeating a term gains sublinearly") {
     val d = docs3(
       (1L, "en", "alpha beta gamma delta"),

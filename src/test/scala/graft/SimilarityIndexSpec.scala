@@ -175,6 +175,20 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(full == exact, "full-probe IVF must equal exhaustive top-k")
   }
 
+  test("labelCentroidDrift: orthogonal two-label fixture — exact fixed-point distance") {
+    import spark.implicits._
+    // label 0 ≡ (1,0), label 1 ≡ (0,1); global centroid (0.5, 0.5) →
+    // true dist² = 0.5 → 5e11 in micro² units, exactly, for both labels
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.labelCentroidDrift(emb).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((0, 2L, 500000000000L), (1, 2L, 500000000000L)),
+      r.mkString(","))
+  }
+
   test("hardNegatives: equals the window-ranked brute force; labels always differ") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
