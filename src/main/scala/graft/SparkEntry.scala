@@ -661,6 +661,18 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Benford first-digit audit on order totals: hardcoded public
+    // constants, integral shares — forensic data-quality counting.
+    "x142_benford" -> ((s, d) =>
+      CurationOps.benfordCensus(Tables.read(s, d, "orders"), "o_totalprice")),
+    // Chi-square independence of event type × day-of-week: cross-
+    // multiplied cell statistic, decimal products, micro scaling.
+    "x143_chi2_dow" -> ((s, d) =>
+      EventOps.chi2IndependenceCensus(Tables.read(s, d, "events"))),
+    // Gram-matrix top-k: most-correlated embedding dimension pairs via a
+    // per-vector dimension self-join — distributed dense linear algebra.
+    "x144_gram_topk" -> ((s, d) =>
+      SimilarityOps.gramTopK(emb(s, d), 10)),
     // Per-label embedding centroid drift: micro-quantized exact-integer
     // dim sums; squared centroid distance with one integral division per
     // dimension — no float mean ever computed.
@@ -1892,6 +1904,60 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // the micro constants are interpolated from the same Scala list the
+    // engine uses — one source of truth for the expectation table
+    "x142_benford" -> {
+      val cases = CurationOps.BenfordMicro.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+         |    1, 1) AS INT) AS digit
+         |  FROM orders WHERE o_totalprice >= 1),
+         |g AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+         |SELECT digit, n, CAST((1000000 * n) // total AS BIGINT) AS observed_micro,
+         |  CAST(CASE digit $cases END AS BIGINT) AS expected_micro,
+         |  CAST(abs((1000000 * n) // total - CASE digit $cases END) AS BIGINT)
+         |    AS dev_micro
+         |FROM g, t ORDER BY digit""".stripMargin
+    },
+    // DuckDB dayofweek is 0-based Sunday; +1 matches Spark — the key is
+    // internal either way, the partition just has to agree
+    "x143_chi2_dow" ->
+      """WITH cells AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*)::BIGINT AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS big_n FROM cells),
+        |x AS (
+        |  SELECT cells.event_type, rt.r,
+        |    CAST(((big_n::HUGEINT * o - r::HUGEINT * c)
+        |      * (big_n::HUGEINT * o - r::HUGEINT * c) * 1000000)
+        |      // (big_n::HUGEINT * r * c) AS BIGINT) AS cell
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow), tt)
+        |SELECT event_type, MAX(r) AS n, COUNT(*) AS cells,
+        |  CAST(SUM(cell) AS BIGINT) AS chi2_micro
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // sign-aware scaling: Spark's DIV truncates toward zero, DuckDB's //
+    // floors — they differ on negative Gram entries
+    "x144_gram_topk" ->
+      """WITH q0 AS (
+        |  SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> struct_pack(pos := i, x := embedding[i]))) AS u
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, u.pos AS pos,
+        |    CAST(floor(CAST(u.x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+        |  FROM q0),
+        |g AS (
+        |  SELECT a.pos AS i, b.pos AS j, SUM(a.q::HUGEINT * b.q) AS s
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT i, j, CAST(CASE WHEN s >= 0 THEN s // 1000000
+        |    ELSE -((-s) // 1000000) END AS BIGINT) AS dot_micro FROM g)
+        |SELECT i, j, dot_micro FROM sc
+        |ORDER BY abs(dot_micro) DESC, i, j LIMIT 10""".stripMargin,
     // grouping key is internal, so DuckDB's 1-based positions are fine;
     // the per-dim integral division mirrors the engine's DECIMAL DIV
     "x139_centroid_drift" ->

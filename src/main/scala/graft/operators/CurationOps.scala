@@ -457,6 +457,39 @@ object CurationOps {
         if (alpha == 0.5) sqrt(col("tokens_total").cast("double"))
         else pow(col("tokens_total").cast("double"), lit(alpha)), 0)))
 
+  /** Benford first-digit probabilities `log10(1 + 1/d)` in micro units —
+    * public constants (Newcomb/Benford), hardcoded so no engine ever
+    * evaluates a logarithm. */
+  private[graft] val BenfordMicro: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /**
+   * x142: Benford first-digit audit — the forensic data-quality test for a
+   * positive metric column: naturally-grown magnitudes follow
+   * `P(d) = log10(1+1/d)`; fabricated, truncated, or capped feeds don't.
+   * The census reports per digit the observed permille-of-a-million share
+   * (`⌊1e6·count/N⌋`, one integral division), the Benford expectation
+   * (hardcoded public constants — no log evaluated anywhere), and the
+   * absolute deviation. Interpretation stays with the caller; the operator
+   * is pure exact-integer counting — one scan, one 9-row aggregation.
+   */
+  def benfordCensus(df: DataFrame, valueCol: String): DataFrame = {
+    val expected = map(BenfordMicro.zipWithIndex.flatMap {
+      case (p, i) => Seq(lit(i + 1), lit(p)) }: _*)
+    val digits = df
+      .filter(col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("(1000000L * n) DIV total").as("observed_micro"),
+        expected(col("digit")).as("expected_micro"))
+      .withColumn("dev_micro", abs(col("observed_micro") - col("expected_micro")))
+      .orderBy(col("digit"))
+  }
+
   /**
    * x128: epoch-budget WATERFILL — the mixing planner's other half. Where
    * [[tokenBudgetMix]] answers "what keep-rate per source hits the budget",

@@ -426,6 +426,43 @@ object EventOps {
   }
 
   /**
+   * x143: chi-square independence census — is event type independent of
+   * day-of-week? The classic contingency-table test, computed entirely in
+   * exact integers: cell contribution
+   * `χ²_cell = (N·O − R·C)² / (N·R·C)` (the textbook statistic cross-
+   * multiplied so no expected-count float is ever formed), micro-scaled
+   * with one integral division per cell, products in DECIMAL(38,0).
+   * Reported per event type (its 7 cells summed) so the census shows
+   * WHERE the dependence concentrates; the caller compares the total
+   * against the χ² critical value for (r−1)(c−1) dof.
+   *
+   * Scale shape: one scan → one (type, dow) aggregation (map-side
+   * partials); all remaining work is on the O(types × 7) cell relation
+   * with broadcast margins.
+   */
+  def chi2IndependenceCensus(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"), dayofweek(col("ts").cast("timestamp")).as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val total = cells.agg(sum(col("o")).as("big_n"))
+    cells
+      .join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("r"), expr(
+        """CAST(((CAST(big_n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+          |  * (CAST(big_n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)
+          |  * 1000000) DIV (CAST(big_n AS DECIMAL(38,0)) * r * c)
+          |  AS BIGINT)""".stripMargin).as("cell"))
+      .groupBy(col("event_type"))
+      .agg(max(col("r")).as("n"), count(lit(1)).as("cells"),
+        sum(col("cell")).as("chi2_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
    * x135: KMV (k-minimum-values) distinct sketch census — the
    * DETERMINISTIC approximate-distinct: where HLL++ (x13) carries an
    * engine-specific register layout (its raw estimate can only be

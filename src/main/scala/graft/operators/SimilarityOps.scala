@@ -120,6 +120,46 @@ object SimilarityOps {
   }
 
   /**
+   * x144: Gram-matrix top-k — the most-correlated embedding dimension
+   * pairs, the redundancy audit run before dimensionality reduction (two
+   * dimensions whose corpus-wide dot product is large carry overlapping
+   * signal; for ~zero-mean unit embeddings the uncentered Gram entry is
+   * ~the covariance). A genuinely distributed dense-linear-algebra shape:
+   * `G = Σ_v x_v·x_vᵀ` computed as a per-vector dimension self-join —
+   * each vector contributes its C(dims, 2) upper-triangle products, keyed
+   * joins only, map-side-combinable into the O(dims²) result.
+   *
+   * Determinism: dimensions micro-quantized once; products summed in
+   * DECIMAL(38,0) (exact at any corpus size); the reported entry is
+   * scaled back by one integral `DIV 1e6` so it fits a long. Ranking by
+   * |G_ij| with (i, j) tie-break, TakeOrdered top-k.
+   */
+  def gramTopK(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    // Measured decision: a shuffle-free variant that generated the
+    // C(dims,2) products per row (nested transform + flatten + struct
+    // explode) was 2.4× SLOWER at the sf1 probe (24.1 s vs 10.2 s) — the
+    // per-row 2016-struct array allocation costs more than the vec_id
+    // shuffle it avoids, and the exploded-struct path exits whole-stage
+    // codegen. The join form keeps both scans columnar/codegen'd: the
+    // exploded (vec_id, pos, q) relation self-joins on vec_id (64 rows a
+    // side per key), products aggregate with map-side partials.
+    val q = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+    // 1-based dimension ids in the OUTPUT (posexplode is 0-based; the
+    // oracle's list positions are 1-based — i/j are part of the contract)
+    val a = q.select(col("vec_id"), (col("pos") + 1).as("i"), col("q").as("qa"))
+    val b = q.select(col("vec_id"), (col("pos") + 1).as("j"), col("q").as("qb"))
+    a.join(b, Seq("vec_id")).filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(expr("CAST(qa AS DECIMAL(38,0)) * qb")).as("s"))
+      .select(col("i"), col("j"), expr("CAST(s DIV 1000000 AS BIGINT)").as("dot_micro"))
+      .orderBy(abs(col("dot_micro")).desc, col("i").asc, col("j").asc)
+      .limit(k)
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs: all pairs with rounded similarity
    * ≥ threshold — the exact result of [[embeddingNearDupBrute]], computed
    * through a centroid-bucketed candidate join instead of an all-pairs

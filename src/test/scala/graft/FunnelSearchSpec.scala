@@ -153,6 +153,28 @@ class FunnelSearchSpec extends SparkSpec {
     assert(r == Seq(("A", "B", 2L, 888888L)), r.mkString(","))
   }
 
+  test("chi2IndependenceCensus: a perfectly independent table scores exactly zero") {
+    import spark.implicits._
+    // A: 10×Mon 20×Tue; B: 5×Mon 10×Tue — margins multiply exactly, so
+    // every cross-multiplied cell is 0
+    val ev = (
+      (1 to 10).map(i => ("A", "2024-01-15")) ++ (1 to 20).map(i => ("A", "2024-01-16")) ++
+      (1 to 5).map(i => ("B", "2024-01-15")) ++ (1 to 10).map(i => ("B", "2024-01-16")))
+      .toDF("event_type", "s").select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val r = EventOps.chi2IndependenceCensus(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(("A", 30L, 2L, 0L), ("B", 15L, 2L, 0L)), r.mkString(","))
+  }
+
+  test("benfordCensus: uniform 1..9 digits — observed share and deviation by hand") {
+    import spark.implicits._
+    val df = (1 to 9).map(_.toDouble).toDF("v")
+    val r = graft.operators.CurationOps.benfordCensus(df, "v").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toSeq
+    assert(r.size == 9 && r.head == ((1, 1L, 111111L, 301030L, 189919L)), r.head.toString)
+    assert(r.forall { case (_, n, obs, _, _) => n == 1L && obs == 111111L })
+  }
+
   test("sessionFunnelCensus: conversion counted only within a session — " +
       "the cross-session contrast with x63") {
     import spark.implicits._

@@ -175,6 +175,24 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(full == exact, "full-probe IVF must equal exhaustive top-k")
   }
 
+  test("gramTopK: upper-triangle sums by hand, including a negative entry") {
+    import spark.implicits._
+    // vectors (1,1), (1,1), (1,-1): G_12 = 1e12 + 1e12 − 1e12 = 1e12 →
+    // dot_micro = 1e6
+    val emb = Seq(
+      (0L, Array(1.0f, 1.0f), 0), (1L, Array(1.0f, 1.0f), 0),
+      (2L, Array(1.0f, -1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.gramTopK(emb, 5).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(r == Seq((1, 2, 1000000L)), r.mkString(","))
+    // all-negative correlation: truncation toward zero on the negative sum
+    val neg = Seq((0L, Array(1.0f, -1.0f), 0), (1L, Array(1.0f, -1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rn = SimilarityOps.gramTopK(neg, 5).collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getLong(2))).toSeq
+    assert(rn == Seq((1, 2, -2000000L)), rn.mkString(","))
+  }
+
   test("labelCentroidDrift: orthogonal two-label fixture — exact fixed-point distance") {
     import spark.implicits._
     // label 0 ≡ (1,0), label 1 ≡ (0,1); global centroid (0.5, 0.5) →
