@@ -661,6 +661,11 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Triangle census over the co-occurrence graph: ordered wedges + a
+    // closing-edge semi-join — the two-hop-join graph shape; top corners
+    // by local clustering mass.
+    "x145_triangles" -> ((s, d) =>
+      SearchOps.triangleCensus(docs(s, d), 10)),
     // Benford first-digit audit on order totals: hardcoded public
     // constants, integral shares — forensic data-quality counting.
     "x142_benford" -> ((s, d) =>
@@ -1904,6 +1909,29 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // identical ordered-wedge derivation; u<v<w counts each triangle once
+    "x145_triangles" ->
+      """WITH d AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |a0 AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> struct_pack(u := w[i], v := w[i+1]))) AS p
+        |  FROM d),
+        |adj AS (SELECT p.u AS u, p.v AS v FROM a0 WHERE p.u <> p.v),
+        |edges AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM adj),
+        |wedges AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+        |tri AS (
+        |  SELECT wd.u, wd.v, wd.w FROM wedges wd
+        |  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = wd.u AND e.b = wd.w)),
+        |corners AS (
+        |  SELECT u AS word FROM tri UNION ALL
+        |  SELECT v FROM tri UNION ALL SELECT w FROM tri)
+        |SELECT word, COUNT(*) AS triangles FROM corners
+        |GROUP BY word ORDER BY triangles DESC, word LIMIT 10""".stripMargin,
     // the micro constants are interpolated from the same Scala list the
     // engine uses — one source of truth for the expectation table
     "x142_benford" -> {

@@ -84,6 +84,42 @@ object SearchOps {
   }
 
   /**
+   * x145: triangle census over the word co-occurrence graph — the third
+   * member of the engine's distributed-graph family (components = x34/x36,
+   * power iteration = x132, triangles = the two-hop-join shape neither of
+   * those exercises). A triangle means three words that all co-occur
+   * pairwise — tightly bound collocation cliques; a word's triangle count
+   * is its local clustering mass.
+   *
+   * Algorithm: canonical edges `u < v`; wedges from joining edges on the
+   * shared middle vertex with `u < v < w` (each triangle forms exactly ONE
+   * ordered wedge, so nothing is double-counted); the closing edge
+   * confirmed by a semi-join back to the edge set. Per-word participation
+   * re-attributes each triangle to its three corners via one explode.
+   *
+   * Scale shape: edge and wedge relations are VOCABULARY-sized, joins are
+   * keyed (vertex, then edge pair), and the ordered-wedge trick bounds
+   * work by Σ deg(v)² over the middle vertex — the standard distributed
+   * triangle bound. Top-k corners via TakeOrdered.
+   */
+  def triangleCensus(documents: DataFrame, k: Int = 10): DataFrame = {
+    val adj = adjacentWordPairs(documents)
+    val edges = adj.select(
+      least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("u"), col("e1.b").as("v"), col("e2.b").as("w"))
+    val triangles = wedges.join(edges,
+        col("u") === col("a") && col("w") === col("b"), "left_semi")
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("triangles").desc, col("word").asc)
+      .limit(k)
+  }
+
+  /**
    * x141: sparse tf-idf retrieval through an INVERTED-INDEX join — the
    * lexical twin of [[SimilarityOps.topkCosine]]: score(q, d) =
    * Σ_{t ∈ q∩d} w_q(t)·w_d(t) with `w = tf · idf_milli` and the RATIONAL
@@ -152,13 +188,19 @@ object SearchOps {
    * discipline). Word ranks converge in ~10 rounds; `iters` is a fixed
    * constant, not data-dependent.
    */
-  def textRankKeywords(documents: DataFrame, iters: Int = 10, k: Int = 20): DataFrame = {
-    require(iters >= 1 && k >= 1, "need at least one iteration and k >= 1")
-    val adj = documents.select(ws.as("w")).filter(size(col("w")) >= 2)
+  /** Adjacent-word pairs (window 2, self-loops dropped) — the raw directed
+    * co-occurrence relation shared by the graph family (x132 TextRank,
+    * x145 triangles). One corpus scan, per-row expression work only. */
+  private[operators] def adjacentWordPairs(documents: DataFrame): DataFrame =
+    documents.select(ws.as("w")).filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(w)-2), i -> struct(w[i] AS u, w[i+1] AS v))")).as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .filter(col("u") =!= col("v"))
+
+  def textRankKeywords(documents: DataFrame, iters: Int = 10, k: Int = 20): DataFrame = {
+    require(iters >= 1 && k >= 1, "need at least one iteration and k >= 1")
+    val adj = adjacentWordPairs(documents)
     val edges = adj
       .unionAll(adj.select(col("v").as("u"), col("u").as("v")))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))

@@ -63,6 +63,15 @@ class SearchOpsSpec extends SparkSpec {
       "cosine order must be descending")
   }
 
+  test("triangleCensus: one cycle = one triangle per corner; paths contribute none") {
+    // "a b c a": edges a-b, b-c, a-c → exactly one triangle, each corner
+    // counted once. "x y z" is a path: zero triangles, absent from output.
+    val d = docs3((1L, "en", "a b c a"), (2L, "en", "x y z"))
+    val r = SearchOps.triangleCensus(d, 10).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("a", 1L), ("b", 1L), ("c", 1L)), r.mkString(","))
+  }
+
   test("sparseTopK: hand-checked inverted-index scoring; no-overlap docs excluded") {
     // df: a→2, b→1, c→1 over 3 docs → idf_milli a=1500, b=3000, c=3000.
     // query (doc 0) w: a=1500, b=3000. doc 1 ("a a"): w_a=3000 →
