@@ -661,6 +661,13 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Watermarked tumbling-window aggregation, driver-gated: append-mode
+    // daily windows replayed over micro-batches + sentinel flush must
+    // equal the batch daily census — the fixed-grid streaming primitive
+    // beside x127's data-dependent sessions.
+    "x146_window_stream" -> ((s, d) =>
+      streaming.EventStream.dailyWindowCensusReplay(
+        Tables.read(s, d, "events"), 3)),
     // Triangle census over the co-occurrence graph: ordered wedges + a
     // closing-edge semi-join — the two-hop-join graph shape; top corners
     // by local clustering mass.
@@ -1909,6 +1916,10 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // the stream's finalized windows must equal the plain batch census
+    "x146_window_stream" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // identical ordered-wedge derivation; u<v<w counts each triangle once
     "x145_triangles" ->
       """WITH d AS (

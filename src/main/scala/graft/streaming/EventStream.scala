@@ -107,6 +107,61 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** Event for the windowed-aggregation replay gate (x146). */
+  private[streaming] case class TimedEvent(
+      ts: java.sql.Timestamp, event_type: String, event_id: Long)
+
+  /**
+   * x146: driver gate for WATERMARKED WINDOW AGGREGATION — the other
+   * stateful-streaming primitive ([[sessionize]] covers data-dependent
+   * windows; this covers the fixed tumbling grid). The events relation is
+   * replayed as micro-batches through `withWatermark + window("1 day")`
+   * in APPEND mode — a window only emits once the watermark passes its
+   * end, so the sentinel flush proves the finalization path, multi-batch
+   * accumulation proves the state path — and the finalized windows must
+   * equal the batch daily census exactly. Unlike the sessionizer, the
+   * watermarked aggregation tolerates cross-batch disorder up to the
+   * delay, which the 40-day delay makes total here; the x127 ordering
+   * caveat does not apply.
+   */
+  def dailyWindowCensusReplay(
+      events: org.apache.spark.sql.DataFrame,
+      nBatches: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = events
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("event_id"))
+      .as[TimedEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    require(evs.nonEmpty, "replay needs at least one event")
+    val sentinel = TimedEvent(
+      new java.sql.Timestamp(evs.last.ts.getTime + 100L * 86400_000L),
+      "__sentinel", -1L)
+    val mem = MemoryStream[TimedEvent]
+    val sink = "graft_win_replay_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = mem.toDS()
+      .withWatermark("ts", "40 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val per = (evs.length + nBatches - 1) / nBatches
+      evs.grouped(math.max(per, 1)).foreach { slice =>
+        mem.addData(slice.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      mem.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "__sentinel")
+      .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   def sessionize(
       events: Dataset[SessionEvent],
       gapMinutes: Int = 30,

@@ -78,6 +78,25 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == Seq((1L, 2L, 3L), (2L, 2L, 1L)))
   }
 
+  test("dailyWindowCensusReplay: finalized windows equal the batch daily census") {
+    import spark.implicits._
+    // 3 days × 2 types, 7 events; slice size ⌈7/3⌉=3 → day 2's window
+    // accumulates across two micro-batches before the sentinel finalizes it
+    val ev = Seq(
+      (1L, "A", "2024-01-15 10:00:00"), (2L, "B", "2024-01-15 11:00:00"),
+      (3L, "A", "2024-01-16 09:00:00"), (4L, "A", "2024-01-16 10:00:00"),
+      (5L, "B", "2024-01-16 11:00:00"), (6L, "A", "2024-01-17 08:00:00"),
+      (7L, "B", "2024-01-17 09:00:00"))
+      .toDF("event_id", "event_type", "s")
+      .select(col("event_id"), col("event_type"), to_timestamp(col("s")).as("ts"))
+    val r = EventStream.dailyWindowCensusReplay(ev, 3).collect()
+      .map(x => (x.getDate(0).toString, x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq(
+      ("2024-01-15", "A", 1L), ("2024-01-15", "B", 1L),
+      ("2024-01-16", "A", 2L), ("2024-01-16", "B", 1L),
+      ("2024-01-17", "A", 1L), ("2024-01-17", "B", 1L)), r.mkString(","))
+  }
+
   test("out-of-order events WITHIN a micro-batch sessionize correctly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
