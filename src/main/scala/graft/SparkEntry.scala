@@ -661,6 +661,28 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Code-switching census over a DERIVED bilingual corpus. The fixture's
+    // text is English-vocabulary for every declared lang (its de/fr/es
+    // stopword evidence is structurally zero — x6 predicts en/und
+    // everywhere), so the x58-style derivation appends a German
+    // function-word phrase to the de docs under lang 'mix': those rows
+    // carry BOTH en evidence (the shared vocabulary) and de evidence (the
+    // appended phrase) and must flag, while every original row must NOT —
+    // the false-positive side of the detector is the rest of the corpus.
+    "x147_lang_mix" -> ((s, d) => {
+      val dd = docs(s, d)
+      val phrase = " der die das und ist nicht"
+      val mixed = dd.filter(col("lang") === "de")
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(phrase)).as("text"),
+          lit("mix").as("lang"), col("source"),
+          (col("n_chars") + lit(phrase.length.toLong)).as("n_chars"))
+      TextOps.langMixCensus(dd.unionByName(mixed), 3L, 500L)
+    }),
+    // Exact KS drift per event type vs the pooled value distribution:
+    // cross-multiplied CDF differences on the pooled grid, no fractions.
+    "x148_ks_drift" -> ((s, d) =>
+      EventOps.ksDriftCensus(Tables.read(s, d, "events"))),
     // Watermarked tumbling-window aggregation, driver-gated: append-mode
     // daily windows replayed over micro-batches + sentinel flush must
     // equal the batch daily census — the fixed-grid streaming primitive
@@ -1916,6 +1938,53 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // same derivation (de docs + the German phrase under 'mix'), same hit
+    // lists, one descending list_sort
+    "x147_lang_mix" ->
+      s"""WITH corpus AS (
+         |  SELECT lang, text FROM documents
+         |  UNION ALL
+         |  SELECT 'mix' AS lang, text || ' der die das und ist nicht' AS text
+         |  FROM documents WHERE lang = 'de'),
+         |d AS (SELECT lang, string_split(lower(text), ' ') AS w FROM corpus),
+         |h AS (SELECT lang, list_sort([${hitsSql("en")}, ${hitsSql("de")},
+         |    ${hitsSql("fr")}, ${hitsSql("es")}], 'DESC') AS l FROM d),
+         |b AS (SELECT lang, CAST(l[1] AS BIGINT) AS best,
+         |    CAST(l[2] AS BIGINT) AS second FROM h)
+         |SELECT lang, COUNT(*) AS docs,
+         |  CAST(SUM(CASE WHEN best > 0 AND second >= 3
+         |    AND second * 1000 >= 500 * best THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS mixed_docs,
+         |  CAST(MAX(CASE WHEN best > 0 THEN (1000000 * second) // best
+         |    ELSE 0 END) AS BIGINT) AS max_mix_micro
+         |FROM b GROUP BY lang ORDER BY lang""".stripMargin,
+    // CDFs on the pooled grid, cross-multiplied in HUGEINT
+    "x148_ks_drift" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |typed AS (SELECT event_type, v, COUNT(*)::BIGINT AS cnt
+        |  FROM q GROUP BY 1, 2),
+        |gtot AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM typed GROUP BY 1),
+        |tt AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM typed GROUP BY 1),
+        |bt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS big_n FROM typed),
+        |grid AS (
+        |  SELECT t.event_type, g.v, COALESCE(ty.cnt, 0) AS cnt, g.gcnt, t.n
+        |  FROM gtot g CROSS JOIN tt t
+        |  LEFT JOIN typed ty ON ty.event_type = t.event_type AND ty.v = g.v),
+        |c AS (
+        |  SELECT event_type, n,
+        |    SUM(cnt) OVER w AS cum_t, SUM(gcnt) OVER w AS cum_g
+        |  FROM grid WINDOW w AS (
+        |    PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |m AS (
+        |  SELECT c.event_type, MAX(c.n) AS n,
+        |    MAX(abs(c.cum_t::HUGEINT * bt.big_n - c.cum_g::HUGEINT * c.n)) AS d
+        |  FROM c, bt GROUP BY c.event_type)
+        |SELECT m.event_type, m.n,
+        |  CAST((1000000 * m.d) // (m.n::HUGEINT * bt.big_n) AS BIGINT) AS ks_micro
+        |FROM m, bt ORDER BY m.event_type""".stripMargin,
     // the stream's finalized windows must equal the plain batch census
     "x146_window_stream" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n

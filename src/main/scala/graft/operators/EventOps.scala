@@ -463,6 +463,50 @@ object EventOps {
   }
 
   /**
+   * x148: exact Kolmogorov–Smirnov drift census — for each event type,
+   * the KS distance between its `value` distribution and the pooled
+   * distribution, `D = max_v |F_type(v) − F_all(v)|`, computed entirely
+   * in integers: both CDFs evaluated on the POOLED value grid (the
+   * supremum over step functions is attained there), the difference
+   * cross-multiplied (`|cum_t·N − cum_g·n_t|`, DECIMAL(38,0)) so no
+   * fraction is ever formed, and the reported distance one integral
+   * division at the end. The distributional companion to the moment
+   * detectors (x77/x123): KS sees shape changes that leave mean and MAD
+   * untouched.
+   *
+   * Scale shape: values micro-quantize and group (the x117 saturation
+   * argument), the grid is types × distinct-values via a broadcast of the
+   * O(#types) totals, and both cumulative sums ride ONE window per type
+   * over the grouped grid. The corpus streams once.
+   */
+  def ksDriftCensus(events: DataFrame): DataFrame = {
+    val v = floor(col("value") * lit(1e6) + lit(0.5)).cast("long")
+    val typed = events.select(col("event_type"), v.as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+    val global = typed.groupBy(col("v")).agg(sum(col("cnt")).as("gcnt"))
+    val types = typed.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val total = typed.agg(sum(col("cnt")).as("big_n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    global.crossJoin(broadcast(types))
+      .join(typed, Seq("event_type", "v"), "left_outer")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cum_t", sum(col("cnt")).over(w))
+      .withColumn("cum_g", sum(col("gcnt")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("n"), expr(
+        """abs(CAST(cum_t AS DECIMAL(38,0)) * big_n
+          |  - CAST(cum_g AS DECIMAL(38,0)) * n)""".stripMargin).as("diff"),
+        col("big_n"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), expr(
+        """CAST((1000000 * MAX(diff)) DIV
+          |  (CAST(MAX(n) AS DECIMAL(38,0)) * MAX(big_n)) AS BIGINT)"""
+          .stripMargin).as("ks_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
    * x135: KMV (k-minimum-values) distinct sketch census — the
    * DETERMINISTIC approximate-distinct: where HLL++ (x13) carries an
    * engine-specific register layout (its raw estimate can only be

@@ -73,6 +73,39 @@ object TextOps {
   }
 
   /**
+   * x147: code-switching census — documents whose stopword evidence is
+   * SPLIT between two languages (the CCNet-style mixed-language flag: a
+   * doc whose second-best language scores ≥ `ratioPermille`‰ of its best,
+   * with at least `minHits` hits, is neither cleanly one language nor the
+   * other — route it to review instead of a monolingual corpus). Pure
+   * per-row expression work on the same stopword-hit columns as
+   * [[langId]]; the best/second-best pick is one descending sort of the
+   * 4-element hit array (both engines sort integer lists identically).
+   * Census per DECLARED language: docs, mixed docs, and the worst
+   * second-to-best ratio seen (micro, integral division).
+   */
+  def langMixCensus(documents: DataFrame, minHits: Long = 3L,
+      ratioPermille: Long = 500L): DataFrame = {
+    val w = words(col("text"))
+    documents.select(col("lang"),
+      sort_array(array(hits(w, "en"), hits(w, "de"), hits(w, "fr"),
+        hits(w, "es")), asc = false).as("h"))
+      .select(col("lang"),
+        col("h").getItem(0).cast("long").as("best"),
+        col("h").getItem(1).cast("long").as("second"))
+      .withColumn("mixed",
+        col("best") > 0L && col("second") >= minHits &&
+          col("second") * 1000L >= lit(ratioPermille) * col("best"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("mixed"), 1L).otherwise(0L)).as("mixed_docs"),
+        max(when(col("best") > 0L,
+          expr("(1000000L * second) DIV best")).otherwise(0L)).as("max_mix_micro"))
+      .orderBy(col("lang"))
+  }
+
+  /**
    * Quality scoring: per-language exact-integer aggregates → stable ratios.
    * `stop_ratio` = English-stopword density, `ttr` = type-token ratio
    * (unique/total words), `avg_chars` = mean doc length.

@@ -6,6 +6,18 @@ import graft.operators.TextOps
   * the bigram-LM perplexity proxy (x79) and shingle novelty (x80). */
 class TextScoringSpec extends SparkSpec {
 
+  test("langMixCensus: bilingual doc flags; monolingual evidence never does") {
+    // doc 1: 4 en hits + 3 de hits → second·1000 = 3000 ≥ 500·4 → mixed.
+    // doc 2: en only → second 0. doc 3: de hits below minHits (2 < 3).
+    val d = docsOf(
+      (1L, "the a of and der die das x y z", "en", "s"),
+      (2L, "the a of and just english words", "en", "s"),
+      (3L, "the a of and der die x y z w", "en", "s"))
+    val r = graft.operators.TextOps.langMixCensus(d, 3L, 500L).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("en", 3L, 1L)), r.mkString(","))
+  }
+
   test("bigramLmScore: add-one bigram NLL, fixed-point weights, hand-checked") {
     // doc1 "a b a b": bigrams (a,b) x2, (b,a).  doc2 "a c": (a,c).
     // V = |{a,b,c}| = 3; context counts c1: a=3, b=1.
