@@ -661,6 +661,14 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Daily-volume OLS trend per event type: exact integer moments,
+    // sign-aware integral division (truncation parity with the oracle).
+    "x149_daily_trend" -> ((s, d) =>
+      EventOps.dailyTrendCensus(Tables.read(s, d, "events"))),
+    // Inter-arrival gap percentiles per event type: lag window per user,
+    // then the value-grouped nearest-rank machinery on the gaps.
+    "x150_interarrival" -> ((s, d) =>
+      EventOps.interArrivalCensus(Tables.read(s, d, "events"))),
     // Code-switching census over a DERIVED bilingual corpus. The fixture's
     // text is English-vocabulary for every declared lang (its de/fr/es
     // stopword evidence is structurally zero — x6 predicts en/und
@@ -1938,6 +1946,49 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // identical moments; HUGEINT products; sign-aware // mirrors DIV
+    "x149_daily_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |xi AS (
+        |  SELECT event_type, y, CAST(row_number() OVER (
+        |    PARTITION BY event_type ORDER BY day) - 1 AS BIGINT) AS x
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, COUNT(*)::BIGINT AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM xi GROUP BY 1)
+        |SELECT event_type, n, sy AS total,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+        |    CASE WHEN (n::HUGEINT * sxy - sx::HUGEINT * sy) >= 0
+        |    THEN (1000000 * (n::HUGEINT * sxy - sx::HUGEINT * sy))
+        |      // (n::HUGEINT * sxx - sx::HUGEINT * sx)
+        |    ELSE -((1000000 * -(n::HUGEINT * sxy - sx::HUGEINT * sy))
+        |      // (n::HUGEINT * sxx - sx::HUGEINT * sx))
+        |    END END AS BIGINT) AS slope_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+    // gap attributed to the LATER event's type; x117 machinery on gaps
+    "x150_interarrival" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |g0 AS (
+        |  SELECT event_type, tus - lag(tus) OVER (
+        |    PARTITION BY user_id ORDER BY tus, event_id) AS gap FROM e),
+        |g AS (SELECT event_type, gap, COUNT(*)::BIGINT AS cnt FROM g0
+        |  WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+        |c AS (SELECT event_type, gap, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap) AS cum FROM g),
+        |th AS (SELECT c.event_type,
+        |    MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN gap END) AS p50_us,
+        |    MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN gap END) AS p90_us,
+        |    MAX(gap) AS max_us
+        |  FROM c JOIN t USING (event_type) GROUP BY c.event_type)
+        |SELECT th.event_type, t.n, th.p50_us, th.p90_us,
+        |  CAST(th.max_us AS BIGINT) AS max_us
+        |FROM th JOIN t USING (event_type) ORDER BY th.event_type""".stripMargin,
     // same derivation (de docs + the German phrase under 'mix'), same hit
     // lists, one descending list_sort
     "x147_lang_mix" ->

@@ -463,6 +463,76 @@ object EventOps {
   }
 
   /**
+   * x149: daily-volume trend census — the OLS slope of each event type's
+   * daily counts over the day index: CUSUM (x133) says *that* the level
+   * shifted, the slope says *which way and how fast* the volume is
+   * trending (events/day per day, micro fixed point). Exact integers
+   * end-to-end: with x the 0-based day index and y the day's count,
+   *   slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)
+   * — all five moments are exact long sums over the per-type daily
+   * relation, the products go through DECIMAL(38,0) (the x77 rule), and
+   * the micro-scaled division is integral with sign-aware truncation
+   * (Spark DIV truncates toward zero; the oracle mirrors it explicitly
+   * because DuckDB's `//` floors — a falling trend would otherwise differ
+   * by one micro).
+   *
+   * Scale shape: one scan → one (type, day) aggregation → one per-type
+   * moment aggregation. The day index ranks WITHIN the calendar-bounded
+   * per-type relation (a window over #days rows, not the corpus).
+   */
+  def dailyTrendCensus(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val dec = "DECIMAL(38,0)"
+    daily
+      .withColumn("x", (row_number().over(w) - 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"), col("sy").as("total"), expr(
+        s"""CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+           |  CASE WHEN (CAST(n AS $dec) * sxy - CAST(sx AS $dec) * sy) >= 0
+           |  THEN (1000000 * (CAST(n AS $dec) * sxy - CAST(sx AS $dec) * sy))
+           |    DIV (CAST(n AS $dec) * sxx - CAST(sx AS $dec) * sx)
+           |  ELSE -((1000000 * -(CAST(n AS $dec) * sxy - CAST(sx AS $dec) * sy))
+           |    DIV (CAST(n AS $dec) * sxx - CAST(sx AS $dec) * sx))
+           |  END END AS BIGINT)""".stripMargin).as("slope_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
+   * x150: inter-arrival gap census — per event type, the nearest-rank
+   * median and p90 of the within-user gap between consecutive events
+   * (microseconds), the stream-burstiness profile that sets rate-limit
+   * and session-gap parameters from data rather than folklore. One lag()
+   * window per user (the sessionization shuffle), then the x117
+   * value-grouped percentile machinery over the (type, gap) relation.
+   */
+  def interArrivalCensus(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"), col("gap")).agg(count(lit(1)).as("cnt"))
+    val totals = gaps.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def rankAt(p: Int) = min(when(
+      col("cum") >= floor((lit(p.toLong) * col("n") + lit(99L)) / lit(100.0)).cast("long"),
+      col("gap")))
+    gaps.withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(broadcast(totals), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), rankAt(50).as("p50_us"),
+        rankAt(90).as("p90_us"), max(col("gap")).as("max_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /**
    * x148: exact Kolmogorov–Smirnov drift census — for each event type,
    * the KS distance between its `value` distribution and the pooled
    * distribution, `D = max_v |F_type(v) − F_all(v)|`, computed entirely

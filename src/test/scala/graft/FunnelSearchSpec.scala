@@ -153,6 +153,39 @@ class FunnelSearchSpec extends SparkSpec {
     assert(r == Seq(("A", "B", 2L, 888888L)), r.mkString(","))
   }
 
+  test("dailyTrendCensus: rising, falling, and flat slopes — exact micro, sign-aware") {
+    import spark.implicits._
+    // up: 1,2,3 events on 3 days → slope exactly +1e6; down: 3,2,1 → −1e6
+    // (exercises the truncation-parity branch); flat: 2,2,2 → 0
+    def burst(t: String, day: Int, k: Int) =
+      (1 to k).map(i => (t, s"2024-01-1$day 0$i:00:00"))
+    val ev = (burst("up", 1, 1) ++ burst("up", 2, 2) ++ burst("up", 3, 3) ++
+      burst("down", 1, 3) ++ burst("down", 2, 2) ++ burst("down", 3, 1) ++
+      burst("flat", 1, 2) ++ burst("flat", 2, 2) ++ burst("flat", 3, 2))
+      .toDF("event_type", "s").select(col("event_type"), to_timestamp(col("s")).as("ts"))
+    val r = EventOps.dailyTrendCensus(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(("down", 3L, 6L, -1000000L), ("flat", 3L, 6L, 0L),
+      ("up", 3L, 6L, 1000000L)), r.mkString(","))
+  }
+
+  test("interArrivalCensus: gaps attribute to the later event; nearest-rank exact") {
+    import spark.implicits._
+    // user 1: A@0s, B@10s, A@40s → B gets the 10s gap, A the 30s gap
+    val ev = Seq(
+      (1L, 1L, "A", "2024-01-15 10:00:00"),
+      (2L, 1L, "B", "2024-01-15 10:00:10"),
+      (3L, 1L, "A", "2024-01-15 10:00:40"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = EventOps.interArrivalCensus(ev).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+    assert(r == Seq(
+      ("A", 1L, 30000000L, 30000000L, 30000000L),
+      ("B", 1L, 10000000L, 10000000L, 10000000L)), r.mkString(","))
+  }
+
   test("chi2IndependenceCensus: a perfectly independent table scores exactly zero") {
     import spark.implicits._
     // A: 10×Mon 20×Tue; B: 5×Mon 10×Tue — margins multiply exactly, so
