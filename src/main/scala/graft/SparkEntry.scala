@@ -661,6 +661,15 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Funnel time-to-convert: p50/p90 anchor-to-anchor latency per stage
+    // transition (x63's first-touch anchors + the x117 percentile shape).
+    "x151_funnel_latency" -> ((s, d) =>
+      EventOps.funnelLatencyCensus(Tables.read(s, d, "events"),
+        Seq("view", "click", "purchase"))),
+    // Duplicate-cluster size histogram: clusters/docs/removable per size,
+    // singletons recovered from the corpus count.
+    "x152_cluster_sizes" -> ((s, d) =>
+      DedupOps.clusterSizeHistogram(docs(s, d), 0.8, Int.MaxValue)),
     // Daily-volume OLS trend per event type: exact integer moments,
     // sign-aware integral division (truncation parity with the oracle).
     "x149_daily_trend" -> ((s, d) =>
@@ -1946,6 +1955,54 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // x63's anchor chain + latency grouping; nearest-rank on the grid
+    "x151_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |r1 AS (SELECT user_id, MIN(tus) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |r2 AS (SELECT e.user_id, MIN(CASE WHEN e.tus > r1.t THEN e.tus END) AS t
+        |  FROM e JOIN r1 USING (user_id) WHERE e.event_type = 'click'
+        |  GROUP BY 1 HAVING MIN(CASE WHEN e.tus > r1.t THEN e.tus END) IS NOT NULL),
+        |r3 AS (SELECT e.user_id, MIN(CASE WHEN e.tus > r2.t THEN e.tus END) AS t
+        |  FROM e JOIN r2 USING (user_id) WHERE e.event_type = 'purchase'
+        |  GROUP BY 1 HAVING MIN(CASE WHEN e.tus > r2.t THEN e.tus END) IS NOT NULL),
+        |lat AS (
+        |  SELECT 1 AS stage, 'view->click' AS transition, r2.t - r1.t AS lat
+        |  FROM r1 JOIN r2 USING (user_id)
+        |  UNION ALL
+        |  SELECT 2, 'click->purchase', r3.t - r2.t FROM r2 JOIN r3 USING (user_id)),
+        |g AS (SELECT stage, transition, lat, COUNT(*)::BIGINT AS cnt
+        |  FROM lat GROUP BY 1, 2, 3),
+        |t AS (SELECT stage, transition, CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM g GROUP BY 1, 2),
+        |c AS (SELECT stage, transition, lat, cnt,
+        |    SUM(cnt) OVER (PARTITION BY stage ORDER BY lat) AS cum FROM g),
+        |th AS (SELECT c.stage, c.transition,
+        |    MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN lat END) AS p50_us,
+        |    MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN lat END) AS p90_us,
+        |    MAX(lat) AS max_us
+        |  FROM c JOIN t USING (stage, transition) GROUP BY 1, 2)
+        |SELECT CAST(th.stage AS INT) AS stage, th.transition, t.n AS users,
+        |  th.p50_us, th.p90_us, CAST(th.max_us AS BIGINT) AS max_us
+        |FROM th JOIN t USING (stage, transition) ORDER BY th.stage""".stripMargin,
+    // the x34 walk's sizes histogrammed; singletons from the corpus count
+    "x152_cluster_sizes" -> (componentsWalkCte +
+      """
+        |, comp AS (SELECT u AS doc_id, MIN(lbl) AS comp FROM walk GROUP BY u),
+        |sz AS (SELECT comp, COUNT(*)::BIGINT AS csize FROM comp GROUP BY comp),
+        |hist AS (SELECT csize, COUNT(*)::BIGINT AS clusters FROM sz GROUP BY 1),
+        |single AS (
+        |  SELECT CAST(1 AS BIGINT) AS csize,
+        |    (SELECT COUNT(*) FROM documents)
+        |      - COALESCE((SELECT SUM(csize) FROM sz), 0) AS clusters),
+        |allrows AS (
+        |  SELECT csize, clusters FROM hist
+        |  UNION ALL SELECT csize, clusters FROM single)
+        |SELECT csize, CAST(clusters AS BIGINT) AS clusters,
+        |  CAST(csize * clusters AS BIGINT) AS docs,
+        |  CAST((csize - 1) * clusters AS BIGINT) AS removable
+        |FROM allrows ORDER BY csize""".stripMargin),
     // identical moments; HUGEINT products; sign-aware // mirrors DIV
     "x149_daily_trend" ->
       """WITH daily AS (

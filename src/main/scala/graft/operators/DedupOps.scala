@@ -964,6 +964,36 @@ object DedupOps {
       .orderBy(col("lang"))
   }
 
+  /**
+   * x152: duplicate-cluster size histogram — the distribution that tells
+   * you what KIND of duplication a corpus carries (many pairs = mirrored
+   * pages; a few giant clusters = template spam; the tail drives the
+   * bucket-cap and survivor-policy choices the rest of the dedup family
+   * parameterizes). One row per cluster size: clusters of that size, docs
+   * they hold, and the docs a keep-one policy would remove
+   * (`(size−1)·clusters` — the actionable number). Singletons (size 1)
+   * are recovered by subtracting clustered docs from the corpus count.
+   *
+   * Scale shape: component labels → one size aggregation → one histogram
+   * aggregation over O(#distinct sizes) rows; the corpus contributes one
+   * count.
+   */
+  def clusterSizeHistogram(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val comp = connectedComponentsAdaptive(minhashLsh(documents, threshold, maxBucketSize))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    val hist = sizes.groupBy(col("csize")).agg(count(lit(1)).as("clusters"))
+    val clusteredDocs = sizes.agg(sum(col("csize")).as("cdocs"))
+    val singletons = documents.agg(count(lit(1)).as("docs"))
+      .crossJoin(broadcast(clusteredDocs))
+      .select(lit(1L).as("csize"), (col("docs") - coalesce(col("cdocs"), lit(0L))).as("clusters"))
+    hist.unionByName(singletons)
+      .select(col("csize"), col("clusters"),
+        (col("csize") * col("clusters")).as("docs"),
+        ((col("csize") - 1L) * col("clusters")).as("removable"))
+      .orderBy(col("csize"))
+  }
+
   /** First 8 md5 hex chars of a word as a 32-bit unsigned value. */
   private def word32(w: Column): Column =
     graft.functions.GraftFunctions.md5PrefixLong(w, 8)

@@ -463,6 +463,56 @@ object EventOps {
   }
 
   /**
+   * x151: funnel time-to-convert census — for each adjacent stage pair of
+   * the first-touch funnel ([[funnelCensus]]'s anchor semantics verbatim),
+   * the nearest-rank p50/p90 of the anchor-to-anchor latency across
+   * converting users: the "how long does conversion take" number that
+   * turns a funnel count into an SLA. Latencies are exact microsecond
+   * longs; percentiles ride the x117 value-grouped machinery (latency
+   * cardinality-grouped — no per-user ranking).
+   *
+   * Scale shape: the stage chain is x63's (filter + user-keyed join + min
+   * aggregation per stage); the latency relation is one row per
+   * converting user per stage pair, then grouped by (stage, latency).
+   */
+  def funnelLatencyCensus(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "latency needs at least two stages")
+    val evs = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val anchors = stages.tail.scanLeft(
+      evs.filter(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t"))) { (prev, stage) =>
+      evs.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("pt")), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("tus") > col("pt"), col("tus"))).as("t"))
+        .filter(col("t").isNotNull)
+    }
+    val latencies = anchors.sliding(2).toSeq.zipWithIndex.map {
+      case (Seq(a, b), i) =>
+        a.select(col("user_id"), col("t").as("ta"))
+          .join(b.select(col("user_id"), col("t").as("tb")), Seq("user_id"))
+          .select(lit(i + 1).as("stage"),
+            lit(s"${stages(i)}->${stages(i + 1)}").as("transition"),
+            (col("tb") - col("ta")).as("lat"))
+    }.reduce(_ unionByName _)
+    val g = latencies.groupBy(col("stage"), col("transition"), col("lat"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = g.groupBy(col("stage"), col("transition")).agg(sum(col("cnt")).as("n"))
+    val wCum = Window.partitionBy(col("stage")).orderBy(col("lat"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def rankAt(p: Int) = min(when(
+      col("cum") >= floor((lit(p.toLong) * col("n") + lit(99L)) / lit(100.0)).cast("long"),
+      col("lat")))
+    g.withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(broadcast(totals), Seq("stage", "transition"))
+      .groupBy(col("stage"), col("transition"))
+      .agg(max(col("n")).as("users"), rankAt(50).as("p50_us"),
+        rankAt(90).as("p90_us"), max(col("lat")).as("max_us"))
+      .orderBy(col("stage"))
+  }
+
+  /**
    * x149: daily-volume trend census — the OLS slope of each event type's
    * daily counts over the day index: CUSUM (x133) says *that* the level
    * shifted, the slope says *which way and how fast* the volume is

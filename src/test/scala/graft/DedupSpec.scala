@@ -295,6 +295,13 @@ class DedupSpec extends SparkSpec {
       r.mkString(","))
   }
 
+  test("clusterSizeHistogram: one triple cluster plus a singleton, removable exact") {
+    // corpus: docs 1,2,4 cluster (size 3); doc 3 singleton
+    val r = DedupOps.clusterSizeHistogram(corpus, 0.5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq((1L, 1L, 1L, 0L), (3L, 1L, 3L, 2L)), r.mkString(","))
+  }
+
   test("dedupCorpusBest keeps each cluster's LONGEST member; ties fall back to min id") {
     // doc 2 = base with two words appended: still ~0.98 Jaccard to 1 and 4,
     // but 102 words vs their 100 — the longest-copy policy must keep 2

@@ -153,6 +153,28 @@ class FunnelSearchSpec extends SparkSpec {
     assert(r == Seq(("A", "B", 2L, 888888L)), r.mkString(","))
   }
 
+  test("funnelLatencyCensus: anchor-to-anchor latencies by hand") {
+    import spark.implicits._
+    // user 1: view@0s, click@10s, purchase@70s → 10s then 60s
+    // user 2: view@0s, click@30s, no purchase → only stage-1 latency
+    val ev = Seq(
+      (1L, 1L, "view", "2024-01-15 10:00:00"),
+      (2L, 1L, "click", "2024-01-15 10:00:10"),
+      (3L, 1L, "purchase", "2024-01-15 10:01:10"),
+      (4L, 2L, "view", "2024-01-15 11:00:00"),
+      (5L, 2L, "click", "2024-01-15 11:00:30"))
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val r = EventOps.funnelLatencyCensus(ev, Seq("view", "click", "purchase"))
+      .collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(
+      (1, "view->click", 2L, 10000000L, 30000000L, 30000000L),
+      (2, "click->purchase", 1L, 60000000L, 60000000L, 60000000L)),
+      r.mkString(","))
+  }
+
   test("dailyTrendCensus: rising, falling, and flat slopes — exact micro, sign-aware") {
     import spark.implicits._
     // up: 1,2,3 events on 3 days → slope exactly +1e6; down: 3,2,1 → −1e6
