@@ -661,6 +661,10 @@ object SparkEntry {
             .cast("long")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
+    // Token-mass Gini per source: the concentration signal behind per-doc
+    // caps — rank formula in exact decimals, one integral division.
+    "x153_token_gini" -> ((s, d) =>
+      CurationOps.tokenGiniCensus(docs(s, d))),
     // Funnel time-to-convert: p50/p90 anchor-to-anchor latency per stage
     // transition (x63's first-touch anchors + the x117 percentile shape).
     "x151_funnel_latency" -> ((s, d) =>
@@ -1955,6 +1959,23 @@ object SparkEntry {
         |  CAST(seqs * 128 - tokens AS BIGINT) AS pad_tokens,
         |  CAST((1000 * tokens) // (seqs * 128) AS BIGINT) AS util_permille
         |FROM g ORDER BY lang""".stripMargin,
+    // same rank formula; ties rank arbitrarily, the rank-sum is invariant
+    "x153_token_gini" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, t, CAST(row_number() OVER (
+        |    PARTITION BY source ORDER BY t) AS BIGINT) AS i
+        |  FROM t),
+        |m AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n, CAST(SUM(t) AS BIGINT) AS tokens,
+        |    CAST(SUM(i * t) AS BIGINT) AS sit
+        |  FROM r GROUP BY 1)
+        |SELECT source, n AS docs, tokens,
+        |  CAST((1000000 * (2 * sit::HUGEINT - (n::HUGEINT + 1) * tokens))
+        |    // (n::HUGEINT * tokens) AS BIGINT) AS gini_micro
+        |FROM m ORDER BY source""".stripMargin,
     // x63's anchor chain + latency grouping; nearest-rank on the grid
     "x151_funnel_latency" ->
       """WITH e AS (

@@ -491,6 +491,39 @@ object CurationOps {
   }
 
   /**
+   * x153: token-mass Gini census — how unequally each source's token mass
+   * is spread across its documents (Gini 0 = every doc the same length;
+   * → 1 = a few giant docs carry the source). The concentration signal
+   * behind per-doc caps and chunking policy: two sources with the same
+   * token total but opposite Gini need different treatment. Exact
+   * integers end-to-end: with documents ranked ascending by token count
+   * within the source (ties contribute identically under any order — the
+   * rank-sum over a tied block is invariant), the census reports
+   *   G_micro = ⌊1e6 · (2·Σi·tᵢ − (n+1)·Σt) / (n·Σt)⌋
+   * — the textbook rank formula, products in DECIMAL(38,0), one integral
+   * division.
+   *
+   * Scale shape: one scan; the rank window partitions by source (high
+   * cardinality, naturally balanced); one per-source moment aggregation.
+   */
+  def tokenGiniCensus(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("t"))
+    documents
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("tokens"),
+        sum(col("i") * col("t")).as("sit"))
+      .select(col("source"), col("n").as("docs"), col("tokens"), expr(
+        """CAST((1000000 * (2 * CAST(sit AS DECIMAL(38,0))
+          |  - (CAST(n AS DECIMAL(38,0)) + 1) * tokens))
+          |  DIV (CAST(n AS DECIMAL(38,0)) * tokens) AS BIGINT)""".stripMargin)
+        .as("gini_micro"))
+      .orderBy(col("source"))
+  }
+
+  /**
    * x128: epoch-budget WATERFILL — the mixing planner's other half. Where
    * [[tokenBudgetMix]] answers "what keep-rate per source hits the budget",
    * this answers the repetition question a trainer actually schedules:

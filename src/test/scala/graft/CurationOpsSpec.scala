@@ -11,6 +11,20 @@ class CurationOpsSpec extends SparkSpec {
   private lazy val docs =
     graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
 
+  test("tokenGiniCensus: equal docs score zero; a dominant doc raises the index") {
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // source a: 10,10,10 → G = 0. source b: 5,5,20 → with ranks 1,2,3:
+    // G_micro = 1e6·(2·(5+10+60) − 4·30)/(3·30) = 1e6·30/90 = 333333
+    val d = docsOf(
+      (1L, words(10), "en", "a"), (2L, words(10), "en", "a"),
+      (3L, words(10), "en", "a"),
+      (4L, words(5), "en", "b"), (5L, words(5), "en", "b"),
+      (6L, words(20), "en", "b"))
+    val r = CurationOps.tokenGiniCensus(d).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(("a", 3L, 30L, 0L), ("b", 3L, 30L, 333333L)), r.mkString(","))
+  }
+
   test("epochWaterfill by hand: small source caps, surplus splits evenly among the rest") {
     // tokens 10/100/1000 → caps 20/200/2000 at 2 epochs. Budget 300:
     // a caps (300 ≥ 20·3); b does not (280 < 200·2) → λ = 280÷2 = 140.
