@@ -296,6 +296,30 @@ class PlanQualitySpec extends SparkSpec {
       "x131 lost the top-k plan")
   }
 
+  test("late round-8 tranche keeps its scale shapes: broadcast inverted-index " +
+      "probe, partitioned percentile windows, no cartesian in the graph family") {
+    // x141: the query vector joins the posting lists as a BROADCAST — the
+    // corpus-side relation must never shuffle against a shuffled query side
+    assert(plan("x141_sparse_topk").contains("BroadcastHashJoin"),
+      "x141 lost the broadcast inverted-index probe")
+    // x148/x150/x151: every percentile/CDF window partitions by its census
+    // key — a single-partition window over these relations is a regression
+    // (x128's control-relation window is the one documented exception)
+    Seq("x148_ks_drift", "x150_interarrival", "x151_funnel_latency").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      windows(df.queryExecution.executedPlan).foreach(w =>
+        assert(w.partitionSpec.nonEmpty, s"$q single-partition WindowExec:\n$w"))
+    }
+    // x145/x152: the graph family must stay keyed — no cartesian anywhere
+    Seq("x145_triangles", "x152_cluster_sizes").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$q grew a cartesian product")
+    }
+  }
+
   test("bucketed tables sort-merge-join without any exchange") {
     val docs = Tables.read(spark, d, "documents")
     val emb = Tables.read(spark, d, "embeddings").select(col("vec_id"), col("label"))
