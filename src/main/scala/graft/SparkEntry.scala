@@ -2391,8 +2391,8 @@ object SparkEntry {
         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT type_a, type_b, supp_ab,
-        |  CAST((1000000 * u.users * supp_ab) // (sa.supp * sb.supp) AS BIGINT)
-        |    AS lift_micro
+        |  CAST((1000000::HUGEINT * u.users * supp_ab)
+        |    // (sa.supp::HUGEINT * sb.supp) AS BIGINT) AS lift_micro
         |FROM pairs
         |JOIN supp sa ON sa.event_type = type_a
         |JOIN supp sb ON sb.event_type = type_b, u

@@ -481,8 +481,12 @@ object CurationOps {
       .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // total via an unpartitioned window over the ≤9-row GROUPED relation —
+    // one corpus scan by construction, not a self-referencing crossJoin
+    // whose dedup would hinge on ReuseExchange surviving AQE replanning
     digits
-      .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("digit"), col("n"),
         expr("(1000000L * n) DIV total").as("observed_micro"),
         expected(col("digit")).as("expected_micro"))

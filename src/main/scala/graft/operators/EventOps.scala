@@ -394,9 +394,13 @@ object EventOps {
    * x134: event-type association census (market-basket lift over user
    * baskets): for every unordered type pair, how many users did BOTH, and
    * the lift `P(a∧b)/(P(a)·P(b))` in micro fixed point —
-   * `⌊1e6·U·supp_ab/(supp_a·supp_b)⌋`, one integral division over exact
-   * longs. Lift > 1 means the behaviors attract, < 1 they repel — the
-   * co-engagement signal a recommendation/funnel analysis starts from.
+   * `⌊1e6·U·supp_ab/(supp_a·supp_b)⌋`, one integral division with the
+   * products carried in DECIMAL(38,0) (1e6·U·supp_ab wraps a long past
+   * ~9.2e18 — ~10M users with a popular pair — and Spark with ANSI off
+   * would wrap SILENTLY while the oracle errors; same overflow route as
+   * [[chi2IndependenceCensus]]). Lift > 1 means the behaviors attract,
+   * < 1 they repel — the co-engagement signal a recommendation/funnel
+   * analysis starts from.
    *
    * Scale shape: the corpus reduces to distinct (user, type) — at most
    * `#types` rows per user — and the pair relation is a self-join WITHIN
@@ -420,7 +424,8 @@ object EventOps {
       .join(broadcast(supp.select(col("event_type").as("type_b"), col("supp").as("supp_b"))), "type_b")
       .crossJoin(broadcast(users))
       .select(col("type_a"), col("type_b"), col("supp_ab"),
-        expr("(1000000L * users * supp_ab) DIV (supp_a * supp_b)")
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * users * supp_ab)
+               |  DIV (CAST(supp_a AS DECIMAL(38,0)) * supp_b)""".stripMargin)
           .as("lift_micro"))
       .orderBy(col("type_a"), col("type_b"))
   }

@@ -100,11 +100,30 @@ object EventStream {
       q.processAllAvailable()
     } finally q.stop()
     // memory-sink contents survive stop(); the sentinel's own session is
-    // still open (nothing flushed it) so filtering it is belt-and-braces
-    spark.table(sink).filter(col("user_id") =!= -1L)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("sessions"), max(col("n_events")).as("max_events"))
-      .orderBy(col("user_id"))
+    // still open (nothing flushed it) so filtering it is belt-and-braces.
+    // The census is MATERIALIZED (bounded: one row per user) and the
+    // UUID-named sink view dropped — otherwise every replay invocation
+    // would leak its full result set into the session catalog for the
+    // SparkSession's lifetime, and the returned frame would silently
+    // depend on the undropped view.
+    materializeAndDrop(spark, sink,
+      spark.table(sink).filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("sessions"), max(col("n_events")).as("max_events"))
+        .orderBy(col("user_id")))
+  }
+
+  /** Collect a BOUNDED replay census, drop the memory-sink temp view, and
+    * re-wrap the rows as a local DataFrame — the result must not outlive
+    * the view it was computed from. */
+  private def materializeAndDrop(
+      spark: org.apache.spark.sql.SparkSession,
+      sink: String,
+      result: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val schema = result.schema
+    val rows = result.collect()
+    spark.catalog.dropTempView(sink)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Event for the windowed-aggregation replay gate (x146). */
@@ -157,9 +176,10 @@ object EventStream {
       mem.addData(Seq(sentinel))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(sink).filter(col("event_type") =!= "__sentinel")
-      .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
-      .orderBy(col("day"), col("event_type"))
+    materializeAndDrop(spark, sink,
+      spark.table(sink).filter(col("event_type") =!= "__sentinel")
+        .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
+        .orderBy(col("day"), col("event_type")))
   }
 
   def sessionize(
