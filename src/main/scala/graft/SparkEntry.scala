@@ -711,6 +711,14 @@ object SparkEntry {
     "x146_window_stream" -> ((s, d) =>
       streaming.EventStream.dailyWindowCensusReplay(
         Tables.read(s, d, "events"), 3)),
+    // REAL-transport streaming: file source → watermarked daily windows →
+    // exactly-once file sink, STOPPED mid-stream and resumed from the
+    // checkpoint (offset log + state store + sink commit log) — must
+    // equal the batch daily census; retires the MemoryStream-replay
+    // harnesses' "state machine only" caveat.
+    "x154_file_stream_recovery" -> ((s, d) =>
+      streaming.EventStream.fileStreamRecoveryCensus(
+        Tables.read(s, d, "events"), 4, 2)),
     // Triangle census over the co-occurrence graph: ordered wedges + a
     // closing-edge semi-join — the two-hop-join graph shape; top corners
     // by local clustering mass.
@@ -2116,6 +2124,10 @@ object SparkEntry {
         |FROM m, bt ORDER BY m.event_type""".stripMargin,
     // the stream's finalized windows must equal the plain batch census
     "x146_window_stream" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // the recovered stream must land on the identical batch census
+    "x154_file_stream_recovery" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // identical ordered-wedge derivation; u<v<w counts each triangle once

@@ -64,7 +64,9 @@ object EventStream {
    * concession (same pattern as the x102/x106 batch-call twins): a
    * production stream reads a real source; what this gate proves is the
    * STATE MACHINE — batch-boundary session splits, out-of-order fold,
-   * timeout flush — not the transport.
+   * timeout flush — not the transport. Transport + checkpoint recovery
+   * are proven separately by [[fileStreamRecoveryCensus]] (x154): real
+   * file source, real file sink, mid-stream restart.
    */
   def sessionCensusReplay(
       events: org.apache.spark.sql.DataFrame,
@@ -180,6 +182,127 @@ object EventStream {
       spark.table(sink).filter(col("event_type") =!= "__sentinel")
         .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
         .orderBy(col("day"), col("event_type")))
+  }
+
+  /**
+   * x154: REAL-TRANSPORT streaming with CHECKPOINT RECOVERY — the gate
+   * that retires the replay harnesses' documented "state machine only"
+   * caveat ([[dailyWindowCensusReplay]] et al. prove the stateful
+   * operators over a MemoryStream; this proves the transport). The events
+   * relation is spooled to real parquet files in time-contiguous slices;
+   * a FILE-SOURCE stream (maxFilesPerTrigger=1, so every slice is its own
+   * micro-batch with its own offset commit) runs the same watermarked
+   * daily-window aggregation in append mode into a FILE SINK with a
+   * checkpoint; the query is STOPPED mid-stream after `stopAfter` of
+   * `nFiles` slices — watermark delay 1 day < the corpus span, so
+   * already-finalized windows are committed to the sink BEFORE the stop —
+   * and a NEW query (fresh `start()`, same checkpoint + sink) resumes:
+   * source offsets from the offset log, window partials from the state
+   * store, sink continuation from the file-sink commit log. The resumed
+   * query drains the remaining slices plus a far-future sentinel and the
+   * sink, read back as a batch relation through its `_spark_metadata`
+   * commit log, must equal the batch daily census EXACTLY — counts can
+   * only be right if the pre-stop state recovered (else the first
+   * `stopAfter` slices' events vanish) and no committed output
+   * duplicated (else finalized windows double).
+   *
+   * Slices are fed ONE AT A TIME (move file → processAllAvailable) in
+   * time order: the 1-day watermark is real here, so an out-of-order
+   * slice would legitimately drop its events as late — transport order
+   * is part of the contract being proven, exactly as a dated ingest
+   * directory delivers a day at a time.
+   *
+   * At 100 TB: this IS the production shape — a watched ingest directory,
+   * a checkpointed query surviving restarts, an exactly-once file sink —
+   * demonstrated at gate scale with the same code path
+   * (`readStream.parquet → withWatermark.groupBy(window) →
+   * writeStream.parquet`), no Memory* anywhere.
+   */
+  def fileStreamRecoveryCensus(
+      events: org.apache.spark.sql.DataFrame,
+      nFiles: Int = 4,
+      stopAfter: Int = 2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 2 && stopAfter >= 1 && stopAfter < nFiles,
+      s"need 1 <= stopAfter < nFiles, got $stopAfter/$nFiles")
+    val spark = events.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_x154_")
+    val pending = java.nio.file.Files.createDirectory(base.resolve("pending"))
+    val srcDir = java.nio.file.Files.createDirectory(base.resolve("src"))
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    try {
+      val evs = events.select(
+        col("ts").cast("timestamp").as("ts"), col("event_type"), col("event_id"))
+      // gate-scale fixture prep: a global ntile over (ts, event_id) cuts
+      // the log into time-contiguous slices — exactly how a dated ingest
+      // directory delivers a day after the previous day
+      val sliced = evs.withColumn("slice",
+        ntile(nFiles).over(Window.orderBy(col("ts"), col("event_id"))))
+      def spoolOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val stage = base.resolve("stage_" + name)
+        df.coalesce(1).sortWithinPartitions(col("ts"), col("event_id"))
+          .write.parquet(stage.toString)
+        val listing = java.nio.file.Files.list(stage)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        java.nio.file.Files.move(part, pending.resolve(name + ".parquet"))
+      }
+      (1 to nFiles).foreach(i => spoolOne(
+        sliced.filter(col("slice") === i).drop("slice"), f"f$i%02d"))
+      val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
+      spoolOne(
+        spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            new java.sql.Timestamp(maxTs.getTime + 100L * 86400_000L),
+            "__sentinel", -1L)), evs.schema),
+        f"f${nFiles + 1}%02d_sentinel")
+
+      val schema = evs.schema
+      def startQuery(): org.apache.spark.sql.streaming.StreamingQuery =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .withWatermark("ts", "1 day")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+      def feed(q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit = {
+        java.nio.file.Files.move(pending.resolve(name + ".parquet"),
+          srcDir.resolve(name + ".parquet"))
+        q.processAllAvailable()
+      }
+      // phase A: first `stopAfter` slices, then STOP mid-stream
+      val q1 = startQuery()
+      try (1 to stopAfter).foreach(i => feed(q1, f"f$i%02d"))
+      finally q1.stop()
+      // phase B: a NEW query on the same checkpoint resumes and drains
+      val q2 = startQuery()
+      try {
+        ((stopAfter + 1) to nFiles).foreach(i => feed(q2, f"f$i%02d"))
+        feed(q2, f"f${nFiles + 1}%02d_sentinel")
+      } finally q2.stop()
+
+      val result = spark.read.parquet(outDir)
+        .filter(col("event_type") =!= "__sentinel")
+        .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
+        .orderBy(col("day"), col("event_type"))
+      // materialize before the spool/sink/checkpoint tree is deleted
+      val rows = result.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+          case _: java.io.IOException => })
+    }
   }
 
   def sessionize(

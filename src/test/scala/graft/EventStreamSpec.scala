@@ -97,6 +97,27 @@ class EventStreamSpec extends SparkSpec {
       ("2024-01-17", "A", 1L), ("2024-01-17", "B", 1L)), r.mkString(","))
   }
 
+  test("fileStreamRecoveryCensus: restart from checkpoint lands on the batch census") {
+    import spark.implicits._
+    // 3 days × 2 types over 8 events; 4 slices of 2, stop after 2 → the
+    // first two slices' counts live ONLY in the recovered state store, and
+    // day 1's window (watermark delay 1 day) finalizes BEFORE the stop, so
+    // the resumed sink must also not duplicate it
+    val ev = Seq(
+      (1L, "A", "2024-01-15 10:00:00"), (2L, "B", "2024-01-15 11:00:00"),
+      (3L, "A", "2024-01-16 09:00:00"), (4L, "A", "2024-01-16 10:00:00"),
+      (5L, "B", "2024-01-16 11:00:00"), (6L, "A", "2024-01-17 08:00:00"),
+      (7L, "B", "2024-01-17 09:00:00"), (8L, "A", "2024-01-17 10:00:00"))
+      .toDF("event_id", "event_type", "s")
+      .select(col("event_id"), col("event_type"), to_timestamp(col("s")).as("ts"))
+    val r = EventStream.fileStreamRecoveryCensus(ev, 4, 2).collect()
+      .map(x => (x.getDate(0).toString, x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq(
+      ("2024-01-15", "A", 1L), ("2024-01-15", "B", 1L),
+      ("2024-01-16", "A", 2L), ("2024-01-16", "B", 1L),
+      ("2024-01-17", "A", 2L), ("2024-01-17", "B", 1L)), r.mkString(","))
+  }
+
   test("out-of-order events WITHIN a micro-batch sessionize correctly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
