@@ -914,6 +914,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"), sum(col("toks")).as("subword_tokens"))
         .orderBy(col("lang"))
     }),
+    // PRODUCTION-size tokenization: x103's census under the 32,768-merge
+    // table (the vocabulary range real tokenizers ship). Same artifact-
+    // file transport; the bench pair (x103, x155) is the measured proof
+    // that segmentation cost is flat in table size.
+    "x155_bpe_32k" -> ((s, d) => {
+      GraftFunctions.register(s)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          BpeOps.tokenCountFile(BpeOps.bigMerges32kPath).as("toks"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("subword_tokens"))
+        .orderBy(col("lang"))
+    }),
     // Split-leakage audit: train-split contamination against the held-out
     // test split — splitAssign composed with the generalized two-table
     // decontamination (the eval-leak check a real pipeline runs per append).
@@ -3304,6 +3317,17 @@ object SparkEntry {
     // distinct word, subword totals per language
     "x103_bpe_trainer_scale" -> ("WITH RECURSIVE\n" +
       bpeCteBody("documents", bpeMapLiteralFor(BpeOps.bigMerges)) +
+      """,
+        |ntok AS (SELECT word, MIN(len(syms)) AS n_tok FROM bpe GROUP BY word),
+        |t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+        |      FROM documents)
+        |SELECT t.lang, COUNT(DISTINCT t.doc_id) AS docs,
+        |  CAST(SUM(n.n_tok) AS BIGINT) AS subword_tokens
+        |FROM t JOIN ntok n ON t.word = n.word
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin),
+    // x103's oracle with the 32,768-merge map literal
+    "x155_bpe_32k" -> ("WITH RECURSIVE\n" +
+      bpeCteBody("documents", bpeMapLiteralFor(BpeOps.bigMerges32k)) +
       """,
         |ntok AS (SELECT word, MIN(len(syms)) AS n_tok FROM bpe GROUP BY word),
         |t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word

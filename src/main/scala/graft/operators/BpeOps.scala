@@ -197,9 +197,20 @@ object BpeOps {
    * at real tokenizer vocabulary size: ~8k-entry hash table per executor,
    * artifact-file transport ([[segmentFile]]) instead of a plan literal.
    */
-  lazy val bigMerges: Seq[(String, String)] = {
-    val in = getClass.getResourceAsStream("/graft/bpe_merges_8k.txt")
-    require(in != null, "resource /graft/bpe_merges_8k.txt missing")
+  lazy val bigMerges: Seq[(String, String)] = mergesResource("bpe_merges_8k.txt")
+
+  /** The PRODUCTION-SIZE merge table (32,768 merges — the vocabulary
+    * range real tokenizers ship, 32k–100k): same deterministic trainer
+    * (`graft.BpeTrainBig <out> 32768`), same artifact transport. 8k
+    * proved the engine past the plan-literal regime; THIS table is the
+    * measured datapoint that segmentation cost stays flat in table size
+    * (`O(Σ word_len²)` per doc with hash-lookup merges — the table only
+    * changes which lookups hit). */
+  lazy val bigMerges32k: Seq[(String, String)] = mergesResource("bpe_merges_32k.txt")
+
+  private def mergesResource(name: String): Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/" + name)
+    require(in != null, s"resource /graft/$name missing")
     try {
       val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
       BpeSegment.decode(text.stripLineEnd)
@@ -211,12 +222,17 @@ object BpeOps {
     * the name → concurrent JVMs and repeated calls agree; a 100 TB
     * deployment passes an explicit shared-storage path to [[segmentFile]]
     * instead — the resource extraction is the local-mode convenience). */
-  lazy val bigMergesPath: String = {
-    val enc = BpeSegment.encode(bigMerges) + "\n"
+  lazy val bigMergesPath: String = artifactPath(bigMerges, "8k")
+
+  /** [[bigMergesPath]] for the 32k table. */
+  lazy val bigMerges32kPath: String = artifactPath(bigMerges32k, "32k")
+
+  private def artifactPath(merges: Seq[(String, String)], tag: String): String = {
+    val enc = BpeSegment.encode(merges) + "\n"
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(enc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_bpe_merges_8k_$digest.txt")
+      System.getProperty("java.io.tmpdir"), s"graft_bpe_merges_${tag}_$digest.txt")
     if (!java.nio.file.Files.exists(p)) {
       val tmp = java.nio.file.Files.createTempFile(p.getParent, "bpe_", ".tmp")
       java.nio.file.Files.write(tmp, enc.getBytes("UTF-8"))
