@@ -1616,7 +1616,8 @@ object SparkEntry {
     "x39_neardup_trained" -> embedNearDupOracleSql,
     "x5_ann_ivf" ->
       """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0),
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 40 = 0 AND vec_id < 520),
         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
         |asg AS (
         |  SELECT vec_id, embedding, cid FROM (
@@ -2754,7 +2755,8 @@ object SparkEntry {
         |FROM cleaned GROUP BY lang ORDER BY lang""".stripMargin,
     "x33_ivf_recall" ->
       """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0),
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 40 = 0 AND vec_id < 520),
         |q AS (
         |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 29 = 0),
         |asg AS (SELECT vec_id, embedding, cid FROM (
@@ -3105,7 +3107,8 @@ object SparkEntry {
     // x5's oracle verbatim: the streamed store must equal the inline path
     "x120_ivf_stream" ->
       """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 40 = 0),
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |  WHERE vec_id % 40 = 0 AND vec_id < 520),
         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
         |asg AS (
         |  SELECT vec_id, embedding, cid FROM (

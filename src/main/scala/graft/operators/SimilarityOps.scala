@@ -585,8 +585,9 @@ object SimilarityOps {
   def buildIvfIndexQuantized(
       embeddings: DataFrame,
       path: String,
-      centroidMod: Int = 40): Unit = {
-    val cents = centroids(embeddings, centroidMod)
+      centroidMod: Int = 40,
+      maxCentroids: Int = DefaultMaxCentroids): Unit = {
+    val cents = centroidsFixedK(embeddings, centroidMod, maxCentroids)
     cents.write.mode("overwrite").parquet(s"${path}_centroids")
     quantizeEmbeddings(assignToCentroids(embeddings, cents))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
@@ -625,9 +626,32 @@ object SimilarityOps {
    * centroid; the query probes the `nProbe` nearest centroids and ranks only
    * vectors assigned there. Deterministic ties: (sim DESC, id ASC) everywhere.
    */
-  /** Deterministic IVF centroid table: the vectors with `vec_id % mod == 0`. */
+  /** Deterministic IVF centroid table: the vectors with `vec_id % mod == 0`.
+    * CORPUS-PROPORTIONAL by design — used by the near-dup/semantic
+    * BUCKETING paths, where cell count must grow with the corpus so cell
+    * POPULATION stays bounded (the quadratic in-cell work is per cell). */
   private def centroids(embeddings: DataFrame, centroidMod: Int): DataFrame =
     embeddings.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** The ANN-SEARCH quantizer default: 13 cells — every `% 40` centroid of
+    * the gate corpus (500 vectors, ids 0…480 < 520), so gated results are
+    * unchanged, but the count no longer grows with the corpus. */
+  val DefaultMaxCentroids = 13
+
+  /** FIXED-K deterministic centroid table for the ANN SEARCH paths:
+    * `vec_id % mod == 0 AND vec_id < mod·maxK`. An IVF quantizer's cell
+    * count is a design PARAMETER (recall/probe-cost trade), not a
+    * corpus-proportional artifact — the unbounded `% mod` rule grew the
+    * centroid table 18× at the sf1 probe and made assignment cost look
+    * ~100× when the engine's design is fixed-k (the trained path,
+    * [[trainCentroids]], has always been fixed-k). Search recall at a
+    * larger corpus is governed by nProbe/maxK chosen for that corpus, as
+    * in production IVF. */
+  private def centroidsFixedK(
+      embeddings: DataFrame, centroidMod: Int, maxK: Int): DataFrame =
+    embeddings.filter(col("vec_id") % centroidMod === 0 &&
+        col("vec_id") < centroidMod.toLong * maxK)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 
   /** IVF coarse quantizer: nearest centroid per vector (broadcast NL join
@@ -663,8 +687,9 @@ object SimilarityOps {
       queryVecId: Long = 0L,
       k: Int = 10,
       centroidMod: Int = 40,
-      nProbe: Int = 12): DataFrame = {
-    val cents = centroids(embeddings, centroidMod)
+      nProbe: Int = 12,
+      maxCentroids: Int = DefaultMaxCentroids): DataFrame = {
+    val cents = centroidsFixedK(embeddings, centroidMod, maxCentroids)
     val assigned = assignToCentroids(embeddings, cents)
     // probe list: nProbe centroids nearest to the query vector
     val qvec = embeddings.filter(col("vec_id") === queryVecId)
@@ -706,8 +731,10 @@ object SimilarityOps {
       k: Int = 10,
       centroidMod: Int = 40,
       nProbe: Int = 12,
-      queryMod: Int = 29): DataFrame =
-    ivfRecallCensusWith(embeddings, k, centroids(embeddings, centroidMod),
+      queryMod: Int = 29,
+      maxCentroids: Int = DefaultMaxCentroids): DataFrame =
+    ivfRecallCensusWith(embeddings, k,
+      centroidsFixedK(embeddings, centroidMod, maxCentroids),
       nProbe, queryMod)
 
   /** [[ivfRecallCensus]] with a caller-supplied centroid table — measures
@@ -767,8 +794,10 @@ object SimilarityOps {
   def buildIvfIndex(
       embeddings: DataFrame,
       path: String,
-      centroidMod: Int = 40): Unit =
-    buildIvfIndexWith(embeddings, path, centroids(embeddings, centroidMod))
+      centroidMod: Int = 40,
+      maxCentroids: Int = DefaultMaxCentroids): Unit =
+    buildIvfIndexWith(embeddings, path,
+      centroidsFixedK(embeddings, centroidMod, maxCentroids))
 
   /** Persist ONLY the centroid table — the quantizer bootstrap for
     * streaming ingest ([[graft.streaming.CorpusStream.ivfIngestBatch]]):
@@ -778,8 +807,9 @@ object SimilarityOps {
   def writeIvfCentroids(
       embeddings: DataFrame,
       path: String,
-      centroidMod: Int = 40): Unit =
-    centroids(embeddings, centroidMod)
+      centroidMod: Int = 40,
+      maxCentroids: Int = DefaultMaxCentroids): Unit =
+    centroidsFixedK(embeddings, centroidMod, maxCentroids)
       .write.mode("overwrite").parquet(s"${path}_centroids")
 
   /** [[buildIvfIndex]] with a caller-supplied centroid table (cid, cvec) —
