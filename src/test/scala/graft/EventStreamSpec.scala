@@ -97,6 +97,24 @@ class EventStreamSpec extends SparkSpec {
       ("2024-01-17", "A", 1L), ("2024-01-17", "B", 1L)), r.mkString(","))
   }
 
+  test("replay harnesses drop their memory-sink temp views (no catalog leak)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-15 10:00:00", 1L), (1L, "2024-01-15 10:10:00", 2L),
+      (2L, "2024-01-15 11:00:00", 3L))
+      .toDF("user_id", "s", "event_id")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("event_id"))
+    val r1 = EventStream.sessionCensusReplay(ev, 30, 2)
+    val evT = ev.select(col("event_id"), lit("A").as("event_type"), col("ts"))
+    val r2 = EventStream.dailyWindowCensusReplay(evT, 2)
+    // results stay usable after the view is gone…
+    assert(r1.count() == 2 && r2.count() == 1)
+    // …and nothing named like a replay sink survives in the catalog
+    val leaked = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_sess_replay_") || n.startsWith("graft_win_replay_"))
+    assert(leaked.isEmpty, s"leaked sink views: ${leaked.mkString(",")}")
+  }
+
   test("fileStreamRecoveryCensus: restart from checkpoint lands on the batch census") {
     import spark.implicits._
     // 3 days × 2 types over 8 events; 4 slices of 2, stop after 2 → the
