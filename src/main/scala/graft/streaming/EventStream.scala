@@ -193,18 +193,19 @@ object EventStream {
    * a FILE-SOURCE stream (maxFilesPerTrigger=1, so every slice is its own
    * micro-batch with its own offset commit) runs the same watermarked
    * daily-window aggregation in append mode into a FILE SINK with a
-   * checkpoint; the query is STOPPED mid-stream after `stopAfter` of
-   * `nFiles` slices — watermark delay 1 day < the corpus span, so
-   * already-finalized windows are committed to the sink BEFORE the stop —
-   * and a NEW query (fresh `start()`, same checkpoint + sink) resumes:
-   * source offsets from the offset log, window partials from the state
-   * store, sink continuation from the file-sink commit log. The resumed
-   * query drains the remaining slices plus a far-future sentinel and the
-   * sink, read back as a batch relation through its `_spark_metadata`
-   * commit log, must equal the batch daily census EXACTLY — counts can
-   * only be right if the pre-stop state recovered (else the first
-   * `stopAfter` slices' events vanish) and no committed output
-   * duplicated (else finalized windows double).
+   * checkpoint; the query is STOPPED and RESTARTED after every
+   * `stopAfter` slices (a fresh `start()` per group, same checkpoint +
+   * sink — with the default 4/2, three incarnations and two restarts,
+   * the last immediately before the sentinel's flush batch) — watermark
+   * delay 1 day < the corpus span, so already-finalized windows are
+   * committed to the sink BEFORE a stop. Each resumed incarnation picks
+   * up source offsets from the offset log, window partials from the
+   * state store, and sink continuation from the file-sink commit log;
+   * the drained sink, read back as a batch relation through its
+   * `_spark_metadata` commit log, must equal the batch daily census
+   * EXACTLY — counts can only be right if every incarnation's state
+   * recovered (else earlier slices' events vanish) and no committed
+   * output duplicated (else finalized windows double).
    *
    * Slices are fed ONE AT A TIME (move file → processAllAvailable) in
    * time order: the 1-day watermark is real here, so an out-of-order
@@ -279,16 +280,18 @@ object EventStream {
           srcDir.resolve(name + ".parquet"))
         q.processAllAvailable()
       }
-      // phase A: first `stopAfter` slices, then STOP mid-stream
-      val q1 = startQuery()
-      try (1 to stopAfter).foreach(i => feed(q1, f"f$i%02d"))
-      finally q1.stop()
-      // phase B: a NEW query on the same checkpoint resumes and drains
-      val q2 = startQuery()
-      try {
-        ((stopAfter + 1) to nFiles).foreach(i => feed(q2, f"f$i%02d"))
-        feed(q2, f"f${nFiles + 1}%02d_sentinel")
-      } finally q2.stop()
+      // The query is stopped and RESTARTED after every `stopAfter` slices
+      // (a fresh incarnation per group, same checkpoint): with the default
+      // 4/2 that is THREE incarnations — one restart mid-accumulation and
+      // one immediately before the sentinel's watermark flush, so recovery
+      // is proven both for in-flight window partials and for the
+      // finalization batch itself.
+      val names = (1 to nFiles).map(i => f"f$i%02d") :+ f"f${nFiles + 1}%02d_sentinel"
+      names.grouped(stopAfter).foreach { group =>
+        val q = startQuery()
+        try group.foreach(feed(q, _))
+        finally q.stop()
+      }
 
       val result = spark.read.parquet(outDir)
         .filter(col("event_type") =!= "__sentinel")

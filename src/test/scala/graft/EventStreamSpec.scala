@@ -117,10 +117,11 @@ class EventStreamSpec extends SparkSpec {
 
   test("fileStreamRecoveryCensus: restart from checkpoint lands on the batch census") {
     import spark.implicits._
-    // 3 days × 2 types over 8 events; 4 slices of 2, stop after 2 → the
-    // first two slices' counts live ONLY in the recovered state store, and
-    // day 1's window (watermark delay 1 day) finalizes BEFORE the stop, so
-    // the resumed sink must also not duplicate it
+    // 3 days × 2 types over 8 events; 4 slices of 2, restart every 2 →
+    // THREE incarnations: earlier slices' counts live ONLY in the
+    // recovered state store, day 1's window (watermark delay 1 day)
+    // finalizes before a stop so the resumed sink must not duplicate it,
+    // and the sentinel's flush batch runs in a freshly-recovered query
     val ev = Seq(
       (1L, "A", "2024-01-15 10:00:00"), (2L, "B", "2024-01-15 11:00:00"),
       (3L, "A", "2024-01-16 09:00:00"), (4L, "A", "2024-01-16 10:00:00"),
