@@ -229,6 +229,20 @@ object DedupOps {
     bandedKeys(shs).write.mode("append").parquet(s"$path/bands")
   }
 
+  /** [[appendLshStore]] under the streaming sink's exactly-once contract:
+    * both store tables route through
+    * [[graft.sources.IdempotentAppend]], so a crash-replay of the same
+    * batchId converges to one copy of the batch's signatures instead of
+    * appending them twice (duplicated store rows never corrupt the
+    * confirmed pair SET, but they inflate candidate generation and fan
+    * the verify join — see [[minhashLshIncrementalReplayable]]). */
+  def appendLshStoreIdempotent(newDocs: DataFrame, path: String, batchId: Long): Unit = {
+    graft.functions.GraftFunctions.register(newDocs.sparkSession)
+    val shs = shingleRelation(newDocs)
+    graft.sources.IdempotentAppend.append(shs, s"$path/shingles", batchId)
+    graft.sources.IdempotentAppend.append(bandedKeys(shs), s"$path/bands", batchId)
+  }
+
   /**
    * RETIRE documents from a persisted store — the other half of snapshot
    * maintenance ([[appendLshStore]] covers additions; removed or
@@ -332,6 +346,28 @@ object DedupOps {
     minhashLshIncrementalFrom(shingleRelation(newDocs),
       loadStoreRelation(spark, storePath, "shingles"),
       loadStoreRelation(spark, storePath, "bands"), threshold, maxBucketSize)
+  }
+
+  /** [[minhashLshIncremental]] for the streaming sink's CRASH-REPLAY path
+    * ([[graft.streaming.CorpusStream.dedupIngestBatch]]): the store
+    * relations are filtered to EXCLUDE the new batch's own doc_ids before
+    * matching. A retry whose prior attempt already appended this batch to
+    * the store would otherwise see the batch on BOTH sides — store-route
+    * duplicates of the within-batch pairs, and doubled shingle rows
+    * fanning the verify join — so the recompute would not reproduce the
+    * first attempt's rows. With the exclusion the retry computes pairs
+    * against exactly the pre-batch corpus, making the recompute
+    * deterministic across crash points. Cost: one broadcast anti-join per
+    * store relation, ∝ batch (the id list), never ∝ store. */
+  def minhashLshIncrementalReplayable(newDocs: DataFrame, storePath: String,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    val spark = newDocs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val ids = newDocs.select(col("doc_id"))
+    def excl(df: DataFrame) = df.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    minhashLshIncrementalFrom(shingleRelation(newDocs),
+      excl(loadStoreRelation(spark, storePath, "shingles")),
+      excl(loadStoreRelation(spark, storePath, "bands")), threshold, maxBucketSize)
   }
 
   /** [[minhashLshIncremental]] with the prior corpus as a DataFrame — the

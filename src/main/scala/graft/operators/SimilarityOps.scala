@@ -866,11 +866,19 @@ object SimilarityOps {
    * keeps probing = partition pruning. Re-train + rebuild only when drift
    * makes the recall census ([[ivfRecallCensusWith]]) unacceptable.
    */
-  def appendIvfIndex(newVectors: DataFrame, path: String): Unit = {
-    val cents = newVectors.sparkSession.read.parquet(s"${path}_centroids")
-    assignToCentroids(newVectors, cents)
+  def appendIvfIndex(newVectors: DataFrame, path: String): Unit =
+    assignedForIndex(newVectors, path)
       .write.mode("append").partitionBy("cid").parquet(path)
-  }
+
+  /** The assignment half of [[appendIvfIndex]] — the new vectors joined to
+    * their nearest centroid from the index's persisted quantizer. Exposed
+    * so the streaming sink can route the assigned rows through its own
+    * exactly-once append ([[graft.sources.IdempotentAppend]]) instead of a
+    * bare `mode("append")`: a duplicated vector row is not log noise, it
+    * surfaces TWICE in a top-k. */
+  def assignedForIndex(newVectors: DataFrame, path: String): DataFrame =
+    assignToCentroids(newVectors,
+      newVectors.sparkSession.read.parquet(s"${path}_centroids"))
 
   /**
    * RETIRE vectors from a persisted IVF index — the removed/changed half of

@@ -21,16 +21,31 @@ import graft.operators.{CurationOps, DedupOps, PrepOps, SimilarityOps}
  * Replay semantics mirror [[LedgerStream.appendBatch]]: a
  * `_graft_batches/<batchId>` marker under the store root makes a
  * replayed micro-batch (restart between the sink commit and the
- * checkpoint commit) a no-op. The marker is written last and is not
- * atomic with the three writes it covers, so a crash INSIDE the batch
- * can re-run it: the pairs table is at-least-once (its consumers
- * `distinct` by (doc_a, doc_b) — duplicate ROWS, never wrong pairs),
- * and the store can hold one batch's signatures twice, which inflates
- * candidate generation (deduplicated at the pair level) but never the
- * confirmed pair SET. Defense in depth, not a transaction log — the
- * same honest contract as the ledger's streaming append.
+ * checkpoint commit) a no-op. The marker alone cannot cover a crash
+ * INSIDE the batch (it is written last, not atomically with the writes),
+ * so every append in these sinks routes through
+ * [[graft.sources.IdempotentAppend]] — staged overwrite + deterministic
+ * per-batch file names — and the dedup sink recomputes its pairs against
+ * the store MINUS the batch's own ids
+ * ([[graft.operators.DedupOps.minhashLshIncrementalReplayable]]), so a
+ * retry reproduces the first attempt's rows no matter where the crash
+ * landed. Net contract: EXACTLY-ONCE sink contents under at-least-once
+ * micro-batch delivery, with the marker as the fast-path skip.
  */
 object CorpusStream {
+
+  import graft.sources.IdempotentAppend
+
+  /** Marker-present fast path: the batch is fully committed — clear any
+    * stage residue a crash between the marker write and the stage cleanup
+    * left behind, then skip. */
+  private def committed(fs: org.apache.hadoop.fs.FileSystem, marker: Path,
+      stagedPaths: Seq[String], batchId: Long): Boolean = {
+    val done = fs.exists(marker)
+    if (done) stagedPaths.foreach(p =>
+      fs.delete(IdempotentAppend.stagePath(p, batchId), true))
+    done
+  }
 
   /** foreachBatch sink: incremental-dedup then store-append one
     * micro-batch of documents (doc_id must be corpus-unique). The first
@@ -45,19 +60,28 @@ object CorpusStream {
     val markerDir = new Path(s"$storePath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(markerDir, batchId.toString)
-    if (fs.exists(marker)) return
+    if (committed(fs, marker,
+        Seq(pairsPath, s"$storePath/shingles", s"$storePath/bands"), batchId))
+      return
     try {
-      val bootstrapped = fs.exists(new Path(s"$storePath/bands"))
-      // pairs BEFORE the store append: the incremental detector requires
-      // the store not to contain this batch yet
+      // pairs BEFORE the store append — and via the REPLAYABLE variant,
+      // whose store-side exclusion of the batch's own ids makes the
+      // recompute deterministic even when a crashed prior attempt already
+      // appended this batch's signatures. A missing bands table means a
+      // true first batch (a crashed FIRST attempt leaves only this
+      // batch's own residue, which the exclusion reduces to the same
+      // within-batch-only computation), so the plain detector applies.
       val pairs =
-        if (bootstrapped)
-          DedupOps.minhashLshIncremental(batch, storePath, threshold, maxBucketSize)
+        if (fs.exists(new Path(s"$storePath/bands")))
+          DedupOps.minhashLshIncrementalReplayable(batch, storePath, threshold, maxBucketSize)
         else DedupOps.minhashLsh(batch, threshold, maxBucketSize)
-      pairs.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(pairsPath)
-      if (bootstrapped) DedupOps.appendLshStore(batch, storePath)
-      else DedupOps.buildLshStore(batch, storePath)
+      IdempotentAppend.append(
+        pairs.withColumn("batch_id", lit(batchId)), pairsPath, batchId)
+      // bootstrap and growth are the SAME idempotent append — a separate
+      // overwrite-mode bootstrap would reopen the window it exists to
+      // close (a crashed first attempt's store, rebuilt as batch residue
+      // the retry cannot distinguish from prior corpus)
+      DedupOps.appendLshStoreIdempotent(batch, storePath, batchId)
       fs.mkdirs(markerDir)
       fs.create(marker, true).close()
     } finally
@@ -74,7 +98,9 @@ object CorpusStream {
    * the streamed corpus is IDENTICAL to running the same operators in
    * batch over the union of micro-batches — no cross-batch state needed at
    * all, which is why this composition streams for free. Same
-   * marker-guarded replay contract as [[dedupIngestBatch]].
+   * marker-guarded exactly-once contract as [[dedupIngestBatch]] — a
+   * crash-replayed batch must not double-write documents into a corpus
+   * whose whole point is deduplication.
    */
   def prepIngestBatch(
       outPath: String,
@@ -89,12 +115,13 @@ object CorpusStream {
     val markerDir = new Path(s"$outPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(markerDir, batchId.toString)
-    if (fs.exists(marker)) return
-    PrepOps.splitAssign(
+    if (committed(fs, marker, Seq(outPath), batchId)) return
+    IdempotentAppend.append(
+      PrepOps.splitAssign(
         PrepOps.qualityFilter(
           PrepOps.redact(batch, patterns, replacement), minWords, maxWords),
-        trainPct, valPct)
-      .write.mode("append").partitionBy("split").parquet(outPath)
+        trainPct, valPct),
+      outPath, batchId, Seq("split"))
     fs.mkdirs(markerDir)
     fs.create(marker, true).close()
   }
@@ -123,10 +150,11 @@ object CorpusStream {
     val markerDir = new Path(s"$driftLogPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(markerDir, batchId.toString)
-    if (fs.exists(marker)) return
-    CurationOps.sourceDriftKlVsReference(batch, reference)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(driftLogPath)
+    if (committed(fs, marker, Seq(driftLogPath), batchId)) return
+    IdempotentAppend.append(
+      CurationOps.sourceDriftKlVsReference(batch, reference)
+        .withColumn("batch_id", lit(batchId)),
+      driftLogPath, batchId)
     fs.mkdirs(markerDir)
     fs.create(marker, true).close()
   }
@@ -152,10 +180,11 @@ object CorpusStream {
     val markerDir = new Path(s"$scorecardLogPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(markerDir, batchId.toString)
-    if (fs.exists(marker)) return
-    PrepOps.sourceScorecard(batch, minWords, maxWords)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(scorecardLogPath)
+    if (committed(fs, marker, Seq(scorecardLogPath), batchId)) return
+    IdempotentAppend.append(
+      PrepOps.sourceScorecard(batch, minWords, maxWords)
+        .withColumn("batch_id", lit(batchId)),
+      scorecardLogPath, batchId)
     fs.mkdirs(markerDir)
     fs.create(marker, true).close()
   }
@@ -172,16 +201,21 @@ object CorpusStream {
    * SimilarityIndexSpec) makes the streamed store row-identical to a
    * batch build over the union of micro-batches: queries against it are
    * exact, not approximations of the batch path. Same marker-guarded
-   * replay contract as [[dedupIngestBatch]] — a replayed batch is a
-   * no-op, so at-least-once delivery never double-inserts a vector.
+   * exactly-once contract as [[dedupIngestBatch]]: the assignment rows
+   * route through [[graft.sources.IdempotentAppend]], so at-least-once
+   * delivery never double-inserts a vector — including a crash-replay
+   * INSIDE the batch, where a bare append would leave a vector surfacing
+   * twice in every top-k that probes its cell.
    */
   def ivfIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val markerDir = new Path(s"$indexPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
     val marker = new Path(markerDir, batchId.toString)
-    if (fs.exists(marker)) return
-    SimilarityOps.appendIvfIndex(batch, indexPath)
+    if (committed(fs, marker, Seq(indexPath), batchId)) return
+    IdempotentAppend.append(
+      SimilarityOps.assignedForIndex(batch, indexPath),
+      indexPath, batchId, Seq("cid"))
     fs.mkdirs(markerDir)
     fs.create(marker, true).close()
   }

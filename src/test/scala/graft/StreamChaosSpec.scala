@@ -192,6 +192,77 @@ class StreamChaosSpec extends SparkSpec {
     } finally deleteTree(base)
   }
 
+  test("ivfIngestBatch: a crash before the marker replays to exactly-once index rows") {
+    import graft.operators.SimilarityOps
+    import graft.streaming.CorpusStream
+    import spark.implicits._
+    val emb = (0L until 20L)
+      .map(i => (i, Array.tabulate(4)(j => math.sin(i * 7.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos_ivf_")
+    try {
+      val path = base.resolve("ivf").toString
+      SimilarityOps.writeIvfCentroids(emb, path, 5, 4)
+      val sink = CorpusStream.ivfIngestBatch(path) _
+      sink(emb.filter(col("vec_id") < 10), 0L)
+      sink(emb.filter(col("vec_id") >= 10), 1L)
+      // the crash window the marker can't cover: batch 1's append
+      // committed, the marker write never happened → the checkpoint
+      // replays batch 1 on restart
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        base.toUri, spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_batches/1"), false))
+      sink(emb.filter(col("vec_id") >= 10), 1L)
+
+      val idx = spark.read.parquet(path)
+      assert(idx.count() == 20, "crash-replay must not duplicate vectors")
+      assert(idx.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+      // and the user-visible consequence: a top-k never surfaces one id twice
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+      val top = SimilarityOps.queryIvfIndexLive(spark, path, q, 0L, 5, 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(top.distinct == top, s"duplicate ids in top-k: $top")
+    } finally deleteTree(base)
+  }
+
+  test("dedupIngestBatch: crash-replay converges to the uncrashed pairs AND store") {
+    import graft.operators.DedupOps
+    import graft.streaming.CorpusStream
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val full = DedupOps.minhashLsh(docs, 0.8, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos_dedup_")
+    try {
+      val store = base.resolve("store").toString
+      val pairs = base.resolve("pairs").toString
+      val sink = CorpusStream.dedupIngestBatch(store, pairs, 0.8, Int.MaxValue) _
+      def b(i: Long) = docs.filter(col("doc_id") % 3 === i)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        base.toUri, spark.sparkContext.hadoopConfiguration)
+      def crashReplay(i: Long): Unit = {
+        assert(fs.delete(new org.apache.hadoop.fs.Path(s"$store/_graft_batches/$i"), false))
+        sink(b(i), i)
+      }
+      // crash the BOOTSTRAP batch (retry sees its own residue as "store")
+      sink(b(0), 0L); crashReplay(0L)
+      // crash a GROWTH batch (retry must exclude itself from matching)
+      sink(b(1), 1L); crashReplay(1L)
+      sink(b(2), 2L)
+
+      val got = spark.read.parquet(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == full, s"missing=${full -- got} extra=${got -- full}")
+      // exactly-once ROWS, not merely the right set
+      assert(spark.read.parquet(pairs)
+        .groupBy("doc_a", "doc_b").count().filter(col("count") > 1).count() == 0,
+        "crash-replay duplicated pair rows")
+      // the store holds each doc's signatures exactly once
+      assert(spark.read.parquet(s"$store/bands")
+        .groupBy("doc_id", "band_key").count().filter(col("count") > 1).count() == 0,
+        "crash-replay duplicated store signatures")
+    } finally deleteTree(base)
+  }
+
   test("sessionizer flatMapGroupsWithState state survives a checkpointed restart") {
     val base = java.nio.file.Files.createTempDirectory("graft_chaos_sess_")
     val srcDir = java.nio.file.Files.createDirectory(base.resolve("src"))
