@@ -36,6 +36,11 @@ import org.apache.spark.sql.DataFrame
  * the store. The sink's marker stays the fast-path guard (a FULLY
  * committed batch is skipped without restaging); this protocol closes
  * the window the marker cannot cover.
+ *
+ * ONE STREAM PER DESTINATION — the same assumption the marker protocol
+ * has always made (two streams share a batchId sequence, so stream B's
+ * batch 0 would hit stream A's marker 0): batchId must be unique per
+ * destination, or one stream's residue wipe could claim another's files.
  */
 object IdempotentAppend {
 

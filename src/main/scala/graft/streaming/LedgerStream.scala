@@ -56,17 +56,18 @@ object LedgerStream {
 
   /**
    * foreachBatch sink: append a micro-batch to the day-partitioned ledger,
-   * idempotently under batch replay — a `_graft_batches/<batchId>` marker is
-   * written after the append, and a replayed batchId (restart between the
-   * data commit and the checkpoint commit) is skipped. The marker write is
-   * not atomic with the append, so the residual window is a crash BETWEEN
-   * append and marker; that replay duplicates one batch, which the exact
-   * dedup operators downstream catch (defense in depth, not a txn log).
-   * Safe against concurrent DML/compaction without taking the writer
-   * lease: the markers are `_`-prefixed (preserved by the whole-table
-   * swap), and files this append commits mid-rewrite are rescued out of
-   * displaced trees by the DML path (see [[graft.sources.WriterLease]]
-   * scope notes).
+   * EXACTLY-ONCE under batch replay. A `_graft_batches/<batchId>` marker
+   * (written after the append) skips a replayed batchId outright, and the
+   * append itself routes through [[graft.sources.IdempotentAppend]] —
+   * staged overwrite + deterministic per-batch file names — so even a
+   * crash BETWEEN append and marker replays to the same final file set
+   * instead of duplicating the batch (the window the marker alone left
+   * open; downstream exact-dedup remains as defense in depth, no longer
+   * the only line). Safe against concurrent DML/compaction without taking
+   * the writer lease: the markers are `_`-prefixed (preserved by the
+   * whole-table swap), and files this append commits mid-rewrite are
+   * rescued out of displaced trees by the DML path (see
+   * [[graft.sources.WriterLease]] scope notes).
    */
   def appendBatch(path: String)(batch: DataFrame, batchId: Long): Unit = {
     // Hadoop FS like every other table mutation — file://, HDFS, or object
@@ -74,12 +75,14 @@ object LedgerStream {
     val dir = new org.apache.hadoop.fs.Path(s"$path/_graft_batches")
     val fs = dir.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(dir, batchId.toString)
-    if (!fs.exists(marker)) {
-      graft.sources.LedgerTables.write(batch, path,
-        org.apache.spark.sql.SaveMode.Append)
-      fs.mkdirs(dir)
-      fs.create(marker, true).close()
+    if (fs.exists(marker)) {
+      fs.delete(graft.sources.IdempotentAppend.stagePath(path, batchId), true)
+      return
     }
+    graft.sources.IdempotentAppend.append(
+      batch, path, batchId, Seq("query_window_start_day"))
+    fs.mkdirs(dir)
+    fs.create(marker, true).close()
   }
 
   /** Minimal event for the stateful sessionizer. */

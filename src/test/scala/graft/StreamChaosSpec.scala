@@ -263,6 +263,26 @@ class StreamChaosSpec extends SparkSpec {
     } finally deleteTree(base)
   }
 
+  test("ledger appendBatch: crash before the marker replays to exactly-once rows") {
+    import graft.streaming.LedgerStream
+    val rows = ledgerOf(
+      (1L, "p", "i", "2024-01-15 10:00:00", "2024-01-15 11:00:00", "ok"),
+      (2L, "p", "i", "2024-01-16 10:00:00", "2024-01-16 11:00:00", "ok"))
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos_ledger_")
+    try {
+      val path = base.resolve("ledger").toString
+      val sink = LedgerStream.appendBatch(path) _
+      sink(rows, 0L)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        base.toUri, spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/_graft_batches/0"), false))
+      sink(rows, 0L) // crash-replay: append committed, marker never written
+      val back = spark.read.parquet(path)
+      assert(back.count() == 2, "crash-replay must not duplicate ledger rows")
+      assert(back.groupBy("record_id").count().filter(col("count") > 1).count() == 0)
+    } finally deleteTree(base)
+  }
+
   test("sessionizer flatMapGroupsWithState state survives a checkpointed restart") {
     val base = java.nio.file.Files.createTempDirectory("graft_chaos_sess_")
     val srcDir = java.nio.file.Files.createDirectory(base.resolve("src"))
