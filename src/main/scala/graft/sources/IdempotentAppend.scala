@@ -91,7 +91,13 @@ object IdempotentAppend {
             .foreach(s => fs.delete(s.getPath, false))
         } else fs.mkdirs(destDir)
         files.foreach { case (f, i) =>
-          fs.rename(f, new Path(destDir, s"${prefix}p$i.parquet"))
+          val dest = new Path(destDir, s"${prefix}p$i.parquet")
+          // Hadoop rename signals failure by RETURNING false, not
+          // throwing — swallowing it would silently drop staged rows
+          if (!fs.rename(f, dest))
+            throw new java.io.IOException(
+              s"IdempotentAppend: rename $f -> $dest failed " +
+                "(batch left partially installed; a retry converges)")
         }
       }
     fs.delete(stage, true)

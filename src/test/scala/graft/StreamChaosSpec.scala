@@ -225,6 +225,26 @@ class StreamChaosSpec extends SparkSpec {
     } finally deleteTree(base)
   }
 
+  test("replayable incremental dedup excludes the batch via BROADCAST anti-joins") {
+    import graft.operators.DedupOps
+    // the store-side self-exclusion must stay a broadcast anti-join (cost
+    // ∝ batch id-list) — a shuffle here would scale with the 100 TB store
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos_plan_")
+    try {
+      val store = base.resolve("store").toString
+      DedupOps.buildLshStore(docs.filter(col("doc_id") % 2 === 0), store)
+      val p = DedupOps.minhashLshIncrementalReplayable(
+        docs.filter(col("doc_id") % 2 === 1), store, 0.8, Int.MaxValue)
+        .queryExecution.executedPlan.toString
+      val antiJoins = "BroadcastHashJoin .*LeftAnti".r.findAllIn(p).size
+      assert(antiJoins >= 2, s"expected broadcast anti-joins for both store " +
+        s"relations, found $antiJoins:\n${p.take(2500)}")
+      assert(!"SortMergeJoin .*LeftAnti".r.findAllIn(p).hasNext,
+        s"store exclusion shuffled:\n${p.take(2500)}")
+    } finally deleteTree(base)
+  }
+
   test("dedupIngestBatch: crash-replay converges to the uncrashed pairs AND store") {
     import graft.operators.DedupOps
     import graft.streaming.CorpusStream
