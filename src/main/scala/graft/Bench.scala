@@ -248,8 +248,12 @@ object Bench {
     // records failed to parse the sbt-logged stdout copy ("[info] "
     // prefix), so a machine-readable copy must exist independent of how
     // the launcher captures stdout. Partial (name-filtered) runs don't
-    // write it — their totals would masquerade as the full suite's.
-    if (only.isEmpty) {
+    // write it — their totals would masquerade as the full suite's. Runs
+    // with an EXPLICIT output path don't either: those are probes at
+    // other scale factors (the sf1 replica runs), and letting one clobber
+    // the canonical same-sf record would disarm the outlier guard for the
+    // next real run (priorSteady ignores a record whose sf differs).
+    if (only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty) {
       try java.nio.file.Files.write(docsDir.resolve("BENCH_line.json"),
         (line + "\n").getBytes("UTF-8"))
       catch { case scala.util.control.NonFatal(e) =>
