@@ -365,4 +365,51 @@ class StreamChaosSpec extends SparkSpec {
       assert(streamCensus == batch)
     } finally deleteTree(base)
   }
+
+  test("IdempotentAppend: partial-install residue (crash mid-rename) is wiped, retry converges") {
+    import graft.sources.IdempotentAppend
+    import spark.implicits._
+    // the one crash point the sink-level tests don't reach directly: SOME
+    // renames landed, the stage survives, and the landed files need not
+    // match the retry's file set name-for-name — the retry's prefix wipe
+    // must claim them all before its own renames
+    val df = (1L to 90L).map(i => (i, s"v$i", (i % 3).toString))
+      .toDF("id", "v", "part")
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos_partial_")
+    try {
+      val path = base.resolve("t").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        base.toUri, spark.sparkContext.hadoopConfiguration)
+      IdempotentAppend.append(df, path, 5L, Seq("part"))
+      val clean = spark.read.parquet(path).orderBy("id").collect().toSeq
+
+      // fabricate the crashed attempt: a b5_ file under a name the retry
+      // will NOT produce (simulating an attempt whose file indices
+      // differed), plus a stranded stage directory with stale bytes
+      val p0 = new org.apache.hadoop.fs.Path(s"$path/part=0")
+      val installed = fs.listStatus(p0).filter(_.getPath.getName.startsWith("b5_"))
+      assert(installed.nonEmpty)
+      org.apache.hadoop.fs.FileUtil.copy(fs, installed.head.getPath,
+        fs, new org.apache.hadoop.fs.Path(p0, "b5_p999.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
+      val staleStage = IdempotentAppend.stagePath(path, 5L)
+      fs.mkdirs(staleStage)
+      fs.create(new org.apache.hadoop.fs.Path(staleStage, "part-zzz"), true).close()
+
+      // without the wipe this reads rows from part=0 TWICE
+      assert(spark.read.parquet(path).count() > 90)
+      IdempotentAppend.append(df, path, 5L, Seq("part"))
+      assert(spark.read.parquet(path).orderBy("id").collect().toSeq == clean,
+        "retry after partial install must land on the clean file set")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(p0, "b5_p999.parquet")),
+        "foreign-named residue of the crashed attempt must be wiped")
+      assert(!fs.exists(staleStage), "stage must be cleaned after install")
+
+      // a LATER batch's files are untouchable by batch 5's wipe
+      IdempotentAppend.append(df.filter(col("id") <= 3), path, 6L, Seq("part"))
+      IdempotentAppend.append(df, path, 5L, Seq("part"))
+      assert(spark.read.parquet(path).count() == 93,
+        "batch 5's residue wipe must not claim batch 6's files")
+    } finally deleteTree(base)
+  }
 }
