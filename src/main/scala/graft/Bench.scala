@@ -36,7 +36,8 @@ import org.apache.spark.sql.SparkSession
  *     isolation and keeps its number; a GC/JIT-neighborhood spike
  *     reverts — and the substitution is noted per-query in the detail
  *     record (`first_steady`), so nothing is silently rewritten.
- *  2. STREAM-GATE TAIL — the five streaming-replay gates hold seconds of
+ *  2. STREAM-GATE TAIL — the six streaming gates (five replay harnesses
+ *     plus the x154 file-transport recovery gate) hold seconds of
  *     state-store commit churn inside the same JVM as ~170 batch
  *     queries; alphabetical order ran them MID-suite, right before the
  *     x69/x71–x75 drift cluster they were taxing. Batch queries now run
@@ -45,7 +46,7 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
-  /** The streaming-replay gates: run LAST so their state-store churn
+  /** The streaming gates: run LAST so their state-store churn
     * can't tax batch neighbors (round-8 drift cluster x69/x71–x75). */
   private val StreamTail = Set(
     "x102_scorecard_stream", "x106_drift_stream", "x120_ivf_stream",
@@ -183,28 +184,40 @@ object Bench {
         }.toMap
       }
     // The BETTER steady wins (a real regression reproduces in isolation);
-    // the first-pass number is preserved alongside so the substitution is
-    // auditable, never silent.
-    val results = firstPass.map { case (name, t) =>
-      remeasured.get(name) match {
-        case Some((first, second)) if steady(second) >= 0 && steady(second) < steady(first) =>
-          (name, second, Some(steady(first)))
-        case _ => (name, t, None)
+    // nothing else from the isolated pass is ever substituted — cold and
+    // the first-pass rep series stay from the SUITE pass (an isolated
+    // re-run's "cold" is warm-JVM and would deflate the cold series), and
+    // both series land in the detail record so no measurement is dropped.
+    // (name, suiteReps, isolatedRepsIfRemeasured, substituted?)
+    val results: Seq[(String, Seq[Double], Option[Seq[Double]], Boolean)] =
+      firstPass.map { case (name, t) =>
+        remeasured.get(name) match {
+          case Some((first, second)) =>
+            val sub = steady(second) >= 0 &&
+              (steady(first) < 0 || steady(second) < steady(first))
+            (name, first, Some(second), sub)
+          case None => (name, t, None, false)
+        }
       }
-    }
+    def chosenSteady(r: (String, Seq[Double], Option[Seq[Double]], Boolean)): Double =
+      if (r._4) steady(r._3.get) else steady(r._2)
 
     // -1 sentinel reps are excluded everywhere: a query whose every warm rep
     // failed reports steady = -1 (visibly broken), and failed queries never
     // deflate the totals.
-    val steadyTotal = results.map(t => steady(t._2)).filter(_ >= 0).sum
-    val coldTotal = results.map(t => cold(t._2)).filter(_ >= 0).sum
+    val steadyTotal = results.map(chosenSteady).filter(_ >= 0).sum
+    val coldTotal = results.map(r => cold(r._2)).filter(_ >= 0).sum
     val nFailed = results.count(_._2.exists(_ < 0))
+    // n_remeasured = guard ACTIVITY (every isolated re-run, kept or not);
+    // n_substituted = how many records actually took the isolated steady.
     val nRemeasured = results.count(_._3.isDefined)
+    val nSubstituted = results.count(_._4)
     val notes = "steady=min of warm reps (regression gauge), cold=first run " +
       "(includes per-query codegen compile); stream gates run as the suite " +
-      "tail; queries whose steady exceeded 2x the prior committed record " +
-      "were re-measured in isolation (first_steady kept per query); full " +
-      "per-rep series in the detail file"
+      s"tail; queries whose steady exceeded ${guardFactor}x the prior " +
+      "committed record were re-measured in isolation (better steady kept; " +
+      "first_steady + isolated_reps recorded per query); cold always from " +
+      "the suite pass; full per-rep series in the detail file"
     // Full audit record as a repo file: the stdout line was truncated in
     // the round-3/4 driver records, so the complete cold+steady+per-rep
     // series must be readable without re-running the bench.
@@ -212,12 +225,15 @@ object Bench {
       .append("{\n")
       .append(s"""  "metric": "total_steady", "value": $steadyTotal, "unit": "sec",\n""")
       .append(s"""  "total_cold": $coldTotal, "reps": $reps, "sf": "$sfDir",\n""")
-      .append(s"""  "n_remeasured": $nRemeasured,\n""")
+      .append(s"""  "n_remeasured": $nRemeasured, "n_substituted": $nSubstituted,\n""")
       .append(s"""  "notes": "$notes",\n""")
       .append("  \"queries\": {\n")
-      .append(results.map { case (n, t, firstS) =>
-        val sub = firstS.map(v => s""", "first_steady": $v""").getOrElse("")
-        s"""    "$n": {"cold": ${cold(t)}, "steady": ${steady(t)}$sub, "reps": [${t.mkString(", ")}]}"""
+      .append(results.map { case (n, suite, iso, sub) =>
+        val extra = iso.map { s =>
+          s""", "isolated_reps": [${s.mkString(", ")}]""" +
+            (if (sub) s""", "first_steady": ${steady(suite)}""" else "")
+        }.getOrElse("")
+        s"""    "$n": {"cold": ${cold(suite)}, "steady": ${chosenSteady((n, suite, iso, sub))}$extra, "reps": [${suite.mkString(", ")}]}"""
       }.mkString(",\n"))
       .append("\n  }\n}\n").toString
     // A name-filtered run measures a PARTIAL suite: never let it clobber
@@ -239,11 +255,12 @@ object Bench {
     // line was what overflowed the driver's captured tail). `value` stays
     // the steady total, as introduced in round 4; the metric name says so
     // explicitly so cross-round trending tools compare like with like.
-    def series(sel: Seq[Double] => Double): String =
-      results.map(t => "\"" + t._1 + "\":" + sel(t._2)).mkString("{", ",", "}")
+    val steadyMap = results
+      .map(r => "\"" + r._1 + "\":" + chosenSteady(r)).mkString("{", ",", "}")
     val line = s"""{"metric":"total_steady","value":$steadyTotal,"unit":"sec",""" +
-      s""""queries":${series(steady)},"total_cold":$coldTotal,"reps":$reps,""" +
-      s""""n_remeasured":$nRemeasured,"sf":"$sfDir","detail":"$outFile"}"""
+      s""""queries":$steadyMap,"total_cold":$coldTotal,"reps":$reps,""" +
+      s""""n_remeasured":$nRemeasured,"n_substituted":$nSubstituted,""" +
+      s""""sf":"$sfDir","detail":"$outFile"}"""
     // The line ALSO lands in a known repo file: three rounds of driver
     // records failed to parse the sbt-logged stdout copy ("[info] "
     // prefix), so a machine-readable copy must exist independent of how

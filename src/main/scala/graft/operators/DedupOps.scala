@@ -283,6 +283,12 @@ object DedupOps {
   def compactLshStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // same rewrite-vs-crashed-append exclusion as ledger DML/compaction:
+    // a streaming batch that crashed before its commit marker must replay
+    // BEFORE its rows are merged into unprefixed files (IdempotentAppend)
+    graft.sources.IdempotentAppend.assertNoUnresolved(fs,
+      new org.apache.hadoop.fs.Path(s"$path/_graft_batches"),
+      Seq(s"$path/shingles", s"$path/bands"))
     val tomb = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     Seq("shingles", "bands").foreach { rel =>
       val cur = new org.apache.hadoop.fs.Path(s"$path/$rel")

@@ -144,6 +144,12 @@ object LedgerTables {
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     Maintenance.requirePlainParquetTable(fs, base)
+    // A crashed streaming append that has not replayed yet holds rows the
+    // retry can only find by their b<batchId>_ file names — a rewrite here
+    // would merge them into unprefixed files and the replay would install
+    // the batch a second time. Fail fast instead (see IdempotentAppend).
+    graft.sources.IdempotentAppend.assertNoUnresolved(fs,
+      new org.apache.hadoop.fs.Path(s"$path/_graft_batches"), Seq(path))
     WriterLease.withLease(fs, base) {
       // Finish any crashed compaction FIRST: its mid-swap state shows a
       // partition with snapshot rows missing, and reading that view into

@@ -53,6 +53,12 @@ object Maintenance {
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.getFileStatus(base).isDirectory, s"not a table directory: $path")
     requirePlainParquetTable(fs, base)
+    // compaction merges rows into new unprefixed files — run against a
+    // crashed-but-unreplayed streaming append it would strand that batch's
+    // b<id>_ residue detection and the replay would double-install; fail
+    // fast until the stream recovers (see IdempotentAppend)
+    IdempotentAppend.assertNoUnresolved(fs,
+      new Path(s"$path/_graft_batches"), Seq(path))
     // the no-concurrent-writer contract above, enforced: a second writer
     // fails on acquisition instead of corrupting the swap
     WriterLease.withLease(fs, base) {

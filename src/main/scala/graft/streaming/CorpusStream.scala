@@ -36,17 +36,6 @@ object CorpusStream {
 
   import graft.sources.IdempotentAppend
 
-  /** Marker-present fast path: the batch is fully committed — clear any
-    * stage residue a crash between the marker write and the stage cleanup
-    * left behind, then skip. */
-  private def committed(fs: org.apache.hadoop.fs.FileSystem, marker: Path,
-      stagedPaths: Seq[String], batchId: Long): Boolean = {
-    val done = fs.exists(marker)
-    if (done) stagedPaths.foreach(p =>
-      fs.delete(IdempotentAppend.stagePath(p, batchId), true))
-    done
-  }
-
   /** foreachBatch sink: incremental-dedup then store-append one
     * micro-batch of documents (doc_id must be corpus-unique). The first
     * batch bootstraps the store and dedups within itself. */
@@ -59,20 +48,26 @@ object CorpusStream {
     val spark = batch.sparkSession
     val markerDir = new Path(s"$storePath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(markerDir, batchId.toString)
-    if (committed(fs, marker,
-        Seq(pairsPath, s"$storePath/shingles", s"$storePath/bands"), batchId))
-      return
+    val staged = Seq(pairsPath, s"$storePath/shingles", s"$storePath/bands")
+    if (IdempotentAppend.committed(fs, markerDir, batchId, staged)) return
     try {
       // pairs BEFORE the store append — and via the REPLAYABLE variant,
       // whose store-side exclusion of the batch's own ids makes the
       // recompute deterministic even when a crashed prior attempt already
-      // appended this batch's signatures. A missing bands table means a
-      // true first batch (a crashed FIRST attempt leaves only this
-      // batch's own residue, which the exclusion reduces to the same
-      // within-batch-only computation), so the plain detector applies.
+      // appended this batch's signatures. "Bootstrapped" means the bands
+      // table has at least one DATA file — a crashed first attempt can
+      // leave the directory existing but EMPTY (IdempotentAppend mkdirs
+      // the destination before its first rename), and reading that as a
+      // store would throw on every replay, wedging the stream. A store
+      // holding only this batch's own residue is fine: the exclusion
+      // reduces the incremental detector to the same within-batch-only
+      // computation the plain path runs.
+      val bandsDir = new Path(s"$storePath/bands")
+      val bootstrapped = fs.exists(bandsDir) &&
+        fs.listStatus(bandsDir).exists(s =>
+          s.isFile && !s.getPath.getName.startsWith("_"))
       val pairs =
-        if (fs.exists(new Path(s"$storePath/bands")))
+        if (bootstrapped)
           DedupOps.minhashLshIncrementalReplayable(batch, storePath, threshold, maxBucketSize)
         else DedupOps.minhashLsh(batch, threshold, maxBucketSize)
       IdempotentAppend.append(
@@ -82,8 +77,7 @@ object CorpusStream {
       // close (a crashed first attempt's store, rebuilt as batch residue
       // the retry cannot distinguish from prior corpus)
       DedupOps.appendLshStoreIdempotent(batch, storePath, batchId)
-      fs.mkdirs(markerDir)
-      fs.create(marker, true).close()
+      IdempotentAppend.finish(fs, markerDir, batchId, staged)
     } finally
       // the shared shingle cache is plan-keyed per BATCH here — a stream
       // that never dropped it would accrete one entry per micro-batch
@@ -114,16 +108,14 @@ object CorpusStream {
     val spark = batch.sparkSession
     val markerDir = new Path(s"$outPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(markerDir, batchId.toString)
-    if (committed(fs, marker, Seq(outPath), batchId)) return
+    if (IdempotentAppend.committed(fs, markerDir, batchId, Seq(outPath))) return
     IdempotentAppend.append(
       PrepOps.splitAssign(
         PrepOps.qualityFilter(
           PrepOps.redact(batch, patterns, replacement), minWords, maxWords),
         trainPct, valPct),
       outPath, batchId, Seq("split"))
-    fs.mkdirs(markerDir)
-    fs.create(marker, true).close()
+    IdempotentAppend.finish(fs, markerDir, batchId, Seq(outPath))
   }
 
   /**
@@ -149,14 +141,12 @@ object CorpusStream {
     val spark = batch.sparkSession
     val markerDir = new Path(s"$driftLogPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(markerDir, batchId.toString)
-    if (committed(fs, marker, Seq(driftLogPath), batchId)) return
+    if (IdempotentAppend.committed(fs, markerDir, batchId, Seq(driftLogPath))) return
     IdempotentAppend.append(
       CurationOps.sourceDriftKlVsReference(batch, reference)
         .withColumn("batch_id", lit(batchId)),
       driftLogPath, batchId)
-    fs.mkdirs(markerDir)
-    fs.create(marker, true).close()
+    IdempotentAppend.finish(fs, markerDir, batchId, Seq(driftLogPath))
   }
 
   /**
@@ -179,14 +169,12 @@ object CorpusStream {
     val spark = batch.sparkSession
     val markerDir = new Path(s"$scorecardLogPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(markerDir, batchId.toString)
-    if (committed(fs, marker, Seq(scorecardLogPath), batchId)) return
+    if (IdempotentAppend.committed(fs, markerDir, batchId, Seq(scorecardLogPath))) return
     IdempotentAppend.append(
       PrepOps.sourceScorecard(batch, minWords, maxWords)
         .withColumn("batch_id", lit(batchId)),
       scorecardLogPath, batchId)
-    fs.mkdirs(markerDir)
-    fs.create(marker, true).close()
+    IdempotentAppend.finish(fs, markerDir, batchId, Seq(scorecardLogPath))
   }
 
   /**
@@ -211,12 +199,10 @@ object CorpusStream {
     val spark = batch.sparkSession
     val markerDir = new Path(s"$indexPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(markerDir, batchId.toString)
-    if (committed(fs, marker, Seq(indexPath), batchId)) return
+    if (IdempotentAppend.committed(fs, markerDir, batchId, Seq(indexPath))) return
     IdempotentAppend.append(
       SimilarityOps.assignedForIndex(batch, indexPath),
       indexPath, batchId, Seq("cid"))
-    fs.mkdirs(markerDir)
-    fs.create(marker, true).close()
+    IdempotentAppend.finish(fs, markerDir, batchId, Seq(indexPath))
   }
 }

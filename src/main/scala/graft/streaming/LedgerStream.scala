@@ -74,15 +74,11 @@ object LedgerStream {
     // store (the _-prefixed marker dir is invisible to Spark's listing).
     val dir = new org.apache.hadoop.fs.Path(s"$path/_graft_batches")
     val fs = dir.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
-    val marker = new org.apache.hadoop.fs.Path(dir, batchId.toString)
-    if (fs.exists(marker)) {
-      fs.delete(graft.sources.IdempotentAppend.stagePath(path, batchId), true)
+    if (graft.sources.IdempotentAppend.committed(fs, dir, batchId, Seq(path)))
       return
-    }
     graft.sources.IdempotentAppend.append(
       batch, path, batchId, Seq("query_window_start_day"))
-    fs.mkdirs(dir)
-    fs.create(marker, true).close()
+    graft.sources.IdempotentAppend.finish(fs, dir, batchId, Seq(path))
   }
 
   /** Minimal event for the stateful sessionizer. */

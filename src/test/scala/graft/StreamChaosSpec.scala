@@ -403,13 +403,96 @@ class StreamChaosSpec extends SparkSpec {
         "retry after partial install must land on the clean file set")
       assert(!fs.exists(new org.apache.hadoop.fs.Path(p0, "b5_p999.parquet")),
         "foreign-named residue of the crashed attempt must be wiped")
-      assert(!fs.exists(staleStage), "stage must be cleaned after install")
+      // the stage dir is the in-flight SENTINEL: it must survive append()
+      // (assertNoUnresolved keys on it) and clear only at finish()
+      assert(fs.exists(staleStage), "stage sentinel must survive append()")
+      val markerDir = new org.apache.hadoop.fs.Path(s"$path/_graft_batches")
+      IdempotentAppend.finish(fs, markerDir, 5L, Seq(path))
+      assert(!fs.exists(staleStage), "finish() must clear the stage sentinel")
+      assert(IdempotentAppend.committed(fs, markerDir, 5L, Seq(path)))
 
       // a LATER batch's files are untouchable by batch 5's wipe
       IdempotentAppend.append(df.filter(col("id") <= 3), path, 6L, Seq("part"))
       IdempotentAppend.append(df, path, 5L, Seq("part"))
       assert(spark.read.parquet(path).count() == 93,
         "batch 5's residue wipe must not claim batch 6's files")
+    } finally deleteTree(base)
+  }
+
+  test("table rewrites fail fast on an unresolved streaming append; proceed once resolved") {
+    import graft.streaming.LedgerStream
+    val rows = ledgerOf(
+      (1L, "p", "i", "2024-01-15 10:00:00", "2024-01-15 11:00:00", "ok"),
+      (2L, "p", "i", "2024-01-16 10:00:00", "2024-01-16 11:00:00", "failed"))
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos_guard_")
+    try {
+      val path = base.resolve("ledger").toString
+      val sink = LedgerStream.appendBatch(path) _
+      sink(rows, 0L)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        base.toUri, spark.sparkContext.hadoopConfiguration)
+      // crash INSIDE batch 1: installed (append ran) but never committed —
+      // exactly the state a rewrite would corrupt by merging b1_ files
+      // into unprefixed ones before the stream's replay can claim them
+      graft.sources.IdempotentAppend.append(
+        ledgerOf((3L, "p", "i", "2024-01-17 10:00:00", "2024-01-17 11:00:00", "ok")),
+        path, 1L, Seq("query_window_start_day"))
+      // age the stage past the liveness grace: a FRESH stage is treated
+      // as a live concurrent appender (which rewrites support and
+      // ConcurrentAppendDmlSpec locks); only a QUIET one is abandoned
+      val stage = graft.sources.IdempotentAppend.stagePath(path, 1L)
+      val old = System.currentTimeMillis() - 16 * 60 * 1000L
+      fs.setTimes(stage, old, old)
+      val e1 = intercept[java.io.IOException] {
+        graft.sources.LedgerTables.deleteWhere(
+          spark, path, col("pipeline_status") === "failed")
+      }
+      assert(e1.getMessage.contains("unresolved streaming append"))
+      val e2 = intercept[java.io.IOException] {
+        graft.sources.Maintenance.compact(spark, path)
+      }
+      assert(e2.getMessage.contains("unresolved streaming append"))
+      // the stream recovers: the replay converges and commits batch 1 …
+      sink(ledgerOf((3L, "p", "i", "2024-01-17 10:00:00", "2024-01-17 11:00:00", "ok")), 1L)
+      assert(spark.read.parquet(path).count() == 3)
+      // … and the rewrite proceeds, exactly-once intact
+      val n = graft.sources.LedgerTables.deleteWhere(
+        spark, path, col("pipeline_status") === "failed")
+      assert(n == 1 && spark.read.parquet(path).count() == 2)
+    } finally deleteTree(base)
+  }
+
+  test("dedupIngestBatch: empty bands dir from a mid-install crash does not wedge the replay") {
+    import graft.operators.DedupOps
+    import graft.streaming.CorpusStream
+    val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val full = DedupOps.minhashLsh(docs, 0.8, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = java.nio.file.Files.createTempDirectory("graft_chaos_wedge_")
+    try {
+      val store = base.resolve("store").toString
+      val pairs = base.resolve("pairs").toString
+      val sink = CorpusStream.dedupIngestBatch(store, pairs, 0.8, Int.MaxValue) _
+      def b(i: Long) = docs.filter(col("doc_id") % 2 === i)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        base.toUri, spark.sparkContext.hadoopConfiguration)
+      // crash DURING batch 0's bands install, after mkdirs but before the
+      // first rename: bands exists but holds no data file. The old
+      // dir-existence bootstrap check would take the incremental path and
+      // throw on every replay ("Unable to infer schema") — wedged forever.
+      sink(b(0), 0L)
+      val bands = new org.apache.hadoop.fs.Path(s"$store/bands")
+      fs.listStatus(bands).foreach(s => fs.delete(s.getPath, false))
+      assert(fs.delete(new org.apache.hadoop.fs.Path(s"$store/_graft_batches/0"), false))
+      // shingles keeps batch 0's residue — the replay's store-side
+      // exclusion must neutralize it, not double-count it
+      sink(b(0), 0L)
+      sink(b(1), 1L)
+      val got = spark.read.parquet(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == full, s"missing=${full -- got} extra=${got -- full}")
+      assert(spark.read.parquet(s"$store/bands")
+        .groupBy("doc_id", "band_key").count().filter(col("count") > 1).count() == 0)
     } finally deleteTree(base)
   }
 }
