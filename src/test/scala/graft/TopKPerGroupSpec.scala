@@ -82,6 +82,28 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("mirrored literal spellings (k >= rn, k > rn) rewrite to the same rows") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    def form(cond: org.apache.spark.sql.Column) = fixture
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))))
+      .filter(cond)
+    try {
+      // lit(3) >= rn  and  lit(4) > rn  both mean top-3
+      for (c <- Seq(lit(3) >= col("rn"), lit(4) > col("rn"))) {
+        val df = form(c)
+        assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+          df.queryExecution.executedPlan.toString.take(2000))
+        val got = df.orderBy(col("grp"), col("rn"))
+          .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSeq
+        val want = windowed(3).orderBy(col("grp"), col("rn"))
+          .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3))).toSeq
+        assert(got == want)
+      }
+    } finally spark.conf.set("spark.graft.topk.rewrite", "false")
+  }
+
   test("guards: rank(), multi-window-expr, and global windows stay windows") {
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.graft.topk.rewrite", "true")
