@@ -342,6 +342,15 @@ object SparkEntry {
     // pipeline needs to keep one representative per cluster.
     "x34_dedup_components" -> ((s, d) =>
       DedupOps.dedupComponents(docs(s, d), 0.8, Int.MaxValue)),
+    // The same clusters under EXACT-DUPLICATE COLLAPSE (round 9): LSH +
+    // components over one representative per byte-identical text, labels
+    // extended to members through the collapse relation — provably the
+    // same components (gated against the identical oracle), at
+    // distinct-text cost on replica-skewed corpora (see
+    // dedupComponentsCollapsed; the 100x-replica probe is the measured
+    // argument).
+    "x156_components_collapsed" -> ((s, d) =>
+      DedupOps.dedupComponentsCollapsed(docs(s, d), 0.8, Int.MaxValue)),
     // The same clusters by O(log n)-round alternating star contraction —
     // the long-chain-safe algorithm, gated against the identical oracle.
     "x36_components_star" -> ((s, d) =>
@@ -390,6 +399,17 @@ object SparkEntry {
     // x38 exactly where a cluster's longest copy is not its oldest.
     "x104_dedup_best" -> ((s, d) =>
       DedupOps.dedupCorpusBest(docs(s, d), 0.8, Int.MaxValue)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang"))),
+    // The same cleaned corpus via the exact-duplicate-collapse path
+    // (round 9, same oracle): identical survivors — the component
+    // labeling is identical and the longest-member window sees the full
+    // cluster membership — at distinct-text cost; the form that survives
+    // the 100x-replica probe where this uncapped form OOMs.
+    "x157_dedup_best_collapsed" -> ((s, d) =>
+      DedupOps.dedupCorpusBestCollapsed(docs(s, d), 0.8, Int.MaxValue)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars")).cast("long").as("chars"))
@@ -2700,9 +2720,11 @@ object SparkEntry {
         |    AS buckets_with_failures,
         |  CAST(COALESCE(MAX(failed), 0) AS BIGINT) AS max_failed_per_bucket
         |FROM per""".stripMargin,
-    // two component algorithms, one output contract — see componentsOracleSql
+    // three component paths, one output contract — see componentsOracleSql
     "x36_components_star" -> componentsOracleSql,
     "x34_dedup_components" -> componentsOracleSql,
+    "x156_components_collapsed" -> componentsOracleSql,
+    "x157_dedup_best_collapsed" -> dedupBestOracleSql,
     "x38_dedup_corpus" -> dedupCorpusOracleSql,
     "x104_dedup_best" -> dedupBestOracleSql,
     "x105_semantic_decontam" ->

@@ -953,6 +953,15 @@ object DedupOps {
   def dedupCorpusBest(documents: DataFrame, threshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val comp = connectedComponentsAdaptive(minhashLsh(documents, threshold, maxBucketSize))
+    keepLongestPerCluster(documents, comp)
+  }
+
+  /** Longest-member survivor selection over a component labeling: drop
+    * every clustered doc except each cluster's longest (word count, ties →
+    * min doc_id). Shared by [[dedupCorpusBest]] and
+    * [[dedupCorpusBestCollapsed]] — the window partitions by component
+    * (cluster-sized frames; only clustered docs enter it). */
+  private def keepLongestPerCluster(documents: DataFrame, comp: DataFrame): DataFrame = {
     val scored = comp.join(
       documents.select(col("doc_id"),
         size(TextOps.words(col("text"))).as("nw_sel")),
@@ -966,6 +975,86 @@ object DedupOps {
       .select(col("doc_id"))
     documents.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /**
+   * Exact-duplicate collapse relation: `(doc_id, grp)` with `grp` = the
+   * minimum doc_id among documents with BYTE-IDENTICAL text. One window
+   * shuffle keyed on the text itself (value equality is the definition —
+   * no hash-collision caveat), the same collapse stage
+   * [[SimilarityOps.semanticDedupPairs]] runs on embedding bytes.
+   */
+  private[operators] def exactCollapse(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("text"))
+      .withColumn("grp", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .select(col("doc_id"), col("grp"))
+
+  /**
+   * [[dedupComponents]] under EXACT-DUPLICATE COLLAPSE — the scale path
+   * for mass-replicated corpora (crawl mirrors, boilerplate, re-posted
+   * pages), the LSH twin of the x57 fix that took semantic dedup from
+   * 59 s to 3 s on the replica probe:
+   *
+   *  1. collapse byte-identical texts to one representative per group
+   *     ([[exactCollapse]] — min doc_id, one window shuffle);
+   *  2. run the full LSH detector over REPRESENTATIVES ONLY — all the
+   *     quadratic machinery (banding, in-bucket pairs, Jaccard
+   *     verification joins) sees one row per DISTINCT text, so a corpus
+   *     where every page is mirrored d× does d²× less pair work and d×
+   *     less verification work;
+   *  3. components are computed on the rep-pair graph and EXTENDED to
+   *     members through one join (a member's only connectivity is its
+   *     representative, so labeling through `grp` is exactly components
+   *     over `repPairs ∪ {(grp, member)}` without ever materializing the
+   *     member-level star edges); a duplicate group whose representative
+   *     is unclustered is its own cluster labeled `grp`.
+   *
+   * EXACTNESS (not an approximation): every document has ≥1 shingle (the
+   * `<3 words → whole text` fallback in [[shingles]]), so byte-identical
+   * texts have identical shingle sets — Jaccard 1.0, every band key
+   * shared. Uncapped, the member-level candidate graph connects
+   * duplicates pairwise and pairs (copyᵢ(A), copyⱼ(B)) exactly when the
+   * rep pair (rep(A), rep(B)) shares a band and passes the same Jaccard —
+   * so the collapsed components equal the uncollapsed components on every
+   * input (property-tested in DedupSpec). With a bucket cap, the
+   * collapsed run's buckets are the DISTINCT-text buckets — the cap
+   * engages only on genuine many-distinct-near-dup buckets, never on
+   * replication skew, so recall can only improve.
+   */
+  def dedupComponentsCollapsed(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    // one materialization feeds the rep filter, the group sizes, and the
+    // member-label join (same discipline as semanticDedupPairs' collapse)
+    val coll = exactCollapse(documents).localCheckpoint()
+    val reps = documents.join(
+      coll.filter(col("doc_id") === col("grp")).select(col("doc_id")), Seq("doc_id"))
+    val repComp = connectedComponentsAdaptive(
+      minhashLsh(reps, threshold, maxBucketSize).select(col("doc_a"), col("doc_b")))
+    val gsize = coll.groupBy(col("grp")).agg(count(lit(1)).as("gsz"))
+    coll
+      .join(gsize, Seq("grp"))
+      .join(repComp.select(col("doc_id").as("grp"), col("component")),
+        Seq("grp"), "left_outer")
+      // clustered via the rep graph, or a ≥2-member duplicate group (its
+      // own cluster, labeled by the group minimum = grp)
+      .filter(col("component").isNotNull || col("gsz") > 1L)
+      .select(col("doc_id"), coalesce(col("component"), col("grp")).as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * [[dedupCorpusBest]] under exact-duplicate collapse — identical
+   * survivors (the component labeling is identical, see
+   * [[dedupComponentsCollapsed]], and the longest-member window runs over
+   * the same full cluster membership), at distinct-text cost: the 100×
+   * exact-replica probe runs this in seconds where the uncollapsed form
+   * spends minutes in member-level pair verification (or, uncapped, dies
+   * building C(d,2) pairs per group — see docs/BENCH_notes_r9.md).
+   */
+  def dedupCorpusBestCollapsed(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    keepLongestPerCluster(documents,
+      dedupComponentsCollapsed(documents, threshold, maxBucketSize))
 
   /**
    * x125: cluster-balanced sampling weights — instead of DELETING

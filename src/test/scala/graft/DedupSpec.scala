@@ -322,6 +322,55 @@ class DedupSpec extends SparkSpec {
     assert(tie == Seq(1L, 3L), tie.mkString(","))
   }
 
+  test("collapsed components equal uncollapsed components on a replica-skewed corpus") {
+    // every doc replicated 5x under fresh ids, plus a duplicate pair whose
+    // representative is UNCLUSTERED in the rep graph (the gsz>1 branch)
+    val lonely = (0 until 100).map(i => s"u$i").mkString(" ")
+    val rows = (0 until 5).flatMap { r =>
+      Seq((1L + 10 * r, base, "en", "s0"), (2L + 10 * r, nearDup, "en", "s0"),
+        (3L + 10 * r, other, "en", "s1"))
+    } ++ Seq((100L, lonely, "en", "s3"), (101L, lonely, "en", "s3"))
+    val d = docsOf(rows: _*)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = labels(DedupOps.dedupComponents(d, 0.5, Int.MaxValue))
+    val collapsed = labels(DedupOps.dedupComponentsCollapsed(d, 0.5, Int.MaxValue))
+    assert(plain == collapsed,
+      s"only-plain=${plain -- collapsed} only-collapsed=${collapsed -- plain}")
+    // the unclustered-rep duplicate pair is its own cluster labeled grp
+    assert(collapsed.contains((100L, 100L)) && collapsed.contains((101L, 100L)))
+  }
+
+  test("collapsed components equal uncollapsed on seeded random corpora") {
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 30).map(i => s"t$i")
+    // 12 distinct texts of 20 words from a 30-word pool -> plenty of
+    // genuine near-threshold pairs; each text replicated 1-4x
+    val texts = (0 until 12).map(_ => (0 until 20).map(_ => pool(rnd.nextInt(pool.size))).mkString(" "))
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      (0 to rnd.nextInt(3)).map(r => (i * 10L + r, t, "en", "s0"))
+    }
+    val d = docsOf(rows: _*)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels(DedupOps.dedupComponents(d, 0.5, Int.MaxValue)) ==
+      labels(DedupOps.dedupComponentsCollapsed(d, 0.5, Int.MaxValue)))
+  }
+
+  test("dedupCorpusBestCollapsed keeps exactly dedupCorpusBest's survivors") {
+    val longerNearDup = base + " extra0 extra1"
+    val d = docsOf(
+      (1L, base, "en", "s0"), (2L, longerNearDup, "en", "s0"),
+      (3L, other, "en", "s1"), (4L, base, "en", "s2"),
+      (5L, longerNearDup, "en", "s0"), // exact dup of the longest member
+      (6L, other, "en", "s1"))
+    val best = DedupOps.dedupCorpusBest(d, 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    val coll = DedupOps.dedupCorpusBestCollapsed(d, 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(coll == best, s"collapsed=$coll best=$best")
+    // the longest member wins in both (2 over 1/4/5; 3 over its dup 6)
+    assert(coll == Seq(2L, 3L), coll.mkString(","))
+  }
+
   test("curation funnel: LSH and exact near-dup stages agree; one shared cache entry, no accretion") {
     import graft.operators.CurationOps
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")
