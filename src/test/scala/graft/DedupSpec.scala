@@ -357,6 +357,18 @@ class DedupSpec extends SparkSpec {
       labels(DedupOps.dedupComponentsCollapsed(d, 0.5, Int.MaxValue)))
   }
 
+  test("collapsed path: all-identical corpus leaves an EMPTY rep-pair graph") {
+    // one duplicate group covering the whole corpus: the rep graph has a
+    // single node and no edges (components over an empty pair relation),
+    // the whole cluster labels through the gsz>1 branch
+    val d = docsOf((1 to 6).map(i => (i.toLong, base, "en", "s0")): _*)
+    val comp = DedupOps.dedupComponentsCollapsed(d, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(comp == (1 to 6).map(i => (i.toLong, 1L)).toSet, comp.mkString(","))
+    val survivors = DedupOps.dedupCorpusBestCollapsed(d, 0.5).collect().map(_.getLong(0)).toSeq
+    assert(survivors == Seq(1L), survivors.mkString(","))
+  }
+
   test("dedupCorpusBestCollapsed keeps exactly dedupCorpusBest's survivors") {
     val longerNearDup = base + " extra0 extra1"
     val d = docsOf(
