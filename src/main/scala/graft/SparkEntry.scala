@@ -414,6 +414,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"),
           sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("lang"))),
+    // The min-id cleaned corpus through the collapse path (x38's oracle),
+    // completing the collapsed family: components / min-id / longest.
+    "x158_dedup_corpus_collapsed" -> ((s, d) =>
+      DedupOps.dedupCorpusCollapsed(docs(s, d), 0.8, Int.MaxValue)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("lang"))),
     // Embedding-space decontamination: every 97th vector plays the held-out
     // benchmark; corpus vectors within rounded-cosine 0.4 of any of them
     // are flagged. One exact-integer row (counts + id checksum).
@@ -2725,6 +2733,7 @@ object SparkEntry {
     "x34_dedup_components" -> componentsOracleSql,
     "x156_components_collapsed" -> componentsOracleSql,
     "x157_dedup_best_collapsed" -> dedupBestOracleSql,
+    "x158_dedup_corpus_collapsed" -> dedupCorpusOracleSql,
     "x38_dedup_corpus" -> dedupCorpusOracleSql,
     "x104_dedup_best" -> dedupBestOracleSql,
     "x105_semantic_decontam" ->

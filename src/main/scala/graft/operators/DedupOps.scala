@@ -1056,6 +1056,17 @@ object DedupOps {
     keepLongestPerCluster(documents,
       dedupComponentsCollapsed(documents, threshold, maxBucketSize))
 
+  /** [[dedupCorpus]] (min-id survivor) under exact-duplicate collapse —
+    * same survivors (identical components, the label IS the min-id
+    * survivor), distinct-text cost; completes the collapsed family with
+    * [[dedupComponentsCollapsed]] / [[dedupCorpusBestCollapsed]]. */
+  def dedupCorpusCollapsed(documents: DataFrame, threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val comp = dedupComponentsCollapsed(documents, threshold, maxBucketSize)
+    val losers = comp.filter(col("component") =!= col("doc_id")).select(col("doc_id"))
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /**
    * x125: cluster-balanced sampling weights — instead of DELETING
    * near-duplicates ([[dedupCorpus]]), give every document the weight

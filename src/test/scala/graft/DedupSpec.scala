@@ -381,6 +381,10 @@ class DedupSpec extends SparkSpec {
     assert(coll == best, s"collapsed=$coll best=$best")
     // the longest member wins in both (2 over 1/4/5; 3 over its dup 6)
     assert(coll == Seq(2L, 3L), coll.mkString(","))
+    // and the min-id policy twin agrees with dedupCorpus on the same input
+    val minId = DedupOps.dedupCorpus(d, 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    val minColl = DedupOps.dedupCorpusCollapsed(d, 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(minColl == minId && minColl == Seq(1L, 3L), s"collapsed=$minColl plain=$minId")
   }
 
   test("curation funnel: LSH and exact near-dup stages agree; one shared cache entry, no accretion") {
