@@ -978,15 +978,21 @@ object DedupOps {
 
   /**
    * Exact-duplicate collapse relation: `(doc_id, grp)` with `grp` = the
-   * minimum doc_id among documents with BYTE-IDENTICAL text. One window
-   * shuffle keyed on the text itself (value equality is the definition —
-   * no hash-collision caveat), the same collapse stage
-   * [[SimilarityOps.semanticDedupPairs]] runs on embedding bytes.
+   * minimum doc_id among documents with BYTE-IDENTICAL text (value
+   * equality is the definition — no hash-collision caveat), the same
+   * collapse stage [[SimilarityOps.semanticDedupPairs]] runs on embedding
+   * bytes. Shaped as groupBy + equi-join rather than a text-partitioned
+   * window: the aggregation combines map-side (the shuffle carries one
+   * row per distinct text per partition), and the join back STREAMS a
+   * mega-group through sort-merge — where a window would buffer a
+   * billion-duplicated boilerplate page as one partition's frame on one
+   * task. AQE's skew split applies to the join; nothing here has a
+   * per-key memory footprint.
    */
   private[operators] def exactCollapse(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("text"))
-      .withColumn("grp", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .join(documents.groupBy(col("text")).agg(min(col("doc_id")).as("grp")),
+        Seq("text"))
       .select(col("doc_id"), col("grp"))
 
   /**
