@@ -101,7 +101,11 @@ class PlanQualitySpec extends SparkSpec {
     // single-partition window or a cartesian product (the corpus would
     // collapse onto one task at 100 TB).
     Seq("x37_span_apply_corpus", "x38_dedup_corpus", "x40_lsh_incremental",
-        "x104_dedup_best") // x104's survivor window must partition by component
+        "x104_dedup_best", // x104's survivor window must partition by component
+        // the collapsed family: the collapse groupBy+join, the label
+        // extension joins, and the survivor windows must all stay keyed
+        "x156_components_collapsed", "x157_dedup_best_collapsed",
+        "x158_dedup_corpus_collapsed")
       .foreach { q =>
         val df = SparkEntry.queries(q)(spark, d)
         df.collect() // finalize the adaptive plan before inspecting
