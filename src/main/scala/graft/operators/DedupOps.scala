@@ -988,12 +988,33 @@ object DedupOps {
    * billion-duplicated boilerplate page as one partition's frame on one
    * task. AQE's skew split applies to the join; nothing here has a
    * per-key memory footprint.
+   *
+   * The grouping/join key is `(tk, text)` with `tk` = the codegen'd
+   * 60-bit md5 prefix of the text ([[graft.functions.Md5PrefixLong]]),
+   * tk FIRST: sort-merge and the aggregation hash compare the 8-byte
+   * long and touch the full text only on tk ties — i.e. on actual
+   * duplicates (plus ~2⁻⁶⁰-rare prefix collisions). The text column
+   * stays in the key as the residual equality, so the semantics remain
+   * value-exact, never hash-trusting.
+   *
+   * NULL-TEXT documents are dropped from the collapse relation, EXPLICITLY
+   * (the inner join would drop them anyway — null keys never match): a
+   * null text shingles to null, its minhash band keys are null, and its
+   * Jaccard to anything is null, so the uncollapsed detector can never
+   * confirm a pair for it. Keeping nulls out of the collapse (rather than
+   * null-safe-grouping them together) is what preserves that invariant —
+   * two null-text docs must NOT become a ≥2-member "duplicate group".
    */
-  private[operators] def exactCollapse(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), col("text"))
-      .join(documents.groupBy(col("text")).agg(min(col("doc_id")).as("grp")),
-        Seq("text"))
+  private[operators] def exactCollapse(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val keyed = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        graft.functions.GraftFunctions.md5PrefixLong(col("text"), 15).as("tk"))
+    keyed
+      .join(keyed.groupBy(col("tk"), col("text")).agg(min(col("doc_id")).as("grp")),
+        Seq("tk", "text"))
       .select(col("doc_id"), col("grp"))
+  }
 
   /**
    * [[dedupComponents]] under EXACT-DUPLICATE COLLAPSE — the scale path
@@ -1002,7 +1023,8 @@ object DedupOps {
    * 59 s to 3 s on the replica probe:
    *
    *  1. collapse byte-identical texts to one representative per group
-   *     ([[exactCollapse]] — min doc_id, one window shuffle);
+   *     ([[exactCollapse]] — min doc_id via a map-side-combining groupBy
+   *     plus an equi-join back, both keyed md5-prefix-first);
    *  2. run the full LSH detector over REPRESENTATIVES ONLY — all the
    *     quadratic machinery (banding, in-bucket pairs, Jaccard
    *     verification joins) sees one row per DISTINCT text, so a corpus
@@ -1030,7 +1052,12 @@ object DedupOps {
   def dedupComponentsCollapsed(documents: DataFrame, threshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // one materialization feeds the rep filter, the group sizes, and the
-    // member-label join (same discipline as semanticDedupPairs' collapse)
+    // member-label join (same discipline as semanticDedupPairs' collapse).
+    // The checkpoint blocks are NOT explicitly released (unlike the
+    // per-round frames inside connectedComponents): the returned frame is
+    // LAZY over `coll`, so the blocks must outlive this call — they are
+    // reclaimed by driver GC once the result (and its lineage) is dropped,
+    // one checkpoint per call.
     val coll = exactCollapse(documents).localCheckpoint()
     val reps = documents.join(
       coll.filter(col("doc_id") === col("grp")).select(col("doc_id")), Seq("doc_id"))
