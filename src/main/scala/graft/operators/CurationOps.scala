@@ -39,12 +39,41 @@ object CurationOps {
    * standard LSH trade-off (CurationFunnelSpec pins LSH == exact on the
    * fixture). `useLsh = false` selects the exact join for ground-truth runs.
    *
-   * The census is computed EAGERLY (it is a single row). The funnel holds
-   * no private cache: its near-dedup stage reads the SHARED full-corpus
-   * shingle relation (filtered to exact-dedup survivors by a semi-join),
-   * so repeated funnels on one corpus reuse a single plan-keyed entry —
-   * drop it with `DedupOps.unpersistShingles(documents)` when the corpus
-   * is done.
+   * The census is computed EAGERLY (it is a single row).
+   *
+   * ROUND-10 SHAPE — the funnel is the collapse idiom applied end-to-end
+   * (the x156–x158 treatment; the funnel was the last production query
+   * running its near-dup stage member-level, 6.7× at the 100×-replica
+   * probe while the collapsed dedup family sat at ~2×). The corpus text
+   * is read and tokenized in EXACTLY ONE distributed pass:
+   *
+   *  - [[collapsedByNorm]] groups the corpus by normalized-text md5 and,
+   *    map-side combined, carries per group its row count, its
+   *    quality-pass count, and the keeper row (`min_by` on a struct with
+   *    a quality-gated ordering — null-ord rows are skipped, so a group
+   *    with no quality survivor yields a null keeper). The shuffle
+   *    carries one partial row per DISTINCT normalized text per
+   *    partition — on a replica-skewed corpus that is the distinct
+   *    content, not the corpus — and no corpus-wide window frame exists
+   *    anywhere. The grouped relation is CACHED plan-keyed (the same
+   *    shared-cache discipline [[DedupOps.shingleRelation]] uses, at
+   *    distinct-content size): repeated funnel/corpus calls on one
+   *    corpus — the production session shape, and how the bench's
+   *    steady reps measure — re-read the collapsed relation instead of
+   *    re-scanning the raw corpus;
+   *  - the near-dup stage shingles ONLY the keeper rows (a doc's
+   *    shingles depend only on its text, so the survivor-only relation
+   *    yields the identical pair set); the survivor shingle view is also
+   *    cached plan-keyed — distinct-content-sized where the round-9
+   *    corpus-level entry was member-level (the whole flaw);
+   *  - the census folds the grouped relation: n_input/n_quality are sums
+   *    of the per-group counts, and n_exact/n_neardedup/n_sampled
+   *    aggregate the keeper rows (only keepers can survive those
+   *    stages) — neither side ever re-reads the raw corpus.
+   *
+   * Drop the two cache entries with [[unpersistCuration]] when the
+   * corpus is done (one-shot jobs can skip it — entries die with the
+   * session).
    */
   def curationFunnel(
       documents: DataFrame,
@@ -54,79 +83,121 @@ object CurationOps {
       useLsh: Boolean = true,
       maxBucketSize: Int = DedupOps.DefaultMaxBucketSize): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val flagged = exactFlags(documents, minWords)
-    // Near-dedup over the exact-dedup survivors, through the SHARED
-    // full-corpus shingle relation filtered to the keepers (a semi-join on
-    // doc_id): the funnel reuses the one cache entry every other dedup
-    // operator holds on this corpus instead of shingling the survivor
-    // subset into a private second cache per call. The pair set is
-    // identical either way — a doc's shingles depend only on its text.
-    // The semi-joined view IS persisted for the duration of this call
-    // (dropped in the finally): the near-dup stage consumes it 3–4×, and
-    // without the pin each consumer would re-run the keeper window and the
-    // join above the shared cache.
-    val keepers = flagged.filter(col("keep_exact")).select(col("doc_id"))
-    val shs = DedupOps.shingleRelation(documents)
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .persist()
+    val (grouped, keepers, shs) = funnelState(documents, minWords)
     val nearDups =
       if (useLsh) DedupOps.minhashLshFrom(shs, threshold, maxBucketSize)
       else DedupOps.ngramJaccardFrom(shs, threshold)
     val losers = nearDups
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_loser", lit(true))
-    val funnel = flagged
+    // Only keepers can survive the near-dup and sample stages, so those
+    // three counts aggregate the keeper rows; n_input/n_quality fold
+    // the per-group counts. Both sides read the CACHED grouped relation,
+    // never the raw corpus.
+    val keeperCensus = keepers
       .join(losers, Seq("doc_id"), "left_outer")
-      .withColumn("keep_near", col("keep_exact") && col("is_loser").isNull)
+      .withColumn("keep_near", col("is_loser").isNull)
       .withColumn("keep_sample", col("keep_near") &&
         graft.functions.GraftFunctions.sampleGate(col("doc_id"), keepNibbles))
       .agg(
-        count(lit(1)).as("n_input"),
-        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
-        sum(when(col("keep_exact"), 1L).otherwise(0L)).as("n_exact"),
+        count(lit(1)).as("n_exact"),
         sum(when(col("keep_near"), 1L).otherwise(0L)).as("n_neardedup"),
         sum(when(col("keep_sample"), 1L).otherwise(0L)).as("n_sampled"))
-    // The census is a single row, computed eagerly so the per-call
-    // survivor view can be dropped before returning. The shared CORPUS
-    // shingle cache is NOT dropped — its lifecycle belongs to the corpus
-    // owner (one plan-keyed entry per corpus, reused by every dedup
-    // operator; call DedupOps.unpersistShingles(documents) when done with
-    // the corpus).
-    try {
-      val rows = funnel.collect().toIndexedSeq
-      documents.sparkSession.createDataFrame(
-        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        funnel.schema)
-    } finally shs.unpersist()
+    val funnel = grouped
+      .agg(
+        sum(col("grp_n")).as("n_input"),
+        sum(col("grp_q")).as("n_quality"))
+      .crossJoin(keeperCensus) // two single-row frames
+      .select(col("n_input"), col("n_quality"), col("n_exact"),
+        col("n_neardedup"), col("n_sampled"))
+    // The census is a single row, collected eagerly so the result does
+    // not silently depend on the cache entries' lifetime.
+    val rows = funnel.collect().toIndexedSeq
+    documents.sparkSession.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      funnel.schema)
   }
 
-  /** Quality + exact-dedup stage flags (shared by the census and the
-    * cleaned-corpus forms): `q` = over the word bar, `keep_exact` = the
-    * minimum doc_id of its normalized-text group among quality
-    * survivors. */
-  private def exactFlags(documents: DataFrame, minWords: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("norm"))
+  /**
+   * The funnel's shared state for one (corpus, minWords) configuration —
+   * the collapsed-by-norm grouped relation, its keeper rows, and the
+   * keeper shingle relation — with the grouped and shingle frames CACHED
+   * plan-keyed (Spark dedupes cache entries by logical plan, so the
+   * funnel census, the cleaned-corpus form, and repeated calls all share
+   * ONE pair of distinct-content-sized entries; the keeper struct
+   * carries every original column for that reason).
+   * [[unpersistCuration]] rebuilds the same plans to drop the entries.
+   */
+  private def funnelState(
+      documents: DataFrame, minWords: Int): (DataFrame, DataFrame, DataFrame) = {
+    val grouped =
+      collapsedByNorm(documents, minWords, documents.columns.toIndexedSeq).cache()
+    val keepers = grouped.filter(col("k").isNotNull).select(col("k.*"))
+    // Re-spread the keepers before the signature stage: AQE coalesces the
+    // small grouped aggregate to very few partitions, which would leave
+    // the shingle-explode + 16-way minhash pass — the detector's compute-
+    // heavy stage — running on a fraction of the cores. One narrow
+    // shuffle of the distinct-content relation buys it full parallelism.
+    val shs = DedupOps.shingleRelationOf(
+      keepers.select(col("doc_id"), col("text")).repartition(col("doc_id"))).cache()
+    (grouped, keepers, shs)
+  }
+
+  /** Drop the plan-keyed funnel caches for `documents`. Mirrors
+    * [[DedupOps.unpersistShingles]]: call when the corpus is done;
+    * one-shot jobs can skip it. */
+  def unpersistCuration(documents: DataFrame, minWords: Int = 30): Unit = {
+    val (grouped, _, shs) = funnelState(documents, minWords)
+    shs.unpersist()
+    grouped.unpersist()
+  }
+
+  /**
+   * THE one corpus pass shared by the funnel forms: group by the
+   * normalized-text md5 and carry, per distinct normalized text,
+   *
+   *  - `grp_n`  — the group's row count,
+   *  - `grp_q`  — how many of its rows pass the `minWords` quality bar,
+   *  - `k`      — the exact-dedup KEEPER row (the quality-surviving
+   *               member with the minimum doc_id, carrying `cols`), or
+   *               null if no member passes quality (`min_by` skips rows
+   *               whose quality-gated ordering is null; ties impossible —
+   *               doc_id is unique).
+   *
+   * This is [[DedupOps.exactCollapse]]'s idiom at the funnel's
+   * normalization granularity, with the stage censuses folded into the
+   * same aggregation: map-side combine means the shuffle carries one
+   * partial row per DISTINCT normalized text per partition — on a
+   * replica-skewed corpus the distinct content, not the corpus — and no
+   * corpus-wide window frame exists anywhere. Null-text rows group under
+   * the null norm; their q is null, so they count into grp_n, fail
+   * quality, and never produce a keeper — identical to the pre-collapse
+   * per-row flag semantics.
+   */
+  private def collapsedByNorm(
+      documents: DataFrame, minWords: Int, cols: Seq[String]): DataFrame =
     documents
       .withColumn("q", size(TextOps.words(col("text"))) >= minWords)
       .withColumn("norm", md5(lower(trim(col("text"))).cast("binary")))
-      // exact-dedup keeper AMONG quality survivors only
-      .withColumn("keeper", min(when(col("q"), col("doc_id"))).over(w))
-      .withColumn("keep_exact", col("q") && col("doc_id") === col("keeper"))
-  }
+      .groupBy(col("norm"))
+      .agg(
+        count(lit(1)).as("grp_n"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("grp_q"),
+        min_by(struct(cols.map(col).toIndexedSeq: _*),
+          when(col("q"), col("doc_id"))).as("k"))
 
   /**
    * The funnel's CLEANED CORPUS — the surviving documents themselves (all
    * original columns), where [[curationFunnel]] returns the stage census:
    * quality gate ∧ exact-dedup keeper ∧ not a near-dup loser ∧ inside the
-   * deterministic sample. Same stages, same parameters, same shared
-   * shingle cache; `curationFunnel(...).n_sampled` equals this frame's
-   * count by construction (pinned in CurationOpsSpec).
+   * deterministic sample. Same stages, same parameters, same
+   * survivor-only shingling; `curationFunnel(...).n_sampled` equals this
+   * frame's count by construction (pinned in CurationOpsSpec).
    *
    * Lifecycle: the loser id set (one row per dropped near-duplicate) is
    * materialized with localCheckpoint so the per-call survivor shingle
    * view can be released before returning — the result is a LAZY frame
-   * over the flagged corpus anti-joined against that small checkpointed
+   * over the keeper relation anti-joined against that small checkpointed
    * set, safe to consume any number of times.
    */
   def curationCorpus(
@@ -137,23 +208,31 @@ object CurationOps {
       useLsh: Boolean = true,
       maxBucketSize: Int = DedupOps.DefaultMaxBucketSize): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val flagged = exactFlags(documents, minWords)
-    val keepers = flagged.filter(col("keep_exact")).select(col("doc_id"))
-    val shs = DedupOps.shingleRelation(documents)
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .persist()
-    try {
-      val nearDups =
-        if (useLsh) DedupOps.minhashLshFrom(shs, threshold, maxBucketSize)
-        else DedupOps.ngramJaccardFrom(shs, threshold)
-      val losers = nearDups.select(col("doc_b").as("doc_id")).distinct()
-        .localCheckpoint() // eager + tiny: frees the shingle view below
-      flagged
-        .filter(col("keep_exact") &&
-          graft.functions.GraftFunctions.sampleGate(col("doc_id"), keepNibbles))
-        .join(losers, Seq("doc_id"), "left_anti")
-        .select(documents.columns.map(col).toIndexedSeq: _*)
-    } finally shs.unpersist()
+    // One corpus pass ([[collapsedByNorm]]) carrying ALL original columns
+    // through the keeper struct, cached plan-keyed: the surviving corpus
+    // needs no join back against the replica-multiplied input, and
+    // downstream composites (x69's decontamination + CDC stages re-scan
+    // their input several times) re-read the distinct-content-sized
+    // cache entry instead of re-running the corpus pass per scan.
+    val (_, keepers, shs) = funnelState(documents, minWords)
+    val nearDups =
+      if (useLsh) DedupOps.minhashLshFrom(shs, threshold, maxBucketSize)
+      else DedupOps.ngramJaccardFrom(shs, threshold)
+    val losers = nearDups.select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint() // eager + tiny: consumers never re-run the detector
+    // Pinned re-spread of the surviving corpus (same reason as the
+    // detector-side repartition in [[funnelState]], but for DOWNSTREAM
+    // consumers): the cached grouped relation is AQE-coalesced to very
+    // few partitions, and composites chain per-row-heavy stages onto
+    // this frame (decontamination shingling, CDC chunking, BPE
+    // tokenization) that would otherwise run near-serial. The partition
+    // count is pinned so AQE cannot coalesce the spread away again.
+    val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
+    keepers
+      .filter(graft.functions.GraftFunctions.sampleGate(col("doc_id"), keepNibbles))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(documents.columns.map(col).toIndexedSeq: _*)
+      .repartition(nPart, col("doc_id"))
   }
 
   /**

@@ -63,12 +63,21 @@ object DedupOps {
    * exact-join index both consume the hashes, the exact verification reads
    * the string arrays.
    */
-  private[operators] def shingleRelation(documents: DataFrame): DataFrame = {
+  private[operators] def shingleRelation(documents: DataFrame): DataFrame =
+    shingleRelationOf(documents).cache()
+
+  /** The shingle relation WITHOUT the shared cache — for callers that
+    * shingle a per-call subset (the curation funnel's exact-dedup
+    * survivors) and manage their own persist/unpersist lifecycle: caching
+    * a plan-keyed entry per subset would accrete one cache entry per
+    * call, and shingling through the shared FULL-corpus entry would pay
+    * to shingle every doc the caller has already decided to drop
+    * (100× the survivor work on a replica-skewed corpus). */
+  private[operators] def shingleRelationOf(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("shv",
         transform(col("sh"), s => graft.functions.GraftFunctions.md5PrefixLong(s, 15)))
-      .cache()
   }
 
   /** Drop the shared shingle cache for `documents` (plan-keyed, so any
