@@ -43,6 +43,18 @@ import org.apache.spark.sql.SparkSession
  *     x69/x71–x75 drift cluster they were taxing. Batch queries now run
  *     first (sorted), the stream gates last (sorted), with a GC barrier
  *     between — batch numbers never execute downwind of a state store.
+ *
+ * And one round-10 integrity mechanism, born from the round-9 host
+ * reboot (IO/state-heavy queries ~25 % slower with zero code change;
+ * a day of manual adjudication to prove it was environment):
+ *
+ *  3. BOOT FINGERPRINT — every record carries the kernel's boot_id +
+ *     uptime, because steadies are only regression-comparable within
+ *     one host boot. When the committed record's boot differs from the
+ *     current one, the outlier guard ANNOTATES (`cross_boot_vs_prior`)
+ *     instead of firing — a host shift must not trigger a wave of
+ *     spurious isolation re-runs, and cross-boot deltas are judged via
+ *     scale-probe ratios, not absolute steadies.
  */
 object Bench {
 
@@ -72,6 +84,42 @@ object Bench {
       Pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
+
+  /** Boot fingerprint of the committed record (round 10): steadies are
+    * only regression-comparable within one host boot — the round-9 reboot
+    * shifted IO/state-heavy queries ~25 % with zero code change and cost a
+    * day of manual adjudication. None on a pre-round-10 record (no
+    * fingerprint field) or an unreadable file. */
+  private[graft] def priorBootId(docsDir: java.nio.file.Path): Option[String] = {
+    val f = docsDir.resolve("BENCH_line.json")
+    if (!java.nio.file.Files.isReadable(f)) return None
+    try {
+      val line = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      """"boot_id":"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(line).map(_.group(1))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** This boot's kernel-assigned id (Linux; None elsewhere) — written
+    * into every record so cross-round tooling can tell host drift from
+    * code regressions without hand analysis. */
+  private[graft] def currentBootId(): Option[String] =
+    try {
+      val p = java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")
+      if (java.nio.file.Files.isReadable(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Seconds since boot (Linux; None elsewhere) — locates the record
+    * within its boot (cache/THP/fragmentation state drifts with uptime). */
+  private[graft] def uptimeSeconds(): Option[Long] =
+    try {
+      val p = java.nio.file.Paths.get("/proc/uptime")
+      if (java.nio.file.Files.isReadable(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .split("\\s+").headOption.map(_.toDouble.toLong)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,6 +154,20 @@ object Bench {
           .resolve("docs")
     }
     val prior = priorSteady(docsDir, sfDir)
+    // CROSS-BOOT ANNOTATION (round 10): when the committed record was
+    // measured under a different host boot, per-query steadies are not
+    // regression-comparable (the round-9 reboot moved IO/state queries
+    // ~25 % with no code change) — the guard ANNOTATES instead of firing,
+    // so a host shift can never trigger a wave of spurious isolation
+    // re-runs, and the record carries the flag for cross-round tooling.
+    val curBoot = currentBootId()
+    val prevBoot = priorBootId(docsDir)
+    val crossBoot = curBoot.isDefined && prevBoot.isDefined && curBoot != prevBoot
+    if (crossBoot)
+      System.err.println("bench: committed record is from a different boot " +
+        s"(${prevBoot.get} -> ${curBoot.get}); outlier guard disabled for " +
+        "this run — judge cross-boot deltas via scale-probe ratios, not " +
+        "absolute steadies")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -166,7 +228,7 @@ object Bench {
 
     // OUTLIER GUARD: re-measure suspect queries in isolation at the end.
     val fnByName = selected.toMap
-    val suspects = firstPass.filter { case (name, t) =>
+    val suspects = (if (crossBoot) Seq.empty else firstPass).filter { case (name, t) =>
       val s = steady(t)
       prior.get(name).exists(p => p > 0 && s > 0 &&
         s > guardFactor * p && s - p > 0.25)
@@ -212,6 +274,8 @@ object Bench {
     // n_substituted = how many records actually took the isolated steady.
     val nRemeasured = results.count(_._3.isDefined)
     val nSubstituted = results.count(_._4)
+    val bootStr = curBoot.getOrElse("unknown")
+    val upStr = uptimeSeconds().map(_.toString).getOrElse("-1")
     val notes = "steady=min of warm reps (regression gauge), cold=first run " +
       "(includes per-query codegen compile); stream gates run as the suite " +
       s"tail; queries whose steady exceeded ${guardFactor}x the prior " +
@@ -226,6 +290,7 @@ object Bench {
       .append(s"""  "metric": "total_steady", "value": $steadyTotal, "unit": "sec",\n""")
       .append(s"""  "total_cold": $coldTotal, "reps": $reps, "sf": "$sfDir",\n""")
       .append(s"""  "n_remeasured": $nRemeasured, "n_substituted": $nSubstituted,\n""")
+      .append(s"""  "boot_id": "$bootStr", "uptime_s": $upStr, "cross_boot_vs_prior": $crossBoot,\n""")
       .append(s"""  "notes": "$notes",\n""")
       .append("  \"queries\": {\n")
       .append(results.map { case (n, suite, iso, sub) =>
@@ -260,6 +325,7 @@ object Bench {
     val line = s"""{"metric":"total_steady","value":$steadyTotal,"unit":"sec",""" +
       s""""queries":$steadyMap,"total_cold":$coldTotal,"reps":$reps,""" +
       s""""n_remeasured":$nRemeasured,"n_substituted":$nSubstituted,""" +
+      s""""boot_id":"$bootStr","uptime_s":$upStr,"cross_boot_vs_prior":$crossBoot,""" +
       s""""sf":"$sfDir","detail":"$outFile"}"""
     // The line ALSO lands in a known repo file: three rounds of driver
     // records failed to parse the sbt-logged stdout copy ("[info] "

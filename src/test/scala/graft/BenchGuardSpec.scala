@@ -18,6 +18,34 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.priorSteady(dir, "/root/testdata/sf0.01").isEmpty)
   }
 
+  test("priorBootId parses the fingerprint; None on pre-round-10 records") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_guard_boot")
+    // no file at all
+    assert(Bench.priorBootId(dir).isEmpty)
+    // pre-round-10 record: no boot_id field -> None (guard treats the
+    // comparison as same-boot, matching the old behavior)
+    val old = """{"metric":"total_steady","value":12.5,"unit":"sec",""" +
+      """"queries":{"a1":0.35},"sf":"/root/testdata/sf0.1","detail":"/x"}"""
+    java.nio.file.Files.write(dir.resolve("BENCH_line.json"), old.getBytes("UTF-8"))
+    assert(Bench.priorBootId(dir).isEmpty)
+    // round-10 record: fingerprint round-trips
+    val neu = """{"metric":"total_steady","value":12.5,"unit":"sec",""" +
+      """"queries":{"a1":0.35},"n_remeasured":0,"n_substituted":0,""" +
+      """"boot_id":"0f21ab34-cd56-78ef-9012-34567890abcd","uptime_s":4211,""" +
+      """"cross_boot_vs_prior":false,"sf":"/root/testdata/sf0.1","detail":"/x"}"""
+    java.nio.file.Files.write(dir.resolve("BENCH_line.json"), neu.getBytes("UTF-8"))
+    assert(Bench.priorBootId(dir).contains("0f21ab34-cd56-78ef-9012-34567890abcd"))
+  }
+
+  test("current boot fingerprint is readable on this host (Linux)") {
+    // the bench host is Linux in every environment this repo targets; if
+    // either proc file goes missing the record silently degrades to
+    // "unknown" and the cross-boot annotation never engages — surface that
+    val b = Bench.currentBootId()
+    assert(b.exists(_.matches("[0-9a-fA-F-]{8,}")), s"boot_id unreadable: $b")
+    assert(Bench.uptimeSeconds().exists(_ >= 0))
+  }
+
   test("priorSteady is empty on a missing or mangled record") {
     val dir = java.nio.file.Files.createTempDirectory("bench_guard_empty")
     val sf = "/root/testdata/sf0.1"
