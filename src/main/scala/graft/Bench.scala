@@ -62,7 +62,8 @@ object Bench {
     * can't tax batch neighbors (round-8 drift cluster x69/x71–x75). */
   private val StreamTail = Set(
     "x102_scorecard_stream", "x106_drift_stream", "x120_ivf_stream",
-    "x127_session_stream", "x146_window_stream", "x154_file_stream_recovery")
+    "x127_session_stream", "x146_window_stream", "x154_file_stream_recovery",
+    "x159_prep_stream_recovery")
 
   /** Steady map of the previously COMMITTED full-suite record — parsed
     * from docs/BENCH_line.json's `"queries":{...}` object with a literal

@@ -747,6 +747,17 @@ object SparkEntry {
     "x154_file_stream_recovery" -> ((s, d) =>
       streaming.EventStream.fileStreamRecoveryCensus(
         Tables.read(s, d, "events"), 4, 2)),
+    // EXACTLY-ONCE foreachBatch recovery over real transport: the prep
+    // ingest sink (redact -> quality -> split -> IdempotentAppend) run
+    // from real spooled files with a checkpoint, crashed INSIDE the
+    // protocol's unguarded window (files installed, marker not yet
+    // written) and restarted per slice group — the drained corpus census
+    // must equal the batch pipeline exactly (x44's pattern list, so the
+    // redaction machinery is live in the streamed path too).
+    "x159_prep_stream_recovery" -> ((s, d) =>
+      streaming.CorpusStream.prepStreamRecoveryCensus(
+        docs(s, d), 4, 2, 1L,
+        PrepOps.PiiPatterns :+ ("term" -> "sp[a-z]+k"), "<X>", 30)),
     // Triangle census over the co-occurrence graph: ordered wedges + a
     // closing-edge semi-join — the two-hop-join graph shape; top corners
     // by local clustering mass.
@@ -2172,6 +2183,32 @@ object SparkEntry {
     "x154_file_stream_recovery" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // the crash-replayed exactly-once corpus must equal the batch prep
+    // pipeline: redaction (x44's chain) -> quality rules (x45's
+    // conjunction, over the REDACTED text) -> md5 split (x46) -> census
+    "x159_prep_stream_recovery" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, lang, $redactApplySql AS text FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS w,
+        |    strlen(text) AS c
+        |  FROM r),
+        |f AS (
+        |  SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n,
+        |    ((len(w) >= 30 AND len(w) <= 1000)
+        |      AND (3*len(w) <= c - len(w) + 1 AND c - len(w) + 1 <= 12*len(w))
+        |      AND (5*len(list_distinct(w)) >= len(w))
+        |      AND (5*list_max(list_transform(list_distinct(w),
+        |             x -> len(list_filter(w, y -> y = x)))) <= len(w))) AS ok
+        |  FROM m),
+        |s AS (
+        |  SELECT lang, n,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bk
+        |  FROM f WHERE ok)
+        |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // identical ordered-wedge derivation; u<v<w counts each triangle once
     "x145_triangles" ->
       """WITH d AS (

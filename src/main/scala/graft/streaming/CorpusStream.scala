@@ -103,7 +103,8 @@ object CorpusStream {
       minWords: Int = 30,
       maxWords: Int = 1000,
       trainPct: Int = 80,
-      valPct: Int = 10)(
+      valPct: Int = 10,
+      failpoint: Long => Unit = _ => ())(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val markerDir = new Path(s"$outPath/_graft_batches")
@@ -115,6 +116,11 @@ object CorpusStream {
           PrepOps.redact(batch, patterns, replacement), minWords, maxWords),
         trainPct, valPct),
       outPath, batchId, Seq("split"))
+    // chaos hook, invoked INSIDE the protocol's only unguarded window —
+    // after the batch's files are installed, before the commit marker.
+    // The x159 gate throws here to prove the crash-replay converges over
+    // real transport; production callers leave the default no-op.
+    failpoint(batchId)
     IdempotentAppend.finish(fs, markerDir, batchId, Seq(outPath))
   }
 
@@ -195,6 +201,135 @@ object CorpusStream {
    * INSIDE the batch, where a bare append would leave a vector surfacing
    * twice in every top-k that probes its cell.
    */
+  /**
+   * x159: EXACTLY-ONCE [[graft.sources.IdempotentAppend]] RECOVERY over
+   * REAL TRANSPORT — the foreachBatch complement of
+   * [[EventStream.fileStreamRecoveryCensus]] (x154 proves checkpoint
+   * recovery for the built-in parquet sink; the five custom foreachBatch
+   * sinks were exactly-once by protocol + chaos tests only — this gate
+   * makes one of them driver-gated). The documents relation is spooled
+   * to real parquet slice files; a file-source stream
+   * (maxFilesPerTrigger=1) runs [[prepIngestBatch]] — redact → quality
+   * filter → split assign → IdempotentAppend — with a checkpoint, and
+   * the run is interrupted twice:
+   *
+   *  - an INJECTED CRASH in the protocol's only unguarded window (after
+   *    the batch's files are installed, before the commit marker) on
+   *    `crashBatch`'s first attempt: the streaming query dies mid-batch
+   *    over real transport, a fresh incarnation resumes from the
+   *    checkpoint, the WAL replays the same offset range, and the replay
+   *    must wipe the installed residue by file-name prefix and converge
+   *    to one copy;
+   *  - a scheduled STOP/RESTART after every `stopAfter` slices (x154's
+   *    shape), so offset-log recovery is proven for this sink too.
+   *
+   * The drained corpus, read back and censused per (split, lang), must
+   * equal the batch pipeline over the whole relation EXACTLY — counts
+   * can only be right if no batch's rows vanished (state recovered) and
+   * none doubled (the crash-replay held exactly-once).
+   *
+   * At 100 TB this IS the production ingest shape: a watched directory,
+   * a checkpointed query surviving crashes anywhere in the sink
+   * protocol, an append-exact curated corpus. The pipeline is stateless
+   * per-row, so slice order is irrelevant to the result — transport
+   * recovery is the entire contract under test.
+   */
+  def prepStreamRecoveryCensus(
+      documents: DataFrame,
+      nFiles: Int = 4,
+      stopAfter: Int = 2,
+      crashBatch: Long = 1L,
+      patterns: Seq[(String, String)] = PrepOps.PiiPatterns,
+      replacement: String = "<PII>",
+      minWords: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nFiles >= 2 && stopAfter >= 1 && stopAfter < nFiles,
+      s"need 1 <= stopAfter < nFiles, got $stopAfter/$nFiles")
+    require(crashBatch >= 0 && crashBatch < nFiles,
+      s"crashBatch must name one of the $nFiles slices, got $crashBatch")
+    val spark = documents.sparkSession
+    val base = java.nio.file.Files.createTempDirectory("graft_x159_")
+    val pending = java.nio.file.Files.createDirectory(base.resolve("pending"))
+    val srcDir = java.nio.file.Files.createDirectory(base.resolve("src"))
+    val outPath = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    try {
+      val evs = documents.select(col("doc_id"), col("lang"), col("text"))
+      // gate-scale fixture prep, same spool as x154: ntile over doc_id
+      // cuts the corpus into nFiles slices (the pipeline is stateless, so
+      // any deterministic slicing yields the same final corpus)
+      val sliced = evs.withColumn("slice",
+        ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+      def spoolOne(df: DataFrame, name: String): Unit = {
+        val stage = base.resolve("stage_" + name)
+        df.coalesce(1).sortWithinPartitions(col("doc_id"))
+          .write.parquet(stage.toString)
+        val listing = java.nio.file.Files.list(stage)
+        val part = try listing.filter(p =>
+          p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+        java.nio.file.Files.move(part, pending.resolve(name + ".parquet"))
+      }
+      val names = (1 to nFiles).map(i => f"f$i%02d")
+      names.zipWithIndex.foreach { case (n, i) =>
+        spoolOne(sliced.filter(col("slice") === i + 1).drop("slice"), n)
+      }
+
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failpoint: Long => Unit = bid =>
+        if (bid == crashBatch && !crashed.getAndSet(true))
+          throw new RuntimeException(
+            s"graft-x159: injected crash after install, before marker (batch $bid)")
+      val sink = prepIngestBatch(outPath, patterns, replacement, minWords,
+        1000, 80, 10, failpoint) _
+
+      val schema = evs.schema
+      def startQuery(): org.apache.spark.sql.streaming.StreamingQuery =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+          .writeStream
+          .foreachBatch(sink)
+          .option("checkpointLocation", ckpt)
+          .start()
+      var q = startQuery()
+      try {
+        names.grouped(stopAfter).zipWithIndex.foreach { case (group, gi) =>
+          if (gi > 0) { q.stop(); q = startQuery() } // scheduled restart
+          group.foreach { name =>
+            java.nio.file.Files.move(pending.resolve(name + ".parquet"),
+              srcDir.resolve(name + ".parquet"))
+            try q.processAllAvailable()
+            catch { case _: org.apache.spark.sql.streaming.StreamingQueryException =>
+              // the injected mid-batch crash killed the incarnation: a
+              // fresh one resumes from the checkpoint and replays the
+              // batch from the WAL'd offset range
+              q = startQuery()
+              q.processAllAvailable()
+            }
+          }
+        }
+      } finally q.stop()
+
+      val result = spark.read.parquet(outPath)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(split(lower(col("text")), " ")).cast("long")).as("tokens"))
+        .orderBy(col("split"), col("lang"))
+      // materialize before the spool/sink/checkpoint tree is deleted
+      val rows = result.collect()
+      require(crashed.get(), "x159: the injected crash never fired — the " +
+        "gate would be proving nothing; check crashBatch against the slicing")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+          case _: java.io.IOException => })
+    }
+  }
+
   def ivfIngestBatch(indexPath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val markerDir = new Path(s"$indexPath/_graft_batches")
