@@ -22,14 +22,7 @@ import org.apache.spark.sql.functions._
 object CurationOps {
 
   /**
-   * Per-stage survivor counts: the curation funnel. Computed as per-doc
-   * stage FLAGS, then a single conditional aggregation — never one scan
-   * per stage (five separate stage counts would re-evaluate the shared
-   * lineage up to 4×). The flagged corpus lineage is evaluated twice in
-   * total — once materializing the survivor shingle view (the semi-join's
-   * keeper side), once for the census aggregation — which is the correct
-   * 100 TB trade: materializing the full flagged corpus to avoid one
-   * extra scan would write corpus-sized state for a fixed 2× read.
+   * Per-stage survivor counts: the curation funnel.
    *
    * The near-dup stage defaults to the LSH path ([[DedupOps.minhashLsh]]):
    * candidate generation is a band-key equi-join instead of the exact
