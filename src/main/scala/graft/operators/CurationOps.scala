@@ -261,17 +261,22 @@ object CurationOps {
       fpp: Double = 0.03,
       cdcM: Int = 8): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
-    // Stage boundaries stay LAZY: the downstream stages do scan their
-    // input more than once (shingle explode + survivor join; chunk
-    // winners + reassembly join), but the re-scans ride the plan-keyed
-    // shingle cache and cheap survivor filters — measured at sf0.1,
-    // materializing the boundaries with localCheckpoint was a net LOSS
-    // (3.9 → 4.8 s: two extra materialization jobs plus storage churn
-    // outweigh the recomputation). Composites that add genuinely
-    // expensive downstream double-scans (x76's packing prefix-sum)
-    // materialize at THEIR boundary instead.
+    // The CURATED boundary is materialized (localCheckpoint): the two
+    // downstream stages scan it twice each (Bloom probe + exact confirm;
+    // chunk winners + reassembly join), and under the round-10 collapsed
+    // funnel each lazy scan would re-run the keeper anti-join +
+    // re-spread. The frame is the deduped-and-sampled survivor set —
+    // distinct-content-sized, the same class of state the collapse
+    // family checkpoints — and at 100 TB this is exactly the "write the
+    // curated corpus between pipeline stages" trade a real run makes.
+    // (Round 9's lazy-boundary measurement — checkpointing was a net
+    // LOSS, 3.9 → 4.8 s — belonged to the old window-lineage design
+    // whose re-scans rode the corpus shingle cache; re-measured on the
+    // collapsed design this round: 4.9 → 3.5 s composite, x76
+    // 8.4 → 6.3 s, a clear WIN.)
     val curated =
       curationCorpus(documents.filter(!isBench), minWords, threshold, keepNibbles)
+        .localCheckpoint()
     val decontaminated =
       decontaminateBloomApply(curated, documents.filter(isBench), minShared, fpp)
     TextOps.cdcDedupApply(decontaminated, cdcM)
