@@ -257,9 +257,11 @@ object CorpusStream {
       val evs = documents.select(col("doc_id"), col("lang"), col("text"))
       // gate-scale fixture prep, same spool as x154: ntile over doc_id
       // cuts the corpus into nFiles slices (the pipeline is stateless, so
-      // any deterministic slicing yields the same final corpus)
+      // any deterministic slicing yields the same final corpus).
+      // Materialized once so the per-slice spools don't re-run the sort.
       val sliced = evs.withColumn("slice",
         ntile(nFiles).over(Window.orderBy(col("doc_id"))))
+        .localCheckpoint()
       def spoolOne(df: DataFrame, name: String): Unit = {
         val stage = base.resolve("stage_" + name)
         df.coalesce(1).sortWithinPartitions(col("doc_id"))

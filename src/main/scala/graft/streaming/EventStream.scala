@@ -238,9 +238,14 @@ object EventStream {
         col("ts").cast("timestamp").as("ts"), col("event_type"), col("event_id"))
       // gate-scale fixture prep: a global ntile over (ts, event_id) cuts
       // the log into time-contiguous slices — exactly how a dated ingest
-      // directory delivers a day after the previous day
+      // directory delivers a day after the previous day. Materialized
+      // once so the nFiles+1 spools don't each re-run the global sort
+      // (A/B-measured a modest ~0.1–0.3 s at sf0.1 — the gate's cost is
+      // the three streaming incarnations + checkpoint IO, not the
+      // spool — but fixture prep should still not repeat work).
       val sliced = evs.withColumn("slice",
         ntile(nFiles).over(Window.orderBy(col("ts"), col("event_id"))))
+        .localCheckpoint()
       def spoolOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
         val stage = base.resolve("stage_" + name)
         df.coalesce(1).sortWithinPartitions(col("ts"), col("event_id"))
