@@ -153,6 +153,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("negative weight"), e2.getMessage)
   }
 
+  test("collapsed keeper semantics: null text, no-quality groups, non-min keepers") {
+    // Edge cases the driver fixture never exercises, aimed at the round-10
+    // min_by(struct, when(q, doc_id)) keeper selection:
+    //  - a normalized-dup group whose MINIMUM doc_id fails quality but a
+    //    later member passes (trailing space adds a 5th split token at
+    //    minWords = 5; trim-normalization maps both to one norm) — the
+    //    keeper must be the min QUALITY survivor, not the group min;
+    //  - a null-text doc (counts into n_input only; must never group with
+    //    anything or produce a keeper);
+    //  - an empty-text group and a two-member group with NO quality
+    //    survivor (grp_q = 0 → null keeper → absent from n_exact);
+    //  - one real near-dup pair among the keepers (J = 3/4 ≥ 0.5) so the
+    //    loser stage is live.
+    import spark.implicits._
+    val rows = Seq[(Long, Option[String], String, String)](
+      (3L, Some("a b c d"), "en", "s"),      // 4 tokens: fails q; group min
+      (7L, Some("a b c d "), "en", "s"),     // 5 split tokens: passes; KEEPER
+      (20L, None, "en", "s"),                // null text
+      (21L, Some(""), "en", "s"),            // empty: fails q
+      (30L, Some("x y"), "en", "s"), (31L, Some("x y"), "en", "s"), // no survivor
+      (40L, Some("alpha bravo charlie delta echo"), "en", "s"),
+      (41L, Some("alpha bravo charlie delta echo foxtrot"), "en", "s"))
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val census = CurationOps
+      .curationFunnel(d, minWords = 5, threshold = 0.5, keepNibbles = 16)
+      .collect().head.toSeq
+    // n_input 8; quality pass {7, 40, 41}; keepers {7, 40, 41};
+    // near-dup pair (40, 41) drops 41; nibble gate 16 keeps everything
+    assert(census == Seq(8L, 3L, 3L, 2L, 2L), census.mkString(","))
+    // the exact-join detector agrees on the same edges
+    val exact = CurationOps
+      .curationFunnel(d, minWords = 5, threshold = 0.5, keepNibbles = 16,
+        useLsh = false)
+      .collect().head.toSeq
+    assert(exact == census, s"exact $exact != lsh $census")
+    // and the cleaned corpus is exactly the census's survivor set
+    val corpus = CurationOps
+      .curationCorpus(d, minWords = 5, threshold = 0.5, keepNibbles = 16)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(corpus == Seq(7L, 40L), corpus.mkString(","))
+  }
+
   test("curationCorpus: the survivors ARE what the funnel census counts") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")

@@ -105,7 +105,10 @@ class PlanQualitySpec extends SparkSpec {
         // the collapsed family: the collapse groupBy+join, the label
         // extension joins, and the survivor windows must all stay keyed
         "x156_components_collapsed", "x157_dedup_best_collapsed",
-        "x158_dedup_corpus_collapsed")
+        "x158_dedup_corpus_collapsed",
+        // the round-10 collapsed funnel: keeper selection is a groupBy
+        // min_by, never a corpus window; composites stay keyed throughout
+        "x42_curation_corpus", "x69_production_corpus")
       .foreach { q =>
         val df = SparkEntry.queries(q)(spark, d)
         df.collect() // finalize the adaptive plan before inspecting
@@ -115,6 +118,24 @@ class PlanQualitySpec extends SparkSpec {
         windows(p).foreach(w => assert(w.partitionSpec.nonEmpty,
           s"$q has a single-partition WindowExec:\n$w"))
       }
+  }
+
+  test("collapsed funnel: no window anywhere; cleaned corpus stays re-spread under AQE") {
+    import graft.operators.CurationOps
+    // (a) the round-10 collapse removed the norm-partitioned window from
+    // the funnel family entirely — keeper selection is a map-side-combined
+    // groupBy min_by; a refactor that reintroduces ANY window here fails
+    val df = SparkEntry.queries("x42_curation_corpus")(spark, d)
+    df.collect()
+    assert(windows(df.queryExecution.executedPlan).isEmpty,
+      s"collapsed funnel must contain no WindowExec:\n${df.queryExecution.executedPlan.toString.take(2000)}")
+    // (b) the cleaned corpus is re-spread with a PINNED partition count so
+    // AQE's coalesce of the small collapsed relation cannot serialize the
+    // per-row-heavy downstream stages (CDC chunking, BPE tokenization)
+    val corpus = CurationOps.curationCorpus(
+      Tables.read(spark, d, "documents"), 30, 0.8, 13)
+    assert(corpus.rdd.getNumPartitions > 1,
+      s"cleaned corpus collapsed to ${corpus.rdd.getNumPartitions} partition(s)")
   }
 
   test("semantic decontamination streams the corpus once against a broadcast eval side") {
