@@ -110,10 +110,21 @@ object CorpusStream {
     val markerDir = new Path(s"$outPath/_graft_batches")
     val fs = markerDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (IdempotentAppend.committed(fs, markerDir, batchId, Seq(outPath))) return
+    // Re-spread a narrow micro-batch before the per-row-heavy prep
+    // stages: a file-source trigger of one big file arrives as ONE
+    // partition, which would run the whole regex/quality pass on a
+    // single core (measured: a 625k-doc slice took ~9 min single-
+    // partition at the 500× probe vs seconds spread). Row set and
+    // output are unchanged — the sink's exactly-once contract is
+    // per-batch, not per-file-layout.
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val spread =
+      if (batch.rdd.getNumPartitions < nPart / 2) batch.repartition(nPart)
+      else batch
     IdempotentAppend.append(
       PrepOps.splitAssign(
         PrepOps.qualityFilter(
-          PrepOps.redact(batch, patterns, replacement), minWords, maxWords),
+          PrepOps.redact(spread, patterns, replacement), minWords, maxWords),
         trainPct, valPct),
       outPath, batchId, Seq("split"))
     // chaos hook, invoked INSIDE the protocol's only unguarded window —
