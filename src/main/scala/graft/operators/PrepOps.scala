@@ -40,6 +40,28 @@ object PrepOps {
   /** Whitespace tokens of the lowercased text (the corpus-wide definition). */
   private def ws: Column = TextOps.words(col("text"))
 
+  /** Max multiplicity of any token in `w` — the `dom` rule's numerator.
+    * Sorted run-length scan: equal tokens are adjacent under any total
+    * order, so the longest run IS the max count. O(n log n) per document,
+    * replacing the O(u·n) `array_distinct × filter` formulation whose
+    * per-distinct-token array materializations dominated the quality
+    * family's per-row cost (measured at the 500× ingest probe). Value- and
+    * null-identical to the old expression: null array → null; the empty
+    * array is unreachable (`split("", " ")` yields `[""]`), and the `""`
+    * init sentinel is still safe there — run starts at 0, so a leading `""`
+    * token counts as 1 like any other. */
+  private def maxWordMultiplicity(w: Column): Column =
+    aggregate(
+      array_sort(w),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   // ---------------------------------------------------------------- redact
 
   /**
@@ -127,8 +149,7 @@ object PrepOps {
     val n = size(ws)
     val u = size(array_distinct(ws))
     val c = length(col("text"))
-    val dom = array_max(transform(array_distinct(ws),
-      x => size(filter(ws, y => y === x))))
+    val dom = maxWordMultiplicity(ws)
     df.withColumn("p_wc", n >= minWords && n <= maxWords)
       .withColumn("p_wlen", lit(3) * n <= c - n + 1 && c - n + 1 <= lit(12) * n)
       .withColumn("p_ttr", lit(5) * u >= n)
@@ -498,8 +519,7 @@ object PrepOps {
     val n = size(w)
     val u = size(array_distinct(w))
     val c = length(col("text"))
-    val dm = array_max(transform(array_distinct(w),
-      x => size(filter(w, y => y === x))))
+    val dm = maxWordMultiplicity(w)
     val flagged = documents
       .withColumn("p_wc", n >= minWords)
       .withColumn("p_wlen", lit(3) * n <= c - n + 1 && c - n + 1 <= lit(5) * n)
