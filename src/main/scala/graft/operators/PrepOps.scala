@@ -50,7 +50,7 @@ object PrepOps {
     * array is unreachable (`split("", " ")` yields `[""]`), and the `""`
     * init sentinel is still safe there — run starts at 0, so a leading `""`
     * token counts as 1 like any other. */
-  private def maxWordMultiplicity(w: Column): Column =
+  private[graft] def maxWordMultiplicity(w: Column): Column =
     aggregate(
       array_sort(w),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),

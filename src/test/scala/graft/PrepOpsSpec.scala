@@ -320,4 +320,34 @@ class PrepOpsSpec extends SparkSpec {
     // the invariant the operator exists for: first-kills + kept == docs
     assert(got(1) + got(2) + got(3) + got(4) + got(9) == got(0))
   }
+
+  test("maxWordMultiplicity: sorted run-length scan matches a groupBy-count oracle") {
+    // Pins the r10 rewrite (O(u·n) array_distinct×filter → sorted run
+    // scan): random token arrays with heavy repetition, plus the edges the
+    // scan's "" init sentinel and run-reset logic must survive — a leading
+    // "" token (split("", " ") lower-bounds at [""]), all-same, all-distinct,
+    // and single-token arrays.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Vector("", "a", "b", "spam", "xyzzy", "w1", "w2", "w3")
+    val cases: Seq[Seq[String]] =
+      Seq(Seq(""), Seq("a"), Seq.fill(40)("spam"), vocab.drop(1)) ++
+        (1 to 30).map { _ =>
+          Seq.fill(1 + rnd.nextInt(60))(vocab(rnd.nextInt(vocab.size)))
+        }
+    val df = cases.zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks) }
+      .toDF("id", "w")
+      .withColumn("got", PrepOps.maxWordMultiplicity(col("w")))
+    val got = df.select("id", "got").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case (toks, i) =>
+      val want = toks.groupBy(identity).values.map(_.size).max
+      assert(got(i.toLong) == want, s"case $i: ${toks.take(8).mkString(",")}…")
+    }
+    // null array propagates as null (the quality rules rely on this)
+    val n = Seq((0L, null: Seq[String])).toDF("id", "w")
+      .select(PrepOps.maxWordMultiplicity(col("w")).as("g")).collect()(0)
+    assert(n.isNullAt(0))
+  }
 }
