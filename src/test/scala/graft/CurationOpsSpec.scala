@@ -237,6 +237,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(corpus.max.toLong == maxOverlap, s"$lang max overlap")
   }
 
+  test("sourceOverlapMatrix by hand; a 3-source shingle expands to all three pairs") {
+    // s1: {a b c, b c d, c d e, d e g}  n=4
+    // s2: {a b c, b c d, c d e}         n=3
+    // s3: {x y z, c d e, d e f}         n=3
+    // "c d e" lives in ALL THREE sources — the set-expansion must emit all
+    // three ordered pairs from the one per-shingle row.
+    val d = docsOf(
+      (1L, "a b c d", "en", "s1"), (5L, "c d e g", "en", "s1"),
+      (2L, "a b c d e", "en", "s2"),
+      (3L, "x y z", "en", "s3"), (4L, "c d e f", "en", "s3"))
+    val r = CurationOps.sourceOverlapMatrix(d).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq(
+      ("s1", "s2", 3L, 4L, 3L),
+      ("s1", "s3", 1L, 4L, 3L),
+      ("s2", "s3", 1L, 3L, 3L)), r.mkString(","))
+  }
+
   test("decontaminateFrac: the SAME absolute quote flags a tweet but not a book") {
     // benchmark doc 0 contributes the quote's shingles; doc 1 is a short
     // doc that is mostly quote (high fraction), doc 2 buries the identical
