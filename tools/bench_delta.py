@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Per-query decomposition of a bench-record delta against the committed prior.
+
+Round 9 lost a day adjudicating a host reboot (~25% IO/state drift) and round
+10 documented an intra-boot floor drift (~8%, uptime-correlated, uniform over
+untouched queries). The lesson both times: a total-steady delta is
+uninterpretable without (a) the boot fingerprint, (b) a floor-drift estimate,
+and (c) per-query ratios NORMALIZED by that estimate so code regressions stand
+out from environment.
+
+This tool institutionalizes that analysis:
+
+  python3 tools/bench_delta.py                 # committed BENCH_line.json vs working copy
+  python3 tools/bench_delta.py PRIOR CURRENT   # any two record files
+  python3 tools/bench_delta.py --threshold 1.3 --min-steady 0.15
+
+Method:
+  * floor estimate = median(current/prior steady) over common queries whose
+    prior steady >= --min-steady (tiny queries sit on the ~100-300 ms Spark
+    job-launch floor and measure launch noise, not the engine);
+  * normalized ratio = raw ratio / floor estimate;
+  * a query is flagged when its normalized ratio leaves
+    [1/threshold, threshold] — both regressions and improvements, because an
+    unexplained improvement is a measurement question too.
+
+Exit code is 0 always: this is an adjudication aid, not a gate — the gates
+are Verify/check.py (correctness) and the outlier guard inside graft.Bench.
+"""
+import argparse
+import json
+import statistics
+import subprocess
+import sys
+
+REPO = "/root/repo"
+CANONICAL = "docs/BENCH_line.json"
+
+
+def load(path_or_spec):
+    """Read a record from a file path, or from git when given 'git:<rev>'."""
+    if path_or_spec.startswith("git:"):
+        rev = path_or_spec[4:]
+        out = subprocess.run(
+            ["git", "-C", REPO, "show", f"{rev}:{CANONICAL}"],
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out), f"{CANONICAL}@{rev}"
+    with open(path_or_spec) as f:
+        return json.load(f), path_or_spec
+
+
+def committed_prior():
+    """The last committed canonical record (HEAD's BENCH_line.json)."""
+    return load("git:HEAD")
+
+
+def fmt_ratio(r):
+    return f"{r:6.2f}x"
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("prior", nargs="?", default=None,
+                    help="prior record file, or git:<rev> (default git:HEAD)")
+    ap.add_argument("current", nargs="?", default=f"{REPO}/{CANONICAL}",
+                    help="current record file (default working BENCH_line.json)")
+    ap.add_argument("--threshold", type=float, default=1.3,
+                    help="flag normalized ratios outside [1/t, t] (default 1.3)")
+    ap.add_argument("--min-steady", type=float, default=0.15,
+                    help="exclude queries whose prior steady is under the "
+                         "launch floor from the floor estimate AND the flag "
+                         "table (default 0.15 s)")
+    args = ap.parse_args()
+
+    prior, prior_name = load(args.prior) if args.prior else committed_prior()
+    cur, cur_name = load(args.current)
+
+    pq, cq = prior.get("queries", {}), cur.get("queries", {})
+    common = sorted(set(pq) & set(cq))
+    added = sorted(set(cq) - set(pq))
+    removed = sorted(set(pq) - set(cq))
+
+    print(f"prior:   {prior_name}  total_steady={prior.get('value', 0):.1f}s  "
+          f"n={len(pq)}  boot={prior.get('boot_id', '?')[:8]}  "
+          f"uptime={prior.get('uptime_s', '?')}s")
+    print(f"current: {cur_name}  total_steady={cur.get('value', 0):.1f}s  "
+          f"n={len(cq)}  boot={cur.get('boot_id', '?')[:8]}  "
+          f"uptime={cur.get('uptime_s', '?')}s")
+
+    if prior.get("sf") != cur.get("sf"):
+        print(f"!! scale factors differ ({prior.get('sf')} vs {cur.get('sf')})"
+              " — steadies are not comparable; stopping.")
+        return
+
+    cross_boot = prior.get("boot_id") != cur.get("boot_id")
+    print("boot:    " + ("CROSS-BOOT — absolute steadies are not "
+                         "regression-comparable; trust normalized ratios and "
+                         "scale-probe ratios only" if cross_boot
+                         else "same boot"))
+
+    ratios = {q: cq[q] / pq[q] for q in common if pq[q] > 0}
+    floor_pool = [r for q, r in ratios.items() if pq[q] >= args.min_steady]
+    floor = statistics.median(floor_pool) if floor_pool else 1.0
+    print(f"floor:   median steady ratio over {len(floor_pool)} queries "
+          f"(prior steady >= {args.min_steady}s) = {floor:.3f} "
+          f"({'+' if floor >= 1 else ''}{(floor - 1) * 100:.1f}% uniform drift)")
+
+    flagged = []
+    for q in common:
+        if pq[q] < args.min_steady:
+            continue
+        norm = ratios[q] / floor
+        if norm > args.threshold or norm < 1 / args.threshold:
+            flagged.append((q, pq[q], cq[q], ratios[q], norm))
+    flagged.sort(key=lambda t: -abs(t[2] - t[1]))
+
+    if flagged:
+        print(f"\nflagged (normalized ratio outside "
+              f"[{1/args.threshold:.2f}, {args.threshold:.2f}]):")
+        print(f"  {'query':<34} {'prior':>8} {'current':>8} {'raw':>8} {'norm':>8}")
+        for q, p, c, raw, norm in flagged:
+            print(f"  {q:<34} {p:8.2f} {c:8.2f} {fmt_ratio(raw):>8} "
+                  f"{fmt_ratio(norm):>8}")
+    else:
+        print("\nno query leaves the normalized-ratio band: the delta is "
+              "uniform floor drift plus sub-floor noise.")
+
+    if added:
+        total_added = sum(cq[q] for q in added)
+        print(f"\nadded ({len(added)} queries, {total_added:.1f}s steady): "
+              + ", ".join(f"{q}={cq[q]:.2f}s" for q in added))
+    if removed:
+        print(f"removed ({len(removed)}): " + ", ".join(removed))
+
+    pt, ct = sum(pq[q] for q in common), sum(cq[q] for q in common)
+    print(f"\ncommon-query totals: {pt:.1f}s -> {ct:.1f}s "
+          f"({fmt_ratio(ct / pt if pt else 1)}); of the headline delta "
+          f"{cur.get('value', 0) - prior.get('value', 0):+.1f}s, "
+          f"{ct - pt:+.1f}s is common queries and "
+          f"{sum(cq[q] for q in added):+.1f}s is added queries.")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
