@@ -13,6 +13,10 @@ This tool institutionalizes that analysis:
   python3 tools/bench_delta.py                 # committed BENCH_line.json vs working copy
   python3 tools/bench_delta.py PRIOR CURRENT   # any two record files
   python3 tools/bench_delta.py --threshold 1.3 --min-steady 0.15
+  python3 tools/bench_delta.py --probe docs/BENCH_sfx10d_full_r10.json
+      # scale-probe analysis: ratios of a DIFFERENT-sf record against the
+      # canonical one (median ratio + the sorted tail), the per-round
+      # "would this survive a 10x/100x scale-up" table
 
 Method:
   * floor estimate = median(current/prior steady) over common queries whose
@@ -37,15 +41,23 @@ CANONICAL = "docs/BENCH_line.json"
 
 
 def load(path_or_spec):
-    """Read a record from a file path, or from git when given 'git:<rev>'."""
+    """Read a record from a file path, or from git when given 'git:<rev>'.
+
+    Normalizes both record shapes to {query: steady_seconds}: the canonical
+    line stores plain floats, while detail/probe records store
+    {cold, steady, reps} dicts per query."""
     if path_or_spec.startswith("git:"):
         rev = path_or_spec[4:]
         out = subprocess.run(
             ["git", "-C", REPO, "show", f"{rev}:{CANONICAL}"],
             capture_output=True, text=True, check=True).stdout
-        return json.loads(out), f"{CANONICAL}@{rev}"
-    with open(path_or_spec) as f:
-        return json.load(f), path_or_spec
+        rec, name = json.loads(out), f"{CANONICAL}@{rev}"
+    else:
+        with open(path_or_spec) as f:
+            rec, name = json.load(f), path_or_spec
+    rec["queries"] = {q: (v["steady"] if isinstance(v, dict) else v)
+                      for q, v in rec.get("queries", {}).items()}
+    return rec, name
 
 
 def committed_prior():
@@ -55,6 +67,37 @@ def committed_prior():
 
 def fmt_ratio(r):
     return f"{r:6.2f}x"
+
+
+def probe_report(base, base_name, probe, probe_name, min_steady, tail_n=25):
+    """Scale-probe mode: per-query probe/base steady ratios across DIFFERENT
+    scale factors. The headline is the median ratio over queries off the
+    launch floor (a probe at Nx data with median well under N is the scale
+    story); the tail table names the queries that grow fastest so each can
+    be attributed to output contract vs compute."""
+    bq, pq = base.get("queries", {}), probe.get("queries", {})
+    common = sorted(set(bq) & set(pq))
+    print(f"base:  {base_name}  sf={base.get('sf')}  n={len(bq)}")
+    print(f"probe: {probe_name}  sf={probe.get('sf')}  n={len(pq)}  "
+          f"(boot {'matches' if base.get('boot_id') == probe.get('boot_id') else 'DIFFERS — ratios still usable, absolutes not'})")
+    ratios = {q: pq[q] / bq[q] for q in common
+              if bq[q] >= min_steady and bq[q] > 0}
+    skipped = len(common) - len(ratios)
+    if not ratios:
+        print("no common queries off the launch floor; nothing to report")
+        return
+    med = statistics.median(ratios.values())
+    print(f"median probe/base steady ratio over {len(ratios)} queries "
+          f"(base steady >= {min_steady}s; {skipped} floor-bound skipped): "
+          f"{med:.2f}x")
+    tail = sorted(ratios.items(), key=lambda kv: -kv[1])[:tail_n]
+    print(f"\ntop {len(tail)} ratios:")
+    print(f"  {'query':<34} {'base':>8} {'probe':>8} {'ratio':>8}")
+    for q, r in tail:
+        print(f"  {q:<34} {bq[q]:8.2f} {pq[q]:8.2f} {fmt_ratio(r):>8}")
+    missing = sorted(set(bq) - set(pq))
+    if missing:
+        print(f"\nnot in probe ({len(missing)}): " + ", ".join(missing))
 
 
 def main():
@@ -69,9 +112,18 @@ def main():
                     help="exclude queries whose prior steady is under the "
                          "launch floor from the floor estimate AND the flag "
                          "table (default 0.15 s)")
+    ap.add_argument("--probe", metavar="RECORD",
+                    help="scale-probe mode: report probe/base steady ratios "
+                         "of RECORD (any sf) against the prior record "
+                         "(default committed canonical); min-steady applies "
+                         "to the base side")
     args = ap.parse_args()
 
     prior, prior_name = load(args.prior) if args.prior else committed_prior()
+    if args.probe:
+        probe, probe_name = load(args.probe)
+        probe_report(prior, prior_name, probe, probe_name, args.min_steady)
+        return
     cur, cur_name = load(args.current)
 
     pq, cq = prior.get("queries", {}), cur.get("queries", {})
