@@ -58,6 +58,78 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  /**
+   * Per-query executor-resource tally (round 10): a listener accumulating
+   * task-level shuffle read/write, spill, and scan-input bytes, snapshotted
+   * around each query's rep block in the suite pass. Timing is untouched —
+   * the only synchronization (waiting for the async listener bus to drain)
+   * happens AFTER the last rep's clock stops — so steadies stay
+   * protocol-identical to every prior record; the counters land in the
+   * detail file only.
+   *
+   * Why: the scale story argues from steady-time ratios across the replica
+   * and distinct fixtures, but time conflates compute with data movement.
+   * Shuffle bytes are the direct 100 TB signal — an operator whose shuffle
+   * grows superlinearly in input is a future bottleneck even while its
+   * local[32] time looks flat — and per-task peak execution memory is the
+   * "does a partition still fit an executor" gauge. Counters cover the
+   * whole rep block (cold + steady, reps is constant per record), so
+   * cross-fixture ratios compare like with like. `input_mb` is
+   * best-effort only: it is fed from Hadoop FileSystem statistics, which
+   * under-count the vectorized parquet reader's positioned reads on the
+   * local filesystem (cached-block re-reads DO count) — trust the shuffle
+   * and spill columns, read input as a floor.
+   *
+   * The bus has no public drain hook, so `settle` polls the event counter
+   * until it is stable across two 25 ms reads (bounded at 2 s) — worst
+   * case ~5 s of non-timed wall across the suite.
+   */
+  private[graft] final class ResourceTally extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val events = new AtomicLong
+    private val shuffleRead = new AtomicLong
+    private val shuffleWrite = new AtomicLong
+    private val spillDisk = new AtomicLong
+    private val spillMem = new AtomicLong
+    private val input = new AtomicLong
+    private val peakTaskMem = new AtomicLong
+
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        peakTaskMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      }
+      events.incrementAndGet()
+    }
+
+    def snapshot(): Seq[Long] =
+      Seq(shuffleRead.get, shuffleWrite.get, spillDisk.get, spillMem.get, input.get)
+    def resetPeak(): Unit = peakTaskMem.set(0L)
+    def peak(): Long = peakTaskMem.get
+
+    /** Block until the listener bus is quiet (event count stable across two
+      * polls), bounded — called only outside timed sections. */
+    def settle(maxMs: Long = 2000L): Unit = {
+      val deadline = System.nanoTime + maxMs * 1000000L
+      var last = -1L
+      var stable = 0
+      while (stable < 2 && System.nanoTime < deadline) {
+        val e = events.get
+        if (e == last) stable += 1 else { stable = 0; last = e }
+        Thread.sleep(25)
+      }
+    }
+  }
+
+  private val ResourceKeys = Seq(
+    "shuffle_read_mb", "shuffle_write_mb", "spill_disk_mb", "spill_mem_mb",
+    "input_mb")
+
   /** The streaming gates: run LAST so their state-store churn
     * can't tax batch neighbors (round-8 drift cluster x69/x71–x75). */
   private val StreamTail = Set(
@@ -199,6 +271,19 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
+    // MATERIALIZATION (round-10 integrity fix): a noop-sink WRITE, not
+    // .count(). Counting re-optimizes the plan with only the row count as
+    // the required output, and ColumnPruning then deletes every expression
+    // that cannot change cardinality: a global aggregate's agg list empties
+    // (e1's countDistinct(md5(...)) became `Aggregate <empty>` over a
+    // zero-column scan — 3.4 KB of parquet footers read from a 10 MB
+    // table, 46 shuffle bytes), final computed projections vanish, and
+    // EliminateSorts drops result ordering. Every record before this fix
+    // under-measured exactly the queries whose cost lives in those pruned
+    // expressions. The noop write executes the plan with ALL output
+    // columns required — full scan, full aggregation, full projection —
+    // while discarding rows at the sink, so nothing is collected to the
+    // driver (pair-census outputs at probe scale would OOM a collect()).
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
       (1 to reps).map { i =>
         val t0 = System.nanoTime()
@@ -208,7 +293,10 @@ object Bench {
         // A failed rep records the -1 sentinel — its time-to-throw must not
         // leak into the cold/steady aggregates either — and the error goes
         // to stderr.
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           System.err.println(s"bench: $name rep $i FAILED: $e")
           -1.0
@@ -217,11 +305,28 @@ object Bench {
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
+
+    // Executor-resource counters per query (suite pass only; the guard's
+    // isolated re-runs never overwrite them). Snapshots happen strictly
+    // outside the timed reps, so the measurement protocol is unchanged.
+    val tally = new ResourceTally
+    spark.sparkContext.addSparkListener(tally)
+    val resources = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    def measureTallied(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
+      tally.settle()
+      val before = tally.snapshot()
+      tally.resetPeak()
+      val times = measure(name, fn)
+      tally.settle()
+      resources(name) = tally.snapshot().zip(before).map { case (a, b) => a - b } :+ tally.peak()
+      times
+    }
+
     // Batch first, stream gates last (sorted within each block).
     val (streamQs, batchQs) = selected.partition(q => StreamTail.contains(q._1))
-    val firstPass = batchQs.map { case (name, fn) => (name, measure(name, fn)) } ++ {
+    val firstPass = batchQs.map { case (name, fn) => (name, measureTallied(name, fn)) } ++ {
       if (streamQs.nonEmpty) { System.gc(); Thread.sleep(200) }
-      streamQs.map { case (name, fn) => (name, measure(name, fn)) }
+      streamQs.map { case (name, fn) => (name, measureTallied(name, fn)) }
     }
 
     def cold(t: Seq[Double]) = t.head
@@ -282,7 +387,8 @@ object Bench {
       s"tail; queries whose steady exceeded ${guardFactor}x the prior " +
       "committed record were re-measured in isolation (better steady kept; " +
       "first_steady + isolated_reps recorded per query); cold always from " +
-      "the suite pass; full per-rep series in the detail file"
+      "the suite pass; full per-rep series in the detail file; resources " +
+      "(MB) cover the whole suite-pass rep block per query"
     // Full audit record as a repo file: the stdout line was truncated in
     // the round-3/4 driver records, so the complete cold+steady+per-rep
     // series must be readable without re-running the bench.
@@ -299,7 +405,17 @@ object Bench {
           s""", "isolated_reps": [${s.mkString(", ")}]""" +
             (if (sub) s""", "first_steady": ${steady(suite)}""" else "")
         }.getOrElse("")
-        s"""    "$n": {"cold": ${cold(suite)}, "steady": ${chosenSteady((n, suite, iso, sub))}$extra, "reps": [${suite.mkString(", ")}]}"""
+        // Resource counters (MB, whole rep block, suite pass): shuffle
+        // read/write, disk/mem spill, scan input, then the max per-task
+        // peak execution memory — the cross-fixture scale signals.
+        val res = resources.get(n).map { r =>
+          val mbs = (ResourceKeys.zip(r).map { case (k, v) =>
+            s""""$k": ${math.round(v / 1e5) / 10.0}"""
+          } :+ s""""peak_task_mem_mb": ${math.round(r.last / 1e5) / 10.0}""")
+            .mkString(", ")
+          s""", "resources": {$mbs}"""
+        }.getOrElse("")
+        s"""    "$n": {"cold": ${cold(suite)}, "steady": ${chosenSteady((n, suite, iso, sub))}$extra, "reps": [${suite.mkString(", ")}]$res}"""
       }.mkString(",\n"))
       .append("\n  }\n}\n").toString
     // A name-filtered run measures a PARTIAL suite: never let it clobber

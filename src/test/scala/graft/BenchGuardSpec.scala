@@ -57,4 +57,27 @@ class BenchGuardSpec extends AnyFunSuite {
       "not json at all".getBytes("UTF-8"))
     assert(Bench.priorSteady(dir, sf).isEmpty)
   }
+
+  test("ResourceTally counts a shuffle and settles outside the timed path") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val tally = new Bench.ResourceTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      tally.settle()
+      val before = tally.snapshot()
+      tally.resetPeak()
+      // A groupBy over enough distinct keys to force a real exchange write.
+      val n = (1L to 20000L).toDF("k")
+        .groupBy(org.apache.spark.sql.functions.col("k") % 997).count().count()
+      assert(n == 997)
+      tally.settle()
+      val delta = tally.snapshot().zip(before).map { case (a, b) => a - b }
+      // snapshot order: shuffleRead, shuffleWrite, spillDisk, spillMem, input
+      assert(delta(0) > 0, s"expected shuffle read bytes, got $delta")
+      assert(delta(1) > 0, s"expected shuffle write bytes, got $delta")
+      assert(delta.forall(_ >= 0), s"counters must be monotone: $delta")
+      assert(tally.peak() > 0, "aggregation must report per-task peak memory")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
 }

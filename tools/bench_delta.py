@@ -55,8 +55,11 @@ def load(path_or_spec):
     else:
         with open(path_or_spec) as f:
             rec, name = json.load(f), path_or_spec
+    raw = rec.get("queries", {})
     rec["queries"] = {q: (v["steady"] if isinstance(v, dict) else v)
-                      for q, v in rec.get("queries", {}).items()}
+                      for q, v in raw.items()}
+    rec["resources"] = {q: v["resources"] for q, v in raw.items()
+                        if isinstance(v, dict) and "resources" in v}
     return rec, name
 
 
@@ -90,11 +93,34 @@ def probe_report(base, base_name, probe, probe_name, min_steady, tail_n=25):
     print(f"median probe/base steady ratio over {len(ratios)} queries "
           f"(base steady >= {min_steady}s; {skipped} floor-bound skipped): "
           f"{med:.2f}x")
+
+    # Shuffle growth: the direct scale signal when both records carry the
+    # per-query resource counters (detail records from round 10 on). Time
+    # conflates compute with data movement; shuffle bytes don't.
+    br, pr = base.get("resources", {}), probe.get("resources", {})
+
+    def shuf_ratio(q):
+        b = br.get(q, {}).get("shuffle_read_mb", 0)
+        p = pr.get(q, {}).get("shuffle_read_mb", 0)
+        return f"{p / b:6.2f}x" if b >= 1 and p >= 0 else "     —"
+
+    have_res = bool(br) and bool(pr)
     tail = sorted(ratios.items(), key=lambda kv: -kv[1])[:tail_n]
-    print(f"\ntop {len(tail)} ratios:")
-    print(f"  {'query':<34} {'base':>8} {'probe':>8} {'ratio':>8}")
+    print(f"\ntop {len(tail)} steady ratios:")
+    hdr = f"  {'query':<34} {'base':>8} {'probe':>8} {'ratio':>8}"
+    print(hdr + (f" {'shufR':>8}" if have_res else ""))
     for q, r in tail:
-        print(f"  {q:<34} {bq[q]:8.2f} {pq[q]:8.2f} {fmt_ratio(r):>8}")
+        row = f"  {q:<34} {bq[q]:8.2f} {pq[q]:8.2f} {fmt_ratio(r):>8}"
+        print(row + (f" {shuf_ratio(q):>8}" if have_res else ""))
+
+    if have_res:
+        spills = sorted((q, v.get("spill_disk_mb", 0)) for q, v in pr.items()
+                        if v.get("spill_disk_mb", 0) > 0)
+        if spills:
+            print(f"\ndisk spill at probe scale ({len(spills)}): "
+                  + ", ".join(f"{q}={s:.0f}MB" for q, s in spills))
+        else:
+            print("\nno disk spill at probe scale")
     missing = sorted(set(bq) - set(pq))
     if missing:
         print(f"\nnot in probe ({len(missing)}): " + ", ".join(missing))
