@@ -198,15 +198,19 @@ object SimilarityOps {
       threshold: Double,
       cents: DataFrame): DataFrame = {
     if (cents.isEmpty) return embeddingNearDupBrute(embeddings, threshold)
+    // One quantizer per call: the centroid count decides flat vs two-level
+    // for BOTH the assignment and the pair table (they must agree on the
+    // cell layout the radii describe).
+    val q = quantizerOf(cents)
     // Materialize the assignment once (it feeds three consumers: the
     // per-cell radii and both join sides); blocks are freed by the
     // ContextCleaner when the result plan is dropped. At 100 TB you'd
     // persist this with buildIvfIndex instead and read it back
     // partition-pruned.
-    val assigned = assignToCentroidsWithSim(embeddings, cents)
+    val assigned = assignToCentroidsWithSim(embeddings, q)
       .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
       .localCheckpoint()
-    val cellPairs = cellPairTable(assigned, cents, threshold)
+    val cellPairs = cellPairTable(assigned, q, threshold)
     val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("cid").as("cid_a"))
     val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
@@ -229,20 +233,59 @@ object SimilarityOps {
     * [[semanticDedupPairs]] generator so the two can never diverge on which
     * cell pairs are candidates. */
   private def cellPairTable(assigned: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame =
+    cellPairTable(assigned, quantizerOf(cents), threshold)
+
+  /** Quantizer-aware pair table. Flat: the k² centroid cross join. Two-level:
+    * super pairs first — super radius β_s = max over member cells of
+    * (angle(s, c) + α_c), so for any qualifying pair (u ∈ cell A ∈ S_a,
+    * v ∈ cell B ∈ S_b): angle(S_a,S_b) ≤ β_a + θ_t + β_b by two more
+    * triangle hops — then only centroid pairs inside qualifying super pairs
+    * face the cell-level bound. Exactness is inherited: the final cell
+    * filter is the SAME bound the flat form applies; the super level can
+    * only discard pairs the cell bound would also discard. */
+  private def cellPairTable(assigned: DataFrame, q: Quantizer,
       threshold: Double): DataFrame = {
     def clamp(c: Column): Column = greatest(lit(-1.0), least(lit(1.0), c.cast("double")))
     val slack = 1e-3
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     val radii = assigned.groupBy(col("cid"))
       .agg(acos(clamp(min(col("csim")))).as("alpha"))
-    val ca = cents.join(radii, Seq("cid"))
-      .select(col("cid").as("cid_a"), col("cvec").as("cvec_a"), col("alpha").as("alpha_a"))
-    val cb = cents.join(radii, Seq("cid"))
-      .select(col("cid").as("cid_b"), col("cvec").as("cvec_b"), col("alpha").as("alpha_b"))
-    ca.crossJoin(broadcast(cb))
-      .filter(acos(clamp(cos(col("cvec_a"), col("cvec_b"))))
-        <= lit(thetaT + slack) + col("alpha_a") + col("alpha_b"))
-      .select(col("cid_a"), col("cid_b"))
+    q.sup match {
+      case None =>
+        val ca = q.cents.join(radii, Seq("cid"))
+          .select(col("cid").as("cid_a"), col("cvec").as("cvec_a"), col("alpha").as("alpha_a"))
+        val cb = q.cents.join(radii, Seq("cid"))
+          .select(col("cid").as("cid_b"), col("cvec").as("cvec_b"), col("alpha").as("alpha_b"))
+        ca.crossJoin(broadcast(cb))
+          .filter(acos(clamp(cos(col("cvec_a"), col("cvec_b"))))
+            <= lit(thetaT + slack) + col("alpha_a") + col("alpha_b"))
+          .select(col("cid_a"), col("cid_b"))
+      case Some((supers, c2s)) =>
+        // cells that received no vectors have no radius and prune away via
+        // the inner join — same implicit behavior as the flat form
+        val cells = c2s.join(radii, Seq("cid"))
+          .select(col("cid"), col("cvec"), col("sid"), col("alpha"),
+            (acos(clamp(col("cssim"))) + col("alpha")).as("beta_c"))
+        val sradii = cells.groupBy(col("sid")).agg(max(col("beta_c")).as("beta"))
+        val sa = supers.join(sradii, Seq("sid"))
+          .select(col("sid").as("sid_a"), col("svec").as("svec_a"), col("beta").as("beta_a"))
+        val sb = supers.join(sradii, Seq("sid"))
+          .select(col("sid").as("sid_b"), col("svec").as("svec_b"), col("beta").as("beta_b"))
+        val superPairs = sa.crossJoin(broadcast(sb))
+          .filter(acos(clamp(cos(col("svec_a"), col("svec_b"))))
+            <= lit(thetaT + slack) + col("beta_a") + col("beta_b"))
+          .select(col("sid_a"), col("sid_b"))
+        val ca = cells.select(col("sid").as("sid_a"), col("cid").as("cid_a"),
+          col("cvec").as("cvec_a"), col("alpha").as("alpha_a"))
+        val cb = cells.select(col("sid").as("sid_b"), col("cid").as("cid_b"),
+          col("cvec").as("cvec_b"), col("alpha").as("alpha_b"))
+        ca.join(broadcast(superPairs), Seq("sid_a"))
+          .join(cb, Seq("sid_b"))
+          .filter(acos(clamp(cos(col("cvec_a"), col("cvec_b"))))
+            <= lit(thetaT + slack) + col("alpha_a") + col("alpha_b"))
+          .select(col("cid_a"), col("cid_b"))
+    }
   }
 
   /** Production cap on a paired-cell candidate bucket (sum of the two
@@ -323,11 +366,13 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"))
     if (cents.isEmpty)
       return embeddingNearDupBrute(reps, threshold).unionByName(dupStars)
-    // stage 2: capped cell machinery over reps only
-    val assigned = mat(assignToCentroidsWithSim(reps, cents)
+    // stage 2: capped cell machinery over reps only (one quantizer: the
+    // assignment and the pair table must agree on the cell layout)
+    val q = quantizerOf(cents)
+    val assigned = mat(assignToCentroidsWithSim(reps, q)
       .select(col("vec_id"), col("embedding"), col("cid"), col("csim")))
     val csize = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
-    val sized = cellPairTable(assigned, cents, threshold)
+    val sized = cellPairTable(assigned, q, threshold)
       .join(csize.select(col("cid").as("cid_a"), col("csz").as("sz_a")), Seq("cid_a"))
       .join(csize.select(col("cid").as("cid_b"), col("csz").as("sz_b")), Seq("cid_b"))
       .withColumn("bsz", when(col("cid_a") === col("cid_b"), col("sz_a"))
@@ -465,11 +510,12 @@ object SimilarityOps {
       sum(when(col("vec_id") === col("grp"), 1L)).as("n_groups"))
     val reps = withRep.filter(col("vec_id") === col("grp"))
       .select(col("vec_id"), col("embedding"))
-    val assigned = assignToCentroidsWithSim(reps, cents)
+    val q = quantizerOf(cents)
+    val assigned = assignToCentroidsWithSim(reps, q)
       .select(col("vec_id"), col("cid"), col("csim"), col("embedding"))
       .localCheckpoint()
     val csize = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
-    val buckets = cellPairTable(assigned, cents, threshold)
+    val buckets = cellPairTable(assigned, q, threshold)
       .filter(col("cid_a") <= col("cid_b"))
       .join(csize.select(col("cid").as("cid_a"), col("csz").as("sz_a")), Seq("cid_a"))
       .join(csize.select(col("cid").as("cid_b"), col("csz").as("sz_b")), Seq("cid_b"))
@@ -634,6 +680,58 @@ object SimilarityOps {
     embeddings.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 
+  // ---- two-level (super-centroid) quantizer ------------------------------
+
+  /** Centroid count at which the flat broadcast-NL assignment and the k²
+    * cell-pair table switch to the two-level super-centroid scheme. The
+    * corpus-proportional centroid rule above keeps CELLS bounded but makes
+    * flat assignment O(n·k) = O(n²/mod) and the pair table O(k²) — the
+    * round-10 distinct-growth probe measured exactly that (x57 14× for 10×
+    * data, the assignment stage dominating). Below the threshold the flat
+    * path is cheaper anyway AND the gated small-SF plans stay byte-identical
+    * (k = 2 at sf0.01, 20 at sf0.1); at or above it — probe and production
+    * scale — assignment drops to ~O(n·√k) and the pair table prunes through
+    * a ~√k super level first. */
+  private[graft] val TwoLevelMinCentroids = 64L
+
+  /** A centroid table plus, once it is large enough, its ~√k super level:
+    * `supers` are the centroids whose hashed id falls in residue 0 mod
+    * ceil(√k) (deterministic; no global ordering, so no single-partition
+    * window anywhere), and `c2s` assigns every centroid to its nearest
+    * super (ties cssim DESC, sid ASC), keeping the centroid→super cosine
+    * for the super-radius bound. Every downstream triangle bound is
+    * computed from ACTUAL assignment angles, so the two-level scheme —
+    * like the centroid choice itself — affects cost only, never results
+    * (the exactness argument on [[embeddingNearDup]] never assumes
+    * nearest-centroid assignment). */
+  private case class Quantizer(
+      cents: DataFrame, sup: Option[(DataFrame, DataFrame)])
+
+  private def quantizerOf(cents: DataFrame): Quantizer = {
+    val k = cents.count()
+    if (k < TwoLevelMinCentroids) return Quantizer(cents, None)
+    val s = math.ceil(math.sqrt(k.toDouble)).toLong
+    // ~√k expected supers; materialized once (it feeds c2s, every vector's
+    // super assignment, and the super pair table)
+    val supers = cents
+      .filter(pmod(xxhash64(col("cid")), lit(s)) === 0)
+      .select(col("cid").as("sid"), col("cvec").as("svec"))
+      .localCheckpoint()
+    // hash degeneracy (possible only at tiny k, kept for safety): no super
+    // selected → stay flat rather than divide by an empty level
+    if (supers.isEmpty) return Quantizer(cents, None)
+    val c2s = cents.crossJoin(broadcast(supers))
+      .select(col("cid"), col("cvec"), col("sid"),
+        cos(col("cvec"), col("svec")).as("cssim"))
+      .groupBy(col("cid"))
+      .agg(max_by(struct(col("cvec"), col("sid"), col("cssim")),
+        struct(col("cssim"), (-col("sid")).as("ns"))).as("w"))
+      .select(col("cid"), col("w.cvec").as("cvec"), col("w.sid").as("sid"),
+        col("w.cssim").as("cssim"))
+      .localCheckpoint()
+    Quantizer(cents, Some((supers, c2s)))
+  }
+
   /** The ANN-SEARCH quantizer default: 13 cells — every `% 40` centroid of
     * the gate corpus (500 vectors, ids 0…480 < 520), so gated results are
     * unchanged, but the count no longer grows with the corpus. */
@@ -672,15 +770,48 @@ object SimilarityOps {
     * ordering struct (`-cid`), so the result is deterministic and identical
     * to the window form. */
   private def assignToCentroidsWithSim(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cos(col("embedding"), col("cvec")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("embedding"), col("cid"), col("csim")),
-        struct(col("csim"), (-col("cid")).as("nc"))).as("w"))
-      .select(col("vec_id"), col("w.embedding").as("embedding"),
-        col("w.cid").as("cid"), col("w.csim").as("csim"))
+    assignToCentroidsWithSim(embeddings, quantizerOf(cents))
+
+  /** Quantizer-aware assignment. Flat: argmax over all k centroids (exact
+    * nearest). Two-level: argmax over ~√k supers, then argmax over that
+    * super's member centroids — ~2·√k cosines per vector instead of k. The
+    * two-level winner can differ from the flat nearest near super-group
+    * boundaries; that only widens the affected cell's pruning radius
+    * (csim is the ACTUAL assignment cosine either way), it cannot change
+    * any operator's output. */
+  private def assignToCentroidsWithSim(embeddings: DataFrame, q: Quantizer): DataFrame = q.sup match {
+    case None =>
+      embeddings.crossJoin(broadcast(q.cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cos(col("embedding"), col("cvec")).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("embedding"), col("cid"), col("csim")),
+          struct(col("csim"), (-col("cid")).as("nc"))).as("w"))
+        .select(col("vec_id"), col("w.embedding").as("embedding"),
+          col("w.cid").as("cid"), col("w.csim").as("csim"))
+    case Some((supers, c2s)) =>
+      val v2s = embeddings.crossJoin(broadcast(supers))
+        .select(col("vec_id"), col("embedding"), col("sid"),
+          cos(col("embedding"), col("svec")).as("ssim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("embedding"), col("sid")),
+          struct(col("ssim"), (-col("sid")).as("ns"))).as("w"))
+        .select(col("vec_id"), col("w.embedding").as("embedding"),
+          col("w.sid").as("sid"))
+      // broadcast the centroid directory, expand each vector over its
+      // super's member centroids only, argmax within — map-side partials
+      // keep the shuffle at one row per vector
+      v2s.join(broadcast(c2s.select(col("cid"), col("cvec"), col("sid"))), Seq("sid"))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          cos(col("embedding"), col("cvec")).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("embedding"), col("cid"), col("csim")),
+          struct(col("csim"), (-col("cid")).as("nc"))).as("w"))
+        .select(col("vec_id"), col("w.embedding").as("embedding"),
+          col("w.cid").as("cid"), col("w.csim").as("csim"))
+  }
 
   def annIvf(
       embeddings: DataFrame,
