@@ -94,12 +94,18 @@ object CurationOps {
         graft.functions.GraftFunctions.sampleGate(col("doc_id"), keepNibbles))
       .agg(
         count(lit(1)).as("n_exact"),
-        sum(when(col("keep_near"), 1L).otherwise(0L)).as("n_neardedup"),
-        sum(when(col("keep_sample"), 1L).otherwise(0L)).as("n_sampled"))
+        // coalesce: a non-empty corpus with ZERO quality survivors leaves
+        // the keeper relation empty, where sum() yields NULL — the
+        // pre-collapse form (when/otherwise over all rows) returned 0, and
+        // census consumers reading getLong would NPE on the null.
+        coalesce(sum(when(col("keep_near"), 1L).otherwise(0L)), lit(0L))
+          .as("n_neardedup"),
+        coalesce(sum(when(col("keep_sample"), 1L).otherwise(0L)), lit(0L))
+          .as("n_sampled"))
     val funnel = grouped
       .agg(
-        sum(col("grp_n")).as("n_input"),
-        sum(col("grp_q")).as("n_quality"))
+        coalesce(sum(col("grp_n")), lit(0L)).as("n_input"),
+        coalesce(sum(col("grp_q")), lit(0L)).as("n_quality"))
       .crossJoin(keeperCensus) // two single-row frames
       .select(col("n_input"), col("n_quality"), col("n_exact"),
         col("n_neardedup"), col("n_sampled"))
@@ -119,7 +125,9 @@ object CurationOps {
    * funnel census, the cleaned-corpus form, and repeated calls all share
    * ONE pair of distinct-content-sized entries; the keeper struct
    * carries every original column for that reason).
-   * [[unpersistCuration]] rebuilds the same plans to drop the entries.
+   * Every entry is also recorded in [[funnelCaches]] so
+   * [[unpersistCuration]] drops the ORIGINAL frames (never a rebuild,
+   * which would no-op on any plan divergence).
    */
   private def funnelState(
       documents: DataFrame, minWords: Int): (DataFrame, DataFrame, DataFrame) = {
@@ -133,16 +141,36 @@ object CurationOps {
     // shuffle of the distinct-content relation buys it full parallelism.
     val shs = DedupOps.shingleRelationOf(
       keepers.select(col("doc_id"), col("text")).repartition(col("doc_id"))).cache()
+    funnelCaches.put((corpusKey(documents), minWords), (grouped, shs))
     (grouped, keepers, shs)
   }
 
-  /** Drop the plan-keyed funnel caches for `documents`. Mirrors
+  /** Every cache entry [[funnelState]] ever created this JVM, keyed by
+    * (canonicalized corpus plan, minWords). cache()/unpersist() are
+    * plan-keyed in Spark's CacheManager, so rebuilding the plans to drop
+    * them silently no-ops whenever the rebuild diverges from the original
+    * (a different minWords, a re-read corpus) — the registry holds the
+    * ORIGINAL frames so release never depends on reconstruction. */
+  private val funnelCaches =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int), (DataFrame, DataFrame)]
+
+  private def corpusKey(documents: DataFrame): String =
+    documents.queryExecution.analyzed.canonicalized.toString
+
+  /** Drop ALL funnel cache entries ever built for `documents` — every
+    * minWords configuration, via the registry — so a session that varied
+    * minWords does not accrete orphaned entries. Mirrors
     * [[DedupOps.unpersistShingles]]: call when the corpus is done;
-    * one-shot jobs can skip it. */
-  def unpersistCuration(documents: DataFrame, minWords: Int = 30): Unit = {
-    val (grouped, _, shs) = funnelState(documents, minWords)
-    shs.unpersist()
-    grouped.unpersist()
+    * one-shot jobs can skip it (entries die with the session). */
+  def unpersistCuration(documents: DataFrame): Unit = {
+    val ck = corpusKey(documents)
+    funnelCaches.keys.filter(_._1 == ck).foreach { key =>
+      funnelCaches.remove(key).foreach { case (grouped, shs) =>
+        shs.unpersist()
+        grouped.unpersist()
+      }
+    }
   }
 
   /**

@@ -231,12 +231,13 @@ object SimilarityOps {
     * [[embeddingNearDup]]; the self pair (i, i) always qualifies (its
     * centroid angle is 0). Shared by the exact audit join and the capped
     * [[semanticDedupPairs]] generator so the two can never diverge on which
-    * cell pairs are candidates. */
-  private def cellPairTable(assigned: DataFrame, cents: DataFrame,
-      threshold: Double): DataFrame =
-    cellPairTable(assigned, quantizerOf(cents), threshold)
-
-  /** Quantizer-aware pair table. Flat: the k² centroid cross join. Two-level:
+    * cell pairs are candidates. Takes the QUANTIZER, never a raw centroid
+    * table: a cents-based convenience overload would silently build a
+    * second quantizer (an extra count() job plus two localCheckpoints)
+    * separate from the assignment's — every caller must share the one
+    * [[quantizerOf]] instance its assignment used.
+    *
+    * Flat: the k² centroid cross join. Two-level:
     * super pairs first — super radius β_s = max over member cells of
     * (angle(s, c) + α_c), so for any qualifying pair (u ∈ cell A ∈ S_a,
     * v ∈ cell B ∈ S_b): angle(S_a,S_b) ≤ β_a + θ_t + β_b by two more

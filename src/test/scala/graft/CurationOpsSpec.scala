@@ -196,6 +196,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(corpus == Seq(7L, 40L), corpus.mkString(","))
   }
 
+  test("zero-keeper corpus: every census count is 0, never NULL") {
+    // A non-empty corpus where NO row passes the quality bar leaves the
+    // keeper relation empty; sum() over an empty relation is NULL unless
+    // coalesced — the pre-collapse implementation returned 0 and census
+    // consumers do Row.getLong, so the collapsed form must too.
+    import spark.implicits._
+    val d = Seq((1L, "too short", "en", "s"), (2L, "also brief", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val row = CurationOps
+      .curationFunnel(d, minWords = 5, threshold = 0.5, keepNibbles = 16)
+      .collect().head
+    (0 until 5).foreach { i =>
+      assert(!row.isNullAt(i), s"census column $i is NULL: $row")
+    }
+    assert(row.toSeq == Seq(2L, 0L, 0L, 0L, 0L), row.toSeq.mkString(","))
+    CurationOps.unpersistCuration(d)
+  }
+
+  test("unpersistCuration drops entries across DIFFERENT minWords configs") {
+    // The registry (not plan-rebuild) owns release: vary minWords so the
+    // rebuild idiom would no-op on at least one configuration, then one
+    // unpersistCuration(docs) call must drop everything the funnel built.
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha bravo charlie delta echo", "en", "s"),
+      (2L, "alpha bravo charlie delta echo foxtrot", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    CurationOps.unpersistCuration(d) // clean slate if a prior suite ran this corpus
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CurationOps.curationFunnel(d, minWords = 3, threshold = 0.5).collect()
+    CurationOps.curationFunnel(d, minWords = 5, threshold = 0.5).collect()
+    val mid = spark.sparkContext.getPersistentRDDs.keySet
+    assert((mid -- before).nonEmpty, "the funnels must have cached state")
+    CurationOps.unpersistCuration(d)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"one call must drop every configuration's entries: ${after -- before}")
+  }
+
   test("curationCorpus: the survivors ARE what the funnel census counts") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.read(spark, "/root/testdata/sf0.001", "documents")

@@ -393,7 +393,7 @@ class DedupSpec extends SparkSpec {
     // a shared session may already hold this corpus's funnel entries from
     // an earlier suite — drop them so the accounting below starts clean
     // (suite-order once masked a stale version of this very test)
-    CurationOps.unpersistCuration(docs, 30)
+    CurationOps.unpersistCuration(docs)
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val lsh = CurationOps.curationFunnel(docs, 30, 0.8, 13, useLsh = true)
       .collect().head.toSeq
@@ -410,7 +410,7 @@ class DedupSpec extends SparkSpec {
       s"funnel must add at most its two shared entries: ${after -- before}")
     assert(after == mid, "a second funnel must not accrete cache entries")
     // ...and the corpus owner drops both
-    CurationOps.unpersistCuration(docs, 30)
+    CurationOps.unpersistCuration(docs)
     val cleaned = spark.sparkContext.getPersistentRDDs.keySet
     assert((cleaned -- before).isEmpty,
       s"unpersistCuration must drop the funnel entries: ${cleaned -- before}")
