@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       GraftExtensions.jaroWinklerBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cell_pair_matches"),
+      new ExpressionInfo(classOf[graft.functions.CellPairMatchesF32].getName,
+        "cell_pair_matches"),
+      GraftExtensions.cellPairMatchesBuilder))
   }
 }
 
@@ -105,6 +110,16 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"jaro_winkler expects exactly 2 arguments (string, string), got ${children.length}")
     JaroWinkler(children(0), children(1))
+  }
+
+  /** `cell_pair_matches(cellA, cellB, minSim, same)` — the blocked
+    * all-vs-all candidate kernel over two packed cells. */
+  private[graft] val cellPairMatchesBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 4)
+      throw new IllegalArgumentException(
+        "cell_pair_matches expects exactly 4 arguments " +
+          s"(cellA, cellB, minSim, same), got ${children.length}")
+    graft.functions.CellPairMatchesF32(children)
   }
 
   /** `md5_prefix_long(bytes, k)` — k must be a foldable integer literal (it

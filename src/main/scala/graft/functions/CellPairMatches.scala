@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Blocked all-vs-all cosine screening over two PACKED cells — the candidate
+ * kernel of the bucketed near-dup joins ([[graft.operators.SimilarityOps]]).
+ *
+ * Why this exists (round 11, from the round-10 distinct-growth probe): the
+ * row-per-candidate clique join materializes two 256-byte embedding arrays
+ * through an UnsafeRow for EVERY candidate pair — at the 10×-distinct probe
+ * that is ~200M candidate rows (~200 GB of row traffic) to surface ~10⁵
+ * true pairs; the per-candidate row overhead, not the arithmetic, dominated
+ * x57's 34 s. This kernel receives each cell's vectors ONCE per paired-cell
+ * row (packed by `collect_list(struct(vec_id, embedding))` — ONE aggregate,
+ * so id/vector alignment is structural, not an ordering assumption), unpacks
+ * them to primitive float arrays, precomputes per-vector norm factors, and
+ * runs the all-vs-all dot loop in-core, emitting ONLY candidates whose raw
+ * f32 cosine clears `minSim` — the join's row volume drops from candidate
+ * count to match count.
+ *
+ * Exactness contract: the emitted `sim` is bit-identical to
+ * [[CosineSimilarityF32.compute]] — the dot and the two norms use the same
+ * sequential f32 accumulation (independent accumulators, so hoisting the
+ * norm out of the pair loop reproduces the interleaved loop's value
+ * exactly), and the final `dot / (sqrt(na)f · sqrt(nb)f)` is the same f32
+ * expression. `minSim` must sit BELOW the operator threshold by the rounding
+ * margin (round-to-6-places can lift a raw sim by ≤ 5·10⁻⁷, the
+ * double→float→double trip by ≤ ~10⁻⁷ relative): callers pass
+ * `threshold − 1e-6` and re-apply the EXACT `round6f(sim) ≥ threshold`
+ * filter in Column space on the (tiny) surviving set, so every rounding
+ * semantic stays in the one place oracle parity was proven.
+ *
+ * `same = true` means both sides are the SAME cell: only i < j pairs are
+ * evaluated (the b-side child is ignored — callers pass the a-side twice
+ * for plan symmetry). `same = false` evaluates the full cross product and
+ * emits each pair ordered (min id, max id); cells partition the corpus, so
+ * an unordered pair can only surface from one cell pair.
+ *
+ * CodegenFallback is deliberate: the expression runs once per PAIRED-CELL
+ * row (bounded by the pruned cell-pair table), each call amortizing ≥10⁴
+ * dot products — per-call interpretation overhead is noise, and the hot
+ * loop is monomorphic JIT-compiled Scala. What matters for codegen health
+ * is the SURROUNDING plan (packing aggregate, broadcast join, explode),
+ * which stays whole-stage.
+ */
+case class CellPairMatchesF32(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def cellOk(t: DataType) = t match {
+      case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, ArrayType(FloatType, _), _, _))), _) => true
+      case _ => false
+    }
+    if (children.length == 4 &&
+        cellOk(children(0).dataType) && cellOk(children(1).dataType) &&
+        children(2).dataType == DoubleType &&
+        children(3).dataType == BooleanType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "cell_pair_matches expects (array<struct<long, array<float>>> ×2, " +
+        "double, boolean), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  override def dataType: DataType = CellPairMatchesF32.OutType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val cellA = CellPairMatchesF32.unpack(
+      children(0).eval(input).asInstanceOf[ArrayData])
+    val minSim = children(2).eval(input).asInstanceOf[Double]
+    val same = children(3).eval(input).asInstanceOf[Boolean]
+    if (same)
+      CellPairMatchesF32.matchesSame(cellA, minSim)
+    else
+      CellPairMatchesF32.matchesCross(cellA,
+        CellPairMatchesF32.unpack(
+          children(1).eval(input).asInstanceOf[ArrayData]),
+        minSim)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+
+  override def prettyName: String = "cell_pair_matches"
+}
+
+object CellPairMatchesF32 {
+  val OutType: ArrayType = ArrayType(StructType(Seq(
+    StructField("vec_a", LongType, nullable = false),
+    StructField("vec_b", LongType, nullable = false),
+    StructField("sim", FloatType, nullable = false))), containsNull = false)
+
+  /** One cell unpacked to primitives: ids, vectors, and the per-vector
+    * norm factor `sqrt(Σx²)` with the SAME sequential f32 accumulation as
+    * [[CosineSimilarityF32.compute]]'s `na` (independent accumulator there,
+    * so the hoisted value is bit-identical to the interleaved one). */
+  private[functions] final class Cell(
+      val ids: Array[Long], val vecs: Array[Array[Float]],
+      val norms: Array[Float])
+
+  private[functions] def unpack(a: ArrayData): Cell = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    val norms = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val s = a.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      val v = s.getArray(1).toFloatArray()
+      vecs(i) = v
+      var na = 0f
+      var j = 0
+      while (j < v.length) { na += v(j) * v(j); j += 1 }
+      norms(i) = math.sqrt(na).toFloat
+      i += 1
+    }
+    new Cell(ids, vecs, norms)
+  }
+
+  /** f32 dot then `dot / (sa·sb)` in f32 — with the [[Cell]] norm factors
+    * this reproduces [[CosineSimilarityF32.compute]] bit-for-bit. NaN (zero
+    * vector) never clears `>= minSim`, matching the Column path where
+    * round6f(NaN)=NaN fails the threshold filter. */
+  private def pairSim(x: Array[Float], y: Array[Float],
+      sa: Float, sb: Float): Float = {
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"cell_pair_matches: dimension mismatch ${x.length} vs ${y.length}")
+    var dot = 0f
+    var i = 0
+    while (i < x.length) { dot += x(i) * y(i); i += 1 }
+    dot / (sa * sb)
+  }
+
+  private[functions] def matchesSame(c: Cell, minSim: Double): GenericArrayData = {
+    val n = c.ids.length
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val s = pairSim(c.vecs(i), c.vecs(j), c.norms(i), c.norms(j))
+        if (s >= minSim) {
+          if (c.ids(i) <= c.ids(j)) buf += row(c.ids(i), c.ids(j), s)
+          else buf += row(c.ids(j), c.ids(i), s)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray[Any])
+  }
+
+  private[functions] def matchesCross(
+      a: Cell, b: Cell, minSim: Double): GenericArrayData = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    while (i < a.ids.length) {
+      var j = 0
+      while (j < b.ids.length) {
+        val s = pairSim(a.vecs(i), b.vecs(j), a.norms(i), b.norms(j))
+        if (s >= minSim) {
+          if (a.ids(i) <= b.ids(j)) buf += row(a.ids(i), b.ids(j), s)
+          else buf += row(b.ids(j), a.ids(i), s)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray[Any])
+  }
+
+  private def row(a: Long, b: Long, s: Float): InternalRow =
+    new GenericInternalRow(Array[Any](a, b, s))
+}

@@ -163,6 +163,9 @@ object GraftFunctions {
         "jaro_winkler", graft.GraftExtensions.jaroWinklerBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
         "graft_top_k_rows", graft.GraftExtensions.topKRowsBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "cell_pair_matches", graft.GraftExtensions.cellPairMatchesBuilder,
+        "scala_udf")
       // the engine's optimizer rule rides the same registration path: any
       // session an operator touches gets the top-k-per-group rewrite
       val opts = spark.experimental.extraOptimizations

@@ -211,16 +211,51 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("cid"), col("csim"))
       .localCheckpoint()
     val cellPairs = cellPairTable(assigned, q, threshold)
-    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("cid").as("cid_a"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("cid").as("cid_b"))
-    a.join(broadcast(cellPairs), Seq("cid_a"))
-      .join(b, Seq("cid_b"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round6f(cos(col("emb_a"), col("emb_b"))).as("sim"))
-      .filter(col("sim") >= threshold)
+      .filter(col("cid_a") <= col("cid_b"))
+    blockedPairs(assigned, cellPairs, threshold)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /**
+   * Blocked candidate evaluation over CANONICAL (cid_a ≤ cid_b) qualifying
+   * cell pairs: pack each cell once
+   * (`collect_list(struct(vec_id, embedding))` — one aggregate, so id/vector
+   * alignment is structural), join the packed cells through the broadcast
+   * pair table, and let [[graft.functions.CellPairMatchesF32]] run the
+   * all-vs-all f32 loop per paired-cell row, emitting only raw-sim
+   * survivors. The EXACT rounded-threshold filter is re-applied here in
+   * Column space (kernel prefilter at `threshold − 1e-6`, strictly wider
+   * than any round6f lift — see the kernel scaladoc), so rounding semantics
+   * never leave the proven Column path.
+   *
+   * Replaces the row-per-candidate join, whose per-candidate UnsafeRow
+   * materialization of two embedding arrays dominated x57 at the round-10
+   * distinct-growth probe (~200 GB of row traffic for ~10⁵ true pairs).
+   * Joined row width is O(cell population): bounded by `maxCellPairSize`
+   * on the capped dedup path, and by the corpus-proportional centroid rule
+   * (expected `centroidMod` members per cell) on the audit path.
+   */
+  private def blockedPairs(
+      assigned: DataFrame, canonicalCellPairs: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    val packed = assigned.groupBy(col("cid"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("cell"))
+    // The b-side join carries NO broadcast hint: the packed relation is the
+    // corpus itself, so AQE may broadcast it while it fits (the probe/gate
+    // regime) but must be free to fall back to a shuffle join at corpus
+    // scale, where the shuffled bytes (cells × qualifying partners) equal
+    // the old candidate join's traffic only in the un-pruned worst case.
+    packed.select(col("cid").as("cid_a"), col("cell").as("cell_a"))
+      .join(broadcast(canonicalCellPairs), Seq("cid_a"))
+      .join(packed.select(col("cid").as("cid_b"), col("cell").as("cell_b")),
+        Seq("cid_b"))
+      .select(explode(call_function("cell_pair_matches",
+        col("cell_a"), col("cell_b"),
+        lit(threshold - 1e-6), col("cid_a") === col("cid_b"))).as("m"))
+      .select(col("m.vec_a").as("vec_a"), col("m.vec_b").as("vec_b"),
+        round6f(col("m.sim")).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Cell-pair pruning table `(cid_a, cid_b)` — BOTH orientations — from the
@@ -378,20 +413,13 @@ object SimilarityOps {
       .join(csize.select(col("cid").as("cid_b"), col("csz").as("sz_b")), Seq("cid_b"))
       .withColumn("bsz", when(col("cid_a") === col("cid_b"), col("sz_a"))
         .otherwise(col("sz_a") + col("sz_b")))
-    // clique path (bucket ≤ cap): the exact join, restricted to small cell
-    // pairs; both orientations are present so each unordered pair is
-    // emitted exactly once by the vec_a < vec_b filter
-    val small = sized.filter(col("bsz") <= maxCellPairSize)
+    // clique path (bucket ≤ cap): blocked all-vs-all over canonical small
+    // cell pairs — each packed-cell row is ≤ maxCellPairSize members by the
+    // bucket bound, and the kernel emits matches only (see blockedPairs)
+    val small = sized.filter(col("bsz") <= maxCellPairSize &&
+        col("cid_a") <= col("cid_b"))
       .select(col("cid_a"), col("cid_b"))
-    val a = assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("cid").as("cid_a"))
-    val b = assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("cid").as("cid_b"))
-    val cliquePairs = a.join(broadcast(small), Seq("cid_a"))
-      .join(b, Seq("cid_b"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round6f(cos(col("emb_a"), col("emb_b"))).as("sim"))
-      .filter(col("sim") >= threshold)
+    val cliquePairs = blockedPairs(assigned, small, threshold)
     // star path (bucket > cap): one candidate per member against the
     // bucket's minimum vec_id — canonical orientation only, ids first,
     // embeddings joined back once per surviving candidate
