@@ -262,10 +262,11 @@ object Bench {
     } catch { case _: Throwable => }
 
     // (name, reps): rep 1 is cold, min of reps 2..n is steady. Reps run
-    // back-to-back per query so the steady runs reuse the compiled plan but
-    // NOT cached data — nothing is persisted between reps except what the
-    // query itself caches (the dedup shingle cache is plan-keyed and shared,
-    // exactly as in the composite-funnel production shape).
+    // back-to-back per query so the steady runs reuse the compiled plan;
+    // the plan-keyed caches (funnel/shingle) are CLEARED before each
+    // query's rep block (see measure), so rep 1 builds the query's own
+    // entries and the steady reps reuse them — per-query numbers no longer
+    // depend on which suite neighbors ran first.
     // Optional comma-separated name filter for isolation runs (measuring
     // one query without the rest of the suite's GC/JIT neighborhood).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -284,7 +285,17 @@ object Bench {
     // columns required — full scan, full aggregation, full projection —
     // while discarding rows at the sink, so nothing is collected to the
     // driver (pair-census outputs at probe scale would OOM a collect()).
-    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
+      // Deterministic cache state per query (round-11, from the round-10
+      // x42 adjudication): the funnel/shingle caches are plan-keyed and
+      // SHARED across queries, so a query's rep-1 cost depended on which
+      // suite neighbors had already populated its entries — x42 read
+      // 1.0–1.6 s in-suite vs ~1.9 s isolated purely by suite history.
+      // Dropping every cached plan before the rep block makes rep 1 a true
+      // cold build of the query's OWN caches and the steady reps its own
+      // warm reuse, identical in-suite and isolated. Sits outside the
+      // timed region; localCheckpoints are per-execution and unaffected.
+      spark.catalog.clearCache()
       (1 to reps).map { i =>
         val t0 = System.nanoTime()
         // A failed query must be VISIBLE: a swallowed exception records its
@@ -302,6 +313,7 @@ object Bench {
           -1.0
         }
       }
+    }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
