@@ -364,7 +364,12 @@ object SimilarityOps {
    *     quantified by [[semanticCapCensus]] (the x41 analogue). Bucket
    *     sizes come from a k-row aggregate joined to the (broadcast)
    *     cell-pair table — unlike LSH's window over high-cardinality band
-   *     keys, cells are O(k) so no corpus-wide window is needed.
+   *     keys, cells are O(k) so no corpus-wide window is needed. The
+   *     clique arm evaluates candidates through the blocked
+   *     `cell_pair_matches` kernel ([[blockedPairs]]) — all-vs-all over
+   *     two packed cells, match-only output — not a row-per-candidate
+   *     join (round 11: the per-candidate UnsafeRow traffic, not the
+   *     arithmetic, was x57's distinct-growth bottleneck).
    *
    * Output: (vec_a, vec_b, sim) with vec_a < vec_b, unordered (the
    * component consumer is order-insensitive; the audit form sorts).
