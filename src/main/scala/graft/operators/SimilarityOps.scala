@@ -607,24 +607,46 @@ object SimilarityOps {
    * flagged, not just how many.
    *
    * Scale shape: the eval side is small by contract (benchmarks are
-   * thousands of rows; the corpus is the big side) and is BROADCAST — the
-   * corpus streams once through a broadcast nested-loop join, k partner
-   * rows per corpus row materialize inside one task, and map-side partial
-   * aggregation collapses them back to one (vec_id, any_hit) row before
-   * the only shuffle (narrow: 16 bytes × corpus rows). At 100 TB this is
-   * scan-dominated, exactly like the Bloom decontamination path. A huge
-   * eval set would instead go through the [[embeddingNearDupWith]] cell
-   * pruning; this operator deliberately takes the broadcast contract.
+   * thousands of rows; the corpus is the big side) and is BROADCAST as ONE
+   * packed cell; the corpus is packed into bounded blocks (≤ 4096 vectors,
+   * block count corpus-proportional) and each block runs the blocked
+   * `cell_pair_matches` kernel against the eval cell — the corpus streams
+   * once, the per-candidate work is an in-core f32 dot, and only HITS
+   * leave the kernel (round-11: the row-per-candidate broadcast-NL form
+   * materialized two embedding arrays per (corpus, eval) pair — 54× at the
+   * 30×-distinct probe where the fixture grows the eval side too; the
+   * kernel form is the same exact math at block granularity). At 100 TB
+   * this is scan-dominated, exactly like the Bloom decontamination path.
+   * A huge eval set would instead go through the [[embeddingNearDupWith]]
+   * cell pruning; this operator deliberately takes the broadcast contract.
    */
   def semanticDecontaminate(
       corpus: DataFrame, evalSet: DataFrame, tau: Double): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val ev = broadcast(evalSet.select(col("embedding").as("ev_emb")))
-    corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(ev)
-      .groupBy(col("vec_id"))
-      .agg(max(when(round6f(cos(col("embedding"), col("ev_emb"))) >= tau, 1L)
-        .otherwise(0L)).as("hit"))
+    // Eval ids are NEVER part of the result — pin them at Long.MinValue so
+    // the kernel's (min id, max id) orientation provably puts the corpus
+    // id in vec_b for every emitted pair.
+    val ev = broadcast(evalSet
+      .select(lit(Long.MinValue).as("vec_id"), col("embedding"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("cell_b")))
+    val blocks = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("blk", floor(col("vec_id") / lit(4096L)))
+      .groupBy(col("blk"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("cell_a"))
+    // Kernel prefilter at tau - 1e-6; the EXACT round6f >= tau decision is
+    // re-applied in Column space on the emitted hits (same contract as
+    // blockedPairs). Distinct because a corpus vector may hit several eval
+    // vectors; the old per-vec max() collapsed those the same way.
+    val hits = blocks.crossJoin(ev)
+      .select(explode(call_function("cell_pair_matches",
+        col("cell_a"), col("cell_b"), lit(tau - 1e-6), lit(false))).as("m"))
+      .select(col("m.vec_b").as("vec_id"), round6f(col("m.sim")).as("sim"))
+      .filter(col("sim") >= tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("hit", lit(1L))
+    corpus.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("hit"), lit(0L)).as("hit"))
       .agg(
         sum(col("hit")).as("contaminated"),
         sum(lit(1L) - col("hit")).as("clean"),
