@@ -549,13 +549,46 @@ object DedupOps {
 
   /**
    * Exact-Jaccard confirmation of candidate id pairs against the per-doc
-   * distinct-shingle relation `shArr` (doc_id, sh). Joining precomputed
-   * arrays beats re-shingling from text per pair as soon as candidates
-   * outnumber docs (measured 5× at sf0.1 for the prefix-filter path).
+   * distinct-shingle relation `shArr` (doc_id, sh, shv). Two stages:
+   *
+   * 1. HASHED pre-verification: every candidate joins the 8-byte `shv`
+   *    key arrays — ~3× narrower rows than the string arrays, and this
+   *    join is the operator's dominant shuffle (the string-array form
+   *    spilled 17 GB at the 30×-distinct probe) — and filters on hashed
+   *    Jaccard ≥ threshold.
+   * 2. EXACT verification: the survivors (a near-true-pair-sized set)
+   *    re-join the STRING arrays and re-filter on string Jaccard, so no
+   *    false positive — hash collision or otherwise — is ever reported
+   *    and every reported value is computed on the strings. When the
+   *    survivor set is small (distinct-content corpora) AQE broadcasts
+   *    it and the string join streams the cached shingle relation with
+   *    no wide shuffle; when survivors are plentiful (replica-heavy
+   *    corpora, where most candidates ARE true pairs) the string join
+   *    degrades to exactly the single-stage join this replaced, and the
+   *    narrow stage-1 pass is the only overhead (~+30 % traffic worst
+   *    case vs −60–70 % in the distinct regime).
+   *
+   * Completeness class: a true pair escapes stage 1 only if hash
+   * collisions drag hashed Jaccard below threshold ≤ string Jaccard. A
+   * collision INSIDE A∩B can do that — it shrinks the image intersection
+   * as fast as the union (A={1,2,5}, B={1,2,3}, h(1)=h(2): hashed 1/3 <
+   * string 1/2) — so the guarantee is probabilistic, odds ~|A∩B|²·2⁻⁶¹
+   * per pair on the 60-bit keys: the same failure class the hashed
+   * candidate index already carries (see [[ngramJaccardFrom]]). Joining
+   * precomputed arrays beats re-shingling from text per pair as soon as
+   * candidates outnumber docs (measured 5× at sf0.1 for the prefix-filter
+   * path).
    */
   private def verifyJaccard(shArr: DataFrame, pairs: DataFrame,
       threshold: Double): DataFrame = {
-    val candidates = pairs
+    val hv = shArr.select(col("doc_id"), array_distinct(col("shv")).as("hv"))
+    val (_, jh) = jaccard(col("hv_a"), col("hv_b"))
+    val survivors = pairs
+      .join(hv.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), Seq("doc_a"))
+      .join(hv.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), Seq("doc_b"))
+      .filter(jh >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val candidates = survivors
       .join(shArr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(shArr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     val (_, j) = jaccard(col("sh_a"), col("sh_b"))
@@ -593,13 +626,19 @@ object DedupOps {
     // The index keys are the cached 60-bit shingle hashes (shv), not the
     // shingle strings: the shuffle carries 8-byte longs instead of ~20-char
     // strings and the join compares longs. The prefix filter runs on the
-    // HASHED key set per doc — array_distinct collapses (astronomically
-    // rare) within-doc collisions so n_sh is the distinct-KEY count, which
-    // keeps the PPJoin completeness bound valid on the hashed sets; hashed
-    // Jaccard can only exceed string Jaccard (a surjection shrinks unions
-    // before intersections), so every true pair still shares a prefix key,
-    // and collision-born extra candidates are removed by the exact
-    // verification on the string arrays.
+    // HASHED key set per doc — array_distinct collapses within-doc
+    // collisions so n_sh is the distinct-KEY count, and the PPJoin bound
+    // is applied to the hashed sets. Completeness on the hashed sets is
+    // PROBABILISTIC, not absolute: a collision inside A∩B shrinks the
+    // image intersection as fast as the union, so hashed Jaccard can dip
+    // below string Jaccard (A={1,2,5}, B={1,2,3}, h(1)=h(2): 1/3 < 1/2) —
+    // the earlier "hashed Jaccard can only exceed string Jaccard" claim
+    // is false in exactly this case. A true pair is lost only when such a
+    // collision lands inside its own shingle sets AND pushes the hashed
+    // overlap under the prefix bound — odds ~|A∩B|²·2⁻⁶¹ per pair on the
+    // 60-bit keys, the same failure class as a 60-bit MinHash signature.
+    // Collision-born EXTRA candidates are removed by the exact
+    // verification on the string arrays, so precision is absolute.
     val sh = shArr
       .select(col("doc_id"), array_distinct(col("shv")).as("shd"))
       .select(col("doc_id"), size(col("shd")).as("n_sh"), explode(col("shd")).as("s"))
@@ -629,10 +668,13 @@ object DedupOps {
    * only — A must share ≥ ceil(t·|A|) keys with B, so if B holds none of
    * A's (|A| − ceil(t·|A|) + 1) globally-rarest keys the pair is
    * impossible; candidates join A's short rare-key prefix against B's full
-   * inverted index, then verify exactly on the string arrays. Hashed-key
-   * containment can only exceed string containment (collisions shrink |A|
-   * and grow the intersection), so the prefix pass keeps every true pair —
-   * same completeness argument as [[ngramJaccardFrom]], asymmetric form.
+   * inverted index, pre-verify on the hashed key arrays, then verify
+   * exactly on the string arrays. Hashed-key containment tracks string
+   * containment up to collisions — a collision inside A∩B can push it
+   * BELOW (the same counterexample as [[ngramJaccardFrom]]'s note; the
+   * earlier "can only exceed" claim was false) — so completeness is
+   * probabilistic at the ~2⁻⁶⁰-collision failure class, and the exact
+   * string verification keeps precision absolute.
    */
   def ngramContainment(documents: DataFrame, threshold: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -653,7 +695,17 @@ object DedupOps {
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val candidates = pairs
+    // hashed pre-verify on the 8-byte key arrays (the wide-shuffle stage),
+    // exact string verify on the survivors — same two-stage shape and
+    // exactness/completeness class as verifyJaccard
+    val hv = shArr.select(col("doc_id"), array_distinct(col("shv")).as("hv"))
+    val survivors = pairs
+      .join(hv.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), Seq("doc_a"))
+      .join(hv.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), Seq("doc_b"))
+      .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
+        / size(col("hv_a")).cast("double") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val candidates = survivors
       .join(shArr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(shArr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
     candidates
