@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CellPairMatchesF32].getName,
         "cell_pair_matches"),
       GraftExtensions.cellPairMatchesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName,
+        "word_shingles"),
+      GraftExtensions.wordShinglesBuilder))
   }
 }
 
@@ -165,6 +170,23 @@ object GraftExtensions {
       case Literal(m: Int, IntegerType) => CdcChunks(children(0), m)
       case other => throw new IllegalArgumentException(
         s"cdc_chunks: the modulus must be an integer literal, got $other")
+    }
+  }
+
+  /** `word_shingles(array<string>, k, wholeDocIfShort)` — k and the
+    * short-doc policy must be literals (they parameterize the generated
+    * code, they are not per-row values). */
+  private[graft] val wordShinglesBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"word_shingles expects exactly 3 arguments (array<string>, int literal, boolean literal), got ${children.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{BooleanType, IntegerType}
+    (children(1), children(2)) match {
+      case (Literal(k: Int, IntegerType), Literal(w: Boolean, BooleanType)) =>
+        graft.functions.WordShingles(children(0), k, w)
+      case other => throw new IllegalArgumentException(
+        s"word_shingles: gram size and short-doc policy must be literals, got $other")
     }
   }
 

@@ -166,6 +166,8 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "cell_pair_matches", graft.GraftExtensions.cellPairMatchesBuilder,
         "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "word_shingles", graft.GraftExtensions.wordShinglesBuilder, "scala_udf")
       // the engine's optimizer rule rides the same registration path: any
       // session an operator touches gets the top-k-per-group rewrite
       val opts = spark.experimental.extraOptimizations
@@ -179,6 +181,15 @@ object GraftFunctions {
   def md5PrefixLong(c: org.apache.spark.sql.Column, hexChars: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("md5_prefix_long",
       c.cast("binary"), org.apache.spark.sql.functions.lit(hexChars))
+
+  /** Column helper for the one-pass distinct word-k-gram shingler — callers
+    * must have [[register]]ed the session (every operator entry point that
+    * shingles does). See [[graft.functions.WordShingles]] for semantics. */
+  def wordShingles(tokens: org.apache.spark.sql.Column, k: Int,
+      wholeDocIfShort: Boolean): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("word_shingles",
+      tokens, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(wholeDocIfShort))
 
   /** Column helper for the Bloom membership probe — the sketch bytes travel
     * as a binary literal, the hash column must already be a bigint. */

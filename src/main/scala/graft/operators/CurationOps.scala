@@ -326,6 +326,7 @@ object CurationOps {
    * quadratic in documents.
    */
   def sourceOverlapMatrix(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val ss = documents
       .select(col("source"), explode(DedupOps.shingles(col("text"))).as("s"))
       .distinct()
@@ -850,6 +851,7 @@ object CurationOps {
       benchMod: Int = 97,
       fracPermille: Long = 200L): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     withBenchOverlap(documents.filter(!isBench), documents.filter(isBench))
       .withColumn("n_sh", size(DedupOps.shingles(col("text"))).cast("long"))
       .groupBy(col("lang"))
@@ -1002,6 +1004,7 @@ object CurationOps {
   /** Shared core: corpus rows + their distinct-shingle overlap with the
     * benchmark set (`shared`, 0 when disjoint). */
   private def withBenchOverlap(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val benchShingles = benchmark
       .select(explode(DedupOps.shingles(col("text"))).as("s"))
       .distinct()

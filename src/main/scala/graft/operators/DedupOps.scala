@@ -38,14 +38,21 @@ object DedupOps {
   val DefaultMaxBucketSize = 4096
 
   /** Distinct word-3-gram shingles of the lowercased text (docs with <3 words
-    * contribute their whole text as the single shingle). */
-  def shingles(text: Column): Column = {
-    val ws = TextOps.words(text)
-    array_distinct(
-      when(size(ws) >= 3,
-        transform(sequence(lit(1), size(ws) - 2), i => concat_ws(" ", slice(ws, i, lit(3)))))
-      .otherwise(array(concat_ws(" ", ws))))
-  }
+    * contribute their whole text as the single shingle).
+    *
+    * One-pass codegen'd expression ([[graft.functions.WordShingles]]) over
+    * the split-once token array — the HOF form it replaces re-evaluated the
+    * `split(lower(text))` subtree per lambda ELEMENT (O(words²) per doc,
+    * 40 s of x65's 49 s at the 30×-distinct probe; the round-6 CDC-chunker
+    * failure class). Value-identical including edges (equivalence
+    * property-tested in WordShinglesSpec); the `when` keeps the legacy
+    * null-text value `[""]` — the expression itself is null-in/null-out.
+    * Callers' sessions must be [[graft.functions.GraftFunctions.register]]ed
+    * (every operator entry point that shingles is). */
+  def shingles(text: Column): Column =
+    when(text.isNull, array(lit("")))
+      .otherwise(graft.functions.GraftFunctions.wordShingles(
+        TextOps.words(text), 3, wholeDocIfShort = true))
 
   /** Modulus of the universal hash family (2^31 - 1, prime). */
   val HashP = 2147483647L

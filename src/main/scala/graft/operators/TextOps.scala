@@ -184,11 +184,17 @@ object TextOps {
    * distinct fingerprints, size of the largest fingerprint cluster.
    */
   def fingerprintCensus(documents: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val shingles = when(size(ws) >= 5,
-        transform(sequence(lit(1), size(ws) - 4), i => md5(concat_ws(" ", slice(ws, i, lit(5))).cast("binary"))))
-      .otherwise(array(md5(concat_ws(" ", ws).cast("binary"))))
-    val perDoc = documents.select(array_min(shingles).as("fp"))
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    // One-pass distinct 5-grams ([[graft.functions.WordShingles]] — the HOF
+    // form re-evaluated the split subtree per lambda element, O(words²) per
+    // doc); min over md5 of DISTINCT grams = min over all positions, so the
+    // fingerprint is unchanged. Null text: [""] → md5("") — the legacy
+    // otherwise-branch value.
+    val shs = when(col("text").isNull, array(lit("")))
+      .otherwise(graft.functions.GraftFunctions.wordShingles(
+        words(col("text")), 5, wholeDocIfShort = true))
+    val perDoc = documents.select(
+      array_min(transform(shs, s => md5(s.cast("binary")))).as("fp"))
     perDoc.groupBy(col("fp")).agg(count(lit(1)).as("cluster"))
       .agg(
         sum(col("cluster")).as("total_docs"),
@@ -207,14 +213,22 @@ object TextOps {
    * division is the same expression in the oracle (IEEE-stable).
    */
   def repetitionStats(documents: DataFrame, maxDupFrac: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val ws = words(col("text"))
-    val tri = when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2), i => concat_ws(" ", slice(ws, i, lit(3)))))
-      .otherwise(array().cast("array<string>"))
+    // Trigram counts WITHOUT materializing the position array (the HOF form
+    // re-evaluated the split subtree per lambda element, O(words²) per doc):
+    // total trigrams is the closed form n−2; the distinct count is the
+    // one-pass expression with the short-doc policy OFF (a <3-word doc has
+    // zero trigrams here — unlike [[DedupOps.shingles]]'s whole-doc rule).
+    // Null text: legacy's when-branch yielded empty arrays → nt=ndt=0; the
+    // null-intolerant expression needs the coalesce to match.
+    val tri = graft.functions.GraftFunctions.wordShingles(
+      ws, 3, wholeDocIfShort = false)
     documents
       .select(col("lang"),
         size(ws).as("nw"), size(array_distinct(ws)).as("ndw"),
-        size(tri).as("nt"), size(array_distinct(tri)).as("ndt"))
+        coalesce(when(size(ws) >= 3, size(ws) - 2), lit(0)).as("nt"),
+        coalesce(size(tri), lit(0)).as("ndt"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("docs"),
@@ -620,6 +634,7 @@ object TextOps {
    * Ratio from exact integer counts, one division at the end.
    */
   def noveltyCensus(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val sh = documents.select(col("doc_id"),
       explode(DedupOps.shingles(col("text"))).as("s"))
     val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
