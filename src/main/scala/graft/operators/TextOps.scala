@@ -275,7 +275,15 @@ object TextOps {
   /** Non-overlapping `width`-token windows of the text (docs shorter than
     * `width` contribute none; a trailing partial window is dropped). The
     * ONE definition both span operators and both their DuckDB oracles
-    * must stay bit-identical to. */
+    * must stay bit-identical to.
+    *
+    * Known bound: the lambda's `slice(ws, …)` re-evaluates the split
+    * subtree per WINDOW (the [[graft.functions.WordShingles]] failure
+    * class), so this is O(words²/width) per doc — with nSpans = w/width
+    * windows the constant stays small (x32/x35 ≤3.1 s at the 10×-distinct
+    * probe vs the k-gram forms' O(words²) that motivated the expression).
+    * If span widths shrink or docs lengthen enough to bite, route through
+    * a strided variant of the one-pass expression. */
   private def spanArray(width: Int): Column = {
     require(width > 0, "span width must be positive")
     val ws = words(col("text"))
