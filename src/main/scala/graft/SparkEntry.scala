@@ -2826,7 +2826,8 @@ object SparkEntry {
         |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
         |  WHERE vec_id % 40 = 0 AND vec_id < 520),
         |q AS (
-        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 29 = 0),
+        |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        |  WHERE vec_id % 29 = 0 AND vec_id < 5000),
         |asg AS (SELECT vec_id, embedding, cid FROM (
         |    SELECT e.vec_id, e.embedding, c.cid,
         |      row_number() OVER (PARTITION BY e.vec_id

@@ -108,24 +108,43 @@ object CellPairMatchesF32 {
       val ids: Array[Long], val vecs: Array[Array[Float]],
       val norms: Array[Float])
 
+  /** Unpacks one cell, SKIPPING members with a null struct or null
+    * embedding: the Column path this kernel replaced computed
+    * `cos(emb_a, emb_b)` per candidate, whose null-intolerance
+    * null-propagated and silently EXCLUDED any pair touching a null
+    * vector — dropping the member here preserves exactly those
+    * semantics (every pair involving it vanishes), where an NPE would
+    * crash the operators routed through the kernel on nullable
+    * embedding columns. */
   private[functions] def unpack(a: ArrayData): Cell = {
     val n = a.numElements()
     val ids = new Array[Long](n)
     val vecs = new Array[Array[Float]](n)
     val norms = new Array[Float](n)
+    var m = 0
     var i = 0
     while (i < n) {
-      val s = a.getStruct(i, 2)
-      ids(i) = s.getLong(0)
-      val v = s.getArray(1).toFloatArray()
-      vecs(i) = v
-      var na = 0f
-      var j = 0
-      while (j < v.length) { na += v(j) * v(j); j += 1 }
-      norms(i) = math.sqrt(na).toFloat
+      if (!a.isNullAt(i)) {
+        val s = a.getStruct(i, 2)
+        if (!s.isNullAt(0) && !s.isNullAt(1)) {
+          ids(m) = s.getLong(0)
+          val v = s.getArray(1).toFloatArray()
+          vecs(m) = v
+          var na = 0f
+          var j = 0
+          while (j < v.length) { na += v(j) * v(j); j += 1 }
+          norms(m) = math.sqrt(na).toFloat
+          m += 1
+        }
+      }
       i += 1
     }
-    new Cell(ids, vecs, norms)
+    if (m == n) new Cell(ids, vecs, norms)
+    else new Cell(
+      java.util.Arrays.copyOf(ids, m),
+      java.util.Arrays.copyOf(vecs.asInstanceOf[Array[AnyRef]], m)
+        .asInstanceOf[Array[Array[Float]]],
+      java.util.Arrays.copyOf(norms, m))
   }
 
   /** f32 dot then `dot / (sa·sb)` in f32 — with the [[Cell]] norm factors

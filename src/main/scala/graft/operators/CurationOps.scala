@@ -141,36 +141,60 @@ object CurationOps {
     // shuffle of the distinct-content relation buys it full parallelism.
     val shs = DedupOps.shingleRelationOf(
       keepers.select(col("doc_id"), col("text")).repartition(col("doc_id"))).cache()
-    funnelCaches.put((corpusKey(documents), minWords), (grouped, shs))
+    sweepStoppedSessions()
+    val (sid, ck) = corpusKey(documents)
+    funnelCaches.put((sid, ck, minWords), (grouped, shs))
     (grouped, keepers, shs)
   }
 
   /** Every cache entry [[funnelState]] ever created this JVM, keyed by
-    * (canonicalized corpus plan, minWords). cache()/unpersist() are
-    * plan-keyed in Spark's CacheManager, so rebuilding the plans to drop
-    * them silently no-ops whenever the rebuild diverges from the original
-    * (a different minWords, a re-read corpus) — the registry holds the
-    * ORIGINAL frames so release never depends on reconstruction. */
+    * (session UUID, md5 of the canonicalized corpus plan, minWords).
+    * cache()/unpersist() are plan-keyed in Spark's CacheManager, so
+    * rebuilding the plans to drop them silently no-ops whenever the
+    * rebuild diverges from the original (a different minWords, a re-read
+    * corpus) — the registry holds the ORIGINAL frames so release never
+    * depends on reconstruction. The key HASHES the canonicalized plan
+    * (a multi-KB string for wide corpora) instead of storing it, and
+    * [[funnelState]] sweeps entries whose owning session has stopped, so
+    * a long-lived JVM cycling sessions never accretes dead entries
+    * pinning stopped-session frames. */
   private val funnelCaches =
     scala.collection.concurrent.TrieMap
-      .empty[(String, Int), (DataFrame, DataFrame)]
+      .empty[(String, String, Int), (DataFrame, DataFrame)]
 
-  private def corpusKey(documents: DataFrame): String =
-    documents.queryExecution.analyzed.canonicalized.toString
+  private def corpusKey(documents: DataFrame): (String, String) = {
+    val canon = documents.queryExecution.analyzed.canonicalized.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // identity hash = one key-space per SparkSession INSTANCE (classic
+    // SparkSession has no sessionUUID); two sessions over one context
+    // get separate entries, matching cache()'s per-session semantics
+    (Integer.toHexString(System.identityHashCode(documents.sparkSession)),
+      md.map(b => f"$b%02x").mkString)
+  }
 
-  /** Drop ALL funnel cache entries ever built for `documents` — every
-    * minWords configuration, via the registry — so a session that varied
-    * minWords does not accrete orphaned entries. Mirrors
-    * [[DedupOps.unpersistShingles]]: call when the corpus is done;
-    * one-shot jobs can skip it (entries die with the session). */
+  /** Remove (without unpersisting — the blocks died with the context)
+    * every registry entry whose owning SparkContext has stopped. */
+  private def sweepStoppedSessions(): Unit =
+    funnelCaches.foreach { case (key, (grouped, _)) =>
+      if (grouped.sparkSession.sparkContext.isStopped)
+        funnelCaches.remove(key)
+    }
+
+  /** Drop ALL funnel cache entries ever built for `documents` in its
+    * session — every minWords configuration, via the registry — so a
+    * session that varied minWords does not accrete orphaned entries.
+    * Mirrors [[DedupOps.unpersistShingles]]: call when the corpus is
+    * done; one-shot jobs can skip it (entries die with the session). */
   def unpersistCuration(documents: DataFrame): Unit = {
-    val ck = corpusKey(documents)
-    funnelCaches.keys.filter(_._1 == ck).foreach { key =>
+    val (sid, ck) = corpusKey(documents)
+    funnelCaches.keys.filter(k => k._1 == sid && k._2 == ck).foreach { key =>
       funnelCaches.remove(key).foreach { case (grouped, shs) =>
         shs.unpersist()
         grouped.unpersist()
       }
     }
+    sweepStoppedSessions()
   }
 
   /**

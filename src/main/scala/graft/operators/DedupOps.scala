@@ -154,6 +154,16 @@ object DedupOps {
    * pairs still pass exact-Jaccard verification, so no false positive can
    * enter. Use [[lshBucketCensus]] to quantify how many buckets a corpus
    * caps, and [[lshRecallCensus]] to measure the effect.
+   *
+   * Verification completeness note (round 11): the exact-Jaccard confirm
+   * stage pre-verifies candidates on 60-bit hashed shingle keys before the
+   * string verify, so completeness-conditional-on-candidates is now
+   * PROBABILISTIC, not absolute — a hash collision inside a pair's shingle
+   * intersection can drag hashed Jaccard below threshold ≤ string Jaccard
+   * and drop a true candidate at odds ~|A∩B|²·2⁻⁶¹ per pair (the same
+   * failure class as the 60-bit MinHash signature itself, and orders of
+   * magnitude below the detector's own band-miss rate). Precision is
+   * still absolute: every reported pair passes the string-Jaccard verify.
    */
   def minhashLsh(documents: DataFrame, threshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
@@ -610,6 +620,14 @@ object DedupOps {
    * Exact n-gram Jaccard ≥ threshold for all pairs, via a shingle inverted
    * index: explode distinct shingles, equi-join on the shingle, count common
    * shingles per pair, derive Jaccard from exact integer counts.
+   *
+   * Completeness class: the candidate index AND the pre-verification both
+   * run on 60-bit hashed shingle keys, so a true pair can be lost to a
+   * hash collision inside its own shingle intersection at odds
+   * ~|A∩B|²·2⁻⁶¹ per pair (see [[ngramJaccardFrom]] for the mechanism and
+   * the counterexample) — "exact" here means every REPORTED value is the
+   * string-set Jaccard and precision is absolute; completeness is
+   * probabilistic at that collision class.
    */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)

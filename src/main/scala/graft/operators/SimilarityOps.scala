@@ -239,7 +239,22 @@ object SimilarityOps {
       assigned: DataFrame, canonicalCellPairs: DataFrame,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(assigned.sparkSession)
-    val packed = assigned.groupBy(col("cid"))
+    // Pack ONLY cells the pair table names: on the capped
+    // [[semanticDedupPairs]] path an over-cap cell's pairs route to the
+    // star arm, but without this semi-join the cell would STILL collapse
+    // into one O(members·dim) aggregate row here (Spark cannot push the
+    // pair join below the groupBy), so one degenerate mega-cell would
+    // defeat the very bound maxCellPairSize exists to enforce. Cells
+    // appearing in the capped pair table are ≤ cap by construction; on
+    // the audit path every populated cell qualifies (the self pair always
+    // passes the angle bound), so there the semi-join filters nothing and
+    // costs one broadcast probe per row.
+    val pairedCids = canonicalCellPairs
+      .select(explode(array(col("cid_a"), col("cid_b"))).as("cid"))
+      .distinct()
+    val packed = assigned
+      .join(broadcast(pairedCids), Seq("cid"), "left_semi")
+      .groupBy(col("cid"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("cell"))
     // The b-side join carries NO broadcast hint: the packed relation is the
     // corpus itself, so AQE may broadcast it while it fits (the probe/gate
@@ -912,6 +927,16 @@ object SimilarityOps {
    * corpus, ONE shuffle on qid, then both rankings as back-to-back window
    * passes over the same partitioning (the IVF rank re-sorts only the
    * probed subset); overlap is a semi-join of the two top-k id sets.
+   *
+   * The sample is a FIXED-SIZE slice (`vec_id % queryMod` AND
+   * `vec_id < queryCap`), the same idiom as [[hardNegatives]]: without the
+   * cap the query count grows with the corpus and the exact ground-truth
+   * scan is O(n²/queryMod) — the round-11 probe measured 38 s and 24 GB of
+   * spill at 30×-distinct for a CONSTANT-SIZE census verdict. With the cap
+   * the exact side is O(queryCap/queryMod · n): linear in the corpus, and
+   * the census is still an unbiased recall estimate (the id slice is
+   * content-independent). The cap never binds at the gate SFs
+   * (≤ 2000 vectors), so gated results are unchanged.
    */
   def ivfRecallCensus(
       embeddings: DataFrame,
@@ -919,10 +944,11 @@ object SimilarityOps {
       centroidMod: Int = 40,
       nProbe: Int = 12,
       queryMod: Int = 29,
-      maxCentroids: Int = DefaultMaxCentroids): DataFrame =
+      maxCentroids: Int = DefaultMaxCentroids,
+      queryCap: Long = 5000L): DataFrame =
     ivfRecallCensusWith(embeddings, k,
       centroidsFixedK(embeddings, centroidMod, maxCentroids),
-      nProbe, queryMod)
+      nProbe, queryMod, queryCap)
 
   /** [[ivfRecallCensus]] with a caller-supplied centroid table — measures
     * the recall of e.g. a [[trainCentroids]] quantizer, whose cells a
@@ -933,10 +959,12 @@ object SimilarityOps {
       k: Int,
       cents: DataFrame,
       nProbe: Int,
-      queryMod: Int): DataFrame = {
+      queryMod: Int,
+      queryCap: Long = 5000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignToCentroids(embeddings, cents)
-    val queries = embeddings.filter(col("vec_id") % queryMod === 0)
+    val queries = embeddings
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < queryCap)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("qid"), col("cid"), cos(col("qvec"), col("cvec")).as("psim"))

@@ -102,4 +102,31 @@ class CellPairMatchesSpec extends AnyFunSuite {
       s"witness pair raw=$rawSim must pass the rounded threshold")
     assert(bucketed == brute, s"bucketed $bucketed != brute $brute")
   }
+
+  test("null embeddings are SKIPPED (drop-the-pair), not an NPE — the cos null-propagation contract") {
+    // The Column path the kernel replaced computed cos(emb_a, emb_b) per
+    // candidate; cos is null-intolerant, so a null embedding silently
+    // excluded every pair touching it. The kernel must preserve that.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f)), Row(1L, null), Row(2L, Seq(1f, 0f)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val packed = df.agg(
+      collect_list(struct(col("vec_id"), col("embedding"))).as("cell"))
+    val got = packed
+      .select(explode(call_function("cell_pair_matches",
+        col("cell"), col("cell"), lit(-2.0), lit(true))).as("m"))
+      .select(col("m.vec_a"), col("m.vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the (0, 2) pair survives; every pair touching vec 1 is dropped
+    assert(got == Set((0L, 2L)), s"expected {(0,2)}, got $got")
+  }
 }

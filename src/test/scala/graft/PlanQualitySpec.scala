@@ -183,6 +183,12 @@ class PlanQualitySpec extends SparkSpec {
     // collapse stars) — a refactor that drops the cap would collapse the
     // union arms
     assert(p.contains("Union"), p.take(3000))
+    // the packing aggregate is fed through a semi-join against the pair
+    // table's cids: without it an over-cap cell (whose pairs route to the
+    // star arm) still packs into ONE O(members·dim) aggregate row,
+    // defeating the maxCellPairSize bound (round-12 ADVICE fix)
+    assert(p.contains("LeftSemi"),
+      s"cell packing must semi-join the paired cids first: ${p.take(3000)}")
   }
 
   test("metadata queries over the asset store never read the binary payload column") {
