@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName,
         "word_shingles"),
       GraftExtensions.wordShinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("word_spans"),
+      new ExpressionInfo(classOf[graft.functions.WordSpans].getName,
+        "word_spans"),
+      GraftExtensions.wordSpansBuilder))
   }
 }
 
@@ -187,6 +192,22 @@ object GraftExtensions {
         graft.functions.WordShingles(children(0), k, w)
       case other => throw new IllegalArgumentException(
         s"word_shingles: gram size and short-doc policy must be literals, got $other")
+    }
+  }
+
+  /** `word_spans(array<string>, width)` — width must be a literal (it
+    * parameterizes the generated code, it is not a per-row value). */
+  private[graft] val wordSpansBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"word_spans expects exactly 2 arguments (array<string>, int literal), got ${children.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.IntegerType
+    children(1) match {
+      case Literal(w: Int, IntegerType) =>
+        graft.functions.WordSpans(children(0), w)
+      case other => throw new IllegalArgumentException(
+        s"word_spans: width must be an integer literal, got $other")
     }
   }
 

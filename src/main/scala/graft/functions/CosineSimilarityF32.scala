@@ -168,6 +168,8 @@ object GraftFunctions {
         "scala_udf")
       reg.createOrReplaceTempFunction(
         "word_shingles", graft.GraftExtensions.wordShinglesBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "word_spans", graft.GraftExtensions.wordSpansBuilder, "scala_udf")
       // the engine's optimizer rule rides the same registration path: any
       // session an operator touches gets the top-k-per-group rewrite
       val opts = spark.experimental.extraOptimizations
@@ -190,6 +192,14 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("word_shingles",
       tokens, org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(wholeDocIfShort))
+
+  /** Column helper for the one-pass non-overlapping span grid — callers
+    * must have [[register]]ed the session. See
+    * [[graft.functions.WordSpans]] for semantics. */
+  def wordSpans(tokens: org.apache.spark.sql.Column,
+      width: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("word_spans",
+      tokens, org.apache.spark.sql.functions.lit(width))
 
   /** Column helper for the Bloom membership probe — the sketch bytes travel
     * as a binary literal, the hash column must already be a bigint. */

@@ -596,12 +596,39 @@ object DedupOps {
    * candidates outnumber docs (measured 5× at sf0.1 for the prefix-filter
    * path).
    */
+  /** Corpus-proportional partition count for the candidate-pair shuffles.
+    * The session's fixed `spark.sql.shuffle.partitions` bounds these
+    * shuffles from ABOVE at scale: AQE can only coalesce small partitions,
+    * never split uniformly-overloaded ones (skew-join splitting needs a
+    * skewed OUTLIER, not a uniformly heavy stage), so at 100 TB the
+    * per-partition pair mass grows without bound (the round-11 probe
+    * measured 17 GB of spill here before the hashed pre-verify narrowed
+    * the rows; the structural bound remained). The shingle relation's
+    * plan-estimated bytes are a job-free linear proxy for the pair
+    * stage's mass: target ~256 MB of proxy bytes per partition, clamped
+    * to [session shuffle partitions, 65536] — unchanged in the
+    * gate/probe regime (proxy ≤ a few GB), corpus-proportional on a real
+    * cluster. */
+  private def pairShufflePartitions(shArr: DataFrame): Int = {
+    val sess = shArr.sparkSession.sessionState.conf.numShufflePartitions
+    val proxyBytes = shArr.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (proxyBytes / (256L << 20)).min(BigInt(65536)).toInt
+    math.max(sess, byBytes)
+  }
+
   private def verifyJaccard(shArr: DataFrame, pairs: DataFrame,
       threshold: Double): DataFrame = {
+    val nPart = pairShufflePartitions(shArr)
     val hv = shArr.select(col("doc_id"), array_distinct(col("shv")).as("hv"))
     val (_, jh) = jaccard(col("hv_a"), col("hv_b"))
+    // Pinned corpus-proportional spread of the candidate relation before
+    // each key-array join — these two are the operator's dominant
+    // shuffles, and the pinned repartition doubles as the join's own
+    // exchange (same key), so no extra pass is added.
     val survivors = pairs
+      .repartition(nPart, col("doc_a"))
       .join(hv.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), Seq("doc_a"))
+      .repartition(nPart, col("doc_b"))
       .join(hv.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), Seq("doc_b"))
       .filter(jh >= threshold)
       .select(col("doc_a"), col("doc_b"))
@@ -712,6 +739,7 @@ object DedupOps {
     val ranked = sh.join(freq, Seq("s"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+    val nPart = pairShufflePartitions(shArr)
     val prefixA = ranked
       .filter(col("r") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("doc_id").as("doc_a"), col("s"))
@@ -720,12 +748,15 @@ object DedupOps {
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // hashed pre-verify on the 8-byte key arrays (the wide-shuffle stage),
-    // exact string verify on the survivors — same two-stage shape and
+    // hashed pre-verify on the 8-byte key arrays (the wide-shuffle stage,
+    // spread corpus-proportionally like verifyJaccard's), exact string
+    // verify on the survivors — same two-stage shape and
     // exactness/completeness class as verifyJaccard
     val hv = shArr.select(col("doc_id"), array_distinct(col("shv")).as("hv"))
     val survivors = pairs
+      .repartition(nPart, col("doc_a"))
       .join(hv.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), Seq("doc_a"))
+      .repartition(nPart, col("doc_b"))
       .join(hv.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), Seq("doc_b"))
       .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
         / size(col("hv_a")).cast("double") >= threshold)

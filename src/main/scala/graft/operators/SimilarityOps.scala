@@ -231,9 +231,17 @@ object SimilarityOps {
    * Replaces the row-per-candidate join, whose per-candidate UnsafeRow
    * materialization of two embedding arrays dominated x57 at the round-10
    * distinct-growth probe (~200 GB of row traffic for ~10⁵ true pairs).
-   * Joined row width is O(cell population): bounded by `maxCellPairSize`
-   * on the capped dedup path, and by the corpus-proportional centroid rule
-   * (expected `centroidMod` members per cell) on the audit path.
+   *
+   * Packed-row width is HARD-bounded (round 12): members are packed per
+   * (cid, block) with ⌈cellSize/4096⌉ id-mod blocks per cell, so even a
+   * degenerate corpus that concentrates into ONE cell on the audit path
+   * (where the pair table names every populated cell and the capped
+   * path's size split does not apply) packs rows of ≤ ~4096 expected
+   * members instead of one O(n·dim) row. Block pairs enumerate the same
+   * pair set exactly: within-block pairs run the `same` kernel arm,
+   * block-vs-block the cross arm, and same-cell block pairs are taken
+   * canonically (blk_a ≤ blk_b) so no pair repeats. Normal cells get one
+   * block — the plan is then row-identical to the unblocked form.
    */
   private def blockedPairs(
       assigned: DataFrame, canonicalCellPairs: DataFrame,
@@ -252,22 +260,34 @@ object SimilarityOps {
     val pairedCids = canonicalCellPairs
       .select(explode(array(col("cid_a"), col("cid_b"))).as("cid"))
       .distinct()
+    // block assignment: ⌈csz/4096⌉ id-mod blocks per cell (one block for
+    // every cell under ~4096 members — the common case, where the extra
+    // columns fold away); csz is an O(#cells) aggregate, broadcastable
+    val csz = assigned.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
     val packed = assigned
       .join(broadcast(pairedCids), Seq("cid"), "left_semi")
-      .groupBy(col("cid"))
+      .join(broadcast(csz), Seq("cid"))
+      .withColumn("nblk",
+        ceil(col("csz").cast("double") / lit(4096.0)).cast("int"))
+      .withColumn("blk", pmod(col("vec_id"), col("nblk")).cast("int"))
+      .groupBy(col("cid"), col("blk"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("cell"))
     // The b-side join carries NO broadcast hint: the packed relation is the
     // corpus itself, so AQE may broadcast it while it fits (the probe/gate
     // regime) but must be free to fall back to a shuffle join at corpus
     // scale, where the shuffled bytes (cells × qualifying partners) equal
     // the old candidate join's traffic only in the un-pruned worst case.
-    packed.select(col("cid").as("cid_a"), col("cell").as("cell_a"))
+    packed.select(col("cid").as("cid_a"), col("blk").as("blk_a"),
+        col("cell").as("cell_a"))
       .join(broadcast(canonicalCellPairs), Seq("cid_a"))
-      .join(packed.select(col("cid").as("cid_b"), col("cell").as("cell_b")),
-        Seq("cid_b"))
+      .join(packed.select(col("cid").as("cid_b"), col("blk").as("blk_b"),
+        col("cell").as("cell_b")), Seq("cid_b"))
+      // same-cell block pairs are canonical (blk_a ≤ blk_b); the strictly
+      // equal block runs the i<j `same` arm, distinct blocks the cross arm
+      .filter(col("cid_a") =!= col("cid_b") || col("blk_a") <= col("blk_b"))
       .select(explode(call_function("cell_pair_matches",
-        col("cell_a"), col("cell_b"),
-        lit(threshold - 1e-6), col("cid_a") === col("cid_b"))).as("m"))
+        col("cell_a"), col("cell_b"), lit(threshold - 1e-6),
+        col("cid_a") === col("cid_b") && col("blk_a") === col("blk_b"))).as("m"))
       .select(col("m.vec_a").as("vec_a"), col("m.vec_b").as("vec_b"),
         round6f(col("m.sim")).as("sim"))
       .filter(col("sim") >= threshold)

@@ -277,21 +277,21 @@ object TextOps {
     * ONE definition both span operators and both their DuckDB oracles
     * must stay bit-identical to.
     *
-    * Known bound: the lambda's `slice(ws, …)` re-evaluates the split
-    * subtree per WINDOW (the [[graft.functions.WordShingles]] failure
-    * class), so this is O(words²/width) per doc — with nSpans = w/width
-    * windows the constant stays small (x32/x35 ≤3.1 s at the 10×-distinct
-    * probe vs the k-gram forms' O(words²) that motivated the expression).
-    * If span widths shrink or docs lengthen enough to bite, route through
-    * a strided variant of the one-pass expression. */
+    * One-pass codegen'd expression ([[graft.functions.WordSpans]]) over
+    * the split-once token array — the HOF form it replaces re-evaluated
+    * the `split(lower(text))` subtree per WINDOW (O(words²/width) per
+    * doc, the [[graft.functions.WordShingles]] failure class; the last
+    * in-tree instance). Value-identical including edges (equivalence
+    * property-tested in WordSpansSpec); the `coalesce` keeps the legacy
+    * null-text value (empty array — the old when/otherwise sent a null
+    * size to the otherwise branch). Callers' sessions must be
+    * [[graft.functions.GraftFunctions.register]]ed (every span entry
+    * point is). */
   private def spanArray(width: Int): Column = {
     require(width > 0, "span width must be positive")
-    val ws = words(col("text"))
-    val nSpans = (size(ws) / lit(width)).cast("int") // int division for positives
-    when(size(ws) >= width,
-      transform(sequence(lit(1), nSpans), i =>
-        concat_ws(" ", slice(ws, (i - lit(1)) * lit(width) + lit(1), lit(width)))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(
+      graft.functions.GraftFunctions.wordSpans(words(col("text")), width),
+      array().cast("array<string>"))
   }
 
   /**
@@ -384,6 +384,7 @@ object TextOps {
    * any other aggregation key at 100 TB.
    */
   def duplicateSpans(documents: DataFrame, width: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
       .select(col("doc_id"), explode(spanArray(width)).as("span"))
       .groupBy(col("span"))
@@ -430,6 +431,7 @@ object TextOps {
    * least one key shuffle because its duplicate scope is corpus-wide.
    */
   def intraDocSpanDedup(documents: DataFrame, width: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val ws = words(col("text"))
     val nSpans = (size(ws) / lit(width)).cast("int")
     documents.select(col("doc_id"), col("lang"),
@@ -440,6 +442,7 @@ object TextOps {
   }
 
   def spanDedupApply(documents: DataFrame, width: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val ws = words(col("text"))
     val nSpans = (size(ws) / lit(width)).cast("int")
@@ -475,6 +478,7 @@ object TextOps {
    * [[duplicateSpans]]); determinism comes from the (doc_id, pos) order.
    */
   def spanDedupCensus(documents: DataFrame, width: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val occ = documents.select(col("lang"), col("doc_id"),
       posexplode(spanArray(width)).as(Seq("pos", "span")))
@@ -520,6 +524,7 @@ object TextOps {
    * single aggregation.
    */
   def boilerplateCensus(documents: DataFrame, width: Int = 8, minDf: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val occ = documents.select(col("lang"), col("doc_id"),
       explode(spanArray(width)).as("span"))
     val flagged = boilerplateSpans(occ, minDf).withColumn("bp", lit(true))
@@ -548,6 +553,7 @@ object TextOps {
    * joined back to the corpus on doc_id. No windows anywhere.
    */
   def boilerplateApply(documents: DataFrame, width: Int = 8, minDf: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val ws = words(col("text"))
     val nSpans = (size(ws) / lit(width)).cast("int")
     val base = documents.select(

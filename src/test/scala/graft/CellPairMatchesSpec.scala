@@ -103,6 +103,33 @@ class CellPairMatchesSpec extends AnyFunSuite {
     assert(bucketed == brute, s"bucketed $bucketed != brute $brute")
   }
 
+  test("a degenerate one-cell corpus larger than the 4096 block bound still matches brute force") {
+    // The audit path's packed-row width bound (round 12): a corpus whose
+    // vectors all land in ONE cell must pack per (cid, block), never one
+    // O(n·dim) row — and the block-pair enumeration (same arm within a
+    // block, cross arm across canonical block pairs) must reproduce the
+    // brute-force pair set exactly.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = 4500 // > 4096 → two id-mod blocks
+    val data = vecs(7, n, 4)
+    val df = data.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val t = 0.95
+    // single centroid → every vector assigns to one cell
+    val oneCent = df.filter(col("vec_id") === 0)
+      .select(lit(0L).as("cid"), col("embedding").as("cvec"))
+    val bucketed = SimilarityOps.embeddingNearDupWith(df, t, oneCent)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.embeddingNearDupBrute(df, t)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must produce qualifying pairs")
+    assert(bucketed == brute,
+      s"blocked mega-cell diverged: ${bucketed.size} vs ${brute.size} pairs")
+  }
+
   test("null embeddings are SKIPPED (drop-the-pair), not an NPE — the cos null-propagation contract") {
     // The Column path the kernel replaced computed cos(emb_a, emb_b) per
     // candidate; cos is null-intolerant, so a null embedding silently

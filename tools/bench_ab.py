@@ -24,12 +24,20 @@ Protocol:
   * per side, per query: steady = min warm rep over all passes, cold = min
     first-rep; every pass is a probe run (SPARK_GRAFT_BENCH_OUT), so the
     committed canonical BENCH_line.json is never rewritten by this tool;
-  * delta math identical to bench_delta.py: floor = median current/prior
-    steady over queries with prior steady >= min-steady; normalized ratio =
-    raw / floor; flagged when outside [1/threshold, threshold].
+  * delta math: floors are computed PER ROUND TRIP (each adjacent A+B pass
+    pair gets floor_t = median current/prior steady over that trip's
+    queries with prior steady >= min-steady) and each query's per-trip raw
+    ratio is normalized by ITS trip's floor; the reported norm is the
+    median over trips. Round 11's final delta hit a 1.127 floor in one
+    pass (one side +30 % for ~minutes) that a single global floor only
+    partially absorbed — per-trip floors cancel a drift that lands inside
+    one round trip instead of smearing it across all queries. The global
+    floor (bench_delta.py's method: minima combined across passes first)
+    is still recorded as norm_global for continuity; flags use the
+    per-trip norm.
 
-The artifact records both sides' per-query steadies, the floor, normalized
-ratios, flags, boot fingerprint and uptimes per pass — enough to re-derive
+The artifact records both sides' per-query steadies, per-trip floors and
+norms, flags, boot fingerprint and uptimes per pass — enough to re-derive
 every number without rerunning.
 """
 import argparse
@@ -173,15 +181,37 @@ def main():
                   if pri[q]["steady"] >= args.min_steady]
     floor = statistics.median(floor_pool) if floor_pool else 1.0
 
+    # Per-round-trip floors: trip t = t-th A pass + t-th B pass (adjacent
+    # in the A B B A order). A floor spike confined to one trip normalizes
+    # away inside that trip instead of biasing every query's global ratio.
+    n_trips = min(len(passes["A"]), len(passes["B"]))
+    trip_floors = []
+    trip_norms = {}   # q -> [norm per trip]
+    for t in range(n_trips):
+        tc = combine([passes["A"][t]])
+        tp = combine([passes["B"][t]])
+        tr = {q: tc[q]["steady"] / tp[q]["steady"]
+              for q in set(tc) & set(tp) if tp[q]["steady"] > 0}
+        pool = [r for q, r in tr.items()
+                if tp[q]["steady"] >= args.min_steady]
+        tf = statistics.median(pool) if pool else 1.0
+        trip_floors.append(round(tf, 4))
+        for q, r in tr.items():
+            trip_norms.setdefault(q, []).append(r / tf)
+
     table = {}
     flagged = []
     for q in common:
         raw = ratios.get(q)
-        norm = raw / floor if raw else None
+        norm_global = raw / floor if raw else None
+        tn = trip_norms.get(q)
+        norm = statistics.median(tn) if tn else norm_global
         table[q] = {"prior": round(pri[q]["steady"], 4),
                     "current": round(cur[q]["steady"], 4),
                     "raw": round(raw, 4) if raw else None,
-                    "norm": round(norm, 4) if norm else None}
+                    "norm": round(norm, 4) if norm else None,
+                    "norm_global": round(norm_global, 4) if norm_global else None,
+                    "trip_norms": [round(x, 4) for x in tn] if tn else None}
         if (norm and pri[q]["steady"] >= args.min_steady and
                 (norm > args.threshold or norm < 1 / args.threshold)):
             flagged.append(q)
@@ -192,9 +222,11 @@ def main():
     artifact = {
         "method": "interleaved same-session A/B (A=working tree, B=prior "
                   "worktree), order A B B A per round trip; per side per "
-                  "query: steady=min warm rep across passes; floor=median "
-                  "current/prior steady over prior>=min_steady; norm=raw/"
-                  "floor",
+                  "query: steady=min warm rep across passes; floors are "
+                  "per round trip (median current/prior steady within the "
+                  "trip over prior>=min_steady); norm=median over trips of "
+                  "per-trip raw/floor_t; norm_global keeps the combined-"
+                  "minima single-floor method for continuity",
         "prior_rev": prior_rev,
         "current_rev": cur_rev + ("+dirty" if dirty else ""),
         "sf": args.sf_dir,
@@ -204,6 +236,7 @@ def main():
         "boot": boots,
         "floor": round(floor, 4),
         "floor_pool_n": len(floor_pool),
+        "trip_floors": trip_floors,
         "threshold": args.threshold,
         "min_steady": args.min_steady,
         "common_total_prior_s": round(pt, 2),

@@ -93,9 +93,16 @@ DISTINCT_EXPRS = {
 
 def main(factor, out_dir, distinct):
     assert 2 <= factor <= 900, f"factor {factor} out of the sanity cap (see header)"
-    if distinct:
-        assert factor <= 64, ("distinct mode caps at 64: Walsh sign patterns "
-                              "repeat past the embedding dimensionality")
+    if distinct and factor > 64:
+        # Walsh sign patterns repeat past the embedding dimensionality, so
+        # the embedding table saturates at 64 distinct isometry classes:
+        # replicas r and r+64 carry IDENTICAL vectors (under new ids).
+        # The TEXT axis ("_q<r>" suffixes) stays fully distinct at any
+        # factor — a >64 fixture is valid for the text/dedup families and
+        # INVALID for the embedding family (probe embeddings on <=64).
+        print(f"WARNING: factor {factor} > 64 — embeddings saturate at 64 "
+              "distinct isometry classes (exact duplicates across the "
+              "excess replicas); use this fixture for TEXT families only")
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         raise SystemExit(f"refusing to overwrite non-empty {out_dir} - "
                          "remove it or pass an explicit fresh out_dir")
