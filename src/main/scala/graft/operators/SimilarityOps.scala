@@ -242,6 +242,28 @@ object SimilarityOps {
    * block-vs-block the cross arm, and same-cell block pairs are taken
    * canonically (blk_a ≤ blk_b) so no pair repeats. Normal cells get one
    * block — the plan is then row-identical to the unblocked form.
+   *
+   * TWO join strategies, dispatched on measured pair-table density
+   * (round 12, from the 60×-distinct probe): the pair-table EQUI-JOIN
+   * (packed_a ⋈ pairs ⋈ packed_b) carries the a-side payload through the
+   * second join's shuffle, so its traffic is O(qualifying pairs ×
+   * cell bytes) — at t=0.4 the triangle bound prunes NOTHING (cell radii
+   * exceed the bound at 64 dims — round-11 note), the pair table is all
+   * k²/2 pairs, and the probe measured 100 GB of shuffle + 110 GB of
+   * spill for x4/x57 (128/165 s). The GROUPED 2D CROSS is the
+   * communication-optimal all-pairs shape: cells get a group g =
+   * cid mod G; each side is replicated G ways keyed (g_a, g_b); the SMJ
+   * on the two group keys streams the in-task cross product straight
+   * into a broadcast LEFT-SEMI filter against the pair table (semi also
+   * keeps ReorderJoin from re-bridging through the pair table), so the
+   * quadratic candidate stream NEVER touches the network — shuffled
+   * bytes are 2G × packed corpus, tasks G² ≈ the session's shuffle
+   * partitions. Dispatch: grouped when pairs > G × cells (dense regime —
+   * the equi-join would move more than the grouped path's whole
+   * budget), equi-join otherwise (sparse regime, e.g. the capped
+   * `small` table at gate scale, where the broadcast bridge is free and
+   * gated plans stay byte-identical). Measured effect: see
+   * BENCH_notes_r12 §2 (the 60×-distinct before/after).
    */
   private def blockedPairs(
       assigned: DataFrame, canonicalCellPairs: DataFrame,
@@ -257,7 +279,10 @@ object SimilarityOps {
     // the audit path every populated cell qualifies (the self pair always
     // passes the angle bound), so there the semi-join filters nothing and
     // costs one broadcast probe per row.
-    val pairedCids = canonicalCellPairs
+    // materialize the (tiny, ≤k²-row, 2-int-column) pair table once: the
+    // density dispatch counts it, and both strategies re-read it
+    val cp = canonicalCellPairs.localCheckpoint()
+    val pairedCids = cp
       .select(explode(array(col("cid_a"), col("cid_b"))).as("cid"))
       .distinct()
     // block assignment: ⌈csz/4096⌉ id-mod blocks per cell (one block for
@@ -272,16 +297,34 @@ object SimilarityOps {
       .withColumn("blk", pmod(col("vec_id"), col("nblk")).cast("int"))
       .groupBy(col("cid"), col("blk"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("cell"))
-    // The b-side join carries NO broadcast hint: the packed relation is the
-    // corpus itself, so AQE may broadcast it while it fits (the probe/gate
-    // regime) but must be free to fall back to a shuffle join at corpus
-    // scale, where the shuffled bytes (cells × qualifying partners) equal
-    // the old candidate join's traffic only in the un-pruned worst case.
-    packed.select(col("cid").as("cid_a"), col("blk").as("blk_a"),
-        col("cell").as("cell_a"))
-      .join(broadcast(canonicalCellPairs), Seq("cid_a"))
-      .join(packed.select(col("cid").as("cid_b"), col("blk").as("blk_b"),
-        col("cell").as("cell_b")), Seq("cid_b"))
+    val pa = packed.select(col("cid").as("cid_a"), col("blk").as("blk_a"),
+      col("cell").as("cell_a"))
+    val pb = packed.select(col("cid").as("cid_b"), col("blk").as("blk_b"),
+      col("cell").as("cell_b"))
+    val nPairs = cp.count()
+    val kCells = csz.count()
+    val conf = assigned.sparkSession.sessionState.conf.numShufflePartitions
+    val g = math.max(2, math.ceil(math.sqrt(conf.toDouble)).toInt)
+    val candidates =
+      if (nPairs > g.toLong * kCells) {
+        // dense regime: 2D grouped cross — G² co-partitioned group pairs,
+        // cross product streamed in-task through the broadcast semi filter
+        val groups = sequence(lit(0), lit(g - 1))
+        val ga = pa.withColumn("g_a", pmod(col("cid_a"), lit(g)).cast("int"))
+          .withColumn("g_b", explode(groups))
+        val gb = pb.withColumn("g_b", pmod(col("cid_b"), lit(g)).cast("int"))
+          .withColumn("g_a", explode(groups))
+        ga.join(gb, Seq("g_a", "g_b"))
+          .join(broadcast(cp), Seq("cid_a", "cid_b"), "left_semi")
+      } else {
+        // sparse regime: the pair table is the join bridge. The b-side
+        // join carries NO broadcast hint: the packed relation is the
+        // corpus itself, so AQE may broadcast it while it fits (the
+        // gate regime) but must be free to fall back to a shuffle join.
+        pa.join(broadcast(cp), Seq("cid_a"))
+          .join(pb, Seq("cid_b"))
+      }
+    candidates
       // same-cell block pairs are canonical (blk_a ≤ blk_b); the strictly
       // equal block runs the i<j `same` arm, distinct blocks the cross arm
       .filter(col("cid_a") =!= col("cid_b") || col("blk_a") <= col("blk_b"))
@@ -763,13 +806,41 @@ object SimilarityOps {
    * centroid; the query probes the `nProbe` nearest centroids and ranks only
    * vectors assigned there. Deterministic ties: (sim DESC, id ASC) everywhere.
    */
-  /** Deterministic IVF centroid table: the vectors with `vec_id % mod == 0`.
-    * CORPUS-PROPORTIONAL by design — used by the near-dup/semantic
-    * BUCKETING paths, where cell count must grow with the corpus so cell
-    * POPULATION stays bounded (the quadratic in-cell work is per cell). */
-  private def centroids(embeddings: DataFrame, centroidMod: Int): DataFrame =
-    embeddings.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  /** Deterministic centroid table for the near-dup/semantic BUCKETING
+    * paths. Two regimes (round 12, from the 60×-distinct probe):
+    *
+    *  - n ≤ centroidMod²: the classic `vec_id % mod == 0` rule — cell
+    *    count n/mod, byte-identical plans at the gate SFs.
+    *  - n > centroidMod²: expected-√n cells by hashed-id selection
+    *    (`xxhash64(vec_id) % (n/√n) == 0` — id-distribution-robust where
+    *    an id-prefix cap is not: probe fixtures stride ids by 10⁷). The
+    *    n/mod rule makes the CELL-PAIR table grow as (n/mod)² — and in
+    *    the t=0.4 no-pruning regime (cell radii exceed the triangle
+    *    bound at 64 dims) every pair is evaluated, so per-pair kernel
+    *    overhead (unpack, norm precompute, row alloc) dominated the 60×d
+    *    probe at 4.5M pairs while the intrinsic dot work is Θ(n²)
+    *    REGARDLESS of k. k ≈ √n is the balanced tiling: pair table O(n),
+    *    per-pair work n — overhead amortized to its minimum, exactly the
+    *    block-size argument of cache-blocked matrix multiply. Cell
+    *    population ≈ √n stays under the 4096 packed-block bound to
+    *    n ≈ 16M vectors per partition-set; past that the (cid, blk)
+    *    blocking bounds packed rows anyway.
+    *
+    * The choice affects COST only, never results: the exactness guarantee
+    * on [[embeddingNearDup]] holds for any centroid table (x4/x39/x57's
+    * oracles are brute-force SQL). Zero centroids selected (possible only
+    * at degenerate n) falls back to the brute path via `cents.isEmpty`. */
+  private def centroids(embeddings: DataFrame, centroidMod: Int): DataFrame = {
+    val n = embeddings.count()
+    val sqrtN = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val mod = math.max(centroidMod.toLong, n / sqrtN)
+    if (mod == centroidMod.toLong)
+      embeddings.filter(col("vec_id") % centroidMod === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    else
+      embeddings.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  }
 
   // ---- two-level (super-centroid) quantizer ------------------------------
 
