@@ -49,6 +49,13 @@ import org.apache.spark.sql.types._
  * loop is monomorphic JIT-compiled Scala. What matters for codegen health
  * is the SURROUNDING plan (packing aggregate, broadcast join, explode),
  * which stays whole-stage.
+ *
+ * The dot loop is j-blocked by 4 (round 12): the sequential f32
+ * accumulation the parity contract mandates is a loop-carried dependency
+ * chain (~4–5 cycles per add; FP reassociation barred, so neither we nor
+ * the JIT may vectorize WITHIN a pair) — running four pairs' independent
+ * chains in one pass over the dims fills the FMA pipeline ACROSS pairs
+ * instead, without reordering any single pair's ops.
  */
 case class CellPairMatchesF32(children: Seq[Expression])
     extends Expression with CodegenFallback {
@@ -151,7 +158,7 @@ object CellPairMatchesF32 {
     * this reproduces [[CosineSimilarityF32.compute]] bit-for-bit. NaN (zero
     * vector) never clears `>= minSim`, matching the Column path where
     * round6f(NaN)=NaN fails the threshold filter. */
-  private def pairSim(x: Array[Float], y: Array[Float],
+  private[functions] def pairSim(x: Array[Float], y: Array[Float],
       sa: Float, sb: Float): Float = {
     if (x.length != y.length)
       throw new IllegalArgumentException(
@@ -162,20 +169,74 @@ object CellPairMatchesF32 {
     dot / (sa * sb)
   }
 
+  /** Four pair-sims against one probe vector in a single pass over the
+    * dims, one INDEPENDENT f32 accumulator per pair. The sequential f32
+    * dot is a loop-carried dependency chain (~4–5 cycles per add, and FP
+    * reassociation is barred by the parity contract, so neither we nor
+    * the JIT may vectorize WITHIN a pair) — interleaving four pairs'
+    * chains fills the FMA pipeline across pairs instead. Each
+    * accumulator sees exactly the ops `pairSim` would issue, in the same
+    * order, so every emitted sim stays bit-identical (unit-gated in
+    * CellPairMatchesSpec). Requires equal dims, which the caller's
+    * `pairSim`-style check guarantees per block. */
+  private def pairSim4(x: Array[Float],
+      y0: Array[Float], y1: Array[Float], y2: Array[Float],
+      y3: Array[Float], out: Array[Float]): Unit = {
+    val n = x.length
+    if (y0.length != n || y1.length != n || y2.length != n ||
+        y3.length != n)
+      throw new IllegalArgumentException(
+        "cell_pair_matches: dimension mismatch " +
+          s"$n vs (${y0.length}, ${y1.length}, ${y2.length}, ${y3.length})")
+    var d0 = 0f; var d1 = 0f; var d2 = 0f; var d3 = 0f
+    var k = 0
+    while (k < n) {
+      val xk = x(k)
+      d0 += xk * y0(k); d1 += xk * y1(k)
+      d2 += xk * y2(k); d3 += xk * y3(k)
+      k += 1
+    }
+    out(0) = d0; out(1) = d1; out(2) = d2; out(3) = d3
+  }
+
+  /** Shared inner sweep: all pairs (i, j) for j in [jLo, n) against a
+    * fixed i, j-blocked by 4. Emission order matches the scalar loop. */
+  private def sweepRow(a: Cell, b: Cell, i: Int, jLo: Int, minSim: Double,
+      dots: Array[Float], buf: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {
+    val xi = a.vecs(i); val sa = a.norms(i); val ai = a.ids(i)
+    val n = b.ids.length
+    var j = jLo
+    while (j + 3 < n) {
+      pairSim4(xi, b.vecs(j), b.vecs(j + 1), b.vecs(j + 2), b.vecs(j + 3),
+        dots)
+      var t = 0
+      while (t < 4) {
+        val s = dots(t) / (sa * b.norms(j + t))
+        if (s >= minSim) {
+          val bj = b.ids(j + t)
+          if (ai <= bj) buf += row(ai, bj, s) else buf += row(bj, ai, s)
+        }
+        t += 1
+      }
+      j += 4
+    }
+    while (j < n) {
+      val s = pairSim(xi, b.vecs(j), sa, b.norms(j))
+      if (s >= minSim) {
+        val bj = b.ids(j)
+        if (ai <= bj) buf += row(ai, bj, s) else buf += row(bj, ai, s)
+      }
+      j += 1
+    }
+  }
+
   private[functions] def matchesSame(c: Cell, minSim: Double): GenericArrayData = {
     val n = c.ids.length
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val dots = new Array[Float](4)
     var i = 0
     while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val s = pairSim(c.vecs(i), c.vecs(j), c.norms(i), c.norms(j))
-        if (s >= minSim) {
-          if (c.ids(i) <= c.ids(j)) buf += row(c.ids(i), c.ids(j), s)
-          else buf += row(c.ids(j), c.ids(i), s)
-        }
-        j += 1
-      }
+      sweepRow(c, c, i, i + 1, minSim, dots, buf)
       i += 1
     }
     new GenericArrayData(buf.toArray[Any])
@@ -184,17 +245,10 @@ object CellPairMatchesF32 {
   private[functions] def matchesCross(
       a: Cell, b: Cell, minSim: Double): GenericArrayData = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val dots = new Array[Float](4)
     var i = 0
     while (i < a.ids.length) {
-      var j = 0
-      while (j < b.ids.length) {
-        val s = pairSim(a.vecs(i), b.vecs(j), a.norms(i), b.norms(j))
-        if (s >= minSim) {
-          if (a.ids(i) <= b.ids(j)) buf += row(a.ids(i), b.ids(j), s)
-          else buf += row(b.ids(j), a.ids(i), s)
-        }
-        j += 1
-      }
+      sweepRow(a, b, i, 0, minSim, dots, buf)
       i += 1
     }
     new GenericArrayData(buf.toArray[Any])

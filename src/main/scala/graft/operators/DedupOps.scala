@@ -603,16 +603,27 @@ object DedupOps {
     * skewed OUTLIER, not a uniformly heavy stage), so at 100 TB the
     * per-partition pair mass grows without bound (the round-11 probe
     * measured 17 GB of spill here before the hashed pre-verify narrowed
-    * the rows; the structural bound remained). The shingle relation's
-    * plan-estimated bytes are a job-free linear proxy for the pair
-    * stage's mass: target ~256 MB of proxy bytes per partition, clamped
-    * to [session shuffle partitions, 65536] — unchanged in the
-    * gate/probe regime (proxy ≤ a few GB), corpus-proportional on a real
-    * cluster. */
+    * the rows; the structural bound remained).
+    *
+    * The proxy is the sum of the plan's LEAF stats — file-scan and
+    * in-memory-relation sizes, which are MEASURED — never the derived
+    * plan's estimate: size estimates multiply through joins/aggregates
+    * and the first proxy (`optimizedPlan.stats.sizeInBytes` of the
+    * whole shingle relation) blew past 16 TB on uncached paths at the
+    * 30×-distinct probe, pinning 65536-partition shuffles onto a 700 MB
+    * stage. Target: one partition per 512 KB of leaf bytes — the
+    * 100×-distinct probe measured the candidate hv-join's shuffle mass
+    * at ~400× the compressed documents scan (22.7 GB read off a 58 MB
+    * scan: candidate multiplicity × two packed key arrays), so 512 KB of
+    * scan feeds ≈ 200 MB of join mass per partition. Clamped to
+    * [session shuffle partitions, 65536]: gate SFs and 30×d stay at the
+    * session count (≤ 36 MB of leaves), 100×d gets ~110 partitions,
+    * corpus-proportional beyond. */
   private def pairShufflePartitions(shArr: DataFrame): Int = {
     val sess = shArr.sparkSession.sessionState.conf.numShufflePartitions
-    val proxyBytes = shArr.queryExecution.optimizedPlan.stats.sizeInBytes
-    val byBytes = (proxyBytes / (256L << 20)).min(BigInt(65536)).toInt
+    val leafBytes = shArr.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val byBytes = (leafBytes / (512L << 10)).min(BigInt(65536)).toInt
     math.max(sess, byBytes)
   }
 

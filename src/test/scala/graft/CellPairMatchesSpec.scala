@@ -130,6 +130,29 @@ class CellPairMatchesSpec extends AnyFunSuite {
       s"blocked mega-cell diverged: ${bucketed.size} vs ${brute.size} pairs")
   }
 
+  test("a zero vector's NaN sim never clears the prefilter, in blocked body and scalar tail alike") {
+    // cos(zero, x) = 0/0 = NaN; the Column path's round6f(NaN) fails any
+    // threshold, so the kernel must drop such pairs even at minSim = -2.
+    // Nine vectors with the zero at index 4 puts NaN pairs in both the
+    // 4-blocked body and the <4 scalar tail of the j sweep.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val data = vecs(11, 9, 8).map { case (i, v) =>
+      if (i == 4L) (i, Array.fill(8)(0f)) else (i, v) }
+    val df = data.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val packed = df.agg(
+      collect_list(struct(col("vec_id"), col("embedding"))).as("cell"))
+    val got = packed
+      .select(explode(call_function("cell_pair_matches",
+        col("cell"), col("cell"), lit(-2.0), lit(true))).as("m"))
+      .select(col("m.vec_a"), col("m.vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == 8 * 7 / 2, s"expected C(8,2) non-NaN pairs, got ${got.size}")
+    assert(got.forall { case (a, b) => a != 4L && b != 4L },
+      s"a NaN pair surfaced: $got")
+  }
+
   test("null embeddings are SKIPPED (drop-the-pair), not an NPE — the cos null-propagation contract") {
     // The Column path the kernel replaced computed cos(emb_a, emb_b) per
     // candidate; cos is null-intolerant, so a null embedding silently
