@@ -605,26 +605,65 @@ object DedupOps {
     * measured 17 GB of spill here before the hashed pre-verify narrowed
     * the rows; the structural bound remained).
     *
-    * The proxy is the sum of the plan's LEAF stats — file-scan and
-    * in-memory-relation sizes, which are MEASURED — never the derived
-    * plan's estimate: size estimates multiply through joins/aggregates
-    * and the first proxy (`optimizedPlan.stats.sizeInBytes` of the
-    * whole shingle relation) blew past 16 TB on uncached paths at the
-    * 30×-distinct probe, pinning 65536-partition shuffles onto a 700 MB
-    * stage. Target: one partition per 512 KB of leaf bytes — the
-    * 100×-distinct probe measured the candidate hv-join's shuffle mass
-    * at ~400× the compressed documents scan (22.7 GB read off a 58 MB
-    * scan: candidate multiplicity × two packed key arrays), so 512 KB of
-    * scan feeds ≈ 200 MB of join mass per partition. Clamped to
+    * The proxy is MEASURED bytes only — never a derived-plan estimate:
+    * size estimates multiply through joins/aggregates, and the first
+    * proxy (`optimizedPlan.stats.sizeInBytes` of the whole shingle
+    * relation) blew past 16 TB on uncached paths at the 30×-distinct
+    * probe, pinning 65536-partition shuffles onto a 700 MB stage. A
+    * plain leaf-stats sum is not enough either: a `cache()`d shingle
+    * relation IS a leaf (InMemoryRelation), and until its buffers
+    * materialize Spark reports the stats OF THE PLAN IT CACHES — the
+    * same join-multiplied estimate (the funnel family builds its verify
+    * plan before the funnel cache fills, and the 30×d probe still hit
+    * one 65536-partition stage that way). So: loaded caches report
+    * their measured buffer bytes; unloaded caches recurse through the
+    * physical plan they would run down to FILE scans, whose sizes come
+    * from the file index — measured at any state. Scan types the
+    * recursion does not recognize contribute 0, degrading toward the
+    * session count (the pre-round-12 behavior), never toward
+    * over-spread.
+    *
+    * Target: one partition per 512 KB of leaf bytes — the 100×-distinct
+    * probe measured the candidate hv-join's shuffle mass at ~400× the
+    * compressed documents scan (22.7 GB read off a 58 MB scan:
+    * candidate multiplicity × two packed key arrays), so 512 KB of scan
+    * feeds ≈ 200 MB of join mass per partition. Clamped to
     * [session shuffle partitions, 65536]: gate SFs and 30×d stay at the
     * session count (≤ 36 MB of leaves), 100×d gets ~110 partitions,
     * corpus-proportional beyond. */
   private def pairShufflePartitions(shArr: DataFrame): Int = {
     val sess = shArr.sparkSession.sessionState.conf.numShufflePartitions
-    val leafBytes = shArr.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum
+    val leafBytes = measuredLeafBytes(shArr.queryExecution.optimizedPlan)
     val byBytes = (leafBytes / (512L << 10)).min(BigInt(65536)).toInt
     math.max(sess, byBytes)
+  }
+
+  /** Sum of MEASURED leaf bytes under `plan`: file scans (file-index
+    * sizes), loaded cache buffers, and the file scans inside UNLOADED
+    * cache plans (whose own stats would be the cached plan's estimate —
+    * see [[pairShufflePartitions]]). Unrecognized scan types count 0. */
+  private def measuredLeafBytes(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): BigInt = {
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def imrBytes(imr: InMemoryRelation): BigInt =
+      if (imr.cacheBuilder.isCachedColumnBuffersLoaded)
+        imr.computeStats().sizeInBytes
+      else physicalFileBytes(imr.cacheBuilder.cachedPlan)
+    def physicalFileBytes(p: SparkPlan): BigInt =
+      p.collect {
+        case f: FileSourceScanExec => BigInt(f.relation.sizeInBytes)
+        case t: InMemoryTableScanExec => imrBytes(t.relation)
+        // AQE wraps the cached plan in a leaf-like node; descend into the
+        // pre-execution plan it adapts (file sizes don't depend on which
+        // runtime plan AQE picks)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          physicalFileBytes(a.inputPlan)
+      }.sum
+    plan.collectLeaves().map {
+      case imr: InMemoryRelation => imrBytes(imr)
+      case leaf => leaf.stats.sizeInBytes
+    }.sum
   }
 
   private def verifyJaccard(shArr: DataFrame, pairs: DataFrame,
