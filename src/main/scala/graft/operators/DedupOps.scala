@@ -596,7 +596,8 @@ object DedupOps {
    * candidates outnumber docs (measured 5× at sf0.1 for the prefix-filter
    * path).
    */
-  /** Corpus-proportional partition count for the candidate-pair shuffles.
+  /** Corpus-proportional partition count for the candidate-pair shuffles
+    * — engaged ONLY past a per-partition mass bound, `None` below it.
     * The session's fixed `spark.sql.shuffle.partitions` bounds these
     * shuffles from ABOVE at scale: AQE can only coalesce small partitions,
     * never split uniformly-overloaded ones (skew-join splitting needs a
@@ -604,6 +605,24 @@ object DedupOps {
     * per-partition pair mass grows without bound (the round-11 probe
     * measured 17 GB of spill here before the hashed pre-verify narrowed
     * the rows; the structural bound remained).
+    *
+    * Why the engagement threshold (round 12, measured): an explicit
+    * `repartition(n, key)` carries a user origin, and AQE's
+    * OptimizeSkewedJoin only splits ENSURE_REQUIREMENTS exchanges — so
+    * pinning the spread TRADES AWAY skew-join splitting on these joins.
+    * The 100×-distinct probe priced that trade: pinned at ~110
+    * partitions, x2 31.7 → 49.2 s and x52 21.1 → 50.2 s (spill 37–42 GB
+    * → 0, but hot-doc partitions became unsplittable stragglers; warm
+    * reps DEGRADED as heap pressure from the fat straggler grew), and a
+    * transient broadcast-build OOM appeared on x34's cold rep. Sorted
+    * spill is sequential local I/O — cheap next to an unsplittable
+    * straggler — so below ~2 GB of expected join mass per session
+    * partition the right call is NO pin: AQE keeps skew splitting, and
+    * per-task memory stays bounded by spill (measured peak task memory
+    * 118 MB under 42 GB of spill). Past the bound, fat partitions stress
+    * shuffle fetches and sort buffers structurally, and the
+    * corpus-proportional pin (256 MB of join mass per partition, the
+    * trade documented) takes over.
     *
     * The proxy is MEASURED bytes only — never a derived-plan estimate:
     * size estimates multiply through joins/aggregates, and the first
@@ -623,19 +642,18 @@ object DedupOps {
     * session count (the pre-round-12 behavior), never toward
     * over-spread.
     *
-    * Target: one partition per 512 KB of leaf bytes — the 100×-distinct
-    * probe measured the candidate hv-join's shuffle mass at ~400× the
-    * compressed documents scan (22.7 GB read off a 58 MB scan:
-    * candidate multiplicity × two packed key arrays), so 512 KB of scan
-    * feeds ≈ 200 MB of join mass per partition. Clamped to
-    * [session shuffle partitions, 65536]: gate SFs and 30×d stay at the
-    * session count (≤ 36 MB of leaves), 100×d gets ~110 partitions,
-    * corpus-proportional beyond. */
-  private def pairShufflePartitions(shArr: DataFrame): Int = {
+    * Join mass ≈ 400× the compressed scan (the 100×-distinct probe:
+    * 22.7 GB of hv-join shuffle read off a 58 MB scan — candidate
+    * multiplicity × two packed key arrays). Engagement: mass / session
+    * partitions > 2 GB (at 32 partitions that is ~160 MB of leaves —
+    * every current fixture stays un-pinned, plans byte-identical to
+    * r11's AQE-managed shape); when pinned, one partition per 256 MB of
+    * mass, capped at 65536. */
+  private def pairShufflePartitions(shArr: DataFrame): Option[Int] = {
     val sess = shArr.sparkSession.sessionState.conf.numShufflePartitions
-    val leafBytes = measuredLeafBytes(shArr.queryExecution.optimizedPlan)
-    val byBytes = (leafBytes / (512L << 10)).min(BigInt(65536)).toInt
-    math.max(sess, byBytes)
+    val mass = measuredLeafBytes(shArr.queryExecution.optimizedPlan) * 400
+    if (mass / sess <= (2L << 30)) None
+    else Some((mass / (256L << 20)).min(BigInt(65536)).toInt)
   }
 
   /** Sum of MEASURED leaf bytes under `plan`: file scans (file-index
@@ -671,14 +689,15 @@ object DedupOps {
     val nPart = pairShufflePartitions(shArr)
     val hv = shArr.select(col("doc_id"), array_distinct(col("shv")).as("hv"))
     val (_, jh) = jaccard(col("hv_a"), col("hv_b"))
-    // Pinned corpus-proportional spread of the candidate relation before
-    // each key-array join — these two are the operator's dominant
-    // shuffles, and the pinned repartition doubles as the join's own
-    // exchange (same key), so no extra pass is added.
-    val survivors = pairs
-      .repartition(nPart, col("doc_a"))
+    // Corpus-proportional spread of the candidate relation before each
+    // key-array join (the operator's dominant shuffles) — ONLY past the
+    // per-partition mass bound; below it the plan stays AQE-managed so
+    // skew-join splitting keeps working (see pairShufflePartitions).
+    def spread(df: DataFrame, key: Column): DataFrame =
+      nPart.fold(df)(n => df.repartition(n, key))
+    val survivors = spread(pairs, col("doc_a"))
       .join(hv.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), Seq("doc_a"))
-      .repartition(nPart, col("doc_b"))
+      .transform(spread(_, col("doc_b")))
       .join(hv.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), Seq("doc_b"))
       .filter(jh >= threshold)
       .select(col("doc_a"), col("doc_b"))
@@ -803,10 +822,11 @@ object DedupOps {
     // verify on the survivors — same two-stage shape and
     // exactness/completeness class as verifyJaccard
     val hv = shArr.select(col("doc_id"), array_distinct(col("shv")).as("hv"))
-    val survivors = pairs
-      .repartition(nPart, col("doc_a"))
+    def spread(df: DataFrame, key: Column): DataFrame =
+      nPart.fold(df)(n => df.repartition(n, key))
+    val survivors = spread(pairs, col("doc_a"))
       .join(hv.select(col("doc_id").as("doc_a"), col("hv").as("hv_a")), Seq("doc_a"))
-      .repartition(nPart, col("doc_b"))
+      .transform(spread(_, col("doc_b")))
       .join(hv.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")), Seq("doc_b"))
       .filter(size(array_intersect(col("hv_a"), col("hv_b"))).cast("double")
         / size(col("hv_a")).cast("double") >= threshold)
