@@ -212,7 +212,17 @@ object SimilarityOps {
       .localCheckpoint()
     val cellPairs = cellPairTable(assigned, q, threshold)
       .filter(col("cid_a") <= col("cid_b"))
+    // The hash exchange below the sort is NOT redundant: a global sort's
+    // RANGE partitioner samples its child to compute bounds in a separate
+    // job, and with only shuffle-reuse boundaries above the kernel that
+    // sampling job RE-EXECUTES the whole all-vs-all kernel stage (measured:
+    // 2× the dominant stage per run at the 60×-distinct probe — the event
+    // log shows the bounds job and the exchange job each reading the full
+    // packed SMJ inputs). Materializing the (tiny, match-only) kernel
+    // output behind one hash exchange lets the sampler read 47 MB instead
+    // of recomputing ~200 s of kernel work.
     blockedPairs(assigned, cellPairs, threshold)
+      .repartition(col("vec_a"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -304,7 +314,16 @@ object SimilarityOps {
     val nPairs = cp.count()
     val kCells = csz.count()
     val conf = assigned.sparkSession.sessionState.conf.numShufflePartitions
-    val g = math.max(2, math.ceil(math.sqrt(conf.toDouble)).toInt)
+    // G² group pairs land on the session's shuffle partitions by HASH, so
+    // at G = √conf the ~conf keys birthday-collide into ~2/3 of the
+    // partitions with 2-key stragglers setting the wall (measured at the
+    // 60×-distinct probe: 21 non-empty tasks of 32, stage wall 19.8 s vs
+    // 5.6 s of work per core). Over-decompose 4×: G = 2·√conf gives ~4
+    // keys per partition, collision variance ~±25 % instead of ±100 %,
+    // for 2× the replication bytes (2G × packed corpus — still the
+    // communication-optimal shape's constant, and the packed corpus is
+    // the SMALL relation here).
+    val g = math.max(2, 2 * math.ceil(math.sqrt(conf.toDouble)).toInt)
     val candidates =
       if (nPairs > g.toLong * kCells) {
         // dense regime: 2D grouped cross — G² co-partitioned group pairs,
