@@ -918,7 +918,13 @@ object DedupOps {
         val rows = parent.keys.toSeq.map(v => (v, find(v))).sorted
         import spark.implicits._
         rows.toDF("doc_id", "component").orderBy(col("doc_id"))
-      } else connectedComponents(pairs, aCol, bCol)
+      // pass the PERSISTED edges, not the raw pairs plan: the cache is
+      // plan-keyed, so connectedComponents' sym rebuild from `pairs`
+      // would miss it and RE-EXECUTE the whole pair generator (measured:
+      // the x57 blocked-kernel stage ran twice per execution, ~150 task-
+      // seconds each, before this reuse). sym localCheckpoints eagerly
+      // inside the call, so the finally-unpersist stays safe.
+      } else connectedComponents(edges, aCol, bCol)
     } finally edges.unpersist()
   }
 
