@@ -221,7 +221,7 @@ object SimilarityOps {
     // packed SMJ inputs). Materializing the (tiny, match-only) kernel
     // output behind one hash exchange lets the sampler read 47 MB instead
     // of recomputing ~200 s of kernel work.
-    blockedPairs(assigned, cellPairs, threshold)
+    blockedPairs(assigned, cellPairs, threshold, q.k)
       .repartition(col("vec_a"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -268,16 +268,21 @@ object SimilarityOps {
    * keeps ReorderJoin from re-bridging through the pair table), so the
    * quadratic candidate stream NEVER touches the network — shuffled
    * bytes are 2G × packed corpus, tasks G² ≈ the session's shuffle
-   * partitions. Dispatch: grouped when pairs > G × cells (dense regime —
+   * partitions. Dispatch: grouped when pairs > G × k (dense regime —
    * the equi-join would move more than the grouped path's whole
-   * budget), equi-join otherwise (sparse regime, e.g. the capped
-   * `small` table at gate scale, where the broadcast bridge is free and
-   * gated plans stay byte-identical). Measured effect: see
-   * BENCH_notes_r12 §2 (the 60×-distinct before/after).
+   * budget; k is the quantizer's centroid count, ≥ populated cells, so
+   * the bar only rises vs counting populated cells), equi-join
+   * otherwise (sparse regime, e.g. the capped `small` table at gate
+   * scale, where the broadcast bridge is free and gated plans stay
+   * byte-identical). When k ≤ 2G−1 the dense regime is impossible
+   * (canonical pairs ≤ k(k+1)/2 ≤ G·k) and no dispatch count runs at
+   * all — the gate-scale fixed-job cost the round-12 riser A/B measured
+   * on x39. Measured effect: see BENCH_notes_r12 §2 (the 60×-distinct
+   * before/after) and §8 (the gate-scale fixed-cost price).
    */
   private def blockedPairs(
       assigned: DataFrame, canonicalCellPairs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, k: Long): DataFrame = {
     graft.functions.GraftFunctions.register(assigned.sparkSession)
     // Pack ONLY cells the pair table names: on the capped
     // [[semanticDedupPairs]] path an over-cap cell's pairs route to the
@@ -290,7 +295,8 @@ object SimilarityOps {
     // passes the angle bound), so there the semi-join filters nothing and
     // costs one broadcast probe per row.
     // materialize the (tiny, ≤k²-row, 2-int-column) pair table once: the
-    // density dispatch counts it, and both strategies re-read it
+    // density dispatch counts it (dense regime only), and both
+    // strategies re-read it
     val cp = canonicalCellPairs.localCheckpoint()
     val pairedCids = cp
       .select(explode(array(col("cid_a"), col("cid_b"))).as("cid"))
@@ -311,8 +317,6 @@ object SimilarityOps {
       col("cell").as("cell_a"))
     val pb = packed.select(col("cid").as("cid_b"), col("blk").as("blk_b"),
       col("cell").as("cell_b"))
-    val nPairs = cp.count()
-    val kCells = csz.count()
     val conf = assigned.sparkSession.sessionState.conf.numShufflePartitions
     // G² group pairs land on the session's shuffle partitions by HASH, so
     // at G = √conf the ~conf keys birthday-collide into ~2/3 of the
@@ -324,8 +328,20 @@ object SimilarityOps {
     // communication-optimal shape's constant, and the packed corpus is
     // the SMALL relation here).
     val g = math.max(2, 2 * math.ceil(math.sqrt(conf.toDouble)).toInt)
+    // Dispatch on measured pair density — but count NOTHING when the
+    // dense regime is analytically impossible: canonical pairs are at
+    // most k(k+1)/2, so k ≤ 2G−1 implies nPairs ≤ G·k and the equi-join
+    // wins by construction. Both gate configurations (k = 2 at sf0.01,
+    // 13–20 at sf0.1) fall under the bound, so the two dispatch-count
+    // jobs that the round-12 riser A/B priced at ~+0.4 s per invocation
+    // (x39 1.40 → 2.00 s isolated) never run there. The density bar uses
+    // the quantizer's already-counted k (≥ populated cells, so the bar
+    // only RISES vs counting populated cells — conservative toward the
+    // sparse regime, whose broadcast bridge is the cheap shape near the
+    // boundary); the one remaining count reads the checkpointed pair
+    // table, never a live plan.
     val candidates =
-      if (nPairs > g.toLong * kCells) {
+      if (k > 2L * g - 1 && cp.count() > g.toLong * k) {
         // dense regime: 2D grouped cross — G² co-partitioned group pairs,
         // cross product streamed in-task through the broadcast semi filter
         val groups = sequence(lit(0), lit(g - 1))
@@ -521,7 +537,7 @@ object SimilarityOps {
     val small = sized.filter(col("bsz") <= maxCellPairSize &&
         col("cid_a") <= col("cid_b"))
       .select(col("cid_a"), col("cid_b"))
-    val cliquePairs = blockedPairs(assigned, small, threshold)
+    val cliquePairs = blockedPairs(assigned, small, threshold, q.k)
     // star path (bucket > cap): one candidate per member against the
     // bucket's minimum vec_id — canonical orientation only, ids first,
     // embeddings joined back once per surviving candidate
@@ -886,11 +902,11 @@ object SimilarityOps {
     * (the exactness argument on [[embeddingNearDup]] never assumes
     * nearest-centroid assignment). */
   private case class Quantizer(
-      cents: DataFrame, sup: Option[(DataFrame, DataFrame)])
+      cents: DataFrame, sup: Option[(DataFrame, DataFrame)], k: Long)
 
   private def quantizerOf(cents: DataFrame): Quantizer = {
     val k = cents.count()
-    if (k < TwoLevelMinCentroids) return Quantizer(cents, None)
+    if (k < TwoLevelMinCentroids) return Quantizer(cents, None, k)
     val s = math.ceil(math.sqrt(k.toDouble)).toLong
     // ~√k expected supers; materialized once (it feeds c2s, every vector's
     // super assignment, and the super pair table)
@@ -900,7 +916,7 @@ object SimilarityOps {
       .localCheckpoint()
     // hash degeneracy (possible only at tiny k, kept for safety): no super
     // selected → stay flat rather than divide by an empty level
-    if (supers.isEmpty) return Quantizer(cents, None)
+    if (supers.isEmpty) return Quantizer(cents, None, k)
     val c2s = cents.crossJoin(broadcast(supers))
       .select(col("cid"), col("cvec"), col("sid"),
         cos(col("cvec"), col("svec")).as("cssim"))
@@ -910,7 +926,7 @@ object SimilarityOps {
       .select(col("cid"), col("w.cvec").as("cvec"), col("w.sid").as("sid"),
         col("w.cssim").as("cssim"))
       .localCheckpoint()
-    Quantizer(cents, Some((supers, c2s)))
+    Quantizer(cents, Some((supers, c2s)), k)
   }
 
   /** The ANN-SEARCH quantizer default: 13 cells — every `% 40` centroid of
