@@ -191,6 +191,42 @@ class PlanQualitySpec extends SparkSpec {
       s"cell packing must semi-join the paired cids first: ${p.take(3000)}")
   }
 
+  test("blocked-pairs density dispatch: dense regime engages the grouped cross, sparse stays on the bridge") {
+    // The grouped 2D cross (the 60×-distinct fix for the quadratic
+    // pair-table shuffle) engages only when the measured pair density
+    // clears k > 2G−1 and |pairs| > G·k — CI corpora keep k tiny, so
+    // without this fixture the dense arm's plan shape has no gate. At the
+    // test session's 4 shuffle partitions G = 4: 10 cells with a
+    // low threshold (wide radii ⇒ ~all 55 canonical cell pairs qualify)
+    // must route through the grouped cross — visible in the plan as the
+    // g_a/g_b group-key join — and produce the brute-force pair set
+    // exactly; the default corpus-proportional mod (k = 2 here) must stay
+    // on the sparse broadcast bridge (no group keys anywhere).
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map { id =>
+      (id, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint()
+    val cents = emb.filter(col("vec_id") % 6 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dense = graft.operators.SimilarityOps.embeddingNearDupWith(emb, 0.0, cents)
+    val dp = dense.queryExecution.optimizedPlan.toString
+    assert(dp.contains("g_a") && dp.contains("g_b"),
+      s"10 cells at threshold 0.0 must dispatch to the grouped cross: ${dp.take(3000)}")
+    val brute = graft.operators.SimilarityOps.embeddingNearDupBrute(emb, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = dense.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"grouped cross diverges from brute force: " +
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    val sparse = graft.operators.SimilarityOps.embeddingNearDup(emb, 0.0)
+      .queryExecution.optimizedPlan.toString
+    assert(!sparse.contains("g_a"),
+      s"k=2 must stay on the sparse bridge: ${sparse.take(3000)}")
+  }
+
   test("metadata queries over the asset store never read the binary payload column") {
     import graft.operators.MultimodalOps
     val docs = Tables.read(spark, d, "documents")
