@@ -660,7 +660,7 @@ object DedupOps {
     * sizes), loaded cache buffers, and the file scans inside UNLOADED
     * cache plans (whose own stats would be the cached plan's estimate —
     * see [[pairShufflePartitions]]). Unrecognized scan types count 0. */
-  private def measuredLeafBytes(
+  private[graft] def measuredLeafBytes(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): BigInt = {
     import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

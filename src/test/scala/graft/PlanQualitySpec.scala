@@ -227,6 +227,34 @@ class PlanQualitySpec extends SparkSpec {
       s"k=2 must stay on the sparse bridge: ${sparse.take(3000)}")
   }
 
+  test("measuredLeafBytes: leaves ADD across joins, and unloaded caches recurse to file scans") {
+    // The pair-shuffle sizing proxy must never see a join-multiplied
+    // estimate: proxy attempt 1 (whole-plan stats) pinned 65536-partition
+    // shuffles onto a 700 MB stage, and attempt 2 (plain leaf stats) hit
+    // the same defect through an UNLOADED InMemoryRelation, whose leaf
+    // stats are the estimate of the plan it caches. This locks the two
+    // properties the landed proxy rests on (BENCH_notes_r12 §4).
+    import graft.operators.DedupOps
+    val docs = Tables.read(spark, d, "documents").select(col("doc_id"), col("text"))
+    val one = DedupOps.measuredLeafBytes(docs.queryExecution.optimizedPlan)
+    assert(one > 0, "a parquet scan must report its file-index bytes")
+    val joined = docs.join(
+      docs.select(col("doc_id"), col("text").as("t2")), Seq("doc_id"))
+    assert(DedupOps.measuredLeafBytes(joined.queryExecution.optimizedPlan) == one * 2,
+      "leaves must SUM (scan + scan), never multiply through the join")
+    val cached = joined.cache()
+    try {
+      // unloaded: the InMemoryRelation leaf's own stats are the cached
+      // plan's (join-multiplied) estimate — the proxy must recurse to the
+      // two file scans underneath instead
+      assert(DedupOps.measuredLeafBytes(cached.queryExecution.optimizedPlan) == one * 2,
+        "an unloaded cache must contribute its underlying file bytes")
+      cached.count()
+      val loaded = DedupOps.measuredLeafBytes(cached.queryExecution.optimizedPlan)
+      assert(loaded > 0, "a loaded cache must report measured buffer bytes")
+    } finally cached.unpersist()
+  }
+
   test("metadata queries over the asset store never read the binary payload column") {
     import graft.operators.MultimodalOps
     val docs = Tables.read(spark, d, "documents")
