@@ -50,12 +50,27 @@ import org.apache.spark.sql.types._
  * is the SURROUNDING plan (packing aggregate, broadcast join, explode),
  * which stays whole-stage.
  *
- * The dot loop is j-blocked by 4 (round 12): the sequential f32
- * accumulation the parity contract mandates is a loop-carried dependency
- * chain (~4–5 cycles per add; FP reassociation barred, so neither we nor
- * the JIT may vectorize WITHIN a pair) — running four pairs' independent
- * chains in one pass over the dims fills the FMA pipeline ACROSS pairs
- * instead, without reordering any single pair's ops.
+ * The dot loop is OUTER-PRODUCT (SAXPY) form (round 13; supersedes the
+ * round-12 j-block-of-4): with the b-side transposed dim-major
+ * (`bt(k·n + j) = y_j(k)`) and k as the OUTER loop, the inner loop
+ * `acc(j) += x(k)·bt(k·n + j)` is an element-wise independent
+ * multiply-add over a contiguous float array — no reduction, so C2
+ * auto-vectorizes it (the JVM's strict float semantics keep it
+ * mul-then-add, never a fused FMA, on every lane). Each pair's
+ * accumulator `acc(j)` still receives exactly the ops `pairSim` would
+ * issue, in the same k-ascending order — the reordering is ACROSS pairs
+ * only, never within one, so every emitted sim stays bit-identical to
+ * the scalar chain (unit-gated in CellPairMatchesSpec). The f32 parity
+ * contract bars vectorizing a single dot's reduction chain; it never
+ * barred running 8–16 pairs' chains per SIMD lane-set, which is what
+ * this form does. Same-cell calls run each row against its PREFIX
+ * [0, i) rather than the suffix — the same canonical pair set with an
+ * offset-free inner loop (a runtime base offset defeats SuperWord on
+ * this host: 5.2 vs 26 GFLOP/s measured), bit-identical because float
+ * multiplication commutes per element. Mixed-dimension, empty, or
+ * sub-16-member cells fall back to the round-12 scalar sweep (same
+ * results, same throw sites); short prefix rows use a scalar prefix
+ * sweep — the k-loop setup dominates below 16 partners.
  */
 case class CellPairMatchesF32(children: Seq[Expression])
     extends Expression with CodegenFallback {
@@ -230,14 +245,121 @@ object CellPairMatchesF32 {
     }
   }
 
+  /** Rows with fewer remaining partners than this take the scalar sweep —
+    * below it the SAXPY k-loop's setup (dim passes over a tiny window)
+    * costs more than the pipeline it fills. */
+  private val MinSaxpyWidth = 16
+
+  /** The b-side dimensionality when every member shares one, else -1
+    * (mixed dims or an empty cell → scalar fallback, which reproduces the
+    * legacy sweep's results and throw sites exactly). */
+  private def uniformDim(c: Cell): Int = {
+    val n = c.vecs.length
+    if (n == 0) return -1
+    val d = c.vecs(0).length
+    var i = 1
+    while (i < n) { if (c.vecs(i).length != d) return -1; i += 1 }
+    d
+  }
+
+  /** Dim-major transposed copy of a cell: `bt(k)(j) = vecs(j)(k)` — one
+    * O(n·dim) pass, amortized over the O(nₐ·n·dim) sweep it enables. One
+    * array PER DIMENSION, not one flat array with a `k·n + j` offset:
+    * SuperWord vectorizes `acc(j) += xk · brow(j)` (26 GFLOP/s measured on
+    * this host's JIT) but refuses the same loop with a runtime base offset
+    * on one side (5.2 GFLOP/s — scalar), so the layout IS the speedup. */
+  private def transpose(b: Cell, dim: Int): Array[Array[Float]] = {
+    val n = b.ids.length
+    val bt = Array.ofDim[Float](dim, n)
+    var j = 0
+    while (j < n) {
+      val v = b.vecs(j)
+      var k = 0
+      while (k < dim) { bt(k)(j) = v(k); k += 1 }
+      j += 1
+    }
+    bt
+  }
+
+  /** All pairs (i, j) for j in [0, len) against row i through the
+    * transposed SAXPY form: k outer, offset-free contiguous j inner
+    * (auto-vectorized; per-pair op order identical to [[pairSim]] — see
+    * the class doc). `acc` is caller-allocated at full b width and
+    * cleared per row. `len` is the full b width on the cross path; on the
+    * same-cell path it is i — the PREFIX [0, i) — so every canonical pair
+    * (j, i) with j < i is evaluated exactly once with no inner-loop base
+    * offset. The prefix orientation computes Σ xᵢ(k)·yⱼ(k) where the
+    * legacy suffix sweep computed Σ xⱼ(k)·yᵢ(k): identical bit patterns,
+    * because IEEE-754 multiplication is commutative per element and the
+    * k-ascending accumulation order is unchanged. */
+  private def saxpyRow(a: Cell, b: Cell, bt: Array[Array[Float]], dim: Int,
+      i: Int, len: Int, minSim: Double, acc: Array[Float],
+      buf: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {
+    val xi = a.vecs(i)
+    if (xi.length != dim)
+      throw new IllegalArgumentException(
+        s"cell_pair_matches: dimension mismatch ${xi.length} vs $dim")
+    java.util.Arrays.fill(acc, 0, len, 0f)
+    var k = 0
+    while (k < dim) {
+      val xk = xi(k)
+      val brow = bt(k)
+      var j = 0
+      while (j < len) { acc(j) += xk * brow(j); j += 1 }
+      k += 1
+    }
+    val sa = a.norms(i); val ai = a.ids(i)
+    var j = 0
+    while (j < len) {
+      val s = acc(j) / (sa * b.norms(j))
+      if (s >= minSim) {
+        val bj = b.ids(j)
+        if (ai <= bj) buf += row(ai, bj, s) else buf += row(bj, ai, s)
+      }
+      j += 1
+    }
+  }
+
+  /** Scalar prefix sweep for the same-cell SAXPY path's short rows
+    * (i < [[MinSaxpyWidth]]): pairs (j, i) for j in [0, i), the same
+    * canonical pair set and bit-identical sims (commutativity — see
+    * [[saxpyRow]]), without the k-loop setup cost. */
+  private def prefixRow(c: Cell, i: Int, minSim: Double,
+      buf: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {
+    val xi = c.vecs(i); val sa = c.norms(i); val ai = c.ids(i)
+    var j = 0
+    while (j < i) {
+      val s = pairSim(xi, c.vecs(j), sa, c.norms(j))
+      if (s >= minSim) {
+        val bj = c.ids(j)
+        if (ai <= bj) buf += row(ai, bj, s) else buf += row(bj, ai, s)
+      }
+      j += 1
+    }
+  }
+
   private[functions] def matchesSame(c: Cell, minSim: Double): GenericArrayData = {
     val n = c.ids.length
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    val dots = new Array[Float](4)
-    var i = 0
-    while (i < n) {
-      sweepRow(c, c, i, i + 1, minSim, dots, buf)
-      i += 1
+    val dim = if (n > MinSaxpyWidth) uniformDim(c) else -1
+    if (dim >= 0) {
+      // SAXPY prefix form: row i pairs with [0, i) — no inner offset
+      val bt = transpose(c, dim)
+      val acc = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        if (i >= MinSaxpyWidth) saxpyRow(c, c, bt, dim, i, i, minSim, acc, buf)
+        else prefixRow(c, i, minSim, buf)
+        i += 1
+      }
+    } else {
+      // legacy suffix sweep (tiny, mixed-dim, or empty cells)
+      val dots = new Array[Float](4)
+      var i = 0
+      while (i < n) {
+        sweepRow(c, c, i, i + 1, minSim, dots, buf)
+        i += 1
+      }
     }
     new GenericArrayData(buf.toArray[Any])
   }
@@ -245,11 +367,23 @@ object CellPairMatchesF32 {
   private[functions] def matchesCross(
       a: Cell, b: Cell, minSim: Double): GenericArrayData = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    val dots = new Array[Float](4)
-    var i = 0
-    while (i < a.ids.length) {
-      sweepRow(a, b, i, 0, minSim, dots, buf)
-      i += 1
+    val nb = b.ids.length
+    val dim = if (nb >= MinSaxpyWidth) uniformDim(b) else -1
+    if (dim >= 0) {
+      val bt = transpose(b, dim)
+      val acc = new Array[Float](nb)
+      var i = 0
+      while (i < a.ids.length) {
+        saxpyRow(a, b, bt, dim, i, nb, minSim, acc, buf)
+        i += 1
+      }
+    } else {
+      val dots = new Array[Float](4)
+      var i = 0
+      while (i < a.ids.length) {
+        sweepRow(a, b, i, 0, minSim, dots, buf)
+        i += 1
+      }
     }
     new GenericArrayData(buf.toArray[Any])
   }

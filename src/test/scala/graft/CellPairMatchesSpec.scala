@@ -67,6 +67,35 @@ class CellPairMatchesSpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => a < b && a < 100L && b >= 100L })
   }
 
+  test("cross-cell kernel at SAXPY width is bit-identical to the scalar expression") {
+    // Both cells wide enough (≥ 16) that the cross path takes the
+    // transposed outer-product form — the round-13 SIMD kernel — whose
+    // per-pair op order must reproduce the scalar chain exactly.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val left = vecs(21, 48, 64)
+    val right = vecs(22, 40, 64).map { case (i, v) => (i + 1000L, v) }
+    val l = left.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("ca"))
+    val r = right.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("cb"))
+    val got = l.crossJoin(r)
+      .select(explode(call_function("cell_pair_matches",
+        col("ca"), col("cb"), lit(-2.0), lit(false))).as("m"))
+      .select(col("m.vec_a"), col("m.vec_b"), col("m.sim")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getFloat(2)).toMap
+    assert(got.size == 48 * 40)
+    val byId = (left ++ right).toMap
+    got.foreach { case ((a, b), s) =>
+      val want = CosineSimilarityF32.compute(byId(a), byId(b))
+      assert(java.lang.Float.floatToRawIntBits(s) ==
+        java.lang.Float.floatToRawIntBits(want),
+        s"pair ($a,$b): kernel $s != scalar $want")
+    }
+  }
+
   test("a raw sim just BELOW threshold that round6f lifts to threshold still surfaces") {
     // The exactness contract: kernel prefilters at threshold - 1e-6 and the
     // Column-space round6f filter decides. Search float space for a genuine
