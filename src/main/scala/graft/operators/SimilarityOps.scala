@@ -330,18 +330,31 @@ object SimilarityOps {
     val g = math.max(2, 2 * math.ceil(math.sqrt(conf.toDouble)).toInt)
     // Dispatch on measured pair density — but count NOTHING when the
     // dense regime is analytically impossible: canonical pairs are at
-    // most k(k+1)/2, so k ≤ 2G−1 implies nPairs ≤ G·k and the equi-join
-    // wins by construction. Both gate configurations (k = 2 at sf0.01,
-    // 13–20 at sf0.1) fall under the bound, so the two dispatch-count
-    // jobs that the round-12 riser A/B priced at ~+0.4 s per invocation
-    // (x39 1.40 → 2.00 s isolated) never run there. The density bar uses
-    // the quantizer's already-counted k (≥ populated cells, so the bar
-    // only RISES vs counting populated cells — conservative toward the
-    // sparse regime, whose broadcast bridge is the cheap shape near the
-    // boundary); the one remaining count reads the checkpointed pair
-    // table, never a live plan.
+    // most k(k+1)/2, so k ≤ 2G−1 implies nPairs ≤ G·k ≤ G·populated·
+    // (k/populated) — with pairs also ≤ pop(pop+1)/2, pairs > G·pop
+    // needs pop ≥ 2G, impossible under k ≤ 2G−1. Both gate
+    // configurations (k = 2 at sf0.01, 13–20 at sf0.1) fall under the
+    // bound, so the dispatch-count job that the round-12 riser A/B
+    // priced at ~+0.4 s per invocation (x39 1.40 → 2.00 s isolated)
+    // never runs there. When the check DOES run, the density bar's
+    // denominator is the POPULATED cell count from the already-
+    // checkpointed pair table (round-13 ADVICE): the traffic comparison
+    // is pairs × (corpus/populated cells) bytes for the equi-join vs
+    // 2G × corpus for the grouped cross, so pairs/populated vs 2G is
+    // the honest bar — using the quantizer's k (≥ populated) as the
+    // denominator under-engaged the dense regime exactly for trained
+    // centroid tables with empty cells, the case the grouped cross was
+    // built for. Both counts come from ONE job over the checkpointed
+    // ≤k²-row pair table, never a live plan.
+    val dense = k > 2L * g - 1 && {
+      val r = cp.select(explode(array(col("cid_a"), col("cid_b"))).as("cid"))
+        .agg(count(lit(1)).as("n2"), count_distinct(col("cid")).as("pop"))
+        .head()
+      // n2 = 2·pairs (each pair contributes both cids)
+      r.getLong(0) > 2L * g.toLong * r.getLong(1)
+    }
     val candidates =
-      if (k > 2L * g - 1 && cp.count() > g.toLong * k) {
+      if (dense) {
         // dense regime: 2D grouped cross — G² co-partitioned group pairs,
         // cross product streamed in-task through the broadcast semi filter
         val groups = sequence(lit(0), lit(g - 1))

@@ -244,14 +244,34 @@ class PlanQualitySpec extends SparkSpec {
       "leaves must SUM (scan + scan), never multiply through the join")
     val cached = joined.cache()
     try {
+      // cache() returns the SAME Dataset, whose memoized optimizedPlan was
+      // already forced by the assert above (pre-substitution) — so the
+      // cache halves must measure a FRESH identical plan, where
+      // withCachedData substitutes the InMemoryRelation (round-13 ADVICE:
+      // the original form re-measured the plain file-scan plan twice and
+      // neither cache branch ever ran)
+      def fresh() = docs.join(
+        docs.select(col("doc_id"), col("text").as("t2")), Seq("doc_id"))
+      val unloadedPlan = fresh().queryExecution.optimizedPlan
+      assert(unloadedPlan.collectLeaves().exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        s"cache substitution must have happened: $unloadedPlan")
       // unloaded: the InMemoryRelation leaf's own stats are the cached
       // plan's (join-multiplied) estimate — the proxy must recurse to the
       // two file scans underneath instead
-      assert(DedupOps.measuredLeafBytes(cached.queryExecution.optimizedPlan) == one * 2,
+      assert(DedupOps.measuredLeafBytes(unloadedPlan) == one * 2,
         "an unloaded cache must contribute its underlying file bytes")
       cached.count()
-      val loaded = DedupOps.measuredLeafBytes(cached.queryExecution.optimizedPlan)
+      val loadedPlan = fresh().queryExecution.optimizedPlan
+      assert(loadedPlan.collectLeaves().exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+        s"cache substitution must have happened: $loadedPlan")
+      val loaded = DedupOps.measuredLeafBytes(loadedPlan)
       assert(loaded > 0, "a loaded cache must report measured buffer bytes")
+      assert(loaded != one * 2,
+        "a loaded cache must report its MEASURED buffer bytes, not the " +
+          "underlying file bytes (buffer and file sizes coinciding exactly " +
+          "would be a one-in-a-million fluke; this guards the branch)")
     } finally cached.unpersist()
   }
 
