@@ -39,6 +39,16 @@ Protocol:
 The artifact records both sides' per-query steadies, per-trip floors and
 norms, flags, boot fingerprint and uptimes per pass — enough to re-derive
 every number without rerunning.
+
+Drift handling (round 13): after the planned trips, the TRIP-FLOOR SPREAD
+(max/min - 1 over trip floors) is checked against --drift (default 10%).
+Above it, round trips are appended automatically up to --max-passes so the
+per-query trip-norm median has >= 3 points of support; if the spread still
+exceeds the bound at the cap, the artifact's `total_level` field WITHHOLDS
+the total-level summary and directs the reader to the per-query trip norms
+(round 12's two-trip delta under a +42% one-side floor spike produced two
+contradictory total-level numbers — raw -17% vs normalized +17% — and had
+to be hand-adjudicated; this makes the artifact self-adjudicating).
 """
 import argparse
 import json
@@ -143,7 +153,20 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--threshold", type=float, default=1.3)
     ap.add_argument("--min-steady", type=float, default=0.15)
+    ap.add_argument("--drift", type=float, default=0.10,
+                    help="trip-floor spread (max/min - 1) above which the "
+                    "session is drifting: more round trips are added "
+                    "automatically up to --max-passes, and if the spread "
+                    "still exceeds this the total-level summary is "
+                    "WITHHELD in the artifact (round 12's two-trip delta "
+                    "under a +42%% one-side floor spike produced two "
+                    "contradictory total-level numbers; per-query trip "
+                    "norms were the only defensible statement)")
+    ap.add_argument("--max-passes", type=int, default=None,
+                    help="cap for drift-triggered auto-extension "
+                    "(default max(passes, 4))")
     args = ap.parse_args()
+    max_passes = args.max_passes or max(args.passes, 4)
 
     prior_rev = args.prior or default_prior()
     prior_tree = ensure_worktree(prior_rev)
@@ -155,22 +178,62 @@ def main():
     compile_tree(REPO)
 
     # A B B A: each side sees the floor early and late once per round trip.
-    order = []
-    for p in range(args.passes):
-        pair = [("A", REPO), ("B", prior_tree)]
-        if p % 2 == 1:
-            pair.reverse()
-        order.extend(pair)
+    # Round trips run one at a time; after the planned --passes trips, the
+    # TRIP-FLOOR SPREAD decides whether the session is drift-polluted —
+    # if so, more round trips are appended (up to --max-passes) so the
+    # per-query trip-norm median has support instead of two contradictory
+    # points (the round-12 failure mode).
     passes = {"A": [], "B": []}
     boots = []
-    for i, (label, tree) in enumerate(order):
-        rec = run_pass(tree, label, i, args.sf_dir, args.reps, args.only,
-                       args.cpus)
-        boots.append({"pass": i, "side": label,
-                      "boot_id": rec.get("boot_id"),
-                      "uptime_s": rec.get("uptime_s"),
-                      "total_steady": rec.get("value")})
-        passes[label].append(rec)
+
+    def run_trip(t):
+        pair = [("A", REPO), ("B", prior_tree)]
+        if t % 2 == 1:
+            pair.reverse()
+        for j, (label, tree) in enumerate(pair):
+            i = 2 * t + j
+            rec = run_pass(tree, label, i, args.sf_dir, args.reps,
+                           args.only, args.cpus)
+            boots.append({"pass": i, "side": label,
+                          "boot_id": rec.get("boot_id"),
+                          "uptime_s": rec.get("uptime_s"),
+                          "total_steady": rec.get("value")})
+            passes[label].append(rec)
+
+    def trip_stats():
+        n_trips = min(len(passes["A"]), len(passes["B"]))
+        floors, norms = [], {}
+        for t in range(n_trips):
+            tc = combine([passes["A"][t]])
+            tp = combine([passes["B"][t]])
+            tr = {q: tc[q]["steady"] / tp[q]["steady"]
+                  for q in set(tc) & set(tp) if tp[q]["steady"] > 0}
+            pool = [r for q, r in tr.items()
+                    if tp[q]["steady"] >= args.min_steady]
+            tf = statistics.median(pool) if pool else 1.0
+            floors.append(round(tf, 4))
+            for q, r in tr.items():
+                norms.setdefault(q, []).append(r / tf)
+        return floors, norms
+
+    def floor_spread(floors):
+        return max(floors) / min(floors) - 1 if len(floors) >= 2 else 0.0
+
+    n_trips = 0
+    auto_extended = 0
+    while True:
+        run_trip(n_trips)
+        n_trips += 1
+        if n_trips < args.passes:
+            continue
+        tf, _ = trip_stats()
+        spread = floor_spread(tf)
+        if spread <= args.drift or n_trips >= max_passes:
+            break
+        auto_extended += 1
+        print(f"[ab] trip-floor spread {spread:.1%} > {args.drift:.0%} "
+              f"after {n_trips} trips — floor is drifting; adding a round "
+              f"trip ({n_trips + 1}/{max_passes})", flush=True)
 
     cur = combine(passes["A"])
     pri = combine(passes["B"])
@@ -184,20 +247,8 @@ def main():
     # Per-round-trip floors: trip t = t-th A pass + t-th B pass (adjacent
     # in the A B B A order). A floor spike confined to one trip normalizes
     # away inside that trip instead of biasing every query's global ratio.
-    n_trips = min(len(passes["A"]), len(passes["B"]))
-    trip_floors = []
-    trip_norms = {}   # q -> [norm per trip]
-    for t in range(n_trips):
-        tc = combine([passes["A"][t]])
-        tp = combine([passes["B"][t]])
-        tr = {q: tc[q]["steady"] / tp[q]["steady"]
-              for q in set(tc) & set(tp) if tp[q]["steady"] > 0}
-        pool = [r for q, r in tr.items()
-                if tp[q]["steady"] >= args.min_steady]
-        tf = statistics.median(pool) if pool else 1.0
-        trip_floors.append(round(tf, 4))
-        for q, r in tr.items():
-            trip_norms.setdefault(q, []).append(r / tf)
+    trip_floors, trip_norms = trip_stats()
+    drift_spread = floor_spread(trip_floors)
 
     table = {}
     flagged = []
@@ -219,6 +270,18 @@ def main():
 
     pt = sum(pri[q]["steady"] for q in common)
     ct = sum(cur[q]["steady"] for q in common)
+    # Total-level verdict: a drifting floor makes BOTH total-level
+    # normalizations artifacts (round 12 measured raw -17% vs per-trip
+    # +17% under one +42% trip); per-query trip norms stay defensible
+    # because each query normalizes inside its own trip.
+    if drift_spread <= args.drift:
+        total_verdict = "valid"
+    else:
+        total_verdict = (
+            f"WITHHELD: trip-floor spread {drift_spread:.1%} > "
+            f"{args.drift:.0%} after {n_trips} trips — the session floor "
+            "drifted; judge per-query trip norms (queries[*].norm), not "
+            "the common totals")
     artifact = {
         "method": "interleaved same-session A/B (A=working tree, B=prior "
                   "worktree), order A B B A per round trip; per side per "
@@ -237,6 +300,10 @@ def main():
         "floor": round(floor, 4),
         "floor_pool_n": len(floor_pool),
         "trip_floors": trip_floors,
+        "trip_floor_spread": round(drift_spread, 4),
+        "drift_threshold": args.drift,
+        "auto_extended_trips": auto_extended,
+        "total_level": total_verdict,
         "threshold": args.threshold,
         "min_steady": args.min_steady,
         "common_total_prior_s": round(pt, 2),
@@ -249,8 +316,11 @@ def main():
     out = args.out or os.path.join(REPO, "docs", "BENCH_delta_ab.json")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=False)
-    print(f"[ab] floor={floor:.3f} common {pt:.1f}s -> {ct:.1f}s; "
+    print(f"[ab] floor={floor:.3f} trips={n_trips} "
+          f"spread={drift_spread:.1%} common {pt:.1f}s -> {ct:.1f}s; "
           f"{len(flagged)} flagged: {', '.join(flagged[:12])}")
+    if total_verdict != "valid":
+        print(f"[ab] {total_verdict}")
     print(f"[ab] wrote {out}")
 
 
