@@ -275,6 +275,62 @@ class PlanQualitySpec extends SparkSpec {
     } finally cached.unpersist()
   }
 
+  test("pairShufflePartitions: a plan built over an UNLOADED cache still gets the measured-bytes spread") {
+    // Round-13 verdict ask 2: the sizing proxy read plan stats at PLAN
+    // time, so a verify plan built before its cached inputs materialized
+    // sized from the file estimate while the same plan built after sized
+    // from measured buffers. The fix triggers one materializing count()
+    // when an unloaded cache could change the decision. Differential
+    // setup: calibrate the loaded-buffer bytes on an identical twin
+    // cache, pick the engagement bound BETWEEN the file-based and
+    // loaded-based masses, and assert the pre-built plan lands on the
+    // LOADED side of the bound.
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val docs = Tables.read(spark, d, "documents").select(col("doc_id"), col("text"))
+    val sess = spark.sessionState.conf.numShufflePartitions
+    // twin A: measure the loaded-buffer bytes this data caches to
+    def planA() = docs.join(
+      docs.select(col("doc_id"), col("text").as("cal_a")), Seq("doc_id"))
+    val cachedA = planA().cache()
+    val fileBytes =
+      try {
+        val fb = DedupOps.measuredLeafBytes(planA().queryExecution.optimizedPlan)
+        cachedA.count()
+        val loaded = DedupOps.measuredLeafBytes(planA().queryExecution.optimizedPlan)
+        assert(loaded != fb, "calibration needs file != buffer bytes")
+        (fb, loaded)
+      } finally cachedA.unpersist()
+    val (fb, loadedBytes) = fileBytes
+    // twin B: same data, distinct cache entry, left UNLOADED
+    def planB() = docs.join(
+      docs.select(col("doc_id"), col("text").as("cal_b")), Seq("doc_id"))
+    val cachedB = planB().cache()
+    try {
+      val pre = planB() // the plan under test, built while B is unloaded
+      assert(pre.queryExecution.optimizedPlan.collectLeaves().exists {
+        case imr: InMemoryRelation =>
+          !imr.cacheBuilder.isCachedColumnBuffersLoaded
+        case _ => false
+      }, "twin B must start unloaded")
+      // bound strictly between the two readings → the decisions differ
+      val massFile = fb * 400 / sess
+      val massLoaded = loadedBytes * 400 / sess
+      val bound = ((massFile + massLoaded) / 2).toLong
+      val fileDecision = massFile > bound
+      val loadedDecision = massLoaded > bound
+      assert(fileDecision != loadedDecision, "bound must separate the readings")
+      val got = DedupOps.pairShufflePartitions(pre, bound, 1L << 16)
+      assert(got.isDefined == loadedDecision,
+        s"pre-built plan must take the LOADED decision (file=$massFile " +
+          s"loaded=$massLoaded bound=$bound got=$got)")
+      // and the spread value itself must come from the loaded bytes
+      if (loadedDecision)
+        assert(got.contains(((loadedBytes * 400) / (1L << 16)).min(65536).toInt),
+          s"spread must be sized from measured buffers: $got")
+    } finally cachedB.unpersist()
+  }
+
   test("metadata queries over the asset store never read the binary payload column") {
     import graft.operators.MultimodalOps
     val docs = Tables.read(spark, d, "documents")
