@@ -39,6 +39,39 @@ case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp, n_eve
  */
 object EventStream {
 
+  /** Shuffle-partition pin for the STATEFUL stream gates. Every stateful
+    * operator commits one state-store instance PER SHUFFLE PARTITION per
+    * micro-batch (delta file + metadata), so a gate census holding a few
+    * thousand state rows under the session's 32 partitions paid 32 store
+    * commits (and 32 store reloads per restart) per batch for ~100 rows
+    * of state each — measured at ~20 % of the whole bench suite
+    * (VERDICT r12). Production sizes state partitioning to state VOLUME;
+    * these gates pin the gate-appropriate constant. Correctness is
+    * partitioning-independent (exact keyed aggregations; the gates stay
+    * oracle-gated). */
+  private[streaming] val StreamShufflePartitions = 4
+
+  /** A CHILD session (shared SparkContext, own SessionState) carrying the
+    * stream-gate shuffle pin. A child, not a session-conf mutation: the
+    * verify harness runs queries CONCURRENTLY in one session, so setting
+    * and restoring `spark.sql.shuffle.partitions` around a stream would
+    * race with batch queries planning in parallel. The stream runs
+    * entirely in the child; results return on the PARENT session. */
+  private[streaming] def streamSession(
+      parent: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    // State-store provider stays the default (HDFSBackedStateStore):
+    // RocksDB was evaluated here (round 13, the verdict's named
+    // candidate) and measured 4–18 % SLOWER on these gates (x127
+    // 3.32→3.93 s, x146 3.44→3.57, x154 6.05→6.35) — its native setup
+    // and per-commit SST churn only pay off when state outgrows the
+    // executor heap, and gate state is a few thousand rows. At 100 TB a
+    // production stream with multi-GB state would flip the provider; the
+    // pin below is what actually moved the gates (32→4 store instances).
+    val ss = parent.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    ss
+  }
+
   /**
    * x127: the driver-gated REPLAY harness for [[sessionize]] — the events
    * relation replayed as `nBatches` TIME-CONTIGUOUS micro-batches (the
@@ -76,7 +109,10 @@ object EventStream {
     import org.apache.spark.sql.functions._
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the stream runs in the pinned child session (see streamSession);
+    // events are collected on the parent, the census returns on the parent
+    val ss = streamSession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val evs = events
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
       .as[SessionEvent].collect()
@@ -108,24 +144,26 @@ object EventStream {
     // would leak its full result set into the session catalog for the
     // SparkSession's lifetime, and the returned frame would silently
     // depend on the undropped view.
-    materializeAndDrop(spark, sink,
-      spark.table(sink).filter(col("user_id") =!= -1L)
+    materializeAndDrop(spark, ss, sink,
+      ss.table(sink).filter(col("user_id") =!= -1L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("sessions"), max(col("n_events")).as("max_events"))
         .orderBy(col("user_id")))
   }
 
-  /** Collect a BOUNDED replay census, drop the memory-sink temp view, and
-    * re-wrap the rows as a local DataFrame — the result must not outlive
-    * the view it was computed from. */
+  /** Collect a BOUNDED replay census, drop the memory-sink temp view (it
+    * lives in the stream's child session), and re-wrap the rows as a
+    * local DataFrame ON THE PARENT session — the result must not outlive
+    * the view or the child it was computed from. */
   private def materializeAndDrop(
-      spark: org.apache.spark.sql.SparkSession,
+      parent: org.apache.spark.sql.SparkSession,
+      streamSess: org.apache.spark.sql.SparkSession,
       sink: String,
       result: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val schema = result.schema
     val rows = result.collect()
-    spark.catalog.dropTempView(sink)
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    streamSess.catalog.dropTempView(sink)
+    parent.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Event for the windowed-aggregation replay gate (x146). */
@@ -152,7 +190,9 @@ object EventStream {
     import org.apache.spark.sql.functions._
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // stream in the pinned child session (see streamSession)
+    val ss = streamSession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
     val evs = events
       .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("event_id"))
       .as[TimedEvent].collect()
@@ -178,8 +218,8 @@ object EventStream {
       mem.addData(Seq(sentinel))
       q.processAllAvailable()
     } finally q.stop()
-    materializeAndDrop(spark, sink,
-      spark.table(sink).filter(col("event_type") =!= "__sentinel")
+    materializeAndDrop(spark, ss, sink,
+      ss.table(sink).filter(col("event_type") =!= "__sentinel")
         .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
         .orderBy(col("day"), col("event_type")))
   }
@@ -268,8 +308,13 @@ object EventStream {
         f"f${nFiles + 1}%02d_sentinel")
 
       val schema = evs.schema
+      // the stream (and its state-store partitioning, fixed at first
+      // start for the checkpoint's lifetime) runs in the pinned child
+      // session; the spool prep above and the sink read-back below stay
+      // on the parent
+      val ss = streamSession(spark)
       def startQuery(): org.apache.spark.sql.streaming.StreamingQuery =
-        spark.readStream.schema(schema)
+        ss.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
           .withWatermark("ts", "1 day")
