@@ -175,6 +175,50 @@ object Bench {
   /** This boot's kernel-assigned id (Linux; None elsewhere) — written
     * into every record so cross-round tooling can tell host drift from
     * code regressions without hand analysis. */
+  /** The three boot-relative floor probes (ms each): dependent-chain CPU
+    * (clock/steal), 64 MB fsync'd write+read (IO floor), one fixed
+    * all-core Spark range-sum (scheduler floor). Each runs once discarded
+    * then once recorded; ~1–2 s total. Values are HOST state, comparable
+    * across records on the same hardware class. */
+  private def floorProbes(spark: SparkSession): Seq[(String, Double)] = {
+    def cpuMs(): Double = {
+      var x = 1.000000001d
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 100000000) { x = x * 1.000000001d + 1e-12d; i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (x.isNaN) System.err.println("floor: cpu chain NaN") // keep x live
+      ms
+    }
+    def diskMs(): Double = {
+      import java.nio.file.StandardOpenOption._
+      val f = java.nio.file.Files.createTempFile("graft_floor_", ".bin")
+      try {
+        val buf = new Array[Byte](1 << 20)
+        java.util.Arrays.fill(buf, 42.toByte)
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f, WRITE)
+        try {
+          var i = 0
+          while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+          ch.force(true)
+        } finally ch.close()
+        val n = java.nio.file.Files.readAllBytes(f).length
+        val ms = (System.nanoTime() - t0) / 1e6
+        if (n != (64 << 20)) System.err.println(s"floor: short read $n")
+        ms
+      } finally java.nio.file.Files.deleteIfExists(f)
+    }
+    def sparkMs(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, spark.sparkContext.defaultParallelism)
+        .selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    cpuMs(); diskMs(); sparkMs() // discarded JIT/codegen pass
+    Seq("cpu_ms" -> cpuMs(), "disk_ms" -> diskMs(), "spark_ms" -> sparkMs())
+  }
+
   private[graft] def currentBootId(): Option[String] =
     try {
       val p = java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")
@@ -318,6 +362,40 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
 
+    // BOOT-RELATIVE FLOOR PROBES (round 13, verdict ask 5): three fixed
+    // micro-measurements of the HOST — a single-thread dependent-chain
+    // CPU loop, a 64 MB fsync'd write+read, and one fixed all-core Spark
+    // range-sum job — recorded in every bench JSON. Round 12's canonical
+    // swung +20 % on a reboot and the raw record lost cross-round
+    // meaning; with the floors in the record, a cross-boot comparison can
+    // check whether the HOST moved before blaming the code. Each probe
+    // runs once discarded (JIT/codegen) and once recorded.
+    val floors = floorProbes(spark)
+
+    // WARMUP SUITE PASS (round 13, verdict ask 5): one DISCARDED pass of
+    // every selected query before any timing. Per-query codegen compile
+    // and the engine machinery JIT during the warmup, so the recorded
+    // cold series measures a query's own cache build rather than whatever
+    // global compilation its suite position happened to absorb — the
+    // cross-boot/cross-round stability the canonical record needs. The
+    // per-rep-block clearCache below still makes rep 1 a true cold build
+    // of the query's OWN caches. Disable with SPARK_GRAFT_BENCH_WARMUP=none
+    // (the A/B tool's interleaved passes warm each other; it opts out).
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "suite")
+    val warmupS: Double =
+      if (warmupMode == "suite" && selected.nonEmpty) {
+        val t0 = System.nanoTime()
+        selected.foreach { case (name, fn) =>
+          spark.catalog.clearCache()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"bench: warmup pass $name failed: $e")
+          }
+        }
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      } else 0.0
+
     // Executor-resource counters per query (suite pass only; the guard's
     // isolated re-runs never overwrite them). Snapshots happen strictly
     // outside the timed reps, so the measurement protocol is unchanged.
@@ -394,8 +472,17 @@ object Bench {
     val nSubstituted = results.count(_._4)
     val bootStr = curBoot.getOrElse("unknown")
     val upStr = uptimeSeconds().map(_.toString).getOrElse("-1")
-    val notes = "steady=min of warm reps (regression gauge), cold=first run " +
-      "(includes per-query codegen compile); stream gates run as the suite " +
+    val floorJson = floors
+      .map { case (k, v) => s""""$k": ${math.round(v * 10) / 10.0}""" }
+      .mkString("{", ", ", "}")
+    val warmupJson =
+      s""""warmup": "$warmupMode", "warmup_s": ${math.round(warmupS * 10) / 10.0}"""
+    val notes = "one discarded warmup suite pass before timing (cold = the " +
+      "query's own cache build, not suite-position codegen; disable with " +
+      "SPARK_GRAFT_BENCH_WARMUP=none); floor = boot-relative host probes " +
+      "(cpu chain / 64MB fsync IO / fixed Spark job, ms) for cross-boot " +
+      "comparison; steady=min of warm reps (regression gauge), cold=first " +
+      "timed run; stream gates run as the suite " +
       s"tail; queries whose steady exceeded ${guardFactor}x the prior " +
       "committed record were re-measured in isolation (better steady kept; " +
       "first_steady + isolated_reps recorded per query); cold always from " +
@@ -410,6 +497,7 @@ object Bench {
       .append(s"""  "total_cold": $coldTotal, "reps": $reps, "sf": "$sfDir",\n""")
       .append(s"""  "n_remeasured": $nRemeasured, "n_substituted": $nSubstituted,\n""")
       .append(s"""  "boot_id": "$bootStr", "uptime_s": $upStr, "cross_boot_vs_prior": $crossBoot,\n""")
+      .append(s"""  "floor": $floorJson, $warmupJson,\n""")
       .append(s"""  "notes": "$notes",\n""")
       .append("  \"queries\": {\n")
       .append(results.map { case (n, suite, iso, sub) =>
@@ -455,6 +543,7 @@ object Bench {
       s""""queries":$steadyMap,"total_cold":$coldTotal,"reps":$reps,""" +
       s""""n_remeasured":$nRemeasured,"n_substituted":$nSubstituted,""" +
       s""""boot_id":"$bootStr","uptime_s":$upStr,"cross_boot_vs_prior":$crossBoot,""" +
+      s""""floor":${floorJson.replace(" ", "")},${warmupJson.replace(": ", ":").replace(", ", ",")},""" +
       s""""sf":"$sfDir","detail":"$outFile"}"""
     // The line ALSO lands in a known repo file: three rounds of driver
     // records failed to parse the sbt-logged stdout copy ("[info] "

@@ -103,6 +103,9 @@ def run_pass(tree, label, idx, sf_dir, reps, only, cpus):
     env = {"SPARK_GRAFT_BENCH_OUT": out,
            "SPARK_GRAFT_SF_DIR": sf_dir,
            "SPARK_GRAFT_BENCH_REPS": str(reps),
+           # interleaved passes warm each other; the canonical-protocol
+           # discarded suite pass would double every pass's wall here
+           "SPARK_GRAFT_BENCH_WARMUP": "none",
            "SPARK_GRAFT_CPUS": str(cpus)}
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = only
