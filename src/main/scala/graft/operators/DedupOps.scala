@@ -657,19 +657,39 @@ object DedupOps {
   private[graft] val PairMassPerPartitionBound: Long = 2L << 30
   private[graft] val PairMassPerPinnedPartition: Long = 256L << 20
 
-  /** Upper bound on in-memory-columnar-buffer bytes per compressed
-    * parquet byte under them (both sides are compressed — dictionary/RLE
-    * in the cache, dictionary+snappy in parquet; measured ratios on the
-    * shingle relations sit near 1–3×). Used only to decide whether an
-    * UNLOADED cache could change the sizing decision once loaded. */
+  /** Headroom on how far the CALIBRATED loaded-cache mass may sit above
+    * the calibrated file mass for the same relation (the factors make
+    * the two bases agree ≈1.03× on the calibration corpus; data whose
+    * buffer-to-file ratio drifts from it moves this). Used only to
+    * decide whether an UNLOADED cache could change the sizing decision
+    * once loaded. */
   private[graft] val MaxCacheExpansion = 8L
+
+  /** Expected hv-join mass per MEASURED leaf byte, calibrated PER LEAF
+    * TYPE — the round-13 probe caught the single 400× factor silently
+    * pinning 1863-partition shuffles whenever the sizing read a LOADED
+    * cache: compressed parquet under the shingle plan measures 60.6 MB
+    * at 100×-distinct while the SAME relation's loaded columnar buffers
+    * measure 1.25 GB (20.6×), so one factor cannot serve both bases.
+    * (The defect predates round 13: r12's warm reps read loaded buffers
+    * at plan time and pinned silently — visible in retrospect as r12b's
+    * x2 rep-1-faster-than-steady inversion, 25.7 s unpinned vs 40.5 s.)
+    * Calibration, 100×d probe: 22.7 GB hv-join shuffle read per 60.6 MB
+    * compressed scan (≈ 375×) and per 1.25 GB loaded buffers (≈ 18×) —
+    * with these factors the two bases AGREE (24.2 vs 25.0 GB mass), so
+    * the sizing decision no longer depends on which side of cache
+    * materialization the plan was built on; the engagement bound's 8×
+    * headroom covers data whose ratios drift from the calibration
+    * corpus. */
+  private[graft] val FileScanJoinMassFactor = 400L
+  private[graft] val CachedBufferJoinMassFactor = 20L
 
   private[graft] def pairShufflePartitions(
       shArr: DataFrame,
       engageBound: Long = PairMassPerPartitionBound,
       perPinned: Long = PairMassPerPinnedPartition): Option[Int] = {
     val sess = shArr.sparkSession.sessionState.conf.numShufflePartitions
-    def mass() = measuredLeafBytes(shArr.queryExecution.optimizedPlan) * 400
+    def mass() = measuredJoinMass(shArr.queryExecution.optimizedPlan)
     var m = mass()
     // POST-MATERIALIZATION RE-READ (round 13, verdict ask 2): an unloaded
     // cache contributes its underlying FILE bytes (compressed), so a
@@ -707,26 +727,40 @@ object DedupOps {
     * cache plans (whose own stats would be the cached plan's estimate —
     * see [[pairShufflePartitions]]). Unrecognized scan types count 0. */
   private[graft] def measuredLeafBytes(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): BigInt = {
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): BigInt =
+    leafMass(plan, 1L, 1L)
+
+  /** [[measuredLeafBytes]] with the per-leaf-type join-mass calibration
+    * applied: file-scan bytes × [[FileScanJoinMassFactor]], loaded cache
+    * buffers × [[CachedBufferJoinMassFactor]] (the two measurement bases
+    * differ ~20× on the same relation — see the factors' scaladoc). */
+  private[graft] def measuredJoinMass(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): BigInt =
+    leafMass(plan, FileScanJoinMassFactor, CachedBufferJoinMassFactor)
+
+  private def leafMass(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      fileFactor: Long,
+      cacheFactor: Long): BigInt = {
     import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    def imrBytes(imr: InMemoryRelation): BigInt =
+    def imrMass(imr: InMemoryRelation): BigInt =
       if (imr.cacheBuilder.isCachedColumnBuffersLoaded)
-        imr.computeStats().sizeInBytes
-      else physicalFileBytes(imr.cacheBuilder.cachedPlan)
-    def physicalFileBytes(p: SparkPlan): BigInt =
+        imr.computeStats().sizeInBytes * cacheFactor
+      else physicalFileMass(imr.cacheBuilder.cachedPlan)
+    def physicalFileMass(p: SparkPlan): BigInt =
       p.collect {
-        case f: FileSourceScanExec => BigInt(f.relation.sizeInBytes)
-        case t: InMemoryTableScanExec => imrBytes(t.relation)
+        case f: FileSourceScanExec => BigInt(f.relation.sizeInBytes) * fileFactor
+        case t: InMemoryTableScanExec => imrMass(t.relation)
         // AQE wraps the cached plan in a leaf-like node; descend into the
         // pre-execution plan it adapts (file sizes don't depend on which
         // runtime plan AQE picks)
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          physicalFileBytes(a.inputPlan)
+          physicalFileMass(a.inputPlan)
       }.sum
     plan.collectLeaves().map {
-      case imr: InMemoryRelation => imrBytes(imr)
-      case leaf => leaf.stats.sizeInBytes
+      case imr: InMemoryRelation => imrMass(imr)
+      case leaf => leaf.stats.sizeInBytes * fileFactor
     }.sum
   }
 

@@ -313,9 +313,13 @@ class PlanQualitySpec extends SparkSpec {
           !imr.cacheBuilder.isCachedColumnBuffersLoaded
         case _ => false
       }, "twin B must start unloaded")
-      // bound strictly between the two readings → the decisions differ
-      val massFile = fb * 400 / sess
-      val massLoaded = loadedBytes * 400 / sess
+      // bound strictly between the two CALIBRATED readings → the
+      // decisions differ (the per-leaf-type join-mass factors are part
+      // of the contract under test: a loaded buffer byte carries 20×,
+      // a compressed file byte 400×)
+      val massFile = fb * DedupOps.FileScanJoinMassFactor / sess
+      val massLoaded = loadedBytes * DedupOps.CachedBufferJoinMassFactor / sess
+      assert(massFile != massLoaded, "calibrated masses must differ for the bound to separate")
       val bound = ((massFile + massLoaded) / 2).toLong
       val fileDecision = massFile > bound
       val loadedDecision = massLoaded > bound
@@ -326,7 +330,9 @@ class PlanQualitySpec extends SparkSpec {
           s"loaded=$massLoaded bound=$bound got=$got)")
       // and the spread value itself must come from the loaded bytes
       if (loadedDecision)
-        assert(got.contains(((loadedBytes * 400) / (1L << 16)).min(65536).toInt),
+        assert(got.contains(
+          ((loadedBytes * DedupOps.CachedBufferJoinMassFactor) / (1L << 16))
+            .min(65536).toInt),
           s"spread must be sized from measured buffers: $got")
     } finally cachedB.unpersist()
   }
