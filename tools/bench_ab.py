@@ -170,6 +170,10 @@ def main():
                     "(default max(passes, 4))")
     args = ap.parse_args()
     max_passes = args.max_passes or max(args.passes, 4)
+    if not os.path.isabs(args.sf_dir):
+        # the prior worktree resolves a relative fixture against ITS cwd:
+        # every B-side query fails with -1 sentinels (round-13 incident)
+        raise SystemExit(f"--sf-dir must be absolute, got {args.sf_dir}")
 
     prior_rev = args.prior or default_prior()
     prior_tree = ensure_worktree(prior_rev)
