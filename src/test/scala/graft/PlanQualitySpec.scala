@@ -337,6 +337,38 @@ class PlanQualitySpec extends SparkSpec {
     } finally cachedB.unpersist()
   }
 
+  test("pairShufflePartitions runs ZERO jobs at gate scale (the trigger must stay far away)") {
+    // The post-materialization re-read pays one count() job when an
+    // unloaded cache could change the decision — but at gate SFs the
+    // leaves sit far under the trigger, and the no-plan-time-jobs
+    // property is what keeps gate plans and job counts byte-identical to
+    // r12 (the x39 riser A/B priced exactly this class of fixed cost).
+    import graft.operators.DedupOps
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val docs = Tables.read(spark, d, "documents").select(col("doc_id"), col("text"))
+    val cached = docs.join(
+      docs.select(col("doc_id"), col("text").as("gate_t2")), Seq("doc_id")).cache()
+    try {
+      val pre = docs.join(
+        docs.select(col("doc_id"), col("text").as("gate_t2")), Seq("doc_id"))
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val got = DedupOps.pairShufflePartitions(pre) // production bounds
+        // listener delivery is async; a job started synchronously inside
+        // the call would be enqueued by now — give the bus a beat
+        Thread.sleep(300)
+        assert(got.isEmpty, s"gate-scale relation must not pin: $got")
+        assert(jobs.get() == 0,
+          s"sizing at gate scale must run zero jobs, ran ${jobs.get()}")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally cached.unpersist()
+  }
+
   test("metadata queries over the asset store never read the binary payload column") {
     import graft.operators.MultimodalOps
     val docs = Tables.read(spark, d, "documents")
