@@ -115,6 +115,26 @@ class EventStreamSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked sink views: ${leaked.mkString(",")}")
   }
 
+  test("the stream-gate partition pin never touches the PARENT session's conf") {
+    // Round 13: the stateful gates run in a CHILD session pinned to 4
+    // shuffle partitions BECAUSE the verify harness plans batch queries
+    // concurrently in the parent — a set/restore on the parent would
+    // race. This locks the isolation: the parent's conf is unchanged
+    // after a replay, and the returned frame lives on the parent.
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val ev = Seq(
+      (1L, "2024-01-15 10:00:00", 1L), (2L, "2024-01-15 11:00:00", 2L))
+      .toDF("user_id", "s", "event_id")
+      .select(col("user_id"), to_timestamp(col("s")).as("ts"), col("event_id"))
+    val r = EventStream.sessionCensusReplay(ev, 30, 2)
+    assert(r.count() == 2)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "the stream gate mutated the parent session's shuffle partitions")
+    assert(r.sparkSession eq spark,
+      "the replay census must return on the PARENT session")
+  }
+
   test("fileStreamRecoveryCensus: restart from checkpoint lands on the batch census") {
     import spark.implicits._
     // 3 days × 2 types over 8 events; 4 slices of 2, restart every 2 →
