@@ -68,6 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WordSpans].getName,
         "word_spans"),
       GraftExtensions.wordSpansBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_in_dir"),
+      new ExpressionInfo(classOf[graft.functions.NearestInDir].getName,
+        "nearest_in_dir"),
+      GraftExtensions.nearestInDirBuilder))
   }
 }
 
@@ -130,6 +135,16 @@ object GraftExtensions {
         "cell_pair_matches expects exactly 4 arguments " +
           s"(cellA, cellB, minSim, same), got ${children.length}")
     graft.functions.CellPairMatchesF32(children)
+  }
+
+  /** `nearest_in_dir(embedding, dir)` — the shuffle-free centroid
+    * assignment argmax over a broadcast directory. */
+  private[graft] val nearestInDirBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        "nearest_in_dir expects exactly 2 arguments " +
+          s"(array<float>, array<struct<id, vec>>), got ${children.length}")
+    graft.functions.NearestInDir(children)
   }
 
   /** `md5_prefix_long(bytes, k)` — k must be a foldable integer literal (it

@@ -170,6 +170,8 @@ object GraftFunctions {
         "word_shingles", graft.GraftExtensions.wordShinglesBuilder, "scala_udf")
       reg.createOrReplaceTempFunction(
         "word_spans", graft.GraftExtensions.wordSpansBuilder, "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "nearest_in_dir", graft.GraftExtensions.nearestInDirBuilder, "scala_udf")
       // the engine's optimizer rule rides the same registration path: any
       // session an operator touches gets the top-k-per-group rewrite
       val opts = spark.experimental.extraOptimizations

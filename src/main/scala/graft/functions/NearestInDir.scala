@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Per-row nearest-directory-entry argmax — the shuffle-free centroid
+ * assignment kernel of [[graft.operators.SimilarityOps]] (round 14).
+ *
+ * `nearest_in_dir(embedding, dir)` takes one corpus vector and a broadcast
+ * directory `array<struct<id: long, vec: array<float>>>` and returns
+ * `struct(sim: float, id: long)` for the entry maximizing
+ * (cosine DESC, id ASC). This replaces the crossJoin + max_by aggregate
+ * shape, which shipped every corpus vector THROUGH a groupBy(vec_id) argmax
+ * exchange per quantizer level purely to re-group candidate rows that were
+ * born co-located (one broadcast-join map task) — one full-payload corpus
+ * shuffle per level for zero information movement (x57 event-log
+ * decomposition, REVIEW_r13 §7 addendum / BENCH_notes_r14 §1). A Column
+ * higher-order `aggregate` fold computes the same argmax shuffle-free but
+ * pays interpreted per-candidate struct allocation (measured 2–9× the
+ * max_by stage's task time at the 60×d probe, with JIT-sensitive variance);
+ * this expression runs the whole argmax as one monomorphic primitive-float
+ * loop per row.
+ *
+ * Exactness contract: the cosine is [[CosineSimilarityF32.compute]] — the
+ * identical sequential-f32 arithmetic every gated path uses — and the
+ * comparison is Spark's own float TOTAL ORDER (`SQLOrderingUtil
+ * .compareFloats`: NaN greatest, -0.0 == 0.0), i.e. exactly the interpreted
+ * row ordering `max_by(struct(csim, -cid))` applied. An all-NaN row (zero
+ * vector) therefore keeps max_by's winner: the minimum id, csim NaN.
+ *
+ * The unpacked directory is MEMOIZED per expression instance keyed on the
+ * ArrayData reference: the directory arrives from a broadcast join, so
+ * every row of a partition carries the same instance and the per-row cost
+ * is one vector unpack plus k dot products (k ≈ 2·√(cells) in the
+ * two-level scheme). Expression instances are task-confined, so the
+ * mutable cache needs no synchronization (same pattern as the
+ * [[CellPairMatchesF32]] kernel's per-call buffers).
+ *
+ * Null semantics: a null vector or null directory yields null (callers
+ * filter empty directories; gated corpora carry no null embeddings).
+ * Null directory ENTRIES or entry vectors are skipped — the crossJoin
+ * form's cosine null-propagated those candidate rows away.
+ */
+case class NearestInDir(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def dirOk(t: DataType) = t match {
+      case ArrayType(StructType(Array(
+        StructField(_, LongType, _, _),
+        StructField(_, ArrayType(FloatType, _), _, _))), _) => true
+      case _ => false
+    }
+    if (children.length == 2 &&
+        children(0).dataType.isInstanceOf[ArrayType] &&
+        children(0).dataType.asInstanceOf[ArrayType].elementType == FloatType &&
+        dirOk(children(1).dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_in_dir expects (array<float>, array<struct<long, array<float>>>), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+  }
+
+  override def dataType: DataType = NearestInDir.OutType
+  override def nullable: Boolean = true
+
+  // directory memo: broadcast rows hand every row of a partition the same
+  // ArrayData instance; eq-keyed so a literal re-unpack is the rare case
+  @transient private var dirRef: ArrayData = _
+  @transient private var dirIds: Array[Long] = _
+  @transient private var dirVecs: Array[Array[Float]] = _
+
+  private def unpackDir(dir: ArrayData): Unit = {
+    val n = dir.numElements()
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!dir.isNullAt(i)) {
+        val row = dir.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          ids(m) = row.getLong(0)
+          vecs(m) = row.getArray(1).toFloatArray()
+          m += 1
+        }
+      }
+      i += 1
+    }
+    dirIds = java.util.Arrays.copyOf(ids, m)
+    dirVecs = java.util.Arrays.copyOf(vecs, m)
+    dirRef = dir
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val embRaw = children(0).eval(input)
+    val dirRaw = children(1).eval(input)
+    if (embRaw == null || dirRaw == null) return null
+    val dir = dirRaw.asInstanceOf[ArrayData]
+    if (!(dir eq dirRef)) unpackDir(dir)
+    if (dirIds.length == 0) return null
+    val x = embRaw.asInstanceOf[ArrayData].toFloatArray()
+    var bestSim = Float.NaN
+    var bestId = 0L
+    var first = true
+    var i = 0
+    while (i < dirIds.length) {
+      val s = CosineSimilarityF32.compute(x, dirVecs(i))
+      val id = dirIds(i)
+      // Spark's float total order (NaN greatest, -0.0 == 0.0), id ASC ties —
+      // bit-for-bit the max_by(struct(csim, -cid)) interpreted ordering
+      val c = if (first) 1
+        else org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareFloats(s, bestSim)
+      if (c > 0 || (c == 0 && id < bestId)) { bestSim = s; bestId = id }
+      first = false
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestSim, bestId))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+
+  override def prettyName: String = "nearest_in_dir"
+}
+
+object NearestInDir {
+  val OutType: StructType = StructType(Seq(
+    StructField("sim", FloatType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+}

@@ -1008,14 +1008,60 @@ object DedupOps {
     } finally edges.unpersist()
   }
 
+  /** Node-count bound under which the distributed label-propagation rounds
+    * broadcast the label frontier instead of shuffling edge-keyed partials:
+    * 1M nodes ≈ 16 MB of packed (u, lbl) longs per broadcast — the same
+    * budget rationale as [[SmallGraphEdges]]. Near-dup graphs routinely sit
+    * in this regime ABOVE the edge bound (many edges over few distinct
+    * nodes — 1.75M edges over 237k nodes at the x57 60×d probe), where
+    * broadcast rounds shuffle ZERO bytes. */
+  val BroadcastLabelNodes: Long = 1_000_000L
+
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxRounds: Int = 50): DataFrame = {
-    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // Round-traffic design (round 14, from the x57 60×d sql_profile.py
+    // decomposition — the rounds were the dominant term in the pipeline's
+    // superlinear shuffle growth once the graph crossed SmallGraphEdges,
+    // one full 44 MB edge-list exchange per round × 13 rounds):
+    //
+    //  - The edge list is CO-PARTITIONED ONCE and CACHED: InMemoryRelation
+    //    advertises its child's partitioning and ordering (localCheckpoint
+    //    does NOT — Spark 4.1's LogicalRDD reports UnknownPartitioning,
+    //    measured while building this), so the rounds reuse the layout
+    //    instead of re-shuffling the edges. The partition count is
+    //    EXPLICIT: a bare repartition(col) is an AQE coalescing target,
+    //    and a coalesced partitioning no longer satisfies the rounds' hash
+    //    requirement (also measured: rounds kept re-exchanging).
+    //  - BROADCAST rounds (nodes ≤ BroadcastLabelNodes): edges live
+    //    u-partitioned; the label frontier broadcasts into the edge⋈label
+    //    join AND into the left-outer update, and the groupBy(u) fuses
+    //    partial→final on the cached partitioning — a round shuffles
+    //    ZERO bytes (two ≤16 MB broadcasts + one narrow count).
+    //  - SMJ rounds (huge node sets): edges re-laid v-partitioned+sorted
+    //    once (one extra O(E) exchange, amortized against the rounds it
+    //    feeds); a round then shuffles only the label frontier and the
+    //    aggregate partials, never the edge list.
+    val spark = pairs.sparkSession
+    val symN = spark.sessionState.conf.numShufflePartitions
+    val sym0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint()
-    var labels = sym.select(col("u")).distinct()
+      .repartition(symN, col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sym0.count() // materialize eagerly, like the localCheckpoint it replaces
+    // distinct fuses on the cached u-partitioning — no exchange
+    var labels = sym0.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl")).localCheckpoint()
+    val bcastRounds = labels.count() <= BroadcastLabelNodes
+    val sym =
+      if (bcastRounds) sym0
+      else {
+        val s = sym0.repartition(symN, col("v")).sortWithinPartitions(col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s.count()
+        sym0.unpersist()
+        s
+      }
     var round = 0
     var changed = 1L
     // on ANY failure (incl. the non-convergence require) release the
@@ -1025,15 +1071,16 @@ object DedupOps {
     try {
       while (changed > 0 && round < maxRounds) {
         round += 1
+        def bc(df: DataFrame): DataFrame = if (bcastRounds) broadcast(df) else df
         val nbrMin = sym
-          .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), Seq("v"))
+          .join(bc(labels.select(col("u").as("v"), col("lbl").as("vlbl"))), Seq("v"))
           .groupBy(col("u")).agg(min(col("vlbl")).as("nmin"))
         // the changed flag is computed INSIDE the update projection (least
         // ignores the left-outer join's null nmin), so convergence needs one
         // narrow count over the checkpointed result — never a second join
         // against the previous labels, and no arithmetic that could wrap on
         // large id sums
-        val updated = labels.join(nbrMin, Seq("u"), "left_outer")
+        val updated = labels.join(bc(nbrMin), Seq("u"), "left_outer")
           .select(col("u"),
             least(col("lbl"), col("nmin")).as("lbl"),
             coalesce(col("nmin") < col("lbl"), lit(false)).as("chg"))
@@ -1050,11 +1097,11 @@ object DedupOps {
         "— graph diameter exceeds the bound; raise maxRounds or use a " +
         "star-contraction algorithm for chain-shaped graphs")
     } catch { case e: Throwable =>
-      releaseCheckpoint(sym)
+      sym.unpersist()
       releaseCheckpoint(labels)
       throw e
     }
-    releaseCheckpoint(sym)
+    sym.unpersist()
     labels.select(col("u").as("doc_id"), col("lbl").as("component"))
       .orderBy(col("doc_id"))
   }

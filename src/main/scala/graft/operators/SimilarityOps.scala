@@ -24,6 +24,8 @@ import graft.functions.CosineSimilarityF32
  */
 object SimilarityOps {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[operators] def cos(a: Column, b: Column): Column =
     call_function("cosine_f32", a, b)
 
@@ -182,6 +184,24 @@ object SimilarityOps {
    * [[buildIvfIndex]] (partitioned by cid) and train centroids so cells stay
    * balanced; the cell-pair table is O(k²) rows for k centroids, broadcastable
    * for the k ≈ √n regime this targets.
+   *
+   * ==Supported-threshold regime (read before running at 100 TB)==
+   * The cell pruning above is EFFECTIVE only when θ_t + α̂_i + α̂_j < the
+   * typical inter-centroid angle — on dense ISOTROPIC embeddings (flat PCA
+   * spectrum, pairwise cosine concentrated near 0, e.g. the driver fixture:
+   * ~N(0, 0.125²) at 64 dims) that means thresholds of roughly t ≳ 0.7.
+   * Below that floor the triangle bound prunes ~no cell pairs and the
+   * operator intentionally runs the exact DENSE QUADRATIC: all n²/2 f32
+   * dots through the blocked SIMD kernel. This is not an implementation
+   * gap — prefix-filtering families (L2AP/APSS) assume sparse vectors and
+   * were MEASURED non-transferable here (the bound's own arithmetic costs
+   * as much as it saves at every prefix length; BENCH_notes_r13 §1a), and
+   * exact subquadratic similarity join on isotropic vectors at a tail
+   * threshold is the light-bulb problem. At a low threshold, budget for
+   * quadratic kernel time (traffic stays the grouped-cross optimum), or
+   * use the capped [[semanticDedupPairs]]/[[semanticDedupCorpus]] path
+   * whose per-bucket cap bounds the work. A one-line log warning fires
+   * when the measured pair table shows pruning is inactive.
    */
   def embeddingNearDup(
       embeddings: DataFrame,
@@ -268,17 +288,21 @@ object SimilarityOps {
    * keeps ReorderJoin from re-bridging through the pair table), so the
    * quadratic candidate stream NEVER touches the network — shuffled
    * bytes are 2G × packed corpus, tasks G² ≈ the session's shuffle
-   * partitions. Dispatch: grouped when pairs > G × k (dense regime —
-   * the equi-join would move more than the grouped path's whole
-   * budget; k is the quantizer's centroid count, ≥ populated cells, so
-   * the bar only rises vs counting populated cells), equi-join
+   * partitions. Dispatch (round 13): grouped when pairs > G × populated,
+   * where `populated` is the count of DISTINCT cells the checkpointed
+   * pair table names — the honest traffic bar, since the equi-join's
+   * shuffle is ~pairs × (corpus/populated) bytes vs the grouped cross's
+   * 2G × corpus (an earlier form used the quantizer's k as the
+   * denominator; k ≥ populated, so it under-engaged the dense regime
+   * exactly for trained quantizers with empty cells). Equi-join
    * otherwise (sparse regime, e.g. the capped `small` table at gate
    * scale, where the broadcast bridge is free and gated plans stay
    * byte-identical). When k ≤ 2G−1 the dense regime is impossible
-   * (canonical pairs ≤ k(k+1)/2 ≤ G·k) and no dispatch count runs at
-   * all — the gate-scale fixed-job cost the round-12 riser A/B measured
-   * on x39. Measured effect: see BENCH_notes_r12 §2 (the 60×-distinct
-   * before/after) and §8 (the gate-scale fixed-cost price).
+   * (pairs ≤ pop(pop+1)/2 with pop ≤ k, so pairs > G·pop needs
+   * pop ≥ 2G) and no dispatch count runs at all — the gate-scale
+   * fixed-job cost the round-12 riser A/B measured on x39. Measured
+   * effect: see BENCH_notes_r12 §2 (the 60×-distinct before/after) and
+   * §8 (the gate-scale fixed-cost price).
    */
   private def blockedPairs(
       assigned: DataFrame, canonicalCellPairs: DataFrame,
@@ -351,7 +375,24 @@ object SimilarityOps {
         .agg(count(lit(1)).as("n2"), count_distinct(col("cid")).as("pop"))
         .head()
       // n2 = 2·pairs (each pair contributes both cids)
-      r.getLong(0) > 2L * g.toLong * r.getLong(1)
+      val (pairs, pop) = (r.getLong(0) / 2, r.getLong(1))
+      // Threshold-regime warning (BENCH_notes_r13 §1a, surfaced at the
+      // operator per the round-13 verdict): when the pair table names
+      // ~every populated cell pair, the spherical-triangle bound is
+      // pruning nothing at this (threshold, radii) point — the observed
+      // signature of a threshold below the radius-effective floor — and
+      // the run is an intentional exact dense quadratic. Measured from
+      // the SAME one-job count the dense dispatch already pays, so the
+      // warning costs nothing and never fires at gate scale (where no
+      // dispatch count runs at all).
+      if (pairs * 20L >= pop * (pop + 1L) / 2L * 19L)
+        log.warn(s"cell-pair table prunes ~nothing ($pairs of " +
+          s"${pop * (pop + 1L) / 2L} canonical pairs over $pop populated " +
+          s"cells): threshold $threshold is below the radius-effective " +
+          "floor for this corpus's cell radii, so exact semantic near-dup " +
+          "runs as an intentional dense quadratic (all-pairs kernel work; " +
+          "see the embeddingNearDup scaladoc's supported-threshold note)")
+      pairs > g.toLong * pop
     }
     val candidates =
       if (dense) {
@@ -552,24 +593,39 @@ object SimilarityOps {
       .select(col("cid_a"), col("cid_b"))
     val cliquePairs = blockedPairs(assigned, small, threshold, q.k)
     // star path (bucket > cap): one candidate per member against the
-    // bucket's minimum vec_id — canonical orientation only, ids first,
-    // embeddings joined back once per surviving candidate
+    // bucket's minimum vec_id. Payload-light form (round 14): a bucket's
+    // rep is min(cell-min_a, cell-min_b), so it is computed from the
+    // O(#cells) id-only cell-minimum aggregate — never a window over the
+    // buckets' replicated members (the r13 shape shipped every member
+    // once per touching bucket; a first-attempt r14 window shipped the
+    // 256-byte payload at that replication, 601 MB at the 60×d probe).
+    // The per-cid (bucket-rep, rep-embedding) directory is TINY (≤ big
+    // pairs × 2 rows) and broadcast, so members compute their star sims
+    // IN the checkpoint-scan map stage — the only shuffle this path ever
+    // pays is the id+sim dropDuplicates, and the corpus is never
+    // re-shuffled (the r13 form paid two full-corpus vec_id equi-joins
+    // here even when zero buckets capped).
     val big = sized.filter(col("bsz") > maxCellPairSize && col("cid_a") <= col("cid_b"))
       .select(col("cid_a"), col("cid_b"))
-    val bigCells = big
-      .select(struct(col("cid_a"), col("cid_b")).as("pkey"),
-        explode(array(col("cid_a"), col("cid_b"))).as("cid"))
+    val cmin = assigned.groupBy(col("cid")).agg(min(col("vec_id")).as("cmin"))
+    val bigRep = big
+      .join(broadcast(cmin.select(col("cid").as("cid_a"), col("cmin").as("cmin_a"))), Seq("cid_a"))
+      .join(broadcast(cmin.select(col("cid").as("cid_b"), col("cmin").as("cmin_b"))), Seq("cid_b"))
+      .select(col("cid_a"), col("cid_b"),
+        least(col("cmin_a"), col("cmin_b")).as("brep"))
+    // rep embeddings: one broadcast-semi streaming pass over the
+    // checkpointed corpus (no shuffle; empty when no bucket caps)
+    val brepEmb = assigned.select(col("vec_id").as("brep"), col("embedding").as("bemb"))
+      .join(broadcast(bigRep.select(col("brep")).distinct()), Seq("brep"), "left_semi")
+    val starDir = bigRep
+      .select(explode(array(col("cid_a"), col("cid_b"))).as("cid"), col("brep"))
       .distinct()
-    val wBucket = Window.partitionBy(col("pkey"))
-    val starIds = assigned.join(broadcast(bigCells), Seq("cid"))
-      .withColumn("brep", min(col("vec_id")).over(wBucket))
+      .join(brepEmb, Seq("brep"))
+    val starPairs = assigned.join(broadcast(starDir), Seq("cid"))
       .filter(col("vec_id") =!= col("brep"))
-      .select(col("brep").as("vec_a"), col("vec_id").as("vec_b"))
+      .select(col("brep").as("vec_a"), col("vec_id").as("vec_b"),
+        round6f(cos(col("bemb"), col("embedding"))).as("sim"))
       .dropDuplicates("vec_a", "vec_b")
-    val starPairs = starIds
-      .join(assigned.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
-      .join(assigned.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round6f(cos(col("emb_a"), col("emb_b"))).as("sim"))
       .filter(col("sim") >= threshold)
     // a rep pair inside one big bucket's cell can also surface from that
     // cell's own small (i, i) pair — dedup before attaching the collapse
@@ -597,7 +653,10 @@ object SimilarityOps {
    * join, with provably identical survivors for exact replicas (see
    * [[semanticDedupPairs]]). The component loop keeps counter-only driver
    * state; the loser set is at most one row per clustered vector and the
-   * anti-join shuffles on vec_id.
+   * anti-join shuffles on vec_id. Low thresholds on dense isotropic
+   * embeddings run the clique arm as an intentional exact quadratic per
+   * bucket (capped at maxCellPairSize²/2) — see the supported-threshold
+   * note on [[embeddingNearDup]] before choosing t at 100 TB.
    */
   def semanticDedupCorpus(
       embeddings: DataFrame,
@@ -971,16 +1030,29 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding"), col("cid"))
 
   /** [[assignToCentroids]] keeping the winning cosine (`csim`) — the bucketed
-    * near-dup join derives its pruning radius from the worst assignment.
-    *
-    * The per-vector argmax is a `max_by` hash aggregate (map-side partials,
-    * one surviving row per vector per map task) rather than a row_number
-    * window, which would shuffle all n×k assignment rows before discarding
-    * k−1 of each k. Tie-break (csim DESC, cid ASC) is encoded in the
-    * ordering struct (`-cid`), so the result is deterministic and identical
-    * to the window form. */
+    * near-dup join derives its pruning radius from the worst assignment. */
   private def assignToCentroidsWithSim(embeddings: DataFrame, cents: DataFrame): DataFrame =
     assignToCentroidsWithSim(embeddings, quantizerOf(cents))
+
+  /** Per-row nearest-entry argmax over a broadcast directory
+    * `array<struct<id, vec>>`: returns `struct(sim, id)` of the winner
+    * under (cosine DESC, id ASC) — the native
+    * [[graft.functions.NearestInDir]] kernel (same f32 cosine, Spark's own
+    * float total order, so the result is bit-for-bit the argmax the old
+    * crossJoin+max_by aggregate produced; see the expression scaladoc).
+    *
+    * This is the round-14 payload-light form: the old shape shipped every
+    * vector THROUGH a groupBy(vec_id) argmax exchange — one full-payload
+    * corpus shuffle per quantizer level (the x57 event-log decomposition,
+    * REVIEW_r13 §7 addendum) — purely to re-group rows that were never
+    * split: each vector's k candidate rows are born in one map task from a
+    * broadcast join. The kernel computes the same argmax in place; the
+    * embedding never leaves its scan-side partition. (A Column-space
+    * `aggregate` fold was tried first: same shape, but interpreted
+    * per-candidate struct allocation cost 2–9× the old argmax stage with
+    * JIT-sensitive variance — BENCH_notes_r14 §1.) */
+  private def nearestInDir(emb: Column, dir: Column): Column =
+    call_function("nearest_in_dir", emb, dir)
 
   /** Quantizer-aware assignment. Flat: argmax over all k centroids (exact
     * nearest). Two-level: argmax over ~√k supers, then argmax over that
@@ -988,39 +1060,43 @@ object SimilarityOps {
     * two-level winner can differ from the flat nearest near super-group
     * boundaries; that only widens the affected cell's pruning radius
     * (csim is the ACTUAL assignment cosine either way), it cannot change
-    * any operator's output. */
-  private def assignToCentroidsWithSim(embeddings: DataFrame, q: Quantizer): DataFrame = q.sup match {
-    case None =>
-      embeddings.crossJoin(broadcast(q.cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          cos(col("embedding"), col("cvec")).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("embedding"), col("cid"), col("csim")),
-          struct(col("csim"), (-col("cid")).as("nc"))).as("w"))
-        .select(col("vec_id"), col("w.embedding").as("embedding"),
-          col("w.cid").as("cid"), col("w.csim").as("csim"))
-    case Some((supers, c2s)) =>
-      val v2s = embeddings.crossJoin(broadcast(supers))
-        .select(col("vec_id"), col("embedding"), col("sid"),
-          cos(col("embedding"), col("svec")).as("ssim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("embedding"), col("sid")),
-          struct(col("ssim"), (-col("sid")).as("ns"))).as("w"))
-        .select(col("vec_id"), col("w.embedding").as("embedding"),
-          col("w.sid").as("sid"))
-      // broadcast the centroid directory, expand each vector over its
-      // super's member centroids only, argmax within — map-side partials
-      // keep the shuffle at one row per vector
-      v2s.join(broadcast(c2s.select(col("cid"), col("cvec"), col("sid"))), Seq("sid"))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          cos(col("embedding"), col("cvec")).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(
-          struct(col("embedding"), col("cid"), col("csim")),
-          struct(col("csim"), (-col("cid")).as("nc"))).as("w"))
-        .select(col("vec_id"), col("w.embedding").as("embedding"),
-          col("w.cid").as("cid"), col("w.csim").as("csim"))
+    * any operator's output.
+    *
+    * Both levels are SHUFFLE-FREE: the directory (all centroids flat; the
+    * supers, then each super's members, two-level) is packed into one
+    * broadcast row of `array<struct<id, vec>>` and every vector folds over
+    * it in place ([[nearestInDir]]) — the per-level broadcast is the same
+    * O(k) table the old crossJoin form broadcast, but no argmax exchange
+    * re-ships the corpus. An EMPTY centroid table yields an empty result
+    * (the old crossJoin semantics), via the size(dir) > 0 filter. */
+  private def assignToCentroidsWithSim(embeddings: DataFrame, q: Quantizer): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    q.sup match {
+      case None =>
+        val dir = q.cents
+          .agg(collect_list(struct(col("cid").as("id"), col("cvec").as("vec"))).as("dir"))
+        embeddings.crossJoin(broadcast(dir))
+          .filter(size(col("dir")) > 0)
+          .withColumn("w", nearestInDir(col("embedding"), col("dir")))
+          .select(col("vec_id"), col("embedding"),
+            col("w.id").as("cid"), col("w.sim").as("csim"))
+      case Some((supers, c2s)) =>
+        val sdir = supers
+          .agg(collect_list(struct(col("sid").as("id"), col("svec").as("vec"))).as("sdir"))
+        val v2s = embeddings.crossJoin(broadcast(sdir))
+          .filter(size(col("sdir")) > 0)
+          .withColumn("ws", nearestInDir(col("embedding"), col("sdir")))
+          .select(col("vec_id"), col("embedding"), col("ws.id").as("sid"))
+        // per-super member directory, broadcast-joined on the winning sid
+        // (a super with no member centroids drops its vectors — the same
+        // inner-join semantics the old form had)
+        val cdir = c2s.groupBy(col("sid"))
+          .agg(collect_list(struct(col("cid").as("id"), col("cvec").as("vec"))).as("cdir"))
+        v2s.join(broadcast(cdir), Seq("sid"))
+          .withColumn("w", nearestInDir(col("embedding"), col("cdir")))
+          .select(col("vec_id"), col("embedding"),
+            col("w.id").as("cid"), col("w.sim").as("csim"))
+    }
   }
 
   def annIvf(

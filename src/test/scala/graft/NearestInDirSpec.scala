@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Parity gate for the shuffle-free assignment kernel: `nearest_in_dir`
+  * must reproduce the crossJoin + max_by(struct(csim, -cid)) argmax
+  * bit-for-bit — including the float-total-order corners (NaN-sim zero
+  * vectors, duplicate centroid vectors forcing the id tie-break) — because
+  * the r13 assignment it replaced is what every gated similarity path's
+  * oracle hashes were proven against. */
+class NearestInDirSpec extends SparkSpec {
+
+  private def maxByReference(
+      vecs: Seq[(Long, Array[Float])],
+      cents: Seq[(Long, Array[Float])]): Map[Long, (Long, Float)] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val cs = cents.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+    emb.crossJoin(broadcast(cs))
+      .select(col("vec_id"), col("cid"),
+        call_function("cosine_f32", col("embedding"), col("cvec")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("csim")),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("w"))
+      .select(col("vec_id"), col("w.cid"), col("w.csim"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getFloat(2)))).toMap
+  }
+
+  private def kernel(
+      vecs: Seq[(Long, Array[Float])],
+      cents: Seq[(Long, Array[Float])]): Map[Long, (Long, Float)] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val dir = cents.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<float>").as("cvec"))
+      .agg(collect_list(struct(col("cid").as("id"), col("cvec").as("vec"))).as("dir"))
+    emb.crossJoin(broadcast(dir))
+      .select(col("vec_id"),
+        call_function("nearest_in_dir", col("embedding"), col("dir")).as("w"))
+      .select(col("vec_id"), col("w.id"), col("w.sim"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getFloat(2)))).toMap
+  }
+
+  private def eq(a: Float, b: Float): Boolean =
+    java.lang.Float.floatToIntBits(a) == java.lang.Float.floatToIntBits(b) ||
+      (a.isNaN && b.isNaN)
+
+  test("argmax parity with max_by on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val cents = (0L until 23L).map(i => (i * 3 + 1, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val ref = maxByReference(vecs, cents)
+    val got = kernel(vecs, cents)
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (v, (cid, sim)) =>
+      assert(got(v)._1 == cid, s"vec $v: cid ${got(v)._1} != $cid")
+      assert(eq(got(v)._2, sim), s"vec $v: sim ${got(v)._2} != $sim")
+    }
+  }
+
+  test("corners: zero vector (all-NaN sims) and duplicate centroids tie-break to min id") {
+    val rnd = new scala.util.Random(11)
+    val shared = Array.fill(8)(rnd.nextFloat())
+    val vecs = Seq(
+      (1L, Array.fill(8)(0f)),          // cosine NaN against everything
+      (2L, shared.clone),               // exact tie between duplicate centroids
+      (3L, Array.fill(8)(rnd.nextFloat())))
+    val cents = Seq(
+      (10L, shared.clone), (4L, shared.clone), // duplicates, min id 4 must win
+      (7L, Array.fill(8)(rnd.nextFloat())))
+    val ref = maxByReference(vecs, cents)
+    val got = kernel(vecs, cents)
+    assert(got(2L)._1 == 4L, s"duplicate-centroid tie must keep min cid: ${got(2L)}")
+    vecs.map(_._1).foreach { v =>
+      assert(got(v)._1 == ref(v)._1, s"vec $v: ${got(v)} vs ${ref(v)}")
+      assert(eq(got(v)._2, ref(v)._2), s"vec $v: ${got(v)} vs ${ref(v)}")
+    }
+  }
+
+  test("null and empty directories yield null; null entries are skipped") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val empty = emb.select(call_function("nearest_in_dir", col("embedding"),
+      expr("CAST(array() AS array<struct<id: bigint, vec: array<float>>>)")).as("w"))
+      .collect()
+    assert(empty.head.isNullAt(0), "empty directory must yield null")
+    val skipNull = emb.select(call_function("nearest_in_dir", col("embedding"),
+      expr("array(named_struct('id', CAST(NULL AS bigint), 'vec', array(1.0f, 0.0f)), " +
+        "named_struct('id', 5L, 'vec', array(1.0f, 0.0f)))")).as("w"))
+      .select(col("w.id")).collect()
+    assert(skipNull.head.getLong(0) == 5L, "null-id entries must be skipped")
+  }
+}
