@@ -180,7 +180,9 @@ object Bench {
     * all-core Spark range-sum (scheduler floor). Each runs once discarded
     * then once recorded; ~1–2 s total. Values are HOST state, comparable
     * across records on the same hardware class. */
-  private def floorProbes(spark: SparkSession): Seq[(String, Double)] = {
+  private def floorProbes(
+      spark: SparkSession,
+      probeDir: java.nio.file.Path): Seq[(String, Double)] = {
     def cpuMs(): Double = {
       var x = 1.000000001d
       var i = 0
@@ -192,7 +194,13 @@ object Bench {
     }
     def diskMs(): Double = {
       import java.nio.file.StandardOpenOption._
-      val f = java.nio.file.Files.createTempFile("graft_floor_", ".bin")
+      // probeDir, not java.io.tmpdir: on hosts where /tmp is tmpfs the
+      // 64 MB write+force+read measures MEMORY, muting exactly the
+      // cross-boot IO-drift signal this record exists to capture
+      // (round-13 ADVICE). The caller passes the artifact directory's
+      // filesystem (override: SPARK_GRAFT_BENCH_TMP) and the record
+      // names the probed path.
+      val f = java.nio.file.Files.createTempFile(probeDir, "graft_floor_", ".bin")
       try {
         val buf = new Array[Byte](1 << 20)
         java.util.Arrays.fill(buf, 42.toByte)
@@ -370,7 +378,10 @@ object Bench {
     // meaning; with the floors in the record, a cross-boot comparison can
     // check whether the HOST moved before blaming the code. Each probe
     // runs once discarded (JIT/codegen) and once recorded.
-    val floors = floorProbes(spark)
+    val floorDir = sys.env.get("SPARK_GRAFT_BENCH_TMP")
+      .map(p => java.nio.file.Paths.get(p).toAbsolutePath)
+      .getOrElse(docsDir)
+    val floors = floorProbes(spark, floorDir)
 
     // WARMUP SUITE PASS (round 13, verdict ask 5): one DISCARDED pass of
     // every selected query before any timing. Per-query codegen compile
@@ -472,9 +483,14 @@ object Bench {
     val nSubstituted = results.count(_._4)
     val bootStr = curBoot.getOrElse("unknown")
     val upStr = uptimeSeconds().map(_.toString).getOrElse("-1")
-    val floorJson = floors
+    val floorJson = (floors
       .map { case (k, v) => s""""$k": ${math.round(v * 10) / 10.0}""" }
+      :+ s""""path": "$floorDir"""")
       .mkString("{", ", ", "}")
+    // Heap annotation (round-13 verdict ask 6): decade-exponent records
+    // were only distinguishable as 8g-vs-24g by filename convention; the
+    // record now carries the driver JVM's actual max heap.
+    val heapGb = math.round(Runtime.getRuntime.maxMemory / 1e8) / 10.0
     val warmupJson =
       s""""warmup": "$warmupMode", "warmup_s": ${math.round(warmupS * 10) / 10.0}"""
     val notes = "one discarded warmup suite pass before timing (cold = the " +
@@ -496,7 +512,7 @@ object Bench {
       .append(s"""  "metric": "total_steady", "value": $steadyTotal, "unit": "sec",\n""")
       .append(s"""  "total_cold": $coldTotal, "reps": $reps, "sf": "$sfDir",\n""")
       .append(s"""  "n_remeasured": $nRemeasured, "n_substituted": $nSubstituted,\n""")
-      .append(s"""  "boot_id": "$bootStr", "uptime_s": $upStr, "cross_boot_vs_prior": $crossBoot,\n""")
+      .append(s"""  "boot_id": "$bootStr", "uptime_s": $upStr, "cross_boot_vs_prior": $crossBoot, "heap_gb": $heapGb,\n""")
       .append(s"""  "floor": $floorJson, $warmupJson,\n""")
       .append(s"""  "notes": "$notes",\n""")
       .append("  \"queries\": {\n")
@@ -542,7 +558,7 @@ object Bench {
     val line = s"""{"metric":"total_steady","value":$steadyTotal,"unit":"sec",""" +
       s""""queries":$steadyMap,"total_cold":$coldTotal,"reps":$reps,""" +
       s""""n_remeasured":$nRemeasured,"n_substituted":$nSubstituted,""" +
-      s""""boot_id":"$bootStr","uptime_s":$upStr,"cross_boot_vs_prior":$crossBoot,""" +
+      s""""boot_id":"$bootStr","uptime_s":$upStr,"cross_boot_vs_prior":$crossBoot,"heap_gb":$heapGb,""" +
       s""""floor":${floorJson.replace(" ", "")},${warmupJson.replace(": ", ":").replace(", ", ",")},""" +
       s""""sf":"$sfDir","detail":"$outFile"}"""
     // The line ALSO lands in a known repo file: three rounds of driver

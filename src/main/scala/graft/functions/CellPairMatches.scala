@@ -341,7 +341,11 @@ object CellPairMatchesF32 {
   private[functions] def matchesSame(c: Cell, minSim: Double): GenericArrayData = {
     val n = c.ids.length
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    val dim = if (n > MinSaxpyWidth) uniformDim(c) else -1
+    // >= to match matchesCross's gate: a MinSaxpyWidth-member cell takes
+    // the same kernel on both paths (results are bit-identical either
+    // way; the shared boundary keeps the constant's documented meaning —
+    // "fewer than this take the scalar sweep" — true of both arms)
+    val dim = if (n >= MinSaxpyWidth) uniformDim(c) else -1
     if (dim >= 0) {
       // SAXPY prefix form: row i pairs with [0, i) — no inner offset
       val bt = transpose(c, dim)

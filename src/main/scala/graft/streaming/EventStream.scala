@@ -68,6 +68,19 @@ object EventStream {
     // production stream with multi-GB state would flip the provider; the
     // pin below is what actually moved the gates (32→4 store instances).
     val ss = parent.newSession()
+    // newSession() builds the child's SQLConf from the SparkContext conf
+    // only — runtime session confs set on the parent (precedent:
+    // Tables.read sets spark.sql.legacy.parquet.nanosAsLong via
+    // spark.conf.set) would silently drop in the stream gates. Copy the
+    // parent's modifiable runtime overrides BEFORE pinning, so the pin
+    // wins over a parent-side shuffle-partition setting (round-13 ADVICE;
+    // nothing diverges today — stream plans read no source parquet — but
+    // the divergence class is closed rather than documented away).
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (ss.sessionState.conf.isModifiable(k) && !ss.conf.getOption(k).contains(v))
+        try ss.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
     ss.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     ss
   }

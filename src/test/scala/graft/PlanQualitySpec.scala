@@ -360,8 +360,9 @@ class PlanQualitySpec extends SparkSpec {
       try {
         val got = DedupOps.pairShufflePartitions(pre) // production bounds
         // listener delivery is async; a job started synchronously inside
-        // the call would be enqueued by now — give the bus a beat
-        Thread.sleep(300)
+        // the call is enqueued by now — drain the bus deterministically
+        // (the former 300 ms sleep could false-pass under a loaded bus)
+        org.apache.spark.GraftTestBus.drain(spark.sparkContext)
         assert(got.isEmpty, s"gate-scale relation must not pin: $got")
         assert(jobs.get() == 0,
           s"sizing at gate scale must run zero jobs, ran ${jobs.get()}")

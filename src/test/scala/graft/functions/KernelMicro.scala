@@ -4,10 +4,12 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
 /**
- * Throwaway microbenchmark for the cell_pair_matches hot loop: times the
- * kernel's object-level entry points on packed cells shaped like the
- * 60×-distinct probe (√n ≈ 350-member cells, 64 dims), bypassing Spark so
- * the number is the kernel alone (unpack + dots + emission).
+ * Measurement main (test scope — run with `sbt "Test/runMain
+ * graft.functions.KernelMicro [cellSize] [nCalls]"`): times the
+ * cell_pair_matches kernel's object-level entry points on packed cells
+ * shaped like the 60×-distinct probe (√n ≈ 350-member cells, 64 dims),
+ * bypassing Spark so the number is the kernel alone (unpack + dots +
+ * emission). Source of the GFLOP/s table in BENCH_notes_r13 §1b.
  */
 object KernelMicro {
   def main(args: Array[String]): Unit = {

@@ -2,11 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.SparkSession
 
-/** Temporary diagnostic: what the pair-shuffle sizing proxy reads at a
-  * given fixture, unloaded vs loaded. */
+/** Measurement main (test scope — run with `sbt "Test/runMain
+  * graft.operators.SizingProbe <fixture-dir>"`): what the pair-shuffle
+  * sizing proxy reads at a given fixture, unloaded vs loaded. The fixture
+  * directory is a REQUIRED argument (round-13 ADVICE: no absolute-path
+  * default baked into the tree). */
 object SizingProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/.bench/sfx100d")
+    val dir = args.headOption.getOrElse(
+      sys.error("usage: SizingProbe <fixture-dir> (e.g. a tools/make_sfN.py output)"))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
