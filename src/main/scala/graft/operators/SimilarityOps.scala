@@ -342,15 +342,19 @@ object SimilarityOps {
     val pb = packed.select(col("cid").as("cid_b"), col("blk").as("blk_b"),
       col("cell").as("cell_b"))
     val conf = assigned.sparkSession.sessionState.conf.numShufflePartitions
-    // G² group pairs land on the session's shuffle partitions by HASH, so
-    // at G = √conf the ~conf keys birthday-collide into ~2/3 of the
+    // Dispatch-bar G (kept at the r12 value so the dense/sparse dispatch
+    // and its zero-jobs-at-gate-scale property are unchanged): G² group
+    // pairs land on the session's shuffle partitions by HASH, so at
+    // G = √conf the ~conf keys birthday-collide into ~2/3 of the
     // partitions with 2-key stragglers setting the wall (measured at the
     // 60×-distinct probe: 21 non-empty tasks of 32, stage wall 19.8 s vs
-    // 5.6 s of work per core). Over-decompose 4×: G = 2·√conf gives ~4
-    // keys per partition, collision variance ~±25 % instead of ±100 %,
-    // for 2× the replication bytes (2G × packed corpus — still the
-    // communication-optimal shape's constant, and the packed corpus is
-    // the SMALL relation here).
+    // 5.6 s of work per core). r12's answer was 4× over-decomposition
+    // (G = 2·√conf) buying ±25 % collision variance for 2× replication;
+    // round 14's dense PLACEMENT no longer hashes at all (see below), so
+    // this constant now only sets the dispatch bar — conservatively high
+    // (≈1.5× the slotted path's true 2·⌈√(2·conf)⌉ × packed traffic),
+    // which keeps every gated plan and job count byte-identical and errs
+    // toward the broadcast bridge near the boundary.
     val g = math.max(2, 2 * math.ceil(math.sqrt(conf.toDouble)).toInt)
     // Dispatch on measured pair density — but count NOTHING when the
     // dense regime is analytically impossible: canonical pairs are at
@@ -396,14 +400,42 @@ object SimilarityOps {
     }
     val candidates =
       if (dense) {
-        // dense regime: 2D grouped cross — G² co-partitioned group pairs,
-        // cross product streamed in-task through the broadcast semi filter
-        val groups = sequence(lit(0), lit(g - 1))
-        val ga = pa.withColumn("g_a", pmod(col("cid_a"), lit(g)).cast("int"))
-          .withColumn("g_b", explode(groups))
-        val gb = pb.withColumn("g_b", pmod(col("cid_b"), lit(g)).cast("int"))
-          .withColumn("g_a", explode(groups))
-        ga.join(gb, Seq("g_a", "g_b"))
+        // Dense regime: 2D grouped cross with DETERMINISTIC slot
+        // placement (round 14, the G-vs-conf decoupling of REVIEW_r13
+        // §6). Replication is the traffic: each side ships G × packed
+        // corpus, so G should be the SMALLEST count that still gives
+        // every partition work — not the 2·√conf over-decomposition that
+        // bought hash-collision variance down at 2× the bytes. The hash
+        // layer is bypassed: group pair (g_a, g_b) is assigned round-
+        // robin to an explicit partition via a murmur PRE-IMAGE slot
+        // value (slotFor(p) hashes to partition p under Spark's
+        // hashpartitioning seed; verified exact — 64 pairs → 32
+        // partitions at 2/2 max/min), so G = ⌈√(2·conf)⌉ suffices
+        // (≥2 pairs per partition by construction) and replication drops
+        // 2·√conf → ⌈√(2·conf)⌉ per side (24× → 16× packed at conf 32)
+        // with zero placement variance. Slot equality is implied by the
+        // (g_a, g_b) join keys — a function of them on both sides — so
+        // the candidate set is unchanged; if a Spark version ever stops
+        // honoring the pre-partitioning, EnsureRequirements just inserts
+        // the hash exchange this replaces (correctness never depends on
+        // placement).
+        val gp = math.max(2, math.ceil(math.sqrt(2.0 * conf)).toInt)
+        val slots = pairSlotValues(conf, gp * gp)
+        val slotLit = array(slots.map(lit(_)).toIndexedSeq: _*)
+        // pair-unique slot value: the join's ONLY key (equality ⟺ same
+        // (g_a, g_b)), so the per-side repartition on it is exactly the
+        // join requirement and survives planning
+        def slotted(df: DataFrame): DataFrame = df
+          .withColumn("gslot", element_at(slotLit,
+            (col("g_a") * gp + col("g_b") + 1).cast("int")))
+          .repartition(conf, col("gslot"))
+        val groups = sequence(lit(0), lit(gp - 1))
+        val ga = slotted(pa.withColumn("g_a", pmod(col("cid_a"), lit(gp)).cast("int"))
+          .withColumn("g_b", explode(groups)))
+        val gb = slotted(pb.withColumn("g_b", pmod(col("cid_b"), lit(gp)).cast("int"))
+          .withColumn("g_a", explode(groups)))
+          .drop("g_a", "g_b")
+        ga.join(gb, Seq("gslot"))
           .join(broadcast(cp), Seq("cid_a", "cid_b"), "left_semi")
       } else {
         // sparse regime: the pair table is the join bridge. The b-side
@@ -424,6 +456,40 @@ object SimilarityOps {
         round6f(col("m.sim")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** One DISTINCT int per group pair, pair j's value hashing (Murmur3,
+    * Spark's hashpartitioning seed 42) EXACTLY to partition j % conf —
+    * the slot directory the dense grouped cross joins on. One value per
+    * PAIR, not per partition, because the slot must be the join's ONLY
+    * key: value equality ⟺ same (g_a, g_b) pair, so the join needs no
+    * other keys — and a single-key join whose children are repartitioned
+    * on exactly that key is the one shape EnsureRequirements provably
+    * leaves alone (measured: with (gslot, g_a, g_b) keys it REWRITES the
+    * user repartition to full-key hashing, silently restoring the
+    * birthday-collision placement this exists to remove). Search is a
+    * driver-side loop over small ints (≈ e·slots probes); memoized per
+    * (conf, nPairs). If the safety bound exhausts before every slot
+    * fills (never observed), remaining pairs fall back to sequential
+    * values — placement degrades to hashing for those pairs, correctness
+    * unaffected (the value is still pair-unique). */
+  private val slotCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Int]]()
+  private def pairSlotValues(conf: Int, nPairs: Int): Array[Int] =
+    slotCache.computeIfAbsent((conf, nPairs), { case (n, np) =>
+      val per = (np + n - 1) / n
+      val buckets = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int](per))
+      var v = 0
+      var filled = 0
+      while (filled < n * per && v < (1 << 24)) {
+        val p = ((org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42) % n) + n) % n
+        if (buckets(p).length < per) { buckets(p) += v; filled += 1 }
+        v += 1
+      }
+      Array.tabulate(np) { j =>
+        val b = buckets(j % n)
+        if (j / n < b.length) b(j / n) else (1 << 24) + j
+      }
+    })
 
   /** Cell-pair pruning table `(cid_a, cid_b)` — BOTH orientations — from the
     * per-cell worst assignment angle α̂; slack absorbs f32 cosine error and
