@@ -303,6 +303,17 @@ object SimilarityOps {
    * fixed-job cost the round-12 riser A/B measured on x39. Measured
    * effect: see BENCH_notes_r12 §2 (the 60×-distinct before/after) and
    * §8 (the gate-scale fixed-cost price).
+   *
+   * Production sizing note (round 14, from the 256-dim multi-GB fixture —
+   * BENCH_notes_r14 §1e): replication traffic is ~|C|·√(2P) for P-way
+   * parallelism — a communication LOWER BOUND of parallel all-pairs, not
+   * a removable constant (sub-splitting group pairs re-replicates a
+   * side). On a large cluster do NOT let this stage inherit a 10⁴-scale
+   * session parallelism: size the cross stage's own P near
+   * (W·bw / 2|C|)^⅔ — the point where kernel compute W/P and traffic
+   * 2√P·|C|/bw balance. At every configuration measurable on this host
+   * the kernel sets the wall (traffic ≤ 73 % of bytes but ≤ ¼ of wall),
+   * so P = conf stands here.
    */
   private def blockedPairs(
       assigned: DataFrame, canonicalCellPairs: DataFrame,

@@ -47,22 +47,29 @@ def main():
     try:
         import numpy as np
 
+        def sm64(x):
+            # vectorized splitmix64 over a uint64 ndarray
+            with np.errstate(over="ignore"):
+                x = x + np.uint64(0x9E3779B97F4A7C15)
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                return x ^ (x >> np.uint64(31))
+
         def gen_block(lo, hi):
             # two splitmix streams -> Box-Muller pairs, unit-normalized rows
-            idx = np.arange(lo, hi, dtype=np.uint64)
+            n = hi - lo
             half = (dim + 1) // 2
-            cols = np.empty((hi - lo, 2 * half), dtype=np.float64)
-            for j in range(half):
-                s1 = np.array([splitmix64(int(i) * dim + 2 * j) for i in idx],
-                              dtype=np.uint64)
-                s2 = np.array([splitmix64(int(i) * dim + 2 * j + 1) for i in idx],
-                              dtype=np.uint64)
-                u1 = (s1 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-                u2 = (s2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-                u1 = np.clip(u1, 1e-12, 1.0)
-                r = np.sqrt(-2.0 * np.log(u1))
-                cols[:, 2 * j] = r * np.cos(2 * math.pi * u2)
-                cols[:, 2 * j + 1] = r * np.sin(2 * math.pi * u2)
+            base = (np.arange(lo, hi, dtype=np.uint64) * np.uint64(dim))[:, None]
+            j2 = np.arange(0, 2 * half, 2, dtype=np.uint64)[None, :]
+            s1 = sm64(base + j2)
+            s2 = sm64(base + j2 + np.uint64(1))
+            u1 = np.clip((s1 >> np.uint64(11)).astype(np.float64) / float(1 << 53),
+                         1e-12, 1.0)
+            u2 = (s2 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            r = np.sqrt(-2.0 * np.log(u1))
+            cols = np.empty((n, 2 * half), dtype=np.float64)
+            cols[:, 0::2] = r * np.cos(2 * math.pi * u2)
+            cols[:, 1::2] = r * np.sin(2 * math.pi * u2)
             v = cols[:, :dim].astype(np.float32)
             norms = np.sqrt((v.astype(np.float64) ** 2).sum(axis=1))
             norms[norms == 0] = 1.0
