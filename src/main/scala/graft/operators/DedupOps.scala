@@ -1044,19 +1044,34 @@ object DedupOps {
     //    aggregate partials, never the edge list.
     val spark = pairs.sparkSession
     val symN = spark.sessionState.conf.numShufflePartitions
+    // v-layout FIRST (the SMJ rounds' probe side): the conservative
+    // default every graph starts on, so a small gate-scale graph pays
+    // exactly one cache build — no node count, no re-lay, no per-round
+    // broadcast-build jobs (a first r14 form decided the mode up front
+    // via labels.count() and u-layout; its ~2 extra job latencies per
+    // round cost x34 +1.3 s at gate scale for zero byte savings there)
     val sym0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .repartition(symN, col("u"))
+      .repartition(symN, col("v"))
+      .sortWithinPartitions(col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sym0.count() // materialize eagerly, like the localCheckpoint it replaces
-    // distinct fuses on the cached u-partitioning — no exchange
+    val nEdges = sym0.count() / 2 // materializes eagerly, like the old checkpoint
     var labels = sym0.select(col("u")).distinct()
       .select(col("u"), col("u").as("lbl")).localCheckpoint()
-    val bcastRounds = labels.count() <= BroadcastLabelNodes
+    // Broadcast rounds only where they can pay: above the small-graph
+    // bound (below it the per-round frontier is KBs and the mode's two
+    // broadcast-build jobs per round are pure latency) and with a
+    // frontier that fits the broadcast budget. The node count's one job
+    // therefore never runs at gate scale.
+    val bcastRounds = nEdges > SmallGraphEdges &&
+      labels.count() <= BroadcastLabelNodes
     val sym =
-      if (bcastRounds) sym0
+      if (!bcastRounds) sym0
       else {
-        val s = sym0.repartition(symN, col("v")).sortWithinPartitions(col("v"))
+        // u-layout so the per-round groupBy(u) fuses on the cache —
+        // one O(E) re-lay exchange, amortized against the rounds it
+        // makes shuffle-free
+        val s = sym0.repartition(symN, col("u"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         s.count()
         sym0.unpersist()
