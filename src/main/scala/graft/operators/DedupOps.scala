@@ -980,7 +980,8 @@ object DedupOps {
     val spark = pairs.sparkSession
     val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).persist()
     try {
-      if (edges.count() <= smallGraphEdges) {
+      val nEdges = edges.count()
+      if (nEdges <= smallGraphEdges) {
         val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
@@ -1002,9 +1003,13 @@ object DedupOps {
       // plan-keyed, so connectedComponents' sym rebuild from `pairs`
       // would miss it and RE-EXECUTE the whole pair generator (measured:
       // the x57 blocked-kernel stage ran twice per execution, ~150 task-
-      // seconds each, before this reuse). sym localCheckpoints eagerly
-      // inside the call, so the finally-unpersist stays safe.
-      } else connectedComponents(edges, aCol, bCol)
+      // seconds each, before this reuse). sym materializes eagerly
+      // inside the call, so the finally-unpersist stays safe. The edge
+      // count rides along as the loop's big-graph strategy hint (the
+      // cached-layout/broadcast round machinery engages above the
+      // bound; a hintless direct call keeps the r13 shape).
+      } else connectedComponents(edges, aCol, bCol, 50, Some(nEdges),
+        BroadcastLabelNodes)
     } finally edges.unpersist()
   }
 
@@ -1019,63 +1024,74 @@ object DedupOps {
 
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
-      maxRounds: Int = 50): DataFrame = {
-    // Round-traffic design (round 14, from the x57 60×d sql_profile.py
-    // decomposition — the rounds were the dominant term in the pipeline's
-    // superlinear shuffle growth once the graph crossed SmallGraphEdges,
-    // one full 44 MB edge-list exchange per round × 13 rounds):
-    //
-    //  - The edge list is CO-PARTITIONED ONCE and CACHED: InMemoryRelation
-    //    advertises its child's partitioning and ordering (localCheckpoint
-    //    does NOT — Spark 4.1's LogicalRDD reports UnknownPartitioning,
-    //    measured while building this), so the rounds reuse the layout
-    //    instead of re-shuffling the edges. The partition count is
-    //    EXPLICIT: a bare repartition(col) is an AQE coalescing target,
-    //    and a coalesced partitioning no longer satisfies the rounds' hash
-    //    requirement (also measured: rounds kept re-exchanging).
-    //  - BROADCAST rounds (nodes ≤ BroadcastLabelNodes): edges live
-    //    u-partitioned; the label frontier broadcasts into the edge⋈label
-    //    join AND into the left-outer update, and the groupBy(u) fuses
-    //    partial→final on the cached partitioning — a round shuffles
-    //    ZERO bytes (two ≤16 MB broadcasts + one narrow count).
-    //  - SMJ rounds (huge node sets): edges re-laid v-partitioned+sorted
-    //    once (one extra O(E) exchange, amortized against the rounds it
-    //    feeds); a round then shuffles only the label frontier and the
-    //    aggregate partials, never the edge list.
+      maxRounds: Int = 50): DataFrame =
+    connectedComponents(pairs, aCol, bCol, maxRounds, None, BroadcastLabelNodes)
+
+  /** [[connectedComponents]] with the caller's measured edge count — the
+    * strategy hint [[connectedComponentsAdaptive]] passes from the count
+    * it already paid. Round-traffic design (round 14, from the x57 60×d
+    * sql_profile.py decomposition — the rounds were the dominant term in
+    * the pipeline's superlinear shuffle growth once the graph crossed
+    * SmallGraphEdges: one full 44 MB edge-list exchange per round × 13
+    * rounds):
+    *
+    *  - WITHOUT a hint, or at or under [[SmallGraphEdges]], the loop is
+    *    byte-identical to its round-13 shape (checkpointed edge list,
+    *    SMJ rounds): per-round traffic is O(edges), but a small graph's
+    *    edges are KBs and every substitute (cache builds, layout
+    *    decisions, per-round broadcast builds) is pure fixed job latency
+    *    at that scale — a first r14 form cost the x34 gate +1.3–1.6×
+    *    for zero byte savings, twice, before this split landed.
+    *  - With a hint ABOVE the bound, the edge list is CO-PARTITIONED
+    *    ONCE and CACHED: InMemoryRelation advertises its child's
+    *    partitioning and ordering (localCheckpoint does NOT — Spark
+    *    4.1's LogicalRDD reports UnknownPartitioning, measured while
+    *    building this), so the rounds reuse the layout instead of
+    *    re-shuffling the edges; the partition count is EXPLICIT because
+    *    a bare repartition(col) is an AQE coalescing target (also
+    *    measured: rounds kept re-exchanging). With nodes ≤
+    *    [[BroadcastLabelNodes]] (the many-edges-few-nodes near-dup
+    *    shape) the rounds run u-partitioned and broadcast the label
+    *    frontier into both joins — a round shuffles ZERO bytes; huge
+    *    node sets keep v-partitioned+sorted SMJ rounds that shuffle
+    *    only frontier and aggregate partials, never the edge list. */
+  def connectedComponents(pairs: DataFrame,
+      aCol: String, bCol: String,
+      maxRounds: Int,
+      edgeCount: Option[Long],
+      broadcastNodeBound: Long): DataFrame = {
     val spark = pairs.sparkSession
     val symN = spark.sessionState.conf.numShufflePartitions
-    // v-layout FIRST (the SMJ rounds' probe side): the conservative
-    // default every graph starts on, so a small gate-scale graph pays
-    // exactly one cache build — no node count, no re-lay, no per-round
-    // broadcast-build jobs (a first r14 form decided the mode up front
-    // via labels.count() and u-layout; its ~2 extra job latencies per
-    // round cost x34 +1.3 s at gate scale for zero byte savings there)
-    val sym0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val big = edgeCount.exists(_ > SmallGraphEdges)
+    val symRaw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .repartition(symN, col("v"))
-      .sortWithinPartitions(col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEdges = sym0.count() / 2 // materializes eagerly, like the old checkpoint
-    var labels = sym0.select(col("u")).distinct()
-      .select(col("u"), col("u").as("lbl")).localCheckpoint()
-    // Broadcast rounds only where they can pay: above the small-graph
-    // bound (below it the per-round frontier is KBs and the mode's two
-    // broadcast-build jobs per round are pure latency) and with a
-    // frontier that fits the broadcast budget. The node count's one job
-    // therefore never runs at gate scale.
-    val bcastRounds = nEdges > SmallGraphEdges &&
-      labels.count() <= BroadcastLabelNodes
+    var labels: DataFrame = null
+    var bcastRounds = false
     val sym =
-      if (!bcastRounds) sym0
-      else {
-        // u-layout so the per-round groupBy(u) fuses on the cache —
-        // one O(E) re-lay exchange, amortized against the rounds it
-        // makes shuffle-free
-        val s = sym0.repartition(symN, col("u"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        s.count()
-        sym0.unpersist()
+      if (!big) {
+        val s = symRaw.localCheckpoint()
+        labels = s.select(col("u")).distinct()
+          .select(col("u"), col("u").as("lbl")).localCheckpoint()
         s
+      } else {
+        // u-layout first: it serves the broadcast mode directly and the
+        // labels distinct fuses on it either way
+        val s0 = symRaw.repartition(symN, col("u"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s0.count()
+        labels = s0.select(col("u")).distinct()
+          .select(col("u"), col("u").as("lbl")).localCheckpoint()
+        bcastRounds = labels.count() <= broadcastNodeBound
+        if (bcastRounds) s0
+        else {
+          // huge node set: re-lay for the SMJ rounds' probe side — one
+          // O(E) exchange, amortized against the rounds it feeds
+          val s = s0.repartition(symN, col("v")).sortWithinPartitions(col("v"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          s.count()
+          s0.unpersist()
+          s
+        }
       }
     var round = 0
     var changed = 1L
@@ -1112,11 +1128,11 @@ object DedupOps {
         "— graph diameter exceeds the bound; raise maxRounds or use a " +
         "star-contraction algorithm for chain-shaped graphs")
     } catch { case e: Throwable =>
-      sym.unpersist()
+      if (big) sym.unpersist() else releaseCheckpoint(sym)
       releaseCheckpoint(labels)
       throw e
     }
-    sym.unpersist()
+    if (big) sym.unpersist() else releaseCheckpoint(sym)
     labels.select(col("u").as("doc_id"), col("lbl").as("component"))
       .orderBy(col("doc_id"))
   }

@@ -485,7 +485,7 @@ object SimilarityOps {
     * unaffected (the value is still pair-unique). */
   private val slotCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Int]]()
-  private def pairSlotValues(conf: Int, nPairs: Int): Array[Int] =
+  private[graft] def pairSlotValues(conf: Int, nPairs: Int): Array[Int] =
     slotCache.computeIfAbsent((conf, nPairs), { case (n, np) =>
       val per = (np + n - 1) / n
       val buckets = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int](per))

@@ -220,9 +220,21 @@ class DedupSpec extends SparkSpec {
         pairs, smallGraphEdges = 0L)) // force the distributed loop
       val viaLabelProp = rows(DedupOps.connectedComponents(pairs))
       val viaStar = rows(DedupOps.connectedComponentsStar(pairs))
+      // the big-graph machinery (cached edge layout; broadcast-frontier
+      // rounds / SMJ rounds) engages only above SmallGraphEdges via the
+      // adaptive hint — force BOTH modes on this small graph so the
+      // probe-scale round shapes stay CI-covered (round 14)
+      val viaBcastRounds = rows(DedupOps.connectedComponents(
+        pairs, "doc_a", "doc_b", 50, Some(DedupOps.SmallGraphEdges + 1),
+        DedupOps.BroadcastLabelNodes))
+      val viaSmjRounds = rows(DedupOps.connectedComponents(
+        pairs, "doc_a", "doc_b", 50, Some(DedupOps.SmallGraphEdges + 1),
+        0L))
       assert(viaUnionFind == viaLabelProp, s"round $round: uf=$viaUnionFind lp=$viaLabelProp")
       assert(viaUnionFind == viaStar, s"round $round vs star")
       assert(viaLoopForced == viaLabelProp, s"round $round: bound=0 must run the loop")
+      assert(viaBcastRounds == viaLabelProp, s"round $round: broadcast rounds diverge")
+      assert(viaSmjRounds == viaLabelProp, s"round $round: cached SMJ rounds diverge")
     }
   }
 

@@ -227,6 +227,30 @@ class PlanQualitySpec extends SparkSpec {
       s"k=2 must stay on the sparse bridge: ${sparse.take(3000)}")
   }
 
+  test("dense-cross slot placement: pre-image values land on their assigned partitions") {
+    // The grouped cross's G = ceil(sqrt(2*conf)) relies on slot values
+    // being murmur pre-images of their partitions under Spark's LIVE
+    // hashpartitioning; a Spark upgrade changing seed or hash degrades
+    // placement silently back to birthday-collision hashing (round-14
+    // ADVICE). Pin it against the engine itself: repartition a row per
+    // slot value and assert each lands where the search promised.
+    import spark.implicits._
+    Seq(4, 32).foreach { conf =>
+      val n = 2 * conf
+      val vals = graft.operators.SimilarityOps.pairSlotValues(conf, n)
+      assert(vals.distinct.length == n, s"conf=$conf: slot values must be pair-unique")
+      val placed = vals.toIndexedSeq.zipWithIndex.toDF("gslot", "pair")
+        .repartition(conf, col("gslot"))
+        .select(col("pair"), org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      vals.indices.foreach { j =>
+        assert(placed(j) == j % conf,
+          s"conf=$conf pair $j: landed ${placed(j)}, assigned ${j % conf} — " +
+            "Spark's int hash no longer matches Murmur3_x86_32.hashInt(v, 42)")
+      }
+    }
+  }
+
   test("measuredLeafBytes: leaves ADD across joins, and unloaded caches recurse to file scans") {
     // The pair-shuffle sizing proxy must never see a join-multiplied
     // estimate: proxy attempt 1 (whole-plan stats) pinned 65536-partition
