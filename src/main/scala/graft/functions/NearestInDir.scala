@@ -35,12 +35,15 @@ import org.apache.spark.sql.types._
  * vector) therefore keeps max_by's winner: the minimum id, csim NaN.
  *
  * The unpacked directory is MEMOIZED per expression instance keyed on the
- * ArrayData reference: the directory arrives from a broadcast join, so
- * every row of a partition carries the same instance and the per-row cost
- * is one vector unpack plus k dot products (k ≈ 2·√(cells) in the
- * two-level scheme). Expression instances are task-confined, so the
- * mutable cache needs no synchronization (same pattern as the
- * [[CellPairMatchesF32]] kernel's per-call buffers).
+ * ArrayData's UNDERLYING identity (UnsafeArrayData: baseObject +
+ * baseOffset + sizeInBytes; reference equality otherwise): the directory
+ * arrives from a broadcast join, so every row of a partition reads the
+ * same broadcast bytes — but `UnsafeRow.getArray` allocates a fresh
+ * wrapper per call, which is why the key must see through the wrapper —
+ * and the per-row cost is one vector unpack plus k dot products
+ * (k ≈ 2·√(cells) in the two-level scheme). Expression instances are
+ * task-confined, so the mutable cache needs no synchronization (same
+ * pattern as the [[CellPairMatchesF32]] kernel's per-call buffers).
  *
  * Null semantics: a null vector or null directory yields null (callers
  * filter empty directories; gated corpora carry no null embeddings).
@@ -70,11 +73,32 @@ case class NearestInDir(children: Seq[Expression])
   override def dataType: DataType = NearestInDir.OutType
   override def nullable: Boolean = true
 
-  // directory memo: broadcast rows hand every row of a partition the same
-  // ArrayData instance; eq-keyed so a literal re-unpack is the rare case
+  // Directory memo. Reference identity alone is NOT a stable key in the
+  // production path: `UnsafeRow.getArray`/`JoinedRow.getArray` allocates a
+  // FRESH UnsafeArrayData wrapper per call, so an `eq`-keyed memo misses on
+  // every row and re-unpacks the whole directory (k `toFloatArray`
+  // allocations) per input row — ~2× kernel work plus GC churn at large k
+  // (round-15 ADVICE). UnsafeArrayData wrappers over the same broadcast
+  // bytes share (baseObject, baseOffset, sizeInBytes), so the memo keys on
+  // that underlying identity; non-Unsafe ArrayData (literals, generic rows
+  // in tests) falls back to reference equality. A same-base false positive
+  // would require two DIFFERENT directories at the identical offset of the
+  // identical buffer — impossible within one row's lifetime.
   @transient private var dirRef: ArrayData = _
+  @transient private var dirBase: AnyRef = _
+  @transient private var dirOffset: Long = 0L
+  @transient private var dirSize: Int = -1
   @transient private var dirIds: Array[Long] = _
   @transient private var dirVecs: Array[Array[Float]] = _
+  // test hook: NearestInDirSpec asserts unpack stays O(1) per partition
+  @transient private[graft] var unpackCount: Long = 0L
+
+  private def sameDir(dir: ArrayData): Boolean = dir match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      (u.getBaseObject eq dirBase) && dirBase != null &&
+        u.getBaseOffset == dirOffset && u.getSizeInBytes == dirSize
+    case _ => dir eq dirRef
+  }
 
   private def unpackDir(dir: ArrayData): Unit = {
     val n = dir.numElements()
@@ -96,6 +120,14 @@ case class NearestInDir(children: Seq[Expression])
     dirIds = java.util.Arrays.copyOf(ids, m)
     dirVecs = java.util.Arrays.copyOf(vecs, m)
     dirRef = dir
+    dir match {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+        dirBase = u.getBaseObject; dirOffset = u.getBaseOffset
+        dirSize = u.getSizeInBytes
+      case _ =>
+        dirBase = null; dirOffset = 0L; dirSize = -1
+    }
+    unpackCount += 1
   }
 
   override def eval(input: InternalRow): Any = {
@@ -103,7 +135,7 @@ case class NearestInDir(children: Seq[Expression])
     val dirRaw = children(1).eval(input)
     if (embRaw == null || dirRaw == null) return null
     val dir = dirRaw.asInstanceOf[ArrayData]
-    if (!(dir eq dirRef)) unpackDir(dir)
+    if (!sameDir(dir)) unpackDir(dir)
     if (dirIds.length == 0) return null
     val x = embRaw.asInstanceOf[ArrayData].toFloatArray()
     var bestSim = Float.NaN

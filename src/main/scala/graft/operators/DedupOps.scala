@@ -1078,19 +1078,33 @@ object DedupOps {
         // labels distinct fuses on it either way
         val s0 = symRaw.repartition(symN, col("u"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        s0.count()
-        labels = s0.select(col("u")).distinct()
-          .select(col("u"), col("u").as("lbl")).localCheckpoint()
-        bcastRounds = labels.count() <= broadcastNodeBound
-        if (bcastRounds) s0
-        else {
-          // huge node set: re-lay for the SMJ rounds' probe side — one
-          // O(E) exchange, amortized against the rounds it feeds
-          val s = s0.repartition(symN, col("v")).sortWithinPartitions(col("v"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          s.count()
+        // any failure between the persist and the round loop (the counts,
+        // the labels checkpoint, the huge-node re-layout) must release the
+        // half-built frames here — the loop's own catch below only sees
+        // the finished `sym`/`labels`, so without this the executor
+        // storage stays pinned until driver GC (round-15 ADVICE; same
+        // pinned-storage class the round loop guards)
+        var sHuge: DataFrame = null
+        try {
+          s0.count()
+          labels = s0.select(col("u")).distinct()
+            .select(col("u"), col("u").as("lbl")).localCheckpoint()
+          bcastRounds = labels.count() <= broadcastNodeBound
+          if (bcastRounds) s0
+          else {
+            // huge node set: re-lay for the SMJ rounds' probe side — one
+            // O(E) exchange, amortized against the rounds it feeds
+            sHuge = s0.repartition(symN, col("v")).sortWithinPartitions(col("v"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            sHuge.count()
+            s0.unpersist()
+            sHuge
+          }
+        } catch { case e: Throwable =>
+          if (sHuge != null) sHuge.unpersist()
           s0.unpersist()
-          s
+          if (labels != null) releaseCheckpoint(labels)
+          throw e
         }
       }
     var round = 0

@@ -64,6 +64,18 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.priorSteady(dir, sf).isEmpty)
   }
 
+  test("floorBest parses the committed best floors; empty on missing/mangled") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_floor_best")
+    assert(Bench.floorBest(dir).isEmpty)
+    java.nio.file.Files.write(dir.resolve("FLOOR_BEST.json"),
+      "{\"cpu_ms\": 188.0, \"disk_ms\": 175.1, \"spark_ms\": 133.7}\n".getBytes("UTF-8"))
+    val b = Bench.floorBest(dir)
+    assert(b == Map("cpu_ms" -> 188.0, "disk_ms" -> 175.1, "spark_ms" -> 133.7))
+    java.nio.file.Files.write(dir.resolve("FLOOR_BEST.json"),
+      "not json".getBytes("UTF-8"))
+    assert(Bench.floorBest(dir).isEmpty)
+  }
+
   test("ResourceTally counts a shuffle and settles outside the timed path") {
     val spark = SparkSpec.spark
     import spark.implicits._

@@ -97,4 +97,44 @@ class NearestInDirSpec extends SparkSpec {
       .select(col("w.id")).collect()
     assert(skipNull.head.getLong(0) == 5L, "null-id entries must be skipped")
   }
+
+  test("directory memo survives per-row UnsafeArrayData wrappers (O(1) unpacks per partition)") {
+    // Production shape: the directory sits in ONE broadcast UnsafeRow and
+    // every streamed row reads it through a JoinedRow — each getArray call
+    // allocates a FRESH UnsafeArrayData wrapper over the SAME bytes. An
+    // eq-keyed memo misses on every row (round-15 ADVICE: whole-directory
+    // re-unpack per row, ~2× kernel work at large k); the memo must key on
+    // the wrapper's underlying (baseObject, baseOffset, sizeInBytes).
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val embType = ArrayType(FloatType, containsNull = false)
+    val dirType = ArrayType(StructType(Array(
+      StructField("id", LongType), StructField("vec", embType))))
+    val rnd = new scala.util.Random(3)
+    def vec(d: Int) = new GenericArrayData(Array.fill(d)(rnd.nextFloat()))
+    val dirValue = new GenericArrayData((0 until 7).map(i =>
+      new GenericInternalRow(Array[Any](i.toLong * 2 + 1, vec(8)))).toArray[Any])
+    val dirProj = UnsafeProjection.create(Array[DataType](dirType))
+    // one broadcast-side row, reused across every streamed row — as the
+    // BroadcastHashJoin build side does
+    val dirRow = dirProj(new GenericInternalRow(Array[Any](dirValue))).copy()
+    val embProj = UnsafeProjection.create(Array[DataType](embType))
+    val expr = graft.functions.NearestInDir(Seq(
+      BoundReference(0, embType, nullable = true),
+      BoundReference(1, dirType, nullable = true)))
+    val results = (0 until 200).map { _ =>
+      val left = embProj(new GenericInternalRow(Array[Any](vec(8)))).copy()
+      expr.eval(new JoinedRow(left, dirRow))
+    }
+    assert(results.forall(_ != null))
+    assert(expr.unpackCount == 1L,
+      s"directory must unpack once per partition, not per row: ${expr.unpackCount}")
+    // a genuinely DIFFERENT directory (fresh buffer) must re-unpack
+    val dirRow2 = dirProj(new GenericInternalRow(Array[Any](dirValue))).copy()
+    val left = embProj(new GenericInternalRow(Array[Any](vec(8)))).copy()
+    expr.eval(new JoinedRow(left, dirRow2))
+    assert(expr.unpackCount == 2L, "a new directory buffer must re-unpack")
+  }
 }
