@@ -311,9 +311,15 @@ object SimilarityOps {
    * side). On a large cluster do NOT let this stage inherit a 10⁴-scale
    * session parallelism: size the cross stage's own P near
    * (W·bw / 2|C|)^⅔ — the point where kernel compute W/P and traffic
-   * 2√P·|C|/bw balance. At every configuration measurable on this host
-   * the kernel sets the wall (traffic ≤ 73 % of bytes but ≤ ¼ of wall),
-   * so P = conf stands here.
+   * 2√P·|C|/bw balance. Round 15 ships the mechanism as the
+   * `spark.graft.cross.maxParallelism` session conf: when set, the
+   * slotted cross runs at min(conf, cap) partitions with its replication,
+   * slot directory, and dispatch bar all sized from that P (plan-locked
+   * in PlanQualitySpec); unset — the default and every gated
+   * configuration — the stage inherits conf and plans are byte-identical.
+   * At every configuration measurable on this host the kernel sets the
+   * wall (traffic ≤ 73 % of bytes but ≤ ¼ of wall), so the knob stays
+   * unset here; BENCH_notes_r15 prices what would engage at conf 20k.
    */
   private def blockedPairs(
       assigned: DataFrame, canonicalCellPairs: DataFrame,
@@ -353,39 +359,60 @@ object SimilarityOps {
     val pb = packed.select(col("cid").as("cid_b"), col("blk").as("blk_b"),
       col("cell").as("cell_b"))
     val conf = assigned.sparkSession.sessionState.conf.numShufflePartitions
-    // Dispatch-bar G (kept at the r12 value so the dense/sparse dispatch
-    // and its zero-jobs-at-gate-scale property are unchanged): G² group
-    // pairs land on the session's shuffle partitions by HASH, so at
-    // G = √conf the ~conf keys birthday-collide into ~2/3 of the
-    // partitions with 2-key stragglers setting the wall (measured at the
-    // 60×-distinct probe: 21 non-empty tasks of 32, stage wall 19.8 s vs
-    // 5.6 s of work per core). r12's answer was 4× over-decomposition
-    // (G = 2·√conf) buying ±25 % collision variance for 2× replication;
-    // round 14's dense PLACEMENT no longer hashes at all (see below), so
-    // this constant now only sets the dispatch bar — conservatively high
-    // (≈1.5× the slotted path's true 2·⌈√(2·conf)⌉ × packed traffic),
-    // which keeps every gated plan and job count byte-identical and errs
-    // toward the broadcast bridge near the boundary.
-    val g = math.max(2, 2 * math.ceil(math.sqrt(conf.toDouble)).toInt)
-    // Dispatch on measured pair density — but count NOTHING when the
-    // dense regime is analytically impossible: canonical pairs are at
-    // most k(k+1)/2, so k ≤ 2G−1 implies nPairs ≤ G·k ≤ G·populated·
-    // (k/populated) — with pairs also ≤ pop(pop+1)/2, pairs > G·pop
-    // needs pop ≥ 2G, impossible under k ≤ 2G−1. Both gate
-    // configurations (k = 2 at sf0.01, 13–20 at sf0.1) fall under the
-    // bound, so the dispatch-count job that the round-12 riser A/B
-    // priced at ~+0.4 s per invocation (x39 1.40 → 2.00 s isolated)
-    // never runs there. When the check DOES run, the density bar's
-    // denominator is the POPULATED cell count from the already-
-    // checkpointed pair table (round-13 ADVICE): the traffic comparison
-    // is pairs × (corpus/populated cells) bytes for the equi-join vs
-    // 2G × corpus for the grouped cross, so pairs/populated vs 2G is
-    // the honest bar — using the quantizer's k (≥ populated) as the
-    // denominator under-engaged the dense regime exactly for trained
-    // centroid tables with empty cells, the case the grouped cross was
-    // built for. Both counts come from ONE job over the checkpointed
-    // ≤k²-row pair table, never a live plan.
-    val dense = k > 2L * g - 1 && {
+    // CROSS-STAGE PARALLELISM CAP (round 15, verdict ask 3): the grouped
+    // cross's replication traffic is ~|C|·√(2P) for P-way parallelism — a
+    // communication lower bound of parallel all-pairs (BENCH_notes_r14
+    // §1e), so at production session parallelism (conf ≫ 32, e.g. 20k
+    // cores) the stage must NOT inherit conf: its own P should sit near
+    // P* ≈ (T_kernel·bw / √2·|C|)^⅔ — the point where kernel compute
+    // W/P and traffic √(2P)·|C|/bw balance (T_kernel = single-slot
+    // kernel seconds, bw = aggregate shuffle bandwidth). The knob
+    // `spark.graft.cross.maxParallelism` caps the cross stage at
+    // min(conf, knob); the operator computes P* from the measured packed
+    // relation size (|C| is the packing aggregate's output; T_kernel ≈
+    // n²·d/flops) using the rule above. UNSET (the default, and every
+    // gated configuration) the cap is conf and every plan is
+    // byte-identical to round 14 — on this host the kernel sets the wall
+    // at every measurable configuration (r14 measured decision), so the
+    // knob exists for the conf regime local[32] cannot reach.
+    val crossP = assigned.sparkSession.conf
+      .getOption("spark.graft.cross.maxParallelism")
+      .map(v => math.min(conf, math.max(1, v.toInt))).getOrElse(conf)
+    // Per-side replication of the slotted cross (its REAL traffic term):
+    // G² group pairs need ≥ crossP slots, so G = ⌈√(2·crossP)⌉ gives
+    // every partition ≥2 pairs by construction under pre-image placement.
+    val gp = math.max(2, math.ceil(math.sqrt(2.0 * crossP)).toInt)
+    // DISPATCH BAR, re-derived from the slotted path's true traffic
+    // (round 15, verdict ask 4). Totals in packed-corpus units |C|:
+    //   equi bridge: pb ships once through the cid_b exchange (1×) and
+    //     the pair-expanded a-side ships pairs × avg cell ≈ pairs/pop ×
+    //     |C| — total 1 + pairs/pop;
+    //   grouped cross: each side replicated gp ways — total 2·gp.
+    // Dense wins when 1 + pairs/pop > 2·gp ⟺ pairs > (2·gp − 1)·pop.
+    // The r12 bar this replaces compared pairs/pop against G = 2·⌈√conf⌉
+    // — ONE side's replication under the old hash placement — which
+    // under-priced the cross's round trip (2G) and so engaged the dense
+    // path slightly too early (bar 12 vs honest 15 at conf 32; the r14
+    // comment's "errs toward the broadcast bridge" had the direction
+    // inverted — priced per-side, the old bar was 1.5× the slotted
+    // per-side gp, but the bar compares against the equi path's TOTAL,
+    // so the round trip is what must be priced). Gate plans are
+    // unaffected either way: the boundary only moves inside the window
+    // pairs/pop ∈ (12, 15] at conf 32, and no gated fixture sits there.
+    val bar = 2L * gp - 1
+    // Count NOTHING when the dense regime is analytically impossible:
+    // pairs ≤ pop(pop+1)/2 and pop ≤ k, so pairs > (2gp−1)·pop needs
+    // pop ≥ 4gp−2, impossible under k ≤ 4gp−3 — the dispatch-count job
+    // the round-12 riser A/B priced at ~+0.4 s per invocation (x39
+    // 1.40 → 2.00 s isolated) never runs at gate scale (k = 2 at sf0.01,
+    // 13–20 at sf0.1, both far under the 4gp−2 = 30 floor at conf 32 —
+    // a WIDER no-count region than r14's k ≤ 23). When the check DOES
+    // run, the density bar's denominator is the POPULATED cell count
+    // from the already-checkpointed pair table (round-13 ADVICE; k ≥
+    // populated under-engaged the dense regime for trained quantizers
+    // with empty cells). Both counts come from ONE job over the
+    // checkpointed ≤k²-row pair table, never a live plan.
+    val dense = k > 4L * gp - 3 && {
       val r = cp.select(explode(array(col("cid_a"), col("cid_b"))).as("cid"))
         .agg(count(lit(1)).as("n2"), count_distinct(col("cid")).as("pop"))
         .head()
@@ -407,8 +434,11 @@ object SimilarityOps {
           "floor for this corpus's cell radii, so exact semantic near-dup " +
           "runs as an intentional dense quadratic (all-pairs kernel work; " +
           "see the embeddingNearDup scaladoc's supported-threshold note)")
-      pairs > g.toLong * pop
+      pairs > bar * pop
     }
+    if (dense && crossP < conf)
+      log.info(s"grouped cross capped at P=$crossP of conf=$conf " +
+        s"(spark.graft.cross.maxParallelism): per-side replication $gp")
     val candidates =
       if (dense) {
         // Dense regime: 2D grouped cross with DETERMINISTIC slot
@@ -430,8 +460,11 @@ object SimilarityOps {
         // honoring the pre-partitioning, EnsureRequirements just inserts
         // the hash exchange this replaces (correctness never depends on
         // placement).
-        val gp = math.max(2, math.ceil(math.sqrt(2.0 * conf)).toInt)
-        val slots = pairSlotValues(conf, gp * gp)
+        // The stage runs at crossP partitions — conf unless the
+        // maxParallelism cap is set (gp was already sized from crossP
+        // above, so placement, replication, and the dispatch bar all
+        // price the SAME stage).
+        val slots = pairSlotValues(crossP, gp * gp)
         val slotLit = array(slots.map(lit(_)).toIndexedSeq: _*)
         // pair-unique slot value: the join's ONLY key (equality ⟺ same
         // (g_a, g_b)), so the per-side repartition on it is exactly the
@@ -439,7 +472,7 @@ object SimilarityOps {
         def slotted(df: DataFrame): DataFrame = df
           .withColumn("gslot", element_at(slotLit,
             (col("g_a") * gp + col("g_b") + 1).cast("int")))
-          .repartition(conf, col("gslot"))
+          .repartition(crossP, col("gslot"))
         val groups = sequence(lit(0), lit(gp - 1))
         val ga = slotted(pa.withColumn("g_a", pmod(col("cid_a"), lit(gp)).cast("int"))
           .withColumn("g_b", explode(groups)))

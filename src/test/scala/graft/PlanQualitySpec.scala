@@ -227,6 +227,49 @@ class PlanQualitySpec extends SparkSpec {
       s"k=2 must stay on the sparse bridge: ${sparse.take(3000)}")
   }
 
+  test("cross-parallelism cap: the slotted cross's partition count follows the knob, result set unchanged") {
+    // spark.graft.cross.maxParallelism is the production lever for the
+    // √P-coupled replication lower bound (BENCH_notes_r14 §1e): at conf
+    // ≫ 32 the cross stage must not inherit session parallelism. The
+    // knob can't be WALL-justified on this host (the kernel dominates
+    // everywhere local[32] reaches), so the lock pins the MECHANISM: the
+    // gslot exchanges run at exactly min(conf, cap) partitions, and the
+    // pair set is placement-independent (round-15 verdict ask 3).
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map { id =>
+      (id, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint()
+    val cents = emb.filter(col("vec_id") % 6 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def gslotParts(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.collect() // force execution so the AQE final plan is the one read
+      """hashpartitioning\(gslot#\d+[^,]*, (\d+)\)""".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).toSeq
+    }
+    val brute = graft.operators.SimilarityOps.embeddingNearDupBrute(emb, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val conf = spark.sessionState.conf.numShufflePartitions
+    val dflt = graft.operators.SimilarityOps.embeddingNearDupWith(emb, 0.0, cents)
+    val pDflt = gslotParts(dflt)
+    assert(pDflt.nonEmpty && pDflt.forall(_ == conf),
+      s"unset knob must leave the cross at conf=$conf: $pDflt")
+    spark.conf.set("spark.graft.cross.maxParallelism", "2")
+    try {
+      val capped = graft.operators.SimilarityOps.embeddingNearDupWith(emb, 0.0, cents)
+      val got = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute, "the cap must never change the pair set: " +
+        s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+      val pCap = gslotParts(capped)
+      assert(pCap.nonEmpty && pCap.forall(_ == 2),
+        s"capped cross must run its gslot exchanges at 2 partitions: $pCap")
+    } finally spark.conf.unset("spark.graft.cross.maxParallelism")
+  }
+
   test("dense-cross slot placement: pre-image values land on their assigned partitions") {
     // The grouped cross's G = ceil(sqrt(2*conf)) relies on slot values
     // being murmur pre-images of their partitions under Spark's LIVE
