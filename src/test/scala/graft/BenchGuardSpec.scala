@@ -76,6 +76,18 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.floorBest(dir).isEmpty)
   }
 
+  test("floorBestBoot: boot-scoped baseline id parses; None on a pre-boot-aware file") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_floor_boot")
+    assert(Bench.floorBestBoot(dir).isEmpty)
+    java.nio.file.Files.write(dir.resolve("FLOOR_BEST.json"),
+      "{\"cpu_ms\": 188.0, \"disk_ms\": 175.1, \"spark_ms\": 133.7}\n".getBytes("UTF-8"))
+    assert(Bench.floorBestBoot(dir).isEmpty, "pre-boot-aware file must re-anchor")
+    java.nio.file.Files.write(dir.resolve("FLOOR_BEST.json"),
+      ("{\"cpu_ms\": 188.0, \"disk_ms\": 175.1, \"spark_ms\": 133.7, " +
+        "\"boot_id\": \"84037e95-bf2b-4a5e-a763-197dfdf8048a\"}\n").getBytes("UTF-8"))
+    assert(Bench.floorBestBoot(dir).contains("84037e95-bf2b-4a5e-a763-197dfdf8048a"))
+  }
+
   test("ResourceTally counts a shuffle and settles outside the timed path") {
     val spark = SparkSpec.spark
     import spark.implicits._
