@@ -15,27 +15,47 @@ the fixture measuring the dedup operators' skew resilience, not a flaw.
 DISTINCT mode (--distinct): the corpus grows by NEW distinct content
 instead of duplication. Each document replica r >= 1 suffixes every
 word with "_q<r>" (deterministic, seedless), so its shingle set shares
-nothing across replicas while the WITHIN-replica similarity structure
-is preserved - near-dup/containment/fuzzy pair outputs grow LINEARLY in
-FACTOR, which is what lets the probe separate an operator's compute
-scaling from its output contract (the replica fixture cannot: there the
-pair-census tail is quadratic by construction). n_chars is recomputed
-for the transformed text. Embedding replica r is the base vector
-CIRCULARLY ROTATED by r components and SIGN-FLIPPED by the r-th Walsh
-pattern (component i negated iff popcount(i & r) is odd): both are
-isometries, so dot products, norms, and hence every within-replica
-cosine relation are preserved EXACTLY, while cross-replica dot products
-cancel term-wise - the near-dup pair set becomes FACTOR isometric
-copies of the base pair set, linear in FACTOR. (Two naive forms fail
-here and were measured failing: a small additive offset makes every
-replica a near-duplicate of its base, 19.8x for 10x data on x4; plain
-rotation leaves these structured synthetic vectors correlated above
-the 0.4 threshold - 1958 qualifying cross-replica pairs vs 920 base
-pairs. Walsh patterns are pairwise-orthogonal for r < 64; past 64
-replicas the patterns repeat and cross-replica pairs reappear, so cap
-distinct mode at factor 64.) Other fact tables carry
-no content, so distinct mode replicates them exactly as replica mode
-does.
+nothing across replicas - TEXT near-dup/containment/fuzzy pair outputs
+grow LINEARLY in FACTOR, which is what lets the text probes separate an
+operator's compute scaling from its output contract (the replica
+fixture cannot: there the pair-census tail is quadratic by
+construction). n_chars is recomputed for the transformed text.
+
+Embedding replica r = a + dim*b (a = r % dim, b = r // dim) is the base
+vector CIRCULARLY ROTATED by (a + 17*b) % dim components and
+SIGN-FLIPPED by the product of Walsh pattern a and the a-shifted Walsh
+pattern b (component j negated iff popcount(j & a) + popcount(((j+a) %
+dim) & b) is odd). Every replica map is a signed permutation - an exact
+isometry, so norms and every WITHIN-replica cosine relation are
+preserved bit-meaningfully - and the maps are pairwise distinct for
+r < dim^2 (4096 at dim 64): 17 is invertible mod 64, so equal rotations
+force equal a, and the b-indexed shifted-Walsh factor then separates
+blocks. For r < dim the map reduces to the original round-13 family
+(b = 0), so fixtures at factors <= 64 are bit-identical to ones made by
+the old generator and the committed 30/40/60xd decade points stay
+comparable.
+
+CROSS-REPLICA CONTRACT (corrected by round-15 measurement - the round-13
+header claimed cross-replica dots "cancel term-wise"; they do not, and
+CANNOT): on this near-isotropic 64-dim corpus, cross-replica cosines
+under ANY isometry family are ~N(0, 1/64) (sigma = 1/8), so at a
+threshold t the cross pair census is the Gaussian tail of ALL cross
+pairs: measured 1947 qualifying pairs at t=0.4 between replicas 0x1 of
+the COMMITTED sfx30d (max cos 0.61; prediction 4M pairs x Phibar(3.2) ~
+2.7k). Even the BASE corpus's 920 pairs at t=0.4 are this same tail
+(2M pairs x ~4.9e-4) - there is no planted structure above the tail at
+that threshold. Consequence: at (dim=64, t=0.4) the qualifying-pair
+census grows QUADRATICALLY in total rows for ANY distinct growth mode -
+a property of the operator's threshold regime (the light-bulb-problem
+note at SimilarityOps.embeddingNearDup), not a generator artifact; a
+real isotropic corpus of the same size behaves identically. The tail
+dies fast in t: replicas 0x1 measured 62 pairs at t>=0.5, 1 at t>=0.6,
+0 at t>=0.75 - so LINEAR pair sets exist only for t >= ~0.6 probes.
+What the fixture DOES guarantee at any factor < dim^2: distinct-vector
+count = FACTOR x base distinct count (no artificial exact duplicates),
+within-replica pair structure isometric to the base, and the same
+tail-rate contract as real data. Other fact tables carry no content, so
+distinct mode replicates them exactly as replica mode does.
 
 Key math: base keys top out below 10^6 and the stride is 10^7, so keys
 stay corpus-unique for any factor; the <= 900 bound below is only a
@@ -80,12 +100,21 @@ DISTINCT_EXPRS = {
                     "x -> x || '_q' || r.r), ' ')) END"),
     },
     "embeddings": {
-        # rotation by r + Walsh sign pattern r (both isometries; see header)
+        # signed-permutation isometry, distinct to dim^2 replicas (see
+        # header): rotation (a + 17b) % dim, sign = Walsh(a) x Walsh(b)
+        # shifted by a, with a = r % dim, b = r // dim. Reduces to the
+        # round-13 family (rotation r, Walsh r) for r < dim.
         "embedding": ("CASE WHEN r.r = 0 THEN embedding ELSE "
                       "list_transform(range(1, len(embedding) + 1), "
-                      "i -> CAST(CASE WHEN bit_count(CAST((i - 1) AS BIGINT) "
-                      "& CAST(r.r AS BIGINT)) % 2 = 1 THEN -1 ELSE 1 END "
-                      "AS FLOAT) * embedding[1 + ((i - 1 + r.r) % len(embedding))]) "
+                      "i -> CAST(CASE WHEN ("
+                      "bit_count(CAST((i - 1) AS BIGINT) "
+                      "& CAST((r.r % len(embedding)) AS BIGINT)) + "
+                      "bit_count(CAST(((i - 1 + r.r) % len(embedding)) AS BIGINT) "
+                      "& CAST((r.r // len(embedding)) AS BIGINT))"
+                      ") % 2 = 1 THEN -1 ELSE 1 END "
+                      "AS FLOAT) * embedding[1 + ((i - 1 + "
+                      "((r.r % len(embedding)) + 17 * (r.r // len(embedding))) "
+                      "% len(embedding)) % len(embedding))]) "
                       "END"),
     },
 }
@@ -94,15 +123,14 @@ DISTINCT_EXPRS = {
 def main(factor, out_dir, distinct):
     assert 2 <= factor <= 900, f"factor {factor} out of the sanity cap (see header)"
     if distinct and factor > 64:
-        # Walsh sign patterns repeat past the embedding dimensionality, so
-        # the embedding table saturates at 64 distinct isometry classes:
-        # replicas r and r+64 carry IDENTICAL vectors (under new ids).
-        # The TEXT axis ("_q<r>" suffixes) stays fully distinct at any
-        # factor — a >64 fixture is valid for the text/dedup families and
-        # INVALID for the embedding family (probe embeddings on <=64).
-        print(f"WARNING: factor {factor} > 64 — embeddings saturate at 64 "
-              "distinct isometry classes (exact duplicates across the "
-              "excess replicas); use this fixture for TEXT families only")
+        # The round-15 family stays distinct to dim^2 replicas (4096 at
+        # dim 64) — far past the 900 sanity cap — so >64 factors are now
+        # valid for the embedding axis too. Remind about the pair-census
+        # contract, which is threshold- not factor-limited (see header).
+        print(f"note: factor {factor} embeddings are distinct signed-"
+              "permutation isometries (round-15 family); at thresholds "
+              "< ~0.6 the qualifying-pair census is tail-quadratic in "
+              "total rows by the operator's own regime (see header)")
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         raise SystemExit(f"refusing to overwrite non-empty {out_dir} - "
                          "remove it or pass an explicit fresh out_dir")
