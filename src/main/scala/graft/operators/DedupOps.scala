@@ -1014,13 +1014,27 @@ object DedupOps {
   }
 
   /** Node-count bound under which the distributed label-propagation rounds
-    * broadcast the label frontier instead of shuffling edge-keyed partials:
-    * 1M nodes ≈ 16 MB of packed (u, lbl) longs per broadcast — the same
-    * budget rationale as [[SmallGraphEdges]]. Near-dup graphs routinely sit
-    * in this regime ABOVE the edge bound (many edges over few distinct
-    * nodes — 1.75M edges over 237k nodes at the x57 60×d probe), where
-    * broadcast rounds shuffle ZERO bytes. */
-  val BroadcastLabelNodes: Long = 1_000_000L
+    * broadcast the label frontier instead of shuffling edge-keyed partials.
+    * Near-dup graphs routinely sit in this regime ABOVE the edge bound
+    * (many edges over few distinct nodes — 1.75M edges over 237k nodes at
+    * the x57 60×d probe), where broadcast rounds shuffle ZERO bytes.
+    *
+    * CALIBRATED by measurement (round 15, ComponentsCrossoverProbe:
+    * both modes on identical star graphs at 250k–4M nodes, local[32]),
+    * replacing round 14's 16 MB budget guess:
+    *  - below ~600k nodes AQE auto-broadcasts the frontier in the SMJ
+    *    mode too (labels fit autoBroadcastJoinThreshold) — the explicit
+    *    hint is redundant and both modes measure byte-identical;
+    *  - 500–750k: wall-neutral (norm 0.99), hint still guarantees the
+    *    zero-shuffle rounds when a conf lowers the AQE threshold;
+    *  - 1M/2M/4M: the hint LOSES wall (1.27×/1.62×/2.02× — per-round
+    *    driver broadcast build dominates) while saving ~6× round bytes
+    *    (39.7 vs 233.7 MB at 2M). Bytes are the 100 TB currency, but a
+    *    frontier that big is also where broadcast memory pressure on
+    *    real executors starts to bite — the SMJ rounds (which still
+    *    never re-shuffle the edge list) are the right default there.
+    * 750k is the measured wall-neutral edge on this host class. */
+  val BroadcastLabelNodes: Long = 750_000L
 
   def connectedComponents(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
