@@ -312,11 +312,17 @@ object SimilarityOps {
    * session parallelism: size the cross stage's own P near
    * (W·bw / 2|C|)^⅔ — the point where kernel compute W/P and traffic
    * 2√P·|C|/bw balance. Round 15 ships the mechanism as the
-   * `spark.graft.cross.maxParallelism` session conf: when set, the
-   * slotted cross runs at min(conf, cap) partitions with its replication,
-   * slot directory, and dispatch bar all sized from that P (plan-locked
-   * in PlanQualitySpec); unset — the default and every gated
-   * configuration — the stage inherits conf and plans are byte-identical.
+   * `spark.graft.cross.maxParallelism` conf (session conf or SparkConf —
+   * spark-submit --conf works): when set to P*, the cross's GROUP GRID
+   * shrinks to G = ⌈√(2·P*)⌉ per side — the replication (traffic) term
+   * the rule bounds — giving ≤G² non-empty kernel tasks (the capped
+   * effective parallelism) on conf physical partitions. The partition
+   * count itself deliberately stays conf: Spark 4.1's EnsureRequirements
+   * rewrites a user repartition whose count differs from conf back to
+   * conf under an SMJ (measured; BENCH_notes_r15 §3), and the
+   * conf-count form is also what keeps every gated plan byte-identical
+   * when the knob is unset. Plan-locked in PlanQualitySpec (grid literal
+   * + exchange counts + pair-set parity).
    * At every configuration measurable on this host the kernel sets the
    * wall (traffic ≤ 73 % of bytes but ≤ ¼ of wall), so the knob stays
    * unset here; BENCH_notes_r15 prices what would engage at conf 20k.
@@ -375,9 +381,18 @@ object SimilarityOps {
     // byte-identical to round 14 — on this host the kernel sets the wall
     // at every measurable configuration (r14 measured decision), so the
     // knob exists for the conf regime local[32] cannot reach.
-    val crossP = assigned.sparkSession.conf
-      .getOption("spark.graft.cross.maxParallelism")
-      .map(v => math.min(conf, math.max(1, v.toInt))).getOrElse(conf)
+    // read the session conf first (spark.conf.set), then the SparkContext
+    // conf: a spark-submit --conf / -Dspark.* entry lands in SparkConf and
+    // Spark 4.1's RuntimeConfig.getOption does NOT surface unregistered
+    // keys from there (measured: a -D-set cap left the gslot exchanges at
+    // 32 partitions until this fallback landed) — without it the knob
+    // would be unusable through the normal cluster submission route
+    val crossP = {
+      val ss = assigned.sparkSession
+      ss.conf.getOption("spark.graft.cross.maxParallelism")
+        .orElse(ss.sparkContext.getConf.getOption("spark.graft.cross.maxParallelism"))
+        .map(v => math.min(conf, math.max(1, v.toInt))).getOrElse(conf)
+    }
     // Per-side replication of the slotted cross (its REAL traffic term):
     // G² group pairs need ≥ crossP slots, so G = ⌈√(2·crossP)⌉ gives
     // every partition ≥2 pairs by construction under pre-image placement.
@@ -437,8 +452,9 @@ object SimilarityOps {
       pairs > bar * pop
     }
     if (dense && crossP < conf)
-      log.info(s"grouped cross capped at P=$crossP of conf=$conf " +
-        s"(spark.graft.cross.maxParallelism): per-side replication $gp")
+      log.warn(s"grouped cross capped at effective parallelism ${gp * gp} " +
+        s"(spark.graft.cross.maxParallelism=$crossP, conf=$conf): " +
+        s"per-side replication $gp")
     val candidates =
       if (dense) {
         // Dense regime: 2D grouped cross with DETERMINISTIC slot
@@ -460,11 +476,21 @@ object SimilarityOps {
         // honoring the pre-partitioning, EnsureRequirements just inserts
         // the hash exchange this replaces (correctness never depends on
         // placement).
-        // The stage runs at crossP partitions — conf unless the
-        // maxParallelism cap is set (gp was already sized from crossP
-        // above, so placement, replication, and the dispatch bar all
-        // price the SAME stage).
-        val slots = pairSlotValues(crossP, gp * gp)
+        // The cap is applied to the REPLICATION G (sized from crossP
+        // above), not the exchange's partition count: Spark 4.1's
+        // EnsureRequirements REWRITES a user repartition whose count
+        // differs from spark.sql.shuffle.partitions back to conf when
+        // the gslot join plans as SMJ (measured, minimal repro: two
+        // repartition(8, col) children under a forced SMJ at conf 32
+        // both planned as hashpartitioning(col, 32); they survive only
+        // when the join broadcasts — BENCH_notes_r15 §3). So the
+        // exchange stays at conf — byte-identical plans when the cap is
+        // unset — and a cap works by shrinking the group grid: gp² slot
+        // values on conf partitions mean ≤gp² non-empty kernel tasks
+        // (the capped effective parallelism) and 2·gp × packed
+        // replication (the capped traffic term, which is what the P*
+        // rule actually bounds).
+        val slots = pairSlotValues(conf, gp * gp)
         val slotLit = array(slots.map(lit(_)).toIndexedSeq: _*)
         // pair-unique slot value: the join's ONLY key (equality ⟺ same
         // (g_a, g_b)), so the per-side repartition on it is exactly the
@@ -472,7 +498,7 @@ object SimilarityOps {
         def slotted(df: DataFrame): DataFrame = df
           .withColumn("gslot", element_at(slotLit,
             (col("g_a") * gp + col("g_b") + 1).cast("int")))
-          .repartition(crossP, col("gslot"))
+          .repartition(conf, col("gslot"))
         val groups = sequence(lit(0), lit(gp - 1))
         val ga = slotted(pa.withColumn("g_a", pmod(col("cid_a"), lit(gp)).cast("int"))
           .withColumn("g_b", explode(groups)))

@@ -232,9 +232,16 @@ class PlanQualitySpec extends SparkSpec {
     // √P-coupled replication lower bound (BENCH_notes_r14 §1e): at conf
     // ≫ 32 the cross stage must not inherit session parallelism. The
     // knob can't be WALL-justified on this host (the kernel dominates
-    // everywhere local[32] reaches), so the lock pins the MECHANISM: the
-    // gslot exchanges run at exactly min(conf, cap) partitions, and the
-    // pair set is placement-independent (round-15 verdict ask 3).
+    // everywhere local[32] reaches), so the lock pins the MECHANISM.
+    // What the cap controls is the GROUP GRID — per-side replication
+    // G = ⌈√(2·cap)⌉, visible in the plan as the explode's
+    // sequence(0, G−1) literal, with ≤G² non-empty kernel tasks — NOT
+    // the exchange partition count: Spark 4.1's EnsureRequirements
+    // rewrites a user repartition whose count differs from conf back to
+    // conf under an SMJ (measured, minimal repro in BENCH_notes_r15 §3),
+    // so the exchanges stay at conf in BOTH modes and byte-identical
+    // plans when unset fall out for free. Pair set must be
+    // placement-independent (round-15 verdict ask 3).
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)
@@ -254,19 +261,28 @@ class PlanQualitySpec extends SparkSpec {
     val brute = graft.operators.SimilarityOps.embeddingNearDupBrute(emb, 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val conf = spark.sessionState.conf.numShufflePartitions
+    // uncapped at conf 4: gp = ceil(sqrt(2*4)) = 3 -> sequence(0, 2)
     val dflt = graft.operators.SimilarityOps.embeddingNearDupWith(emb, 0.0, cents)
     val pDflt = gslotParts(dflt)
     assert(pDflt.nonEmpty && pDflt.forall(_ == conf),
       s"unset knob must leave the cross at conf=$conf: $pDflt")
+    assert(dflt.queryExecution.optimizedPlan.toString.contains("sequence(0, 2"),
+      "unset knob must keep the conf-sized group grid (gp=3 at conf 4)")
     spark.conf.set("spark.graft.cross.maxParallelism", "2")
     try {
+      // capped at 2: gp = ceil(sqrt(2*2)) = 2 -> sequence(0, 1), i.e.
+      // per-side replication 2 and <=4 non-empty kernel slots
       val capped = graft.operators.SimilarityOps.embeddingNearDupWith(emb, 0.0, cents)
+      val cappedPlan = capped.queryExecution.optimizedPlan.toString
+      assert(cappedPlan.contains("sequence(0, 1") && !cappedPlan.contains("sequence(0, 2"),
+        s"capped cross must shrink the group grid to gp=2: ${cappedPlan.take(2000)}")
       val got = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == brute, "the cap must never change the pair set: " +
         s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
       val pCap = gslotParts(capped)
-      assert(pCap.nonEmpty && pCap.forall(_ == 2),
-        s"capped cross must run its gslot exchanges at 2 partitions: $pCap")
+      assert(pCap.nonEmpty && pCap.forall(_ == conf),
+        "capped cross exchanges stay at conf (EnsureRequirements rewrites " +
+          s"non-conf user counts under SMJ — see the lock header): $pCap")
     } finally spark.conf.unset("spark.graft.cross.maxParallelism")
   }
 
