@@ -234,8 +234,9 @@ class PlanQualitySpec extends SparkSpec {
     // knob can't be WALL-justified on this host (the kernel dominates
     // everywhere local[32] reaches), so the lock pins the MECHANISM.
     // What the cap controls is the GROUP GRID — per-side replication
-    // G = ⌈√(2·cap)⌉, visible in the plan as the explode's
-    // sequence(0, G−1) literal, with ≤G² non-empty kernel tasks — NOT
+    // G = ⌈√(2·cap)⌉, visible in the OPTIMIZED plan as the folded slot
+    // lookup's G²-element array and ×G multiplier (ConstantFolding eats
+    // the sequence literal itself), with ≤G² non-empty kernel tasks — NOT
     // the exchange partition count: Spark 4.1's EnsureRequirements
     // rewrites a user repartition whose count differs from conf back to
     // conf under an SMJ (measured, minimal repro in BENCH_notes_r15 §3),
@@ -258,24 +259,38 @@ class PlanQualitySpec extends SparkSpec {
         .findAllMatchIn(df.queryExecution.executedPlan.toString)
         .map(_.group(1).toInt).toSeq
     }
+    // FOLD-PROOF grid signature (round-16 fix of the round-15 escape):
+    // the original lock grepped the optimized plan for `sequence(0, 2`,
+    // but ConstantFolding folds the foldable sequence(lit(0), lit(gp−1))
+    // into an UnsafeArrayData literal before rendering — the assert could
+    // never pass. What DOES survive folding, and uniquely encodes gp, is
+    // the slot lookup `element_at([..gp² values..], ((g_a * gp) + g_b) + 1)`:
+    // read the slot-array cardinality (gp²) and the grid multiplier (gp)
+    // straight from the folded rendering.
+    def gridSig(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.optimizedPlan.toString
+      val m = """element_at\(\[([-\d,]+)\], \(\(\(g_a#\d+ \* (\d+)\)""".r
+        .findFirstMatchIn(plan)
+        .getOrElse(fail(s"no folded slot lookup in the optimized plan: ${plan.take(2000)}"))
+      (m.group(1).split(",").length, m.group(2).toInt)
+    }
     val brute = graft.operators.SimilarityOps.embeddingNearDupBrute(emb, 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val conf = spark.sessionState.conf.numShufflePartitions
-    // uncapped at conf 4: gp = ceil(sqrt(2*4)) = 3 -> sequence(0, 2)
+    // uncapped at conf 4: gp = ceil(sqrt(2*4)) = 3 -> 9 slots, multiplier 3
     val dflt = graft.operators.SimilarityOps.embeddingNearDupWith(emb, 0.0, cents)
     val pDflt = gslotParts(dflt)
     assert(pDflt.nonEmpty && pDflt.forall(_ == conf),
       s"unset knob must leave the cross at conf=$conf: $pDflt")
-    assert(dflt.queryExecution.optimizedPlan.toString.contains("sequence(0, 2"),
-      "unset knob must keep the conf-sized group grid (gp=3 at conf 4)")
+    assert(gridSig(dflt) == ((9, 3)),
+      s"unset knob must keep the conf-sized group grid (gp=3 at conf 4): ${gridSig(dflt)}")
     spark.conf.set("spark.graft.cross.maxParallelism", "2")
     try {
-      // capped at 2: gp = ceil(sqrt(2*2)) = 2 -> sequence(0, 1), i.e.
-      // per-side replication 2 and <=4 non-empty kernel slots
+      // capped at 2: gp = ceil(sqrt(2*2)) = 2 -> 4 slots, multiplier 2,
+      // i.e. per-side replication 2 and <=4 non-empty kernel slots
       val capped = graft.operators.SimilarityOps.embeddingNearDupWith(emb, 0.0, cents)
-      val cappedPlan = capped.queryExecution.optimizedPlan.toString
-      assert(cappedPlan.contains("sequence(0, 1") && !cappedPlan.contains("sequence(0, 2"),
-        s"capped cross must shrink the group grid to gp=2: ${cappedPlan.take(2000)}")
+      assert(gridSig(capped) == ((4, 2)),
+        s"capped cross must shrink the group grid to gp=2: ${gridSig(capped)}")
       val got = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got == brute, "the cap must never change the pair set: " +
         s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")

@@ -23,17 +23,24 @@ construction). n_chars is recomputed for the transformed text.
 
 Embedding replica r = a + dim*b (a = r % dim, b = r // dim) is the base
 vector CIRCULARLY ROTATED by (a + 17*b) % dim components and
-SIGN-FLIPPED by the product of Walsh pattern a and the a-shifted Walsh
-pattern b (component j negated iff popcount(j & a) + popcount(((j+a) %
-dim) & b) is odd). Every replica map is a signed permutation - an exact
-isometry, so norms and every WITHIN-replica cosine relation are
-preserved bit-meaningfully - and the maps are pairwise distinct for
-r < dim^2 (4096 at dim 64): 17 is invertible mod 64, so equal rotations
-force equal a, and the b-indexed shifted-Walsh factor then separates
-blocks. For r < dim the map reduces to the original round-13 family
-(b = 0), so fixtures at factors <= 64 are bit-identical to ones made by
-the old generator and the committed 30/40/60xd decade points stay
-comparable.
+SIGN-FLIPPED by the product of Walsh pattern a and a j-scrambled Walsh
+pattern b (component j negated iff popcount(j & a) + popcount(((j*q +
+a) % dim) & b) is odd, with q = 5 for b >= 2 else 1). Every replica map
+is a signed permutation - an exact isometry, so norms and every
+WITHIN-replica cosine relation are preserved bit-meaningfully - and the
+maps are pairwise distinct for ALL r < dim^2 (4096 at dim 64), VERIFIED
+EXHAUSTIVELY by tools/proto_decade.py isocheck (the round-15 claim that
+the q=1 form separates blocks was FALSE: round-15 ADVICE found replicas
+(a, b) and (a-4, b+4) coincide whenever a = 4 mod 8 - rotation shifts
+by 17*4 = 68 = 4 mod 64 while the sign factors W_a = W_{a-4} x W_4 and
+the b-shift (j + a) realign exactly; first collision r=4 vs r=256, 57
+pairs under the 900 cap. q = 5 makes the b-term sample Walsh(b) along a
+DIFFERENT j-permutation than the a-term, which no (a-4, b+4) slide can
+re-align; q is identity for b <= 1, i.e. for every committed fixture).
+For r < dim the map reduces to the original round-13 family (b = 0), so
+fixtures at factors <= 64 are bit-identical to ones made by the old
+generator and the committed 30/40/60/100xd decade points (max replica
+99, b <= 1) stay comparable.
 
 CROSS-REPLICA CONTRACT (corrected by round-15 measurement - the round-13
 header claimed cross-replica dots "cancel term-wise"; they do not, and
@@ -101,15 +108,26 @@ DISTINCT_EXPRS = {
     },
     "embeddings": {
         # signed-permutation isometry, distinct to dim^2 replicas (see
-        # header): rotation (a + 17b) % dim, sign = Walsh(a) x Walsh(b)
-        # shifted by a, with a = r % dim, b = r // dim. Reduces to the
-        # round-13 family (rotation r, Walsh r) for r < dim.
+        # header): rotation (a + 17b) % dim, sign = Walsh(a)(j) x
+        # Walsh(b)(j*q + a), with a = r % dim, b = r // dim and q = 5 for
+        # b >= 2 else 1 (q odd => j*q % dim is a bijection). The q factor
+        # is the round-16 collision fix: with q = 1 (the round-15 family)
+        # replicas (a, b) and (a-4, b+4) coincide whenever a = 4 mod 8 —
+        # first collision r=4 vs r=256, 57 pairs under the 900 cap, found
+        # by round-15 ADVICE and reproduced exhaustively. q = 5 restores
+        # pairwise distinctness for ALL r < dim^2 (verified exhaustively:
+        # tools/proto_decade.py isocheck) and is identity for b <= 1, so
+        # every committed fixture (factors 30/40/60/100, max b = 1) stays
+        # bit-identical. Reduces to the round-13 family (rotation r,
+        # Walsh r) for r < dim.
         "embedding": ("CASE WHEN r.r = 0 THEN embedding ELSE "
                       "list_transform(range(1, len(embedding) + 1), "
                       "i -> CAST(CASE WHEN ("
                       "bit_count(CAST((i - 1) AS BIGINT) "
                       "& CAST((r.r % len(embedding)) AS BIGINT)) + "
-                      "bit_count(CAST(((i - 1 + r.r) % len(embedding)) AS BIGINT) "
+                      "bit_count(CAST((((i - 1) * "
+                      "(CASE WHEN r.r // len(embedding) >= 2 THEN 5 ELSE 1 END) "
+                      "+ r.r) % len(embedding)) AS BIGINT) "
                       "& CAST((r.r // len(embedding)) AS BIGINT))"
                       ") % 2 = 1 THEN -1 ELSE 1 END "
                       "AS FLOAT) * embedding[1 + ((i - 1 + "
@@ -123,14 +141,18 @@ DISTINCT_EXPRS = {
 def main(factor, out_dir, distinct):
     assert 2 <= factor <= 900, f"factor {factor} out of the sanity cap (see header)"
     if distinct and factor > 64:
-        # The round-15 family stays distinct to dim^2 replicas (4096 at
-        # dim 64) — far past the 900 sanity cap — so >64 factors are now
-        # valid for the embedding axis too. Remind about the pair-census
-        # contract, which is threshold- not factor-limited (see header).
+        # The round-16 family (q=5 j-scramble for b >= 2) is exhaustively
+        # verified distinct to dim^2 replicas (4096 at dim 64) — far past
+        # the 900 sanity cap — so >64 factors are valid for the embedding
+        # axis (the round-15 q=1 form collided from r=256; see header).
+        # Remind about the pair-census contract, which is threshold- not
+        # factor-limited (see header).
         print(f"note: factor {factor} embeddings are distinct signed-"
-              "permutation isometries (round-15 family); at thresholds "
-              "< ~0.6 the qualifying-pair census is tail-quadratic in "
-              "total rows by the operator's own regime (see header)")
+              "permutation isometries (round-16 family, exhaustively "
+              "verified to dim^2 by proto_decade.py isocheck); at "
+              "thresholds < ~0.6 the qualifying-pair census is "
+              "tail-quadratic in total rows by the operator's own "
+              "regime (see header)")
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         raise SystemExit(f"refusing to overwrite non-empty {out_dir} - "
                          "remove it or pass an explicit fresh out_dir")
