@@ -261,6 +261,23 @@ object Bench {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Probe path under which FLOOR_BEST was anchored (absent on a
+    * pre-path-aware file, which was always written from a default-dir
+    * run). Floors are only gate-comparable when probed on the SAME
+    * filesystem: floorDir follows SPARK_GRAFT_BENCH_TMP, so a run probing
+    * a faster tmp fs would otherwise min-fold its disk_ms into FLOOR_BEST
+    * and make later default-dir canonical runs on the same boot spuriously
+    * fail the gate (round-16 ADVICE) — the per-run floor record keeps a
+    * path field for exactly this comparability reason. */
+  private[graft] def floorBestPath(docsDir: java.nio.file.Path): Option[String] = {
+    val f = docsDir.resolve("FLOOR_BEST.json")
+    if (!java.nio.file.Files.isReadable(f)) return None
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      """"path":\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private[graft] def currentBootId(): Option[String] =
     try {
       val p = java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")
@@ -448,14 +465,28 @@ object Bench {
     // gate:"reanchor". A loud re-anchor window self-heals: every later
     // passing run folds min() into FLOOR_BEST, ratcheting the baseline
     // down toward the boot's true floor.
-    val sameBoot = curBoot.isDefined && floorBestBoot(docsDir) == curBoot
+    // The anchor is (boot, probe path): a path mismatch re-anchors exactly
+    // like a boot change (round-16 ADVICE — a SPARK_GRAFT_BENCH_TMP run on
+    // a faster fs must not fold its floors into the default dir's anchor);
+    // a pre-path-aware FLOOR_BEST is treated as anchored at the default
+    // docs dir, where every committed one was probed.
+    val sameAnchor = curBoot.isDefined && floorBestBoot(docsDir) == curBoot &&
+      floorBestPath(docsDir).getOrElse(docsDir.toString) == floorDir.toString
     def floorQuiet(fs: Seq[(String, Double)]): Boolean =
       fs.forall { case (k, v) => best.get(k).forall(b => v <= gateFactor * b) }
     var floors = floorProbes(spark, floorDir)
     var floorAttempts = 1
     var reanchored = false
-    if (isCanonical && gateFactor > 0) {
-      if (best.nonEmpty && sameBoot) {
+    if (isCanonical && gateFactor > 0 && curBoot.isEmpty)
+      // an unreadable boot_id means floors can never be boot-scoped: the
+      // old behavior re-anchored EVERY run (3 × 30 s sleeps) and wrote a
+      // FLOOR_BEST whose "unknown" boot the hex-only regex never parsed
+      // back, so the gate never actually gated (round-16 ADVICE). Declare
+      // it off instead — no sleeps, no anchor rewrite, honest record.
+      System.err.println("bench: floor gate — boot_id unreadable on this " +
+        "host, floors cannot be boot-scoped; gate off for this run")
+    if (isCanonical && gateFactor > 0 && curBoot.isDefined) {
+      if (best.nonEmpty && sameAnchor) {
         // gate on the elementwise MIN across probe rounds, not the latest
         // round: a single probe carries ±50 % session noise (spark_ms
         // read 123–880 within one day), so judging each round alone
@@ -491,6 +522,7 @@ object Bench {
     val floorGate =
       if (!isCanonical) "n/a"
       else if (gateFactor <= 0) "off"
+      else if (curBoot.isEmpty) "off" // boot_id unreadable (see above)
       else if (reanchored) "reanchor"
       else if (floorQuiet(floors)) "pass"
       else "fail"
@@ -710,14 +742,20 @@ object Bench {
         java.nio.file.Files.write(docsDir.resolve("BENCH_line.json"),
           (line + "\n").getBytes("UTF-8"))
         // fold this quiet run's probes into the best-committed floor
-        // (same boot), or replace it wholesale on a re-anchor — FLOOR_BEST
-        // is boot-scoped, so a stale boot's minima never linger
-        val newBest = floors.map { case (k, v) =>
-          k -> (if (sameBoot) math.min(v, best.getOrElse(k, Double.MaxValue)) else v) }
-        java.nio.file.Files.write(docsDir.resolve("FLOOR_BEST.json"),
-          ((newBest.map { case (k, v) => s""""$k": ${math.round(v * 10) / 10.0}""" }
-            :+ s""""boot_id": "$bootStr"""")
-            .mkString("{", ", ", "}") + "\n").getBytes("UTF-8"))
+        // (same boot AND same probe path), or replace it wholesale on a
+        // re-anchor — FLOOR_BEST is (boot, path)-scoped, so neither a
+        // stale boot's minima nor a faster tmp filesystem's can linger.
+        // With boot_id unreadable the gate was declared off above and the
+        // anchor is left alone: an "unknown"-boot anchor could never be
+        // parsed back, so writing it would only destroy a valid one.
+        if (curBoot.isDefined) {
+          val newBest = floors.map { case (k, v) =>
+            k -> (if (sameAnchor) math.min(v, best.getOrElse(k, Double.MaxValue)) else v) }
+          java.nio.file.Files.write(docsDir.resolve("FLOOR_BEST.json"),
+            ((newBest.map { case (k, v) => s""""$k": ${math.round(v * 10) / 10.0}""" }
+              :+ s""""boot_id": "$bootStr"""" :+ s""""path": "$floorDir"""")
+              .mkString("{", ", ", "}") + "\n").getBytes("UTF-8"))
+        }
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"bench: could not write BENCH_line.json: $e")
       }

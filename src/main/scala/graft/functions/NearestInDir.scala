@@ -36,11 +36,13 @@ import org.apache.spark.sql.types._
  *
  * The unpacked directory is MEMOIZED per expression instance keyed on the
  * ArrayData's UNDERLYING identity (UnsafeArrayData: baseObject +
- * baseOffset + sizeInBytes; reference equality otherwise): the directory
- * arrives from a broadcast join, so every row of a partition reads the
- * same broadcast bytes — but `UnsafeRow.getArray` allocates a fresh
- * wrapper per call, which is why the key must see through the wrapper —
- * and the per-row cost is one vector unpack plus k dot products
+ * baseOffset + sizeInBytes; reference equality otherwise) PLUS a content
+ * sample, with an adaptive downgrade to the fail-safe re-unpack path the
+ * moment a reused buffer is detected (see the memo fields' comment): the
+ * directory arrives from a broadcast join, so every row of a partition
+ * reads the same broadcast bytes — but `UnsafeRow.getArray` allocates a
+ * fresh wrapper per call, which is why the key must see through the
+ * wrapper — and the per-row cost is one vector unpack plus k dot products
  * (k ≈ 2·√(cells) in the two-level scheme). Expression instances are
  * task-confined, so the mutable cache needs no synchronization (same
  * pattern as the [[CellPairMatchesF32]] kernel's per-call buffers).
@@ -80,23 +82,66 @@ case class NearestInDir(children: Seq[Expression])
   // allocations) per input row — ~2× kernel work plus GC churn at large k
   // (round-15 ADVICE). UnsafeArrayData wrappers over the same broadcast
   // bytes share (baseObject, baseOffset, sizeInBytes), so the memo keys on
-  // that underlying identity; non-Unsafe ArrayData (literals, generic rows
-  // in tests) falls back to reference equality. A same-base false positive
-  // would require two DIFFERENT directories at the identical offset of the
-  // identical buffer — impossible within one row's lifetime.
+  // that underlying identity — sound on the broadcast path, where the
+  // bytes behind a base are immutable. It is NOT sound alone when the
+  // directory column arrives through a REUSED row buffer (shuffle
+  // deserialization / UnsafeProjection output of a non-broadcast plan of
+  // the public nearest_in_dir SQL function): consecutive rows then share
+  // (base, offset), and a different directory of equal size would falsely
+  // hit the memo and return a stale argmax SILENTLY (round-16 ADVICE —
+  // the eq-keyed memo it replaced failed SAFE by re-unpacking). Two
+  // guards close that:
+  //   1. content sample — numElements plus up to 16 words evenly spaced
+  //      across the region (first + last included) must match what the
+  //      memoized unpack saw; ~zero cost next to the k·d kernel, and two
+  //      real directories agreeing on every sampled word are
+  //      astronomically unlikely;
+  //   2. adaptive downgrade — a same-(base, offset) mismatch of size,
+  //      cardinality, or sample is PROOF the buffer is reused, so the
+  //      instance permanently stops trusting underlying identity and
+  //      falls back to the fail-safe re-unpack path (exact from the
+  //      first detected mutation on; only rows between the first reuse
+  //      and its detection lean on guard 1).
+  // Non-Unsafe ArrayData (literals, generic rows in tests) keeps plain
+  // reference equality, which is always sound.
   @transient private var dirRef: ArrayData = _
   @transient private var dirBase: AnyRef = _
   @transient private var dirOffset: Long = 0L
   @transient private var dirSize: Int = -1
+  @transient private var dirNumElems: Int = -1
+  @transient private val dirSample: Array[Long] = new Array[Long](NearestInDir.SampleWords)
+  @transient private var reusedBase: Boolean = false
   @transient private var dirIds: Array[Long] = _
   @transient private var dirVecs: Array[Array[Float]] = _
   // test hook: NearestInDirSpec asserts unpack stays O(1) per partition
   @transient private[graft] var unpackCount: Long = 0L
 
+  // i-th sampled word's offset within a size-s region: evenly spaced,
+  // 8-byte aligned, covering first and last full word. Must be the same
+  // derivation at memoization and at check.
+  private def samplePos(i: Int, n: Int, s: Int): Long =
+    if (n <= 1) 0L else (i.toLong * (s - 8) / (n - 1)) & ~7L
+
+  private def sampleN(s: Int): Int =
+    math.min(NearestInDir.SampleWords, s >>> 3)
+
   private def sameDir(dir: ArrayData): Boolean = dir match {
     case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-      (u.getBaseObject eq dirBase) && dirBase != null &&
-        u.getBaseOffset == dirOffset && u.getSizeInBytes == dirSize
+      if (reusedBase || dirBase == null || (u.getBaseObject ne dirBase) ||
+          u.getBaseOffset != dirOffset) false
+      else if (u.getSizeInBytes != dirSize || u.numElements() != dirNumElems) {
+        // same region start, different shape: the buffer was rewritten
+        reusedBase = true; false
+      } else {
+        val n = sampleN(dirSize)
+        var i = 0
+        while (i < n &&
+            org.apache.spark.unsafe.Platform.getLong(
+              u.getBaseObject, u.getBaseOffset + samplePos(i, n, dirSize)) ==
+              dirSample(i)) i += 1
+        if (i == n) true
+        else { reusedBase = true; false } // content changed under the region
+      }
     case _ => dir eq dirRef
   }
 
@@ -121,11 +166,19 @@ case class NearestInDir(children: Seq[Expression])
     dirVecs = java.util.Arrays.copyOf(vecs, m)
     dirRef = dir
     dir match {
-      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          if !reusedBase =>
         dirBase = u.getBaseObject; dirOffset = u.getBaseOffset
-        dirSize = u.getSizeInBytes
+        dirSize = u.getSizeInBytes; dirNumElems = n
+        val sn = sampleN(dirSize)
+        var j = 0
+        while (j < sn) {
+          dirSample(j) = org.apache.spark.unsafe.Platform.getLong(
+            u.getBaseObject, u.getBaseOffset + samplePos(j, sn, dirSize))
+          j += 1
+        }
       case _ =>
-        dirBase = null; dirOffset = 0L; dirSize = -1
+        dirBase = null; dirOffset = 0L; dirSize = -1; dirNumElems = -1
     }
     unpackCount += 1
   }
@@ -166,4 +219,7 @@ object NearestInDir {
   val OutType: StructType = StructType(Seq(
     StructField("sim", FloatType, nullable = false),
     StructField("id", LongType, nullable = false)))
+  // memo content-sample width: 16 evenly spaced words cover first + last
+  // and cost ~nothing next to the k·d kernel (see the memo fields' doc)
+  private[functions] val SampleWords: Int = 16
 }

@@ -327,6 +327,25 @@ object SimilarityOps {
    * wall (traffic ≤ 73 % of bytes but ≤ ¼ of wall), so the knob stays
    * unset here; BENCH_notes_r15 prices what would engage at conf 20k.
    */
+  /** Stated assumptions behind the logged P* suggestion (round 16,
+    * verdict ask 4). 20 GFLOP/s sustained f32 per core is conservative
+    * for the offset-free kernel layout (this host's C2 measures
+    * ~26 GFLOP/s with AVX-512 SuperWord — BENCH_notes_r13); 10 GB/s
+    * aggregate shuffle bandwidth is the per-1000-executor-class figure
+    * BENCH_notes_r15 §3 priced the conf-20k example with. Both are
+    * order-of-magnitude knobs of a LOG-ONLY suggestion — the cap itself
+    * stays operator-set. */
+  private[graft] val CrossFlopsPerCore: Double = 2e10
+  private[graft] val CrossBwBytesPerSec: Double = 1e10
+
+  /** P* ≈ (T_kernel·bw / (√2·|C|))^⅔ — the cross-stage parallelism where
+    * kernel compute W/P and replication traffic √(2P)·|C|/bw balance
+    * (BENCH_notes_r14 §1e / r15 §3). Pure so the unit gate can pin the
+    * published conf-20k example: T_kernel 1280 core-s, |C| 0.521 GB raw
+    * → P* ≈ 670 (the notes round to ~690 with |C| 0.5 GB). */
+  private[graft] def crossPStar(kernelCoreSec: Double, packedBytes: Double): Double =
+    math.pow(kernelCoreSec * CrossBwBytesPerSec / (math.sqrt(2.0) * packedBytes), 2.0 / 3.0)
+
   private def blockedPairs(
       assigned: DataFrame, canonicalCellPairs: DataFrame,
       threshold: Double, k: Long): DataFrame = {
@@ -386,12 +405,27 @@ object SimilarityOps {
     // Spark 4.1's RuntimeConfig.getOption does NOT surface unregistered
     // keys from there (measured: a -D-set cap left the gslot exchanges at
     // 32 partitions until this fallback landed) — without it the knob
-    // would be unusable through the normal cluster submission route
+    // would be unusable through the normal cluster submission route.
+    // COUPLING NOTE (round-16 ADVICE): the knob moves the dispatch
+    // machinery too — a small cap shrinks gp, so the dense bar 2gp−1
+    // drops and the no-count region k ≤ 4gp−3 narrows, which can
+    // re-engage the ~+0.4 s dispatch-count job at gate-scale k (13–20)
+    // and flip borderline corpora into the dense cross. That is the
+    // intended semantics (the bar must be priced from the CAPPED grid's
+    // round trip), but a cluster operator setting the knob should know
+    // the dispatch boundary moves with it.
     val crossP = {
       val ss = assigned.sparkSession
       ss.conf.getOption("spark.graft.cross.maxParallelism")
         .orElse(ss.sparkContext.getConf.getOption("spark.graft.cross.maxParallelism"))
-        .map(v => math.min(conf, math.max(1, v.toInt))).getOrElse(conf)
+        .map { v =>
+          val n = try v.trim.toInt catch {
+            case e: NumberFormatException => throw new IllegalArgumentException(
+              "spark.graft.cross.maxParallelism must be a positive integer " +
+                s"(the cross stage's parallelism cap), got '$v'", e)
+          }
+          math.min(conf, math.max(1, n))
+        }.getOrElse(conf)
     }
     // Per-side replication of the slotted cross (its REAL traffic term):
     // G² group pairs need ≥ crossP slots, so G = ⌈√(2·crossP)⌉ gives
@@ -455,6 +489,40 @@ object SimilarityOps {
       log.warn(s"grouped cross capped at effective parallelism ${gp * gp} " +
         s"(spark.graft.cross.maxParallelism=$crossP, conf=$conf): " +
         s"per-side replication $gp")
+    // P* SUGGESTION (round 16, verdict ask 4): when the dense cross
+    // engages, compute the documented sizing rule's recommendation from
+    // MEASURED quantities and log it, so a cluster operator gets the cap
+    // without reading BENCH_notes. Exact candidate volume Σ csz_a·csz_b
+    // over the checkpointed pair table (the kernel's true work term — an
+    // a-priori n²d estimate is wrong for the capped operator, whose pair
+    // table is candidate-linear by construction) and the packed-corpus
+    // raw bytes from the same csz aggregate the packing path reuses.
+    // Assumptions are stated in the log line and pinned as constants
+    // ([[CrossFlopsPerCore]], [[CrossBwBytesPerSec]]). Cost: three tiny
+    // driver-edge jobs (a broadcast-joined sum over the ≤k²-row pair
+    // table, one O(#cells) sum, one LIMIT-1 dim read) that run ONLY in
+    // the dense regime — never at gate scale, where no dispatch count
+    // runs at all. Log-only: the plan is unchanged whether or not the
+    // knob is set.
+    if (dense) {
+      val cand = cp
+        .join(broadcast(csz.select(col("cid").as("cid_a"), col("csz").as("csz_a"))), Seq("cid_a"))
+        .join(broadcast(csz.select(col("cid").as("cid_b"), col("csz").as("csz_b"))), Seq("cid_b"))
+        .agg(sum(col("csz_a") * col("csz_b"))).head().getLong(0)
+      val nRows = csz.agg(sum(col("csz"))).head().getLong(0)
+      val dim = assigned.select(size(col("embedding"))).head().getInt(0)
+      val tKernel = cand * 2.0 * dim / CrossFlopsPerCore
+      val cBytes = nRows * (4.0 * dim + 16.0)
+      val pStar = crossPStar(tKernel, cBytes)
+      log.info(f"dense cross sizing: candidate volume $cand%,d vector pairs " +
+        f"(dim $dim, est. kernel $tKernel%.0f core-s at " +
+        f"${CrossFlopsPerCore / 1e9}%.0f GFLOP/s/core), packed corpus " +
+        f"~${cBytes / 1e9}%.2f GB raw -> suggested " +
+        f"spark.graft.cross.maxParallelism P* ~ ${math.round(pStar)} at " +
+        f"${CrossBwBytesPerSec / 1e9}%.0f GB/s aggregate shuffle bandwidth " +
+        f"(worth setting only when session conf $conf >> P*; " +
+        f"current cap $crossP)")
+    }
     val candidates =
       if (dense) {
         // Dense regime: 2D grouped cross with DETERMINISTIC slot

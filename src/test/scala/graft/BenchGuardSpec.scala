@@ -88,6 +88,26 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.floorBestBoot(dir).contains("84037e95-bf2b-4a5e-a763-197dfdf8048a"))
   }
 
+  test("floorBestPath: path-scoped anchor parses; None on a pre-path-aware file") {
+    // Round-16 ADVICE: floorDir follows SPARK_GRAFT_BENCH_TMP, so a run
+    // probing a faster tmp filesystem must not min-fold its disk_ms into
+    // the default dir's anchor — FLOOR_BEST carries the probe path and a
+    // mismatch re-anchors like a boot change. A pre-path-aware file
+    // (every committed one was probed at the default docs dir) parses to
+    // None and is treated as anchored at the default.
+    val dir = java.nio.file.Files.createTempDirectory("bench_floor_path")
+    assert(Bench.floorBestPath(dir).isEmpty)
+    java.nio.file.Files.write(dir.resolve("FLOOR_BEST.json"),
+      ("{\"cpu_ms\": 188.0, \"disk_ms\": 175.1, \"spark_ms\": 133.7, " +
+        "\"boot_id\": \"84037e95-bf2b-4a5e-a763-197dfdf8048a\"}\n").getBytes("UTF-8"))
+    assert(Bench.floorBestPath(dir).isEmpty, "pre-path-aware file must parse to None")
+    java.nio.file.Files.write(dir.resolve("FLOOR_BEST.json"),
+      ("{\"cpu_ms\": 188.0, \"disk_ms\": 175.1, \"spark_ms\": 133.7, " +
+        "\"boot_id\": \"84037e95-bf2b-4a5e-a763-197dfdf8048a\", " +
+        "\"path\": \"/root/repo/docs\"}\n").getBytes("UTF-8"))
+    assert(Bench.floorBestPath(dir).contains("/root/repo/docs"))
+  }
+
   test("ResourceTally counts a shuffle and settles outside the timed path") {
     val spark = SparkSpec.spark
     import spark.implicits._

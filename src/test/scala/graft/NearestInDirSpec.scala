@@ -137,4 +137,53 @@ class NearestInDirSpec extends SparkSpec {
     expr.eval(new JoinedRow(left, dirRow2))
     assert(expr.unpackCount == 2L, "a new directory buffer must re-unpack")
   }
+
+  test("reused row buffer with a rewritten directory must not serve a stale argmax") {
+    // The NON-broadcast hazard (round-16 ADVICE): nearest_in_dir is a
+    // public SQL function, so the directory column can arrive through a
+    // reused UnsafeProjection/shuffle-deserialization buffer — consecutive
+    // rows share (baseObject, baseOffset), and two different directories
+    // of equal size would falsely hit a bare underlying-identity memo and
+    // return the PREVIOUS directory's argmax silently. The memo's content
+    // sample must catch the rewrite, and the detected reuse must
+    // permanently downgrade the instance to the fail-safe re-unpack path.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val embType = ArrayType(FloatType, containsNull = false)
+    val dirType = ArrayType(StructType(Array(
+      StructField("id", LongType), StructField("vec", embType))))
+    def dirOf(entries: (Long, Array[Float])*) = new GenericArrayData(entries.map {
+      case (id, v) => new GenericInternalRow(Array[Any](id, new GenericArrayData(v)))
+    }.toArray[Any])
+    // same cardinality + dims => identical serialized size => buffer reuse
+    // reproduces the same (base, offset, size) triple
+    val dirA = dirOf((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+    val dirB = dirOf((1L, Array(0f, 1f)), (2L, Array(1f, 0f))) // swapped winners
+    val dirProj = UnsafeProjection.create(Array[DataType](dirType))
+    val embProj = UnsafeProjection.create(Array[DataType](embType))
+    val expr = graft.functions.NearestInDir(Seq(
+      BoundReference(0, embType, nullable = true),
+      BoundReference(1, dirType, nullable = true)))
+    val left = embProj(new GenericInternalRow(
+      Array[Any](new GenericArrayData(Array(1f, 0f))))).copy()
+    // NO .copy(): the projection's buffer is reused across apply() calls,
+    // exactly like a streaming deserializer
+    val rowA = dirProj(new GenericInternalRow(Array[Any](dirA)))
+    val winA = expr.eval(new JoinedRow(left, rowA))
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getLong(1)
+    assert(winA == 1L, s"dirA argmax for (1,0) must be id 1: $winA")
+    val rowB = dirProj(new GenericInternalRow(Array[Any](dirB))) // rewrites the SAME buffer
+    assert(rowB.getBaseObject eq rowA.getBaseObject, "test premise: buffer is reused")
+    val winB = expr.eval(new JoinedRow(left, rowB))
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getLong(1)
+    assert(winB == 2L, s"rewritten directory must win with id 2, not the stale memo: $winB")
+    assert(expr.unpackCount == 2L, s"the rewrite must re-unpack: ${expr.unpackCount}")
+    // downgraded instance keeps answering correctly (fail-safe re-unpacks)
+    val rowA2 = dirProj(new GenericInternalRow(Array[Any](dirA)))
+    val winA2 = expr.eval(new JoinedRow(left, rowA2))
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getLong(1)
+    assert(winA2 == 1L, s"post-downgrade eval must stay exact: $winA2")
+  }
 }

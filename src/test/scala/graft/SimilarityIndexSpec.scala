@@ -233,4 +233,21 @@ class SimilarityIndexSpec extends SparkSpec {
       assert(labels(qid) != labels(vid), s"query $qid got same-label negative $vid")
     }
   }
+
+  test("crossPStar pins the published conf-20k sizing example") {
+    // BENCH_notes_r15 §3: the embed_big fixture (500k×256d ×4 dup) at a
+    // 20k-core session — T_kernel ≈ 1280 core-s, |C| ≈ 521 MB raw,
+    // 10 GB/s aggregate bw — should recommend P* ≈ 670–690 (5× less
+    // replication traffic than inheriting conf: ⌈√(2·20000)⌉ = 200 vs
+    // ⌈√(2·690)⌉ = 38 per side). The dense dispatch now computes and
+    // logs this rule from measured quantities (round 16, verdict ask 4);
+    // this pins the formula against the published example so a constant
+    // or exponent regression is caught at unit scope.
+    val pStar = SimilarityOps.crossPStar(1280.0, 0.521e9)
+    assert(math.abs(pStar - 672) < 10, s"P* formula drifted: $pStar (expected ~672)")
+    // monotonicity sanity: more kernel work raises P*, a bigger packed
+    // corpus (more traffic per unit of replication) lowers it
+    assert(SimilarityOps.crossPStar(2560.0, 0.521e9) > pStar)
+    assert(SimilarityOps.crossPStar(1280.0, 1.042e9) < pStar)
+  }
 }
