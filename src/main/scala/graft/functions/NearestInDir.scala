@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -53,7 +52,7 @@ import org.apache.spark.sql.types._
  * form's cosine null-propagated those candidate rows away.
  */
 case class NearestInDir(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def dirOk(t: DataType) = t match {
@@ -109,7 +108,10 @@ case class NearestInDir(children: Seq[Expression])
   @transient private var dirOffset: Long = 0L
   @transient private var dirSize: Int = -1
   @transient private var dirNumElems: Int = -1
-  @transient private val dirSample: Array[Long] = new Array[Long](NearestInDir.SampleWords)
+  // var, allocated at first unpack: a @transient VAL array would be null
+  // after task-closure deserialization (both the interpreted tree and the
+  // codegen references array ship through Java serialization)
+  @transient private var dirSample: Array[Long] = _
   @transient private var reusedBase: Boolean = false
   @transient private var dirIds: Array[Long] = _
   @transient private var dirVecs: Array[Array[Float]] = _
@@ -170,6 +172,7 @@ case class NearestInDir(children: Seq[Expression])
           if !reusedBase =>
         dirBase = u.getBaseObject; dirOffset = u.getBaseOffset
         dirSize = u.getSizeInBytes; dirNumElems = n
+        if (dirSample == null) dirSample = new Array[Long](NearestInDir.SampleWords)
         val sn = sampleN(dirSize)
         var j = 0
         while (j < sn) {
@@ -187,10 +190,17 @@ case class NearestInDir(children: Seq[Expression])
     val embRaw = children(0).eval(input)
     val dirRaw = children(1).eval(input)
     if (embRaw == null || dirRaw == null) return null
-    val dir = dirRaw.asInstanceOf[ArrayData]
+    compute(embRaw.asInstanceOf[ArrayData], dirRaw.asInstanceOf[ArrayData])
+  }
+
+  /** Null-safe argmax kernel shared by [[eval]] and the generated code
+    * (which calls it through a reference object). Public because janino's
+    * generated class lives outside this package. Returns null for an
+    * empty directory. */
+  def compute(emb: ArrayData, dir: ArrayData): InternalRow = {
     if (!sameDir(dir)) unpackDir(dir)
     if (dirIds.length == 0) return null
-    val x = embRaw.asInstanceOf[ArrayData].toFloatArray()
+    val x = emb.toFloatArray()
     var bestSim = Float.NaN
     var bestId = 0L
     var first = true
@@ -207,6 +217,41 @@ case class NearestInDir(children: Seq[Expression])
       i += 1
     }
     new GenericInternalRow(Array[Any](bestSim, bestId))
+  }
+
+  // doGenCode (round 16, verdict ask 5): the r15 form was CodegenFallback,
+  // which evaluates the WHOLE subtree interpreted per row (two child
+  // eval() virtual dispatches + the fallback's boxed eval call) on the
+  // corpus-wide assignment path. The generated code keeps the children in
+  // whole-stage codegen and calls the memoized kernel through a reference
+  // object — same task-confined instance semantics (the references array
+  // is deserialized per task closure, exactly like the interpreted
+  // expression tree), so the directory memo and its reuse guard carry
+  // over unchanged. The kernel itself stays a Scala method: its cost is
+  // k·d float fma's, which generated Java could not improve (it is the
+  // same JIT), so codegen only removes the per-row dispatch overhead —
+  // measured on the sfx100d decade fixture (BENCH_notes_r16 §3).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val kernel = ctx.addReferenceObj("nearestInDir", this)
+    val embCode = children(0).genCode(ctx)
+    val dirCode = children(1).genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    val adCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+         |${embCode.code}
+         |${dirCode.code}
+         |boolean ${ev.isNull} = true;
+         |$rowCls ${ev.value} = null;
+         |if (!${embCode.isNull} && !${dirCode.isNull}) {
+         |  ${ev.value} = $kernel.compute(($adCls) ${embCode.value}, ($adCls) ${dirCode.value});
+         |  ${ev.isNull} = (${ev.value} == null);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildrenInternal(
