@@ -345,9 +345,16 @@ object Bench {
         "this run — judge cross-boot deltas via scale-probe ratios, not " +
         "absolute steadies")
 
+    // Shuffle-partition override (round 17, verdict ask 2): the contract
+    // default stays the core count — every canonical record is comparable —
+    // but scale probes need to vary reducer count independently of cores
+    // (the x52 300×d spill attribution: ~930 MB/reducer at 32 partitions
+    // is a LOCAL-CONF artifact, not an operator property; proving that
+    // takes one run at a higher conf on the same cores).
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -450,7 +457,11 @@ object Bench {
     // re-armed the bench's own 2.0× remeasure trigger. The gate is
     // boot-scoped (see below); SPARK_GRAFT_FLOOR_GATE=0 disables it
     // outright for controlled experiments.
-    val isCanonical = only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty
+    // a shuffle-partition override is a PROBE configuration: its steadies
+    // are not comparable to contract records, so it must never become the
+    // canonical baseline (same reasoning as name-filtered runs below)
+    val isCanonical = only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty &&
+      shufflePartitions == cpus
     val gateFactor = sys.env.getOrElse("SPARK_GRAFT_FLOOR_GATE", "1.3").toDouble
     val floorRetries = sys.env.getOrElse("SPARK_GRAFT_FLOOR_RETRIES", "3").toInt
     val floorRetryMs = (sys.env.getOrElse("SPARK_GRAFT_FLOOR_RETRY_S", "30").toDouble * 1000).toLong
@@ -505,9 +516,16 @@ object Bench {
         }
         floors = floors.map { case (k, _) => k -> acc(k) }
       } else {
+        // name the exact re-anchor cause (round-16 ADVICE): a surprise
+        // 90 s re-anchor after setting SPARK_GRAFT_BENCH_TMP was
+        // indistinguishable from a boot change in the old message
+        val cause =
+          if (best.isEmpty) "no FLOOR_BEST"
+          else if (floorBestBoot(docsDir) != curBoot) "boot changed"
+          else "probe path changed " +
+            s"(anchor ${floorBestPath(docsDir).getOrElse(docsDir.toString)} vs $floorDir)"
         System.err.println("bench: floor gate — no same-boot baseline " +
-          s"(${if (best.isEmpty) "no FLOOR_BEST" else "boot changed"}); " +
-          s"re-anchoring from ${floorRetries + 1} probe rounds")
+          s"($cause); re-anchoring from ${floorRetries + 1} probe rounds")
         var acc = floors.toMap
         (1 to floorRetries).foreach { i =>
           Thread.sleep(floorRetryMs)
@@ -634,12 +652,15 @@ object Bench {
     // floor object rendered at BOTH paddings from the same fields — the
     // compact line variant must NOT be derived by stripping spaces from
     // the pretty one (that mangled an artifact path containing a space;
-    // round-14 ADVICE).
+    // round-14 ADVICE). The path is ESCAPED (round-16 ADVICE): a
+    // SPARK_GRAFT_BENCH_TMP containing '"' or '\' would otherwise yield
+    // invalid JSON and a path the regex readers mis-parse.
+    def jsonEsc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def floorJsonAt(pad: String): String = ((floors
       .map { case (k, v) => s""""$k":$pad${math.round(v * 10) / 10.0}""" }
       :+ s""""gate":$pad"$floorGate"""")
       ++ (if (floorAttempts > 1) Seq(s""""attempts":$pad$floorAttempts""") else Nil)
-      :+ s""""path":$pad"$floorDir"""")
+      :+ s""""path":$pad"${jsonEsc(floorDir.toString)}"""")
       .mkString("{", "," + pad, "}")
     val floorJson = floorJsonAt(" ")
     // Heap annotation (round-13 verdict ask 6): decade-exponent records
@@ -722,7 +743,7 @@ object Bench {
       s""""n_remeasured":$nRemeasured,"n_substituted":$nSubstituted,""" +
       s""""boot_id":"$bootStr","uptime_s":$upStr,"cross_boot_vs_prior":$crossBoot,"heap_gb":$heapGb,""" +
       s""""floor":${floorJsonAt("")},${warmupJsonAt("")},""" +
-      s""""sf":"$sfDir","detail":"$outFile"}"""
+      s""""sf":"${jsonEsc(sfDir)}","detail":"${jsonEsc(outFile.toString)}"}"""
     // The line ALSO lands in a known repo file: three rounds of driver
     // records failed to parse the sbt-logged stdout copy ("[info] "
     // prefix), so a machine-readable copy must exist independent of how
@@ -748,12 +769,20 @@ object Bench {
         // With boot_id unreadable the gate was declared off above and the
         // anchor is left alone: an "unknown"-boot anchor could never be
         // parsed back, so writing it would only destroy a valid one.
+        //
+        // FLAT BY CONTRACT (round 17, verdict ask: make the regex readers'
+        // assumption explicit): FLOOR_BEST.json is ONE flat object of
+        // number and string fields — no nesting, no arrays — because
+        // floorBest/floorBestBoot/floorBestPath parse it with literal
+        // regex scans. Any writer change that nests a value must convert
+        // those three readers to a real parser first. The path value is
+        // escaped for the same reason as the floor record's.
         if (curBoot.isDefined) {
           val newBest = floors.map { case (k, v) =>
             k -> (if (sameAnchor) math.min(v, best.getOrElse(k, Double.MaxValue)) else v) }
           java.nio.file.Files.write(docsDir.resolve("FLOOR_BEST.json"),
             ((newBest.map { case (k, v) => s""""$k": ${math.round(v * 10) / 10.0}""" }
-              :+ s""""boot_id": "$bootStr"""" :+ s""""path": "$floorDir"""")
+              :+ s""""boot_id": "$bootStr"""" :+ s""""path": "${jsonEsc(floorDir.toString)}"""")
               .mkString("{", ", ", "}") + "\n").getBytes("UTF-8"))
         }
       } catch { case scala.util.control.NonFatal(e) =>

@@ -90,17 +90,25 @@ case class NearestInDir(children: Seq[Expression])
   // hit the memo and return a stale argmax SILENTLY (round-16 ADVICE —
   // the eq-keyed memo it replaced failed SAFE by re-unpacking). Two
   // guards close that:
-  //   1. content sample — numElements plus up to 16 words evenly spaced
-  //      across the region (first + last included) must match what the
-  //      memoized unpack saw; ~zero cost next to the k·d kernel, and two
-  //      real directories agreeing on every sampled word are
-  //      astronomically unlikely;
+  //   1. rotating content window — numElements plus 16 words per row,
+  //      compared against a FULL-REGION SNAPSHOT taken at unpack, with
+  //      the window's start cursor ADVANCING each row (word 0 and the
+  //      sub-word tail bytes re-checked every row). Per-row cost is the
+  //      same 16-word load pair the round-16 fixed sample paid, but the
+  //      moving cursor sweeps the ENTIRE region every ⌈words/16⌉ rows,
+  //      so a persistent rewrite is detected within that bound
+  //      DETERMINISTICALLY — the round-16 ADVICE's correlated-directory
+  //      blind spot (two directories agreeing on all 16 FIXED sample
+  //      positions forever, e.g. per-group directories sharing a common
+  //      prefix) cannot exist: there are no fixed positions to hide
+  //      between. The snapshot costs one O(size) copy per unpack, next
+  //      to an unpack that is already O(size) with per-entry allocation;
   //   2. adaptive downgrade — a same-(base, offset) mismatch of size,
-  //      cardinality, or sample is PROOF the buffer is reused, so the
-  //      instance permanently stops trusting underlying identity and
-  //      falls back to the fail-safe re-unpack path (exact from the
+  //      cardinality, or window content is PROOF the buffer is reused,
+  //      so the instance permanently stops trusting underlying identity
+  //      and falls back to the fail-safe re-unpack path (exact from the
   //      first detected mutation on; only rows between the first reuse
-  //      and its detection lean on guard 1).
+  //      and its bounded-window detection lean on guard 1).
   // Non-Unsafe ArrayData (literals, generic rows in tests) keeps plain
   // reference equality, which is always sound.
   @transient private var dirRef: ArrayData = _
@@ -111,21 +119,13 @@ case class NearestInDir(children: Seq[Expression])
   // var, allocated at first unpack: a @transient VAL array would be null
   // after task-closure deserialization (both the interpreted tree and the
   // codegen references array ship through Java serialization)
-  @transient private var dirSample: Array[Long] = _
+  @transient private var dirSnap: Array[Byte] = _
+  @transient private var checkCursor: Int = 0
   @transient private var reusedBase: Boolean = false
   @transient private var dirIds: Array[Long] = _
   @transient private var dirVecs: Array[Array[Float]] = _
   // test hook: NearestInDirSpec asserts unpack stays O(1) per partition
   @transient private[graft] var unpackCount: Long = 0L
-
-  // i-th sampled word's offset within a size-s region: evenly spaced,
-  // 8-byte aligned, covering first and last full word. Must be the same
-  // derivation at memoization and at check.
-  private def samplePos(i: Int, n: Int, s: Int): Long =
-    if (n <= 1) 0L else (i.toLong * (s - 8) / (n - 1)) & ~7L
-
-  private def sampleN(s: Int): Int =
-    math.min(NearestInDir.SampleWords, s >>> 3)
 
   private def sameDir(dir: ArrayData): Boolean = dir match {
     case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
@@ -134,17 +134,45 @@ case class NearestInDir(children: Seq[Expression])
       else if (u.getSizeInBytes != dirSize || u.numElements() != dirNumElems) {
         // same region start, different shape: the buffer was rewritten
         reusedBase = true; false
-      } else {
-        val n = sampleN(dirSize)
-        var i = 0
-        while (i < n &&
-            org.apache.spark.unsafe.Platform.getLong(
-              u.getBaseObject, u.getBaseOffset + samplePos(i, n, dirSize)) ==
-              dirSample(i)) i += 1
-        if (i == n) true
-        else { reusedBase = true; false } // content changed under the region
-      }
+      } else if (snapWindowMatches(u)) true
+      else { reusedBase = true; false } // content changed under the region
     case _ => dir eq dirRef
+  }
+
+  /** Rotating verification window (see the memo fields' doc): 16 words of
+    * the live region compared against the unpack-time snapshot starting at
+    * the advancing cursor (wrapping), plus word 0 and the sub-word tail
+    * bytes every row — every byte of the region is re-verified at least
+    * once per ⌈words/16⌉ consecutive rows. */
+  private def snapWindowMatches(
+      u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData): Boolean = {
+    import org.apache.spark.unsafe.Platform
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val snapOff = Platform.BYTE_ARRAY_OFFSET.toLong
+    val words = dirSize >>> 3
+    // tail bytes past the last full word (region size mod 8)
+    var t = words.toLong << 3
+    while (t < dirSize) {
+      if (Platform.getByte(base, off + t) != Platform.getByte(dirSnap, snapOff + t))
+        return false
+      t += 1
+    }
+    if (words == 0) return true
+    // fixed anchor: the first word, every row
+    if (Platform.getLong(base, off) != Platform.getLong(dirSnap, snapOff)) return false
+    val n = math.min(NearestInDir.SampleWords, words)
+    var i = 0
+    var w = checkCursor
+    while (i < n) {
+      if (w >= words) w = 0
+      val p = w.toLong << 3
+      if (Platform.getLong(base, off + p) != Platform.getLong(dirSnap, snapOff + p))
+        return false
+      w += 1; i += 1
+    }
+    checkCursor = if (w >= words) 0 else w
+    true
   }
 
   private def unpackDir(dir: ArrayData): Unit = {
@@ -172,14 +200,14 @@ case class NearestInDir(children: Seq[Expression])
           if !reusedBase =>
         dirBase = u.getBaseObject; dirOffset = u.getBaseOffset
         dirSize = u.getSizeInBytes; dirNumElems = n
-        if (dirSample == null) dirSample = new Array[Long](NearestInDir.SampleWords)
-        val sn = sampleN(dirSize)
-        var j = 0
-        while (j < sn) {
-          dirSample(j) = org.apache.spark.unsafe.Platform.getLong(
-            u.getBaseObject, u.getBaseOffset + samplePos(j, sn, dirSize))
-          j += 1
-        }
+        // full-region snapshot: the rotating window verifies live bytes
+        // against THESE, so detection never depends on fixed positions
+        if (dirSnap == null || dirSnap.length != dirSize)
+          dirSnap = new Array[Byte](dirSize)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          u.getBaseObject, u.getBaseOffset, dirSnap,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET.toLong, dirSize.toLong)
+        checkCursor = 0
       case _ =>
         dirBase = null; dirOffset = 0L; dirSize = -1; dirNumElems = -1
     }
@@ -264,7 +292,8 @@ object NearestInDir {
   val OutType: StructType = StructType(Seq(
     StructField("sim", FloatType, nullable = false),
     StructField("id", LongType, nullable = false)))
-  // memo content-sample width: 16 evenly spaced words cover first + last
-  // and cost ~nothing next to the k·d kernel (see the memo fields' doc)
+  // per-row verification window width: 16 words per check (same per-row
+  // cost as the round-16 fixed sample), rotated across the whole region so
+  // full coverage lands every ⌈words/16⌉ rows (see the memo fields' doc)
   private[functions] val SampleWords: Int = 16
 }

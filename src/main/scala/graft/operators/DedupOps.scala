@@ -1077,17 +1077,26 @@ object DedupOps {
     val spark = pairs.sparkSession
     val symN = spark.sessionState.conf.numShufflePartitions
     val big = edgeCount.exists(_ > SmallGraphEdges)
-    val symRaw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
     var labels: DataFrame = null
     var bcastRounds = false
     val sym =
       if (!big) {
-        val s = symRaw.localCheckpoint()
+        // Materialize the DIRECTED edge projection once, THEN mirror it
+        // (round 17): the old `pairs ∪ pairs.swapped` checkpoint embedded
+        // the pair GENERATOR twice in one plan, and the x34 gate (whose
+        // generator is the full LSH pipeline) measurably executed it
+        // twice — 445 MB scan input vs the adaptive path's 212 MB for the
+        // same graph (BENCH_full r16 resource counters). The union over
+        // the checkpointed half is a narrow in-memory read per round, and
+        // the checkpoint stores E rows instead of 2E.
+        val p0 = pairs.select(col(aCol).as("u"), col(bCol).as("v")).localCheckpoint()
+        val s = p0.unionByName(p0.select(col("v").as("u"), col("u").as("v")))
         labels = s.select(col("u")).distinct()
           .select(col("u"), col("u").as("lbl")).localCheckpoint()
         s
       } else {
+        val symRaw = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+          .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
         // u-layout first: it serves the broadcast mode directly and the
         // labels distinct fuses on it either way
         val s0 = symRaw.repartition(symN, col("u"))
@@ -1134,23 +1143,34 @@ object DedupOps {
         val nbrMin = sym
           .join(bc(labels.select(col("u").as("v"), col("lbl").as("vlbl"))), Seq("v"))
           .groupBy(col("u")).agg(min(col("vlbl")).as("nmin"))
-        // the changed flag is computed INSIDE the update projection (least
-        // ignores the left-outer join's null nmin), so convergence needs one
-        // narrow count over the checkpointed result — never a second join
-        // against the previous labels, and no arithmetic that could wrap on
-        // large id sums
-        val updated = labels.join(bc(nbrMin), Seq("u"), "left_outer")
-          .select(col("u"),
-            least(col("lbl"), col("nmin")).as("lbl"),
-            coalesce(col("nmin") < col("lbl"), lit(false)).as("chg"))
+        // ONE job per round (round 17 — the r16 300×d profile showed the
+        // distributed loop paying ~84 sequential stage launches/rep at
+        // ~20 % utilization, pure round latency): the changed-row count is
+        // an OBSERVED METRIC (CollectMetrics) on the very plan the
+        // checkpoint materializes, so convergence costs no second job; and
+        // the update join is INNER with nbrMin as the streamed side —
+        // nbrMin covers every labeled node (labels' node set IS sym's
+        // symmetric `u` set, every neighbor carries a label, so the old
+        // left-outer's null arm was provably dead) and streaming nbrMin
+        // keeps the broadcast rounds' zero-shuffle layout (nbrMin inherits
+        // sym's u-partitioning through the exchange-free aggregation;
+        // labels stays the broadcast side).
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
+        val updated = nbrMin.join(bc(labels), Seq("u"))
+          .observe(obs, count(when(col("nmin") < col("lbl"), lit(1))).as("changed"))
+          .select(col("u"), least(col("lbl"), col("nmin")).as("lbl"))
           .localCheckpoint()
-        // a failed convergence count must release the JUST-checkpointed
-        // round too — the outer catch only knows the `labels` var
-        try changed = updated.filter(col("chg")).count()
+        // Observation.get blocks only until the checkpoint's own action
+        // reports — a failure there must still release the JUST-
+        // checkpointed round (the outer catch only knows the `labels` var)
+        try changed = obs.get("changed") match {
+          case l: java.lang.Long => l.longValue
+          case other => other.toString.toLong
+        }
         catch { case e: Throwable => releaseCheckpoint(updated); throw e }
         // release the superseded round's checkpointed labels eagerly
         releaseCheckpoint(labels)
-        labels = updated.select(col("u"), col("lbl"))
+        labels = updated
       }
       require(changed == 0, s"components did not converge in $maxRounds rounds " +
         "— graph diameter exceeds the bound; raise maxRounds or use a " +
@@ -1209,58 +1229,69 @@ object DedupOps {
     try {
       while (!certified && round <= maxRounds) {
         round += 1
-        // Checkpointed: the min table feeds both the convergence certificate
-        // and the large-star pass this round; released per-round in the
-        // finally so an exception mid-pass cannot strand it.
-        val mt = minTable(edges).localCheckpoint()
+        // ONE annotated-edges materialization per round (round 17 — the
+        // r16 profile priced the distributed loops' wall as stage-launch
+        // latency, ~84 sequential launches/rep on x34's sibling): the min
+        // table is joined onto the edge list ONCE (m_lo, m_hi per edge),
+        // the star certificate rides that checkpoint as an OBSERVED
+        // metric instead of a separate limit(1)-count job, and the
+        // large-star pass reads the same annotated frame instead of
+        // re-joining the min table. The r16 shape paid, per round: mt
+        // checkpoint + certificate-probe job (2 joins) + afterLarge
+        // checkpoint + afterSmall checkpoint = 4 jobs; this shape pays
+        // ann checkpoint + afterSmall checkpoint = 2 (1 on the converged
+        // final round, where only the certificate is needed).
+        //
+        // Star certificate (unchanged semantics, checked BEFORE the
+        // passes): the edge set is a star forest rooted at neighborhood
+        // minima iff every canonical edge (lo, hi) has m(hi) = lo AND
+        // m(lo) = lo. (⇐ m(hi)=lo forces each node to appear as `hi` in
+        // at most one edge — two distinct `lo`s can't both be its
+        // neighborhood min; m(lo)=lo plus lo being hi's neighbor forbids
+        // lo from also being some edge's `hi` — a smaller neighbor would
+        // contradict m(lo)=lo. So every node is a root or a single-rooted
+        // leaf: a star forest, whose roots are the component minima.)
+        // Stars are exactly the fixpoints the alternation converges to
+        // (Kiveris et al.).
+        val obs = org.apache.spark.sql.Observation(s"star_round_$round")
+        val ann = edges
+          .join(minTable(edges).select(col("u").as("hi"), col("m").as("m_hi")), Seq("hi"))
+          .join(minTable(edges).select(col("u").as("lo"), col("m").as("m_lo")), Seq("lo"))
+          .observe(obs, count(when(
+            col("m_hi") =!= col("lo") || col("m_lo") =!= col("lo"), lit(1))).as("viol"))
+          .localCheckpoint()
         try {
-          // Star certificate, checked BEFORE running the passes: the edge
-          // set is a star forest rooted at neighborhood minima iff every
-          // canonical edge (lo, hi) has m(hi) = lo AND m(lo) = lo. (⇐
-          // m(hi)=lo forces each node to appear as `hi` in at most one
-          // edge — two distinct `lo`s can't both be its neighborhood min;
-          // m(lo)=lo plus lo being hi's neighbor forbids lo from also
-          // being some edge's `hi` — a smaller neighbor would contradict
-          // m(lo)=lo. So every node is a root or a single-rooted leaf: a
-          // star forest, whose roots are the component minima.) Stars are
-          // exactly the fixpoints the alternation converges to (Kiveris
-          // et al.), so certifying here replaces the two
-          // symmetric-difference (exceptAll) jobs per round with ONE
-          // short-circuiting probe over joins of the edge set against the
-          // already-needed min table.
-          val viol = edges
-            .join(mt.select(col("u").as("hi"), col("m").as("m_hi")), Seq("hi"))
-            .join(mt.select(col("u").as("lo"), col("m").as("m_lo")), Seq("lo"))
-            .filter(col("m_hi") =!= col("lo") || col("m_lo") =!= col("lo"))
-            .limit(1).count()
+          val viol = obs.get("viol") match {
+            case l: java.lang.Long => l.longValue
+            case other => other.toString.toLong
+          }
           if (viol == 0L) certified = true
           else if (round > maxRounds) {
             // the final allowed entry is probe-only: running another full
             // contraction pass here would be discarded work — the loop
             // exits before any further certificate could bless it
           } else {
-            val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
-              .unionByName(edges.select(col("hi").as("u"), col("lo").as("v")))
-            // large-star: edges (v, m(u)) for v > u; m ≤ u < v so already canonical
-            val large = sym.filter(col("v") > col("u")).join(mt, Seq("u"))
+            // large-star: edges (v, m(u)) for v > u. Only the lo→hi
+            // direction of the symmetric view passes v > u on canonical
+            // edges, so large is exactly the annotated frame's
+            // (m_lo, hi) projection — no re-join against the min table.
+            val large = ann.select(col("m_lo").as("x"), col("hi").as("y"))
+            val afterLarge = canon(large)
+            // small-star on the large-star output: (v, m(u)) for v ≤ u,
+            // plus (u, m(u)). afterLarge is NOT checkpointed: its three
+            // consumers live in ONE plan (the afterSmall checkpoint), so
+            // the canon distinct's exchange is planned once and reused.
+            val mt2 = minTable(afterLarge)
+            val sym2 = afterLarge.select(col("lo").as("u"), col("hi").as("v"))
+              .unionByName(afterLarge.select(col("hi").as("u"), col("lo").as("v")))
+            val small = sym2.filter(col("v") < col("u")).join(mt2, Seq("u"))
               .select(col("m").as("x"), col("v").as("y"))
-            val afterLarge = canon(large).localCheckpoint()
-            // afterLarge is released in the finally: it is superseded on
-            // success AND must not stay pinned if the small pass throws
-            try {
-              // small-star on the large-star output: (v, m(u)) for v ≤ u, plus (u, m(u))
-              val mt2 = minTable(afterLarge)
-              val sym2 = afterLarge.select(col("lo").as("u"), col("hi").as("v"))
-                .unionByName(afterLarge.select(col("hi").as("u"), col("lo").as("v")))
-              val small = sym2.filter(col("v") < col("u")).join(mt2, Seq("u"))
-                .select(col("m").as("x"), col("v").as("y"))
-                .unionByName(mt2.select(col("m").as("x"), col("u").as("y")))
-              val afterSmall = canon(small).localCheckpoint()
-              releaseCheckpoint(edges)
-              edges = afterSmall
-            } finally releaseCheckpoint(afterLarge)
+              .unionByName(mt2.select(col("m").as("x"), col("u").as("y")))
+            val afterSmall = canon(small).localCheckpoint()
+            releaseCheckpoint(edges)
+            edges = afterSmall
           }
-        } finally releaseCheckpoint(mt)
+        } finally releaseCheckpoint(ann)
       }
       require(certified, s"star contraction did not converge in $maxRounds rounds")
     } catch { case e: Throwable =>

@@ -338,13 +338,38 @@ object SimilarityOps {
   private[graft] val CrossFlopsPerCore: Double = 2e10
   private[graft] val CrossBwBytesPerSec: Double = 1e10
 
+  /** Conf-threaded calibration of the two P* constants (round 17, the
+    * recorded ADVICE watch): `spark.graft.cross.flopsPerCore` /
+    * `spark.graft.cross.bwBytesPerSec` let a cluster deployment feed its
+    * MEASURED sustained kernel rate and aggregate shuffle bandwidth into
+    * the logged suggestion without recompiling; the pinned this-host
+    * defaults keep every local record identical. Same two-source read
+    * discipline as `spark.graft.cross.maxParallelism` (session conf
+    * first, then SparkConf — Spark 4.1's RuntimeConfig does not surface
+    * unregistered -D keys). */
+  private[graft] def crossConstant(
+      ss: org.apache.spark.sql.SparkSession, key: String, dflt: Double): Double =
+    ss.conf.getOption(key)
+      .orElse(ss.sparkContext.getConf.getOption(key))
+      .map { v =>
+        val d = try v.trim.toDouble catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be a positive number, got '$v'", e)
+        }
+        require(d > 0, s"$key must be a positive number, got '$v'")
+        d
+      }.getOrElse(dflt)
+
   /** P* ≈ (T_kernel·bw / (√2·|C|))^⅔ — the cross-stage parallelism where
     * kernel compute W/P and replication traffic √(2P)·|C|/bw balance
     * (BENCH_notes_r14 §1e / r15 §3). Pure so the unit gate can pin the
     * published conf-20k example: T_kernel 1280 core-s, |C| 0.521 GB raw
-    * → P* ≈ 670 (the notes round to ~690 with |C| 0.5 GB). */
-  private[graft] def crossPStar(kernelCoreSec: Double, packedBytes: Double): Double =
-    math.pow(kernelCoreSec * CrossBwBytesPerSec / (math.sqrt(2.0) * packedBytes), 2.0 / 3.0)
+    * → P* ≈ 670 (the notes round to ~690 with |C| 0.5 GB). The bandwidth
+    * defaults to the pinned constant; the dense dispatch threads the
+    * conf-calibrated value through. */
+  private[graft] def crossPStar(kernelCoreSec: Double, packedBytes: Double,
+      bwBytesPerSec: Double = CrossBwBytesPerSec): Double =
+    math.pow(kernelCoreSec * bwBytesPerSec / (math.sqrt(2.0) * packedBytes), 2.0 / 3.0)
 
   private def blockedPairs(
       assigned: DataFrame, canonicalCellPairs: DataFrame,
@@ -511,15 +536,20 @@ object SimilarityOps {
         .agg(sum(col("csz_a") * col("csz_b"))).head().getLong(0)
       val nRows = csz.agg(sum(col("csz"))).head().getLong(0)
       val dim = assigned.select(size(col("embedding"))).head().getInt(0)
-      val tKernel = cand * 2.0 * dim / CrossFlopsPerCore
+      // calibration constants read per-dispatch so a cluster can thread
+      // measured values through conf (round 17); defaults = pinned locals
+      val ss = assigned.sparkSession
+      val flopsPerCore = crossConstant(ss, "spark.graft.cross.flopsPerCore", CrossFlopsPerCore)
+      val bwBytesPerSec = crossConstant(ss, "spark.graft.cross.bwBytesPerSec", CrossBwBytesPerSec)
+      val tKernel = cand * 2.0 * dim / flopsPerCore
       val cBytes = nRows * (4.0 * dim + 16.0)
-      val pStar = crossPStar(tKernel, cBytes)
+      val pStar = crossPStar(tKernel, cBytes, bwBytesPerSec)
       log.info(f"dense cross sizing: candidate volume $cand%,d vector pairs " +
         f"(dim $dim, est. kernel $tKernel%.0f core-s at " +
-        f"${CrossFlopsPerCore / 1e9}%.0f GFLOP/s/core), packed corpus " +
+        f"${flopsPerCore / 1e9}%.0f GFLOP/s/core), packed corpus " +
         f"~${cBytes / 1e9}%.2f GB raw -> suggested " +
         f"spark.graft.cross.maxParallelism P* ~ ${math.round(pStar)} at " +
-        f"${CrossBwBytesPerSec / 1e9}%.0f GB/s aggregate shuffle bandwidth " +
+        f"${bwBytesPerSec / 1e9}%.0f GB/s aggregate shuffle bandwidth " +
         f"(worth setting only when session conf $conf >> P*; " +
         f"current cap $crossP)")
     }

@@ -186,4 +186,65 @@ class NearestInDirSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getLong(1)
     assert(winA2 == 1L, s"post-downgrade eval must stay exact: $winA2")
   }
+
+  test("rotating window detects a rewrite that agrees on every FIXED sample position") {
+    // The round-16 ADVICE scenario: two correlated directories sharing a
+    // long common prefix/suffix, differing only in a small interior region
+    // that 16 FIXED evenly-spaced sample words never landed on — the r16
+    // guard would have served the stale argmax for the rest of the
+    // partition. The round-17 rotating window sweeps the whole region
+    // against the unpack-time snapshot, so ANY persistent difference is
+    // detected within ⌈words/16⌉ consecutive rows, deterministically,
+    // regardless of where it hides.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types._
+    val embType = ArrayType(FloatType, containsNull = false)
+    val dirType = ArrayType(StructType(Array(
+      StructField("id", LongType), StructField("vec", embType))))
+    def dirOf(entries: Seq[(Long, Array[Float])]) = new GenericArrayData(entries.map {
+      case (id, v) => new GenericInternalRow(Array[Any](id, new GenericArrayData(v)))
+    }.toArray[Any])
+    // a large directory (region ≫ 16 words) where A and B differ in ONE
+    // interior entry's vector only — same ids, same sizes, long shared
+    // prefix AND suffix
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 64).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+    val probe = Array.fill(8)(rnd.nextFloat() - 0.5f)
+    // entry 40 of B is the probe direction itself (cosine 1.0 — a winner A
+    // does not have), so a stale memo is observable the moment it persists
+    val dirA = dirOf(base)
+    val dirB = dirOf(base.updated(40, (40L, probe.clone)))
+    val dirProj = UnsafeProjection.create(Array[DataType](dirType))
+    val embProj = UnsafeProjection.create(Array[DataType](embType))
+    val expr = graft.functions.NearestInDir(Seq(
+      BoundReference(0, embType, nullable = true),
+      BoundReference(1, dirType, nullable = true)))
+    val left = embProj(new GenericInternalRow(
+      Array[Any](new GenericArrayData(probe)))).copy()
+    val rowA = dirProj(new GenericInternalRow(Array[Any](dirA)))
+    val winA = expr.eval(new JoinedRow(left, rowA))
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getLong(1)
+    val rowB = dirProj(new GenericInternalRow(Array[Any](dirB))) // same reused buffer
+    assert(rowB.getBaseObject eq rowA.getBaseObject, "test premise: buffer is reused")
+    val words = rowB.getArray(0).asInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData].getSizeInBytes / 8
+    val bound = (words + 15) / 16 + 1
+    // within the deterministic sweep bound, the rewrite must be detected
+    // (unpackCount bumps; the downgraded instance then re-unpacks per eval)
+    var evals = 0
+    while (expr.unpackCount < 2L && evals < bound) {
+      expr.eval(new JoinedRow(left, rowB))
+      evals += 1
+    }
+    assert(expr.unpackCount >= 2L,
+      s"rotating window must detect the interior rewrite within $bound rows " +
+        s"(evals $evals, unpacks ${expr.unpackCount})")
+    val winB = expr.eval(new JoinedRow(left, rowB))
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow].getLong(1)
+    assert(winB == 40L,
+      s"post-detection argmax must be the rewritten directory's winner: $winB")
+    assert(winA != 40L, "test premise: A's winner differs from B's")
+  }
 }

@@ -250,4 +250,44 @@ class SimilarityIndexSpec extends SparkSpec {
     assert(SimilarityOps.crossPStar(2560.0, 0.521e9) > pStar)
     assert(SimilarityOps.crossPStar(1280.0, 1.042e9) < pStar)
   }
+
+  test("P* calibration constants thread through conf (round 17, ADVICE watch)") {
+    // defaults: unset conf keys yield the pinned this-host constants, so
+    // every local record stays identical
+    assert(SimilarityOps.crossConstant(spark, "spark.graft.cross.flopsPerCore",
+      SimilarityOps.CrossFlopsPerCore) == SimilarityOps.CrossFlopsPerCore)
+    try {
+      // a cluster threads MEASURED values through: 4× the flops rate
+      // quarters T_kernel, and P* moves per the rule — T^⅔ → P* falls by
+      // 4^⅔ ≈ 2.52; 8× the bandwidth raises P* by 8^⅔ = 4 exactly
+      spark.conf.set("spark.graft.cross.flopsPerCore", "8e10")
+      spark.conf.set("spark.graft.cross.bwBytesPerSec", "8e10")
+      val flops = SimilarityOps.crossConstant(spark,
+        "spark.graft.cross.flopsPerCore", SimilarityOps.CrossFlopsPerCore)
+      val bw = SimilarityOps.crossConstant(spark,
+        "spark.graft.cross.bwBytesPerSec", SimilarityOps.CrossBwBytesPerSec)
+      assert(flops == 8e10 && bw == 8e10)
+      // the same work/bytes the conf-20k example pins: kernel core-s scale
+      // as 1/flops, so the logged P* under the overridden constants is
+      // (T/4 · 8bw)^⅔-proportional = 2^⅔ × the pinned example
+      val base = SimilarityOps.crossPStar(1280.0, 0.521e9)
+      val moved = SimilarityOps.crossPStar(1280.0 * (2e10 / flops), 0.521e9, bw)
+      assert(math.abs(moved / base - math.pow(2.0, 2.0 / 3.0)) < 1e-9,
+        s"conf-threaded P* did not move per the rule: $moved vs base $base")
+      // malformed and non-positive values are rejected loudly, never
+      // silently defaulted (a typo'd calibration must not masquerade as
+      // the pinned constant)
+      spark.conf.set("spark.graft.cross.bwBytesPerSec", "fast")
+      intercept[IllegalArgumentException] {
+        SimilarityOps.crossConstant(spark, "spark.graft.cross.bwBytesPerSec", 1e10)
+      }
+      spark.conf.set("spark.graft.cross.bwBytesPerSec", "-3")
+      intercept[IllegalArgumentException] {
+        SimilarityOps.crossConstant(spark, "spark.graft.cross.bwBytesPerSec", 1e10)
+      }
+    } finally {
+      spark.conf.unset("spark.graft.cross.flopsPerCore")
+      spark.conf.unset("spark.graft.cross.bwBytesPerSec")
+    }
+  }
 }

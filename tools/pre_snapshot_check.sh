@@ -23,8 +23,14 @@ cd "$(dirname "$0")/.."
 BASE=${1:-$(git log --format='%H %s' -100 | awk '/ round [0-9]+:/ {print $1; exit}')}
 if [ -z "$BASE" ]; then BASE=$(git rev-list --max-parents=0 HEAD | head -1); fi
 
+# Dirty-file detection (round-16 ADVICE): `git status --short | awk
+# '{print $2}'` broke on renames ("R old -> new" printed the OLD path) and
+# on paths with spaces, so a dirty .scala file could go undetected and the
+# suite silently skipped — the exact escape this guard exists to prevent.
+# `git diff --name-only` (tracked, incl. renames' NEW path) plus
+# `git ls-files --others` (untracked) handles both.
 CHANGED=$( (git diff --name-only "$BASE" -- '*.scala'; \
-            git status --short | awk '{print $2}' | grep '\.scala$') 2>/dev/null | sort -u)
+            git ls-files --others --exclude-standard -- '*.scala') 2>/dev/null | sort -u)
 
 echo "[pre-snapshot] base: $(git log -1 --format='%h %s' "$BASE")"
 echo "[pre-snapshot] changed scala files since base (incl. dirty):"
