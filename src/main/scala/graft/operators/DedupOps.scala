@@ -948,7 +948,7 @@ object DedupOps {
     * (or a projection over one). Spark's ContextCleaner would eventually
     * reclaim them after driver GC; the propagation loop releases each
     * superseded round eagerly instead. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
     }

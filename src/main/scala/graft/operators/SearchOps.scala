@@ -205,12 +205,26 @@ object SearchOps {
       .unionAll(adj.select(col("v").as("u"), col("u").as("v")))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
     val outW = edges.groupBy(col("u")).agg(sum(col("w")).as("tw"))
-    // (u, v, w, tw) reused every round — materialize once, plan stays flat
+    // (u, v, w, tw) reused every round — materialize once, plan stays
+    // flat. A round-17 attempt to replace this checkpoint with a cached
+    // u-partitioned relation (the connectedComponents big-graph layout,
+    // so at-scale SMJ rounds would never re-exchange the edge table) was
+    // MEASURED and REVERTED: the isolated A/B read x132 raw 1.217 (the
+    // cache's columnar round-trip per round plus the extra layout
+    // exchange cost ~0.5 s at gate scale for a benefit only reachable
+    // when the frontier outgrows the broadcast threshold, which no gated
+    // fixture does — docs/BENCH_ab_textrank_r17.json). An adaptive split
+    // like the components loop's would need an edge-count job this
+    // 10-round fixed-iteration operator has nowhere to amortize.
     val ew = edges.join(outW, "u").localCheckpoint()
     var r = ew.select(col("u").as("word")).distinct()
       .withColumn("r", lit(1000000L))
+    // guards the eager release below: the INITIAL frontier is a plan over
+    // ew's checkpoint, and releasing "it" would walk down to — and
+    // unpersist — the edge table rounds 2..n still read
+    var rOwnsCheckpoint = false
     for (_ <- 1 to iters) {
-      r = ew.join(r, ew("u") === r("word"))
+      val next = ew.join(r, ew("u") === r("word"))
         .select(col("v"), expr(
           // per-edge floor BEFORE the sum: order-independent exact integers
           "CAST((CAST(85 AS DECIMAL(38,0)) * r * w) DIV " +
@@ -218,7 +232,14 @@ object SearchOps {
         .groupBy(col("v")).agg(sum(col("c")).as("in"))
         .select(col("v").as("word"), (lit(150000L) + col("in")).as("r"))
         .localCheckpoint()
+      // release the superseded round eagerly (the cc-loop discipline):
+      // ten rounds of pinned executor storage otherwise wait for driver GC
+      if (rOwnsCheckpoint) DedupOps.releaseCheckpoint(r)
+      r = next
+      rOwnsCheckpoint = true
     }
+    // the final round's checkpoint stays alive: the returned frame reads
+    // it lazily (released by the ContextCleaner when the caller drops it)
     r.select(col("word"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("word").asc)
       .limit(k)
